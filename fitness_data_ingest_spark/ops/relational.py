@@ -1,0 +1,152 @@
+"""Relational operator family (SURVEY.md §2.2-§2.4): projection, filters,
+joins, dedup, union, ordering, aggregation.
+
+Each function is a thin, composable, *lazy* DataFrame transform — the
+semantics come from the reference (citations inline), the physical
+strategy is Catalyst's. Nothing here collects to the driver.
+
+Scale notes (100 TB):
+- equi-joins: dimension sides go through ``F.broadcast`` (no shuffle of
+  the fact side); fact-fact joins shuffle on the join key and rely on
+  AQE skew splitting.
+- anti/semi joins against a manifest: the manifest is tiny relative to
+  the work set → broadcast anti-join, zero shuffle of the big side.
+- latest-per-group: window row_number over (key, order) — one shuffle on
+  the partition key; prefer it over global ``orderBy().limit()`` which
+  funnels to a single reducer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def project(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """P1 — column projection.
+
+    Reference: ``activities[["sport_type","id","start_date_local","name"]]``
+    (services/strava/get_stream_data.py:83). Column pruning reaches the
+    parquet scan (check ReadSchema in explain).
+    """
+    return df.select(*cols)
+
+
+def filter_date_range(
+    df: DataFrame, ts_col: str, start: str, end: str
+) -> DataFrame:
+    """P2 — typed date-range filter on a timestamp column.
+
+    Reference: ``.query("start_date_local.dt.date >= @start_date")`` /
+    ``<= end_date`` (get_stream_data.py:68-75). Expressed on the raw
+    timestamp so the predicate pushes to parquet row-group stats.
+    """
+    return df.filter(
+        (F.col(ts_col) >= F.lit(start).cast("timestamp"))
+        & (F.col(ts_col) < F.lit(end).cast("timestamp"))
+    )
+
+
+def conditional_project(df: DataFrame, flag: Column, col: Column, alias: str) -> DataFrame:
+    """P6 — null-unless-flag projection.
+
+    Reference: heart-rate fields nulled unless ``has_heartrate``
+    (services/strava/utils.py:157-159,210-212).
+    """
+    return df.withColumn(alias, F.when(flag, col).otherwise(F.lit(None)))
+
+
+def join_facts_to_dim(
+    facts: DataFrame, dim: DataFrame, on, how: str = "inner", broadcast_dim: bool = True
+) -> DataFrame:
+    """J1 — equi-join of a big fact table to a small dimension.
+
+    Reference intent (commented out): ``pd.merge(stream_df,
+    activities[cols], left_on="activity_id", right_on="id")``
+    (get_stream_data.py:81-86). The dim side is broadcast so the fact
+    side never shuffles — at 100 TB this is the difference between a
+    map-side join and a petabyte shuffle.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return facts.join(d, on=on, how=how)
+
+
+def incremental_anti_join(work: DataFrame, manifest: DataFrame, on) -> DataFrame:
+    """J2 — idempotent-ingest anti-join: keep work items whose output key
+    is NOT already in the manifest.
+
+    Reference: ``if key_path in all_files_dict[resource]: continue``
+    (services/fitbit/fitbit_utils.py:230-232; manifest built at 213-223).
+    Exact key equality — the reference's stream variant used substring
+    matching which false-positives (id 123 matches 1234,
+    services/strava/utils.py:412; SURVEY §2.6.4).
+    """
+    return work.join(F.broadcast(manifest), on=on, how="left_anti")
+
+
+def exists_semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """J3 — existence check as a semi-join.
+
+    Reference: ``any(matching_key)`` short-circuit
+    (services/strava/utils.py:412-418).
+    """
+    return left.join(F.broadcast(right), on=on, how="left_semi")
+
+
+def distinct_keys(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A2 — distinct. Reference: ``activities["id"].drop_duplicates()``
+    (get_stream_data.py:76). Map-side partial dedup + one shuffle."""
+    return df.select(*cols).distinct()
+
+
+def union_all(dfs: Sequence[DataFrame], allow_missing: bool = False) -> DataFrame:
+    """A3 — union-all by name.
+
+    Reference: ``pd.concat(pd_list).reset_index(drop=True)``
+    (services/strava/utils.py:425). ``unionByName`` (not positional
+    ``union``) mirrors pandas' name-aligned concat; with
+    ``allow_missing`` it also covers the reference's missing-column
+    backfill (R3, utils.py:362-370).
+    """
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=allow_missing)
+    return out
+
+
+def latest_snapshot(df: DataFrame, order_col: str, tiebreak: str) -> DataFrame:
+    """A1 — argmax/latest-row selection, global.
+
+    Reference: parse dates from filenames, ``np.argmax(file_dates)``
+    (get_stream_data.py:56-62). pandas relies on positional argmax;
+    Spark has no implicit order, so the order is explicit and a
+    tiebreak column makes it total (SURVEY §7.3).
+    """
+    w = Window.orderBy(F.col(order_col).desc(), F.col(tiebreak).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def latest_per_group(
+    df: DataFrame, keys: Sequence[str], order_col: str, tiebreak: str
+) -> DataFrame:
+    """A1 (grouped) — latest row per key via window row_number.
+
+    One shuffle on the group key; scales to any number of groups
+    (vs. global sort + limit which single-threads the tail).
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc(), F.col(tiebreak).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def min_max(df: DataFrame, col: str, alias_prefix: str) -> DataFrame:
+    """A4 — min/max bounds. Reference: ``min(years)``/``max(years)``
+    bounding the fetch window (services/strava/utils.py:56-57)."""
+    return df.agg(
+        F.min(col).alias(f"{alias_prefix}_min"), F.max(col).alias(f"{alias_prefix}_max")
+    )

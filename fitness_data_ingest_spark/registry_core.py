@@ -1,0 +1,727 @@
+"""Core relational / reshape / scalar query registry (SURVEY.md §2).
+
+Every entry has a Spark implementation built from the operator library
+(``ops/``) and a DuckDB oracle SQL string with IDENTICAL column names
+(the driver's compare sorts columns by name and value-hashes).
+
+Determinism rules (FIXTURES.md "Oracle notes"):
+- session timezone pinned UTC (registry_util.t → configure_runtime);
+- every computed column aliased identically on both sides;
+- floating aggregates rounded (F.round(x, 2));
+- derived timestamps returned as formatted strings.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .io import scan_with_lineage, write_partitioned
+from .ops import relational as R
+from .ops import reshape as RS
+from .ops import scalar as SC
+from .registry_util import (
+    QueryDef,
+    cents,
+    money_avg,
+    money_sum,
+    round2,
+    sql_money_avg,
+    sql_money_sum,
+    sql_round2,
+    t,
+)
+
+# ---------------------------------------------------------------- flagship
+
+
+def _flagship(spark, sf_dir):
+    """The reference's commented-out analytical pipeline
+    (services/strava/get_stream_data.py:54-90), transplanted to the
+    fixtures: scan → date-range filter (P2) → distinct keys (A2) →
+    broadcast join facts to keys (J1) → aggregate revenue.
+    """
+    orders = t(spark, sf_dir, "orders")
+    lineitem = t(spark, sf_dir, "lineitem")
+    recent = R.filter_date_range(orders, "o_orderdate", "1996-01-01", "1998-01-01")
+    keys = R.distinct_keys(recent, ["o_orderkey", "o_orderpriority"])
+    joined = R.join_facts_to_dim(
+        lineitem, keys, on=lineitem.l_orderkey == keys.o_orderkey
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_FLAGSHIP_SQL = f"""
+SELECT o_orderpriority,
+       {sql_money_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_items,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+JOIN (SELECT DISTINCT o_orderkey, o_orderpriority
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01') o
+  ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+# ------------------------------------------------- projection & filters
+
+
+def _project_columns(spark, sf_dir):
+    """P1 — get_stream_data.py:83; pruning reaches the parquet scan."""
+    return R.project(
+        t(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_partkey", "l_quantity", "l_shipdate"],
+    )
+
+
+def _filter_date_range(spark, sf_dir):
+    """P2 — get_stream_data.py:68-75."""
+    orders = t(spark, sf_dir, "orders")
+    return R.filter_date_range(orders, "o_orderdate", "1996-01-01", "1997-01-01").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+
+
+def _filter_pushdown_partition(spark, sf_dir):
+    """P3 — source-level predicate pushdown (reference pushes dates into
+    the API URL, fitbit_utils.py:421-424). Here the range predicate hits
+    parquet row-group min/max stats; verify via explain() PushedFilters."""
+    li = t(spark, sf_dir, "lineitem")
+    filtered = R.filter_date_range(li, "l_shipdate", "1997-01-01", "1998-01-01")
+    return filtered.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        money_sum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+def _filter_compound(spark, sf_dir):
+    """P4 — compound predicate: len(summary_polyline)>0 & year==2024
+    (get_activity_data.py:25), transplanted."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.length("o_orderpriority") > 6) & (F.year("o_orderdate") == 1997)
+    ).select("o_orderkey", "o_orderpriority")
+
+
+def _project_conditional(spark, sf_dir):
+    """P6 — null-unless-flag (has_heartrate, utils.py:157-159)."""
+    cust = t(spark, sf_dir, "customer")
+    out = R.conditional_project(
+        cust, F.col("c_acctbal") > 0, F.col("c_acctbal"), "pos_acctbal"
+    )
+    return out.select("c_custkey", "c_mktsegment", "pos_acctbal")
+
+
+# ----------------------------------------------------------------- joins
+
+
+def _join_inner_equi(spark, sf_dir):
+    """J1 — the commented merge at get_stream_data.py:81-86."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        round2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+def _join_broadcast(spark, sf_dir):
+    """J1 (broadcast) — dim side broadcast: fact side never shuffles."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+    j = R.join_facts_to_dim(li, part, on=li.l_partkey == part.p_partkey)
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        money_sum(F.col("l_quantity")).alias("sum_qty"),
+        money_avg(F.col("p_retailprice")).alias("avg_retail"),
+    )
+
+
+def _join_left_anti(spark, sf_dir):
+    """J2 — incremental-ingest anti-join (fitbit_utils.py:230-232):
+    customers with no order since 2000 = work items not in manifest."""
+    cust = t(spark, sf_dir, "customer")
+    recent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    manifest = recent.select(F.col("o_custkey").alias("c_custkey"))
+    return R.incremental_anti_join(cust, manifest, on="c_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _join_left_semi(spark, sf_dir):
+    """J3 — existence semi-join (utils.py:412-418)."""
+    cust = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    keys = urgent.select(F.col("o_custkey").alias("c_custkey"))
+    return R.exists_semi_join(cust, keys, on="c_custkey").select("c_custkey", "c_name")
+
+
+def _join_range_interval(spark, sf_dir):
+    """Range/interval join (latent as-of alignment in the reference's
+    data model, SURVEY §2.3): for each error event, the same user's
+    events in the following hour. Equi on user_id + range on ts —
+    Catalyst plans hash join on user_id with the range as post-filter,
+    which is the scalable shape (never a pure cross)."""
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id"), F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts")
+    )
+    later = ev.select(
+        F.col("user_id"), F.col("event_id").alias("next_id"),
+        F.col("event_type").alias("next_type"), F.col("ts").alias("next_ts"),
+    )
+    j = errors.join(later, "user_id").filter(
+        (F.col("next_ts") > F.col("error_ts"))
+        & (F.col("next_ts") <= F.col("error_ts") + F.expr("interval 1 hour"))
+    )
+    return j.select("user_id", "error_id", "next_id", "next_type")
+
+
+# --------------------------------------------- agg / dedup / union / topk
+
+
+def _topk_latest(spark, sf_dir):
+    """A1 — argmax-latest (np.argmax over file dates,
+    get_stream_data.py:56-62) with an explicit total order."""
+    ev = t(spark, sf_dir, "events")
+    latest = R.latest_snapshot(ev, "ts", "event_id")
+    return latest.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+    )
+
+
+def _window_row_number(spark, sf_dir):
+    """A1 grouped — latest event per user via window row_number."""
+    ev = t(spark, sf_dir, "events")
+    latest = R.latest_per_group(ev, ["user_id"], "ts", "event_id")
+    return latest.select(
+        "user_id", "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s")
+    )
+
+
+def _dedup_distinct(spark, sf_dir):
+    """A2 — drop_duplicates (get_stream_data.py:76)."""
+    return R.distinct_keys(t(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"])
+
+
+def _union_all(spark, sf_dir):
+    """A3 — pd.concat union (utils.py:425)."""
+    orders = t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_orderkey").alias("key"), F.lit("y1995").alias("src")
+    )
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_orderkey").alias("key"), F.lit("y1996").alias("src")
+    )
+    return R.union_all([y95, y96])
+
+
+def _agg_min_max(spark, sf_dir):
+    """A4 — min/max window bounds (utils.py:56-57)."""
+    out = R.min_max(t(spark, sf_dir, "orders"), "o_orderdate", "od")
+    return out.select(
+        F.date_format("od_min", "yyyy-MM-dd").alias("od_min_day"),
+        F.date_format("od_max", "yyyy-MM-dd").alias("od_max_day"),
+    )
+
+
+# ------------------------------------------------------------- reshaping
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _pivot_key_value(spark, sf_dir):
+    """R1 — stream-type pivot (utils.py:353-357). Explicit pivot values
+    skip Spark's extra distinct-collection job."""
+    ev = t(spark, sf_dir, "events").withColumn("value_c", cents(F.col("value")))
+    piv = RS.pivot_key_value(ev, ["user_id"], "event_type", "value_c", EVENT_TYPES)
+    return piv.select(
+        "user_id", *[(F.col(c) / 100.0).alias(c) for c in EVENT_TYPES]
+    )
+
+
+def _array_element_extract(spark, sf_dir):
+    """R2 — latlng → latitude/longitude split (utils.py:358-361)."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = RS.split_array_column(emb, "embedding", ["x0", "x1"])
+    return out.select(
+        "vec_id",
+        F.col("x0").cast("double").alias("x0"),
+        F.col("x1").cast("double").alias("x1"),
+        "label",
+    )
+
+
+def _schema_align_union(spark, sf_dir):
+    """R3 — missing-column backfill via name-aligned union
+    (utils.py:362-370)."""
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    supp = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"), F.col("s_acctbal").alias("acctbal")
+    )
+    return R.union_all([cust, supp], allow_missing=True)
+
+
+def _explode_nested(spark, sf_dir):
+    """R4 — nested list flatten + per-element extraction
+    (fitbit_utils.py:353-370): documents.text → words → counts."""
+    docs = t(spark, sf_dir, "documents")
+    words = RS.explode_nested(
+        docs.select(F.split("text", " ").alias("words")), "words", "word"
+    )
+    return (
+        words.filter(F.col("word") != "").groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _json_extract(spark, sf_dir):
+    """R4 (JSON) — dot-path extraction from a JSON string column
+    (the reference digs values out of nested JSON dicts,
+    fitbit_utils.py:353-370; props is the fixture analog)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum(F.col("value")).alias("sum_value"))
+    )
+
+
+def _normalize_defaults(spark, sf_dir):
+    """R5 — normalize_activity defaults (utils.py:146-233: e.g.
+    visibility='everyone' at :202, pr_count=0 at :225). The fixture has
+    no nulls, so nulls are manufactured (nullif / negative-to-null)
+    then coalesced — same shape as the reference's missing-key fills."""
+    cust = t(spark, sf_dir, "customer")
+    sparse = cust.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment"),
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias(
+            "acctbal"
+        ),
+    )
+    filled = RS.normalize_defaults(sparse, {"segment": "(none)", "acctbal": 0.0})
+    return filled.select("c_custkey", "segment", round2(F.col("acctbal")).alias("acctbal"))
+
+
+def _cast_schema(spark, sf_dir):
+    """R6 — cast-to-declared-schema at the sink (STREAM_SCHEMA coercion,
+    globals.py:8-25, e.g. moving bool→int64 — here has_discount)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_quantity").alias("qty_long"),
+        F.col("l_linenumber").cast("double").alias("linenumber_d"),
+        (F.col("l_discount") > 0).cast("int").alias("has_discount_int"),
+    )
+
+
+def _sink_roundtrip(spark, sf_dir):
+    """S4 — partitioned parquet sink + scan-back (write path of
+    fitbit_utils.py:285-287 with partitionBy replacing the path
+    convention). Result must equal the direct aggregate."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"fdis_sink_roundtrip_{os.getpid()}"
+    )
+    write_partitioned(li, out_dir, partition_by=["l_returnflag"])
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        money_sum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+def _manifest_scan(spark, sf_dir):
+    """S6 — file manifest as data: per-file row counts via
+    input_file_name() (the reference lists S3 into a dict,
+    fitbit_utils.py:46-89; Spark's file index is the same pass)."""
+    ev = scan_with_lineage(t(spark, sf_dir, "events"))
+    return ev.groupBy("file_name").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ------------------------------------------------------ scalar functions
+
+
+def _ts_concat_parse(spark, sf_dir):
+    """F1+F13 — date-string + time-of-day → timestamp
+    (fitbit_utils.py:382-386)."""
+    ev = t(spark, sf_dir, "events")
+    parsed = SC.ts_from_date_and_time(SC.date_str(F.col("ts")), SC.time_of_day_str(F.col("ts")))
+    return ev.select(
+        "event_id", F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("ts_rebuilt")
+    )
+
+
+def _date_format_q(spark, sf_dir):
+    """F2 — strftime('%Y-%m-%d') (fitbit_utils.py:225,387,419)."""
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey", SC.date_str(F.col("o_orderdate")).alias("d")
+    )
+
+
+def _generate_date_series(spark, sf_dir):
+    """F3 — pd.date_range driving sequence (fitbit_utils.py:211-212),
+    newest-first by construction; emitted as rows."""
+    seq = SC.date_series("2024-01-01", "2024-03-31", newest_first=True)
+    return (
+        spark.range(1)
+        .select(F.explode(seq).alias("d"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"))
+    )
+
+
+def _date_add_window(spark, sf_dir):
+    """F4 — timedelta(days=29) window end (fitbit_utils.py:445)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        SC.date_str(F.col("o_orderdate")).alias("day"),
+        F.date_format(SC.window_end(F.to_date("o_orderdate"), 29), "yyyy-MM-dd").alias(
+            "window_end_day"
+        ),
+    )
+
+
+def _epoch_convert(spark, sf_dir):
+    """F5 — datetime→epoch seconds (utils.py:58-59)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select("event_id", SC.epoch_seconds(F.col("ts")).alias("epoch_s"))
+
+
+def _string_split_extract(spark, sf_dir):
+    """F6+F7 — build the storage key, then parse the date back out of the
+    filename (get_stream_data.py:56-61; key layout fitbit_utils.py:227-228)."""
+    ev = t(spark, sf_dir, "events")
+    key = SC.object_key("intraday", F.col("event_type"), F.col("ts"))
+    out = ev.select("event_id", key.alias("key"))
+    return out.select(
+        "event_id",
+        "key",
+        F.date_format(SC.filename_date(F.col("key")), "yyyy-MM-dd").alias("file_day"),
+    )
+
+
+def _string_concat_format(spark, sf_dir):
+    """F7 — f-string path construction (fitbit_utils.py:227-228)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.format_string(
+            "orders/%s/order_%d.parquet", F.col("o_orderstatus"), F.col("o_orderkey")
+        ).alias("path"),
+    )
+
+
+def _array_join_q(spark, sf_dir):
+    """F8 — ",".join(keys) (utils.py:334), on the sorted word set."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.array_sort(F.filter(F.split("text", " "), lambda x: x != ""))
+    return docs.select("doc_id", SC.joined_keys(words).alias("joined"))
+
+
+def _math_round(spark, sf_dir):
+    """F10 — round(reset_time/60, 2) (fitbit_utils.py:325)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        round2(F.col("l_extendedprice") / 60.0).alias("per_minute"),
+    )
+
+
+def _string_contains(spark, sf_dir):
+    """F11 — substring containment (utils.py:412)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.filter(SC.contains_key(F.col("text"), F.lit("merge"))).select(
+        "doc_id", "n_chars"
+    )
+
+
+CORE_QUERIES: dict[str, QueryDef] = {
+    q.name: q
+    for q in [
+        QueryDef("flagship_pipeline", _flagship, _FLAGSHIP_SQL, ("flagship",)),
+        QueryDef(
+            "project_columns",
+            _project_columns,
+            "SELECT l_orderkey, l_partkey, l_quantity, l_shipdate FROM lineitem",
+        ),
+        QueryDef(
+            "filter_date_range",
+            _filter_date_range,
+            """SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate < TIMESTAMP '1997-01-01'""",
+        ),
+        QueryDef(
+            "filter_pushdown_partition",
+            _filter_pushdown_partition,
+            f"""SELECT l_returnflag, count(*) AS n_rows,
+                      {sql_money_sum('l_quantity')} AS sum_qty
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                 AND l_shipdate < TIMESTAMP '1998-01-01'
+               GROUP BY l_returnflag""",
+        ),
+        QueryDef(
+            "filter_compound",
+            _filter_compound,
+            """SELECT o_orderkey, o_orderpriority FROM orders
+               WHERE length(o_orderpriority) > 6 AND year(o_orderdate) = 1997""",
+        ),
+        QueryDef(
+            "project_conditional",
+            _project_conditional,
+            """SELECT c_custkey, c_mktsegment,
+                      CASE WHEN c_acctbal > 0 THEN c_acctbal END AS pos_acctbal
+               FROM customer""",
+        ),
+        QueryDef(
+            "join_inner_equi",
+            _join_inner_equi,
+            f"""SELECT l_orderkey, l_linenumber, o_custkey,
+                      {sql_round2('l_extendedprice * (1 - l_discount)')} AS net_price
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+        ),
+        QueryDef(
+            "join_broadcast",
+            _join_broadcast,
+            f"""SELECT p_brand, count(*) AS n_items,
+                      {sql_money_sum('l_quantity')} AS sum_qty,
+                      {sql_money_avg('p_retailprice')} AS avg_retail
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               GROUP BY p_brand""",
+        ),
+        QueryDef(
+            "join_left_anti",
+            _join_left_anti,
+            """SELECT c_custkey, c_name FROM customer c
+               WHERE NOT EXISTS (
+                 SELECT 1 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderdate >= TIMESTAMP '2000-01-01')""",
+        ),
+        QueryDef(
+            "join_left_semi",
+            _join_left_semi,
+            """SELECT c_custkey, c_name FROM customer c
+               WHERE EXISTS (
+                 SELECT 1 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderpriority = '1-URGENT')""",
+        ),
+        QueryDef(
+            "join_range_interval",
+            _join_range_interval,
+            """SELECT e1.user_id, e1.event_id AS error_id,
+                      e2.event_id AS next_id, e2.event_type AS next_type
+               FROM events e1
+               JOIN events e2
+                 ON e1.user_id = e2.user_id
+                AND e2.ts > e1.ts
+                AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+               WHERE e1.event_type = 'error'""",
+        ),
+        QueryDef(
+            "topk_latest",
+            _topk_latest,
+            """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+               FROM events
+               QUALIFY row_number() OVER (ORDER BY ts DESC, event_id ASC) = 1""",
+        ),
+        QueryDef(
+            "window_row_number",
+            _window_row_number,
+            """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+               FROM events
+               QUALIFY row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id ASC) = 1""",
+        ),
+        QueryDef(
+            "dedup_distinct",
+            _dedup_distinct,
+            "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        ),
+        QueryDef(
+            "union_all",
+            _union_all,
+            """SELECT o_orderkey AS key, 'y1995' AS src FROM orders
+               WHERE year(o_orderdate) = 1995
+               UNION ALL
+               SELECT o_orderkey AS key, 'y1996' AS src FROM orders
+               WHERE year(o_orderdate) = 1996""",
+        ),
+        QueryDef(
+            "agg_min_max",
+            _agg_min_max,
+            """SELECT strftime(min(o_orderdate), '%Y-%m-%d') AS od_min_day,
+                      strftime(max(o_orderdate), '%Y-%m-%d') AS od_max_day
+               FROM orders""",
+        ),
+        QueryDef(
+            "pivot_key_value",
+            _pivot_key_value,
+            "SELECT user_id, "
+            + ", ".join(
+                f"sum(CASE WHEN event_type = '{et}' THEN "
+                f"CAST(floor(value * 100 + 0.5) AS BIGINT) END) / 100.0 AS {et}"
+                for et in EVENT_TYPES
+            )
+            + " FROM events GROUP BY user_id",
+        ),
+        QueryDef(
+            "array_element_extract",
+            _array_element_extract,
+            """SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x0,
+                      CAST(embedding[2] AS DOUBLE) AS x1, label
+               FROM embeddings""",
+        ),
+        QueryDef(
+            "schema_align_union",
+            _schema_align_union,
+            """SELECT c_custkey AS key, c_name AS name, CAST(NULL AS DOUBLE) AS acctbal
+               FROM customer
+               UNION ALL
+               SELECT s_suppkey AS key, CAST(NULL AS VARCHAR) AS name, s_acctbal
+               FROM supplier""",
+        ),
+        QueryDef(
+            "explode_nested",
+            _explode_nested,
+            """SELECT w AS word, count(*) AS n
+               FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+               WHERE w <> '' GROUP BY w""",
+        ),
+        QueryDef(
+            "json_extract",
+            _json_extract,
+            f"""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                      count(*) AS n, {sql_money_sum('value')} AS sum_value
+               FROM events GROUP BY 1""",
+        ),
+        QueryDef(
+            "normalize_defaults",
+            _normalize_defaults,
+            f"""SELECT c_custkey,
+                      coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS segment,
+                      {sql_round2("coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0)")} AS acctbal
+               FROM customer""",
+        ),
+        QueryDef(
+            "cast_schema",
+            _cast_schema,
+            """SELECT l_orderkey, l_linenumber,
+                      CAST(floor(l_quantity) AS BIGINT) AS qty_long,
+                      CAST(l_linenumber AS DOUBLE) AS linenumber_d,
+                      CAST(l_discount > 0 AS INTEGER) AS has_discount_int
+               FROM lineitem""",
+        ),
+        QueryDef(
+            "sink_roundtrip",
+            _sink_roundtrip,
+            f"""SELECT l_returnflag, count(*) AS n_rows,
+                      {sql_money_sum('l_extendedprice')} AS sum_price
+               FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+               GROUP BY l_returnflag""",
+        ),
+        QueryDef(
+            "manifest_scan",
+            _manifest_scan,
+            "SELECT 'events.parquet' AS file_name, count(*) AS n_rows FROM events",
+        ),
+        QueryDef(
+            "ts_concat_parse",
+            _ts_concat_parse,
+            "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_rebuilt FROM events",
+        ),
+        QueryDef(
+            "date_format",
+            _date_format_q,
+            "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d FROM orders",
+        ),
+        QueryDef(
+            "generate_date_series",
+            _generate_date_series,
+            """SELECT strftime(d, '%Y-%m-%d') AS day
+               FROM (SELECT unnest(generate_series(DATE '2024-01-01',
+                                                   DATE '2024-03-31',
+                                                   INTERVAL 1 DAY)) AS d)""",
+        ),
+        QueryDef(
+            "date_add_window",
+            _date_add_window,
+            """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS day,
+                      strftime(o_orderdate + INTERVAL 29 DAY, '%Y-%m-%d') AS window_end_day
+               FROM orders""",
+        ),
+        QueryDef(
+            "epoch_convert",
+            _epoch_convert,
+            "SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events",
+        ),
+        QueryDef(
+            "string_split_extract",
+            _string_split_extract,
+            """SELECT event_id,
+                      'intraday/' || event_type || '/' || event_type || '_'
+                        || strftime(ts, '%Y-%m-%d') || '.parquet' AS key,
+                      strftime(ts, '%Y-%m-%d') AS file_day
+               FROM events""",
+        ),
+        QueryDef(
+            "string_concat_format",
+            _string_concat_format,
+            """SELECT o_orderkey,
+                      printf('orders/%s/order_%d.parquet', o_orderstatus, o_orderkey) AS path
+               FROM orders""",
+        ),
+        QueryDef(
+            "array_join",
+            _array_join_q,
+            """SELECT doc_id,
+                      array_to_string(list_sort(list_filter(string_split(text, ' '),
+                                                            x -> x <> '')), ',') AS joined
+               FROM documents""",
+        ),
+        QueryDef(
+            "math_round",
+            _math_round,
+            f"""SELECT l_orderkey, l_linenumber,
+                      {sql_round2('l_extendedprice / 60.0')} AS per_minute
+               FROM lineitem""",
+        ),
+        QueryDef(
+            "string_contains",
+            _string_contains,
+            "SELECT doc_id, n_chars FROM documents WHERE contains(text, 'merge')",
+        ),
+    ]
+}
