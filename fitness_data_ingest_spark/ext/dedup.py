@@ -1,0 +1,203 @@
+"""Deduplication operators (north-star extension): exact hash dedup,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of these at 100 TB):
+- exact dedup: hash-groupBy — one shuffle on a 16-byte key, map-side
+  partial aggregation; the only O(N) exact method.
+- MinHash+LSH: per-row signature (narrow, codegen'd), explode to
+  (band, key) rows, self-join on the band key. Candidate pairs are
+  O(collisions), never O(N²); the final Jaccard verify touches only
+  candidates. Banding parameters (b=8, r=4) put the S-curve threshold
+  at ≈ (1/b)^(1/r) ≈ 0.59.
+- SimHash: 32-bit signature per doc; near-dups share signatures or
+  differ in ≤k bits — bucket by signature (or rotated prefixes) —
+  again no pairwise pass.
+- n-gram Jaccard: the exact (verification-grade) method — candidate
+  generation via shared-shingle equi-join, so cost tracks shingle
+  collision counts, not N².
+
+All signature math is integer arithmetic on md5-derived 32-bit hashes —
+bit-identical in any engine, which is what lets the DuckDB oracle verify
+these exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import token_hashes, tokens
+
+# MinHash permutation constants: h_i(x) = (a_i * x + b_i) mod P.
+# P prime > 2^32; a < 2^30 keeps a*h < 2^62 (no signed-64 overflow in
+# either engine). Seeded for reproducibility; the oracle SQL embeds the
+# same constants.
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = 4
+MERSENNE_P = 4294967311
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, 1 << 30) for _ in range(MINHASH_K)]
+MINHASH_B = [_rng.randrange(0, 1 << 30) for _ in range(MINHASH_K)]
+
+SHINGLE_K = 3  # 3-word shingles
+
+
+def shingles(tok_col: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-word shingles; documents shorter than k words collapse
+    to a single whole-text shingle (guards Spark's descending
+    ``sequence(0, n-k)`` when n<k)."""
+    idx = F.sequence(F.lit(0), F.size(tok_col) - k)
+    make = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok_col, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(tok_col) >= k, F.array_distinct(make)).otherwise(
+        F.array(F.array_join(tok_col, " "))
+    )
+
+
+def shingle_hashes(text_col: Column, k: int = SHINGLE_K) -> Column:
+    return token_hashes(shingles(tokens(text_col), k))
+
+
+def _perm(a: int, b: int):
+    # closure factory: PySpark derives lambda arity from the signature,
+    # so default-arg capture (lambda h, a=a) would mis-declare 3 args
+    return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P
+
+
+def minhash_signature(hash_col: Column, n: int = MINHASH_K) -> list[Column]:
+    """n min-hash values per row — pure array expressions, codegen'd."""
+    return [
+        F.array_min(F.transform(hash_col, _perm(MINHASH_A[i], MINHASH_B[i]))).alias(f"s{i}")
+        for i in range(n)
+    ]
+
+
+def band_keys(n_bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> list[Column]:
+    """Hash each band of the signature into one bucket key."""
+    keys = []
+    for bi in range(n_bands):
+        parts = [F.col(f"s{bi * rows + j}").cast("string") for j in range(rows)]
+        keys.append(F.md5(F.concat_ws("-", *parts)).alias(f"band{bi}"))
+    return keys
+
+
+def with_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """id, shingle set, minhash signature columns s0..s{K-1}."""
+    sh = shingles(tokens(F.col(text_col)))
+    out = df.select(F.col(id_col).alias("doc"), sh.alias("sh"))
+    out = out.withColumn("shh", token_hashes(F.col("sh")))
+    return out.select("doc", "sh", *minhash_signature(F.col("shh")))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) sharing ≥1 LSH band bucket.
+
+    The band table is (doc, band_idx, key) rows; the self-equi-join on
+    (band_idx, key) shuffles on the bucket key only — hot buckets are
+    AQE-skew-split. Pair dedup happens BEFORE the expensive verify."""
+    bands = sig_df.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_idx"), F.col(f"band{i}").alias("key"))
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", "b.band_idx", "b.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    return inter.cast("double") / (F.size(sh_a) + F.size(sh_b) - inter)
+
+
+def minhash_near_dups(
+    docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → banded candidates →
+    exact-Jaccard verify ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
+    sig = with_minhash(docs, id_col, text_col)
+    sig = sig.select("doc", "sh", *band_keys()).persist()
+    cands = lsh_candidate_pairs(sig)
+    sh = sig.select("doc", "sh")
+    j = (
+        cands.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn("j", jaccard(F.col("sh_a"), F.col("sh_b")))
+    )
+    return j.filter(F.col("j") >= threshold).select(
+        "doc_a", "doc_b", (F.floor(F.col("j") * 10000 + 0.5) / 10000.0).alias("jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs; candidates from a
+    shared-shingle equi-join (no N² pass)."""
+    sh_df = docs.select(
+        F.col(id_col).alias("doc"), shingles(tokens(F.col(text_col))).alias("sh")
+    ).persist()
+    exploded = sh_df.select("doc", F.explode("sh").alias("s"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    j = (
+        cands.join(sh_df.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh_df.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn("j", jaccard(F.col("sh_a"), F.col("sh_b")))
+    )
+    return j.filter(F.col("j") >= threshold).select(
+        "doc_a", "doc_b", (F.floor(F.col("j") * 10000 + 0.5) / 10000.0).alias("jaccard")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def _bit_vote(j: int):
+    return lambda a, h: a + F.when(
+        F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+    ).otherwise(-1)
+
+
+def simhash(hash_col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Per-doc SimHash: majority vote of each bit across distinct token
+    hashes. Bit j set iff Σ(±1 per token) > 0."""
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        bit_sum = F.aggregate(hash_col, F.lit(0).cast("long"), _bit_vote(j))
+        acc = acc + F.when(bit_sum > 0, F.lit(1 << j).cast("long")).otherwise(0)
+    return acc
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: md5 content hash → group. One shuffle on the hash."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators over a document table (north-star extension:
+language-ID, quality scoring, token counting, fingerprinting).
+
+All expressions are JVM-side built-ins (split/filter/transform/aggregate)
+— whole-stage-codegen'd, zero Python in the row path, so they scan at
+parquet speed and scale linearly with executors at 100 TB.
+
+Cross-engine determinism: token hashes use the first 8 hex chars of md5
+(identical in Spark / DuckDB / anything), and arithmetic sticks to
+integer ops or mirrored IEEE expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Order = tie-break priority.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es": ("el", "la", "de", "los", "y", "en", "que", "un"),
+    "fr": ("le", "les", "et", "une", "des", "est", "dans", "pour"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def token_hash(col: Column) -> Column:
+    """Deterministic 32-bit token hash: first 8 hex chars of md5 → long.
+
+    Engine-portable (md5 is md5 everywhere) — the foundation for
+    minhash/simhash signatures that must match the oracle bit-for-bit.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def token_hashes(tok_col: Column) -> Column:
+    return F.transform(tok_col, token_hash)
+
+
+def stopword_hits(tok_col: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens (with multiplicity) in a stopword list."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tok_col, lambda x: F.array_contains(arr, x)))
+
+
+def language_scores(tok_col: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(tok_col, ws) for lang, ws in STOPWORDS.items()}
+
+
+def predict_language(tok_col: Column) -> Column:
+    """Argmax language by stopword-hit count; ties resolve in STOPWORDS
+    order. A real system uses character n-gram models; the operator shape
+    (per-row scoring, no shuffle) is the same."""
+    scores = language_scores(tok_col)
+    langs = list(STOPWORDS)
+    expr = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        others = [scores[o] for o in langs[langs.index(lang) + 1 :]]
+        cond = scores[lang] >= F.greatest(*others) if len(others) > 1 else (
+            scores[lang] >= others[0]
+        )
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def char_len(col: Column) -> Column:
+    return F.length(col)
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Fraction of characters that are a-z — a crude junk detector."""
+    return F.length(F.regexp_replace(col, "[^a-z]", "")).cast("double") / F.length(col)
+
+
+def quality_score(text_col: Column, tok_col: Column) -> Column:
+    """Deterministic quality heuristic in [0,1]: length, stopword and
+    alphabetic ratios (the classic pre-training quality-filter features).
+    Mirrors exactly into SQL (least/+/*, no engine-specific rounding)."""
+    n_tok = F.size(tok_col).cast("double")
+    stop_ratio = stopword_hits(tok_col, STOPWORDS["en"]).cast("double") / n_tok
+    return (
+        F.least(n_tok / 100.0, F.lit(1.0)) * 0.4
+        + stop_ratio * 0.3
+        + alpha_ratio(text_col) * 0.3
+    )
+
+
+def fingerprint(tok_col: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set — catches shuffled/duplicated token-level copies that an
+    exact text hash misses."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tok_col)), " "))
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach tokens + all per-document text features."""
+    toks = tokens(F.col(text_col))
+    return (
+        df.withColumn("toks", toks)
+        .withColumn("n_tokens", F.size("toks"))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct("toks")))
+        .withColumn("predicted_lang", predict_language(F.col("toks")))
+        .withColumn("quality", quality_score(F.col(text_col), F.col("toks")))
+        .withColumn("fingerprint", fingerprint(F.col("toks")))
+    )

@@ -1,0 +1,326 @@
+"""Extension query registry: dedup, similarity search, text analysis,
+multimodal (north-star operators, BASELINE.json).
+
+The DuckDB oracle SQL for signature-based operators (MinHash, SimHash,
+LSH) is *generated from the same constants* as the Spark implementation
+(ext/dedup.py, ext/similarity.py), so both engines compute bit-identical
+integer signatures — the oracle verifies the whole pipeline exactly, not
+just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .ext import dedup as D
+from .ext import multimodal as MM
+from .ext import similarity as S
+from .ext import text as TX
+from .registry_util import QueryDef, t
+
+# ------------------------------------------------------------ SQL atoms
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_HASH = "('0x' || substr(md5({s}), 1, 8))::BIGINT"
+
+
+def _sql_shingles(toks: str = "toks", k: int = D.SHINGLE_K) -> str:
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {k - 2}), i -> {parts})) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+
+
+def _sql_sig_cols() -> str:
+    cols = []
+    for i in range(D.MINHASH_K):
+        a, b = D.MINHASH_A[i], D.MINHASH_B[i]
+        cols.append(
+            f"list_min(list_transform(shh, h -> ({a} * h + {b}) % {D.MERSENNE_P})) AS s{i}"
+        )
+    return ", ".join(cols)
+
+
+def _sql_band_rows() -> str:
+    rows = []
+    for bi in range(D.LSH_BANDS):
+        parts = ", ".join(
+            f"CAST(s{bi * D.LSH_ROWS + j} AS VARCHAR)" for j in range(D.LSH_ROWS)
+        )
+        rows.append(
+            f"SELECT doc_id, {bi} AS band_idx, md5(concat_ws('-', {parts})) AS key FROM sig"
+        )
+    return " UNION ALL ".join(rows)
+
+
+_SQL_DOC_SHINGLES = f"""
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_sql_shingles()} AS sh FROM tok)
+"""
+
+_SQL_JACCARD_TAIL = """
+pairs AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(x.sh, y.sh))::DOUBLE
+           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
+            JOIN sh y ON y.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, floor(j * 10000 + 0.5) / 10000.0 AS jaccard
+FROM pairs WHERE j >= 0.5
+"""
+
+_MINHASH_SQL = f"""
+WITH {_SQL_DOC_SHINGLES},
+hh AS (SELECT doc_id, sh, list_transform(sh, s -> {_HASH.format(s='s')}) AS shh FROM sh),
+sig AS (SELECT doc_id, {_sql_sig_cols()} FROM hh),
+bands AS ({_sql_band_rows()}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id),
+{_SQL_JACCARD_TAIL}
+"""
+
+_NGRAM_SQL = f"""
+WITH {_SQL_DOC_SHINGLES},
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+{_SQL_JACCARD_TAIL}
+"""
+
+
+def _sql_simhash() -> str:
+    bit_terms = []
+    for j in range(D.SIMHASH_BITS):
+        bit_terms.append(
+            f"CASE WHEN list_sum(list_transform(th, h -> "
+            f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    total = " + ".join(bit_terms)
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+th AS (SELECT doc_id,
+              list_transform(list_distinct(toks), x -> {_HASH.format(s='x')}) AS th
+       FROM tok)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM th
+"""
+
+
+_EN_LIST = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"]) + "]"
+
+
+def _sql_lang_scores() -> str:
+    return ", ".join(
+        f"len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in ws)
+        + f"], x))) AS {lang}_hits"
+        for lang, ws in TX.STOPWORDS.items()
+    )
+
+
+_LANG_SQL = f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+sc AS (SELECT doc_id, lang, toks, {_sql_lang_scores()} FROM tok)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN en_hits >= greatest(de_hits, es_hits, fr_hits) THEN 'en'
+            WHEN de_hits >= greatest(es_hits, fr_hits) THEN 'de'
+            WHEN es_hits >= fr_hits THEN 'es'
+            ELSE 'fr' END AS predicted_lang,
+       floor((en_hits::DOUBLE / len(toks)) * 10000 + 0.5) / 10000.0 AS en_ratio4
+FROM sc
+"""
+
+_QUALITY_SQL = f"""
+WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars_c,
+       len(toks) AS n_tokens,
+       floor((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+              + (len(list_filter(toks, x -> list_contains({_EN_LIST}, x)))::DOUBLE
+                 / len(toks)) * 0.3
+              + (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+                 / length(text)) * 0.3) * 10000 + 0.5) / 10000.0 AS quality4
+FROM tok
+"""
+
+# --------------------------------------------------- similarity SQL
+
+_EMB_D = "list_transform(embedding, x -> x::DOUBLE)"
+
+
+def _sql_lsh_bucket() -> str:
+    terms = []
+    for i, plane in enumerate(S.HYPERPLANES):
+        lit = "[" + ", ".join(repr(c) for c in plane) + "]"
+        terms.append(f"CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END")
+    return " + ".join(terms)
+
+
+_COS_PAIRS_SQL = f"""
+WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings WHERE vec_id % 5 = 0),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, floor(cos * 10000 + 0.5) / 10000.0 AS cos4
+FROM p WHERE cos >= 0.3
+"""
+
+_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+      FROM (SELECT * FROM n WHERE vec_id < 10) q,
+           (SELECT * FROM n WHERE vec_id >= 10) c)
+SELECT query_id, cand_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rnk,
+       floor(cos * 10000 + 0.5) / 10000.0 AS cos4
+FROM s
+QUALIFY rnk <= 5
+"""
+
+_LSH_BUCKET_SQL = f"""
+WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
+b AS (SELECT vec_id, CAST({_sql_lsh_bucket()} AS BIGINT) AS bucket FROM e)
+SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket
+"""
+
+# ------------------------------------------------------- spark callables
+
+
+def _dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy (the O(N) scale path)."""
+    return D.exact_dedup_groups(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _dedup_minhash(spark, sf_dir):
+    """MinHash(32) + LSH(8×4) near-dup pairs, exact-Jaccard verified."""
+    return D.minhash_near_dups(t(spark, sf_dir, "documents"), "doc_id", "text", 0.5)
+
+
+def _dedup_ngram(spark, sf_dir):
+    """Exact 3-word-shingle Jaccard pairs (shared-shingle candidates)."""
+    return D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), "doc_id", "text", 0.5)
+
+
+def _dedup_simhash(spark, sf_dir):
+    """32-bit SimHash signature per document."""
+    docs = t(spark, sf_dir, "documents")
+    th = TX.token_hashes(F.array_distinct(TX.tokens(F.col("text"))))
+    return docs.select("doc_id", D.simhash(th).alias("simhash"))
+
+
+def _dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs (cosine ≥ 0.3) on a deterministic
+    sub-sample; brute force = the correctness baseline for LSH."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return S.cosine_pairs(emb, threshold=0.3)
+
+
+def _ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5: query set broadcast against candidates."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = S.cosine_topk(emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10))
+    return out.withColumnRenamed("rank", "rnk")
+
+
+def _ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucket histogram (the ANN scale path)."""
+    b = S.lsh_buckets(t(spark, sf_dir, "embeddings"))
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+def _text_token_count(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_c"),
+    )
+
+
+def _text_language_id(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").withColumn("toks", TX.tokens(F.col("text")))
+    en_ratio = TX.stopword_hits(F.col("toks"), TX.STOPWORDS["en"]).cast("double") / F.size(
+        "toks"
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.predict_language(F.col("toks")).alias("predicted_lang"),
+        (F.floor(en_ratio * 10000 + 0.5) / 10000.0).alias("en_ratio4"),
+    )
+
+
+def _text_quality(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").withColumn("toks", TX.tokens(F.col("text")))
+    q = TX.quality_score(F.col("text"), F.col("toks"))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_c"),
+        F.size("toks").alias("n_tokens"),
+        (F.floor(q * 10000 + 0.5) / 10000.0).alias("quality4"),
+    )
+
+
+def _text_fingerprint(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").withColumn("toks", TX.tokens(F.col("text")))
+    return docs.select("doc_id", TX.fingerprint(F.col("toks")).alias("fp"))
+
+
+def _multimodal_metadata(spark, sf_dir):
+    """Binary-payload convention: metadata pass (sizes + checksums) over
+    the media table — no decode, pure JVM."""
+    media = MM.text_as_media(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return MM.media_stats(media)
+
+
+EXT_QUERIES: dict[str, QueryDef] = {
+    q.name: q
+    for q in [
+        QueryDef(
+            "dedup_exact_hash",
+            _dedup_exact,
+            """SELECT md5(text) AS fingerprint, min(doc_id) AS canonical_id,
+                      count(*) AS n_copies
+               FROM documents GROUP BY 1""",
+        ),
+        QueryDef("dedup_minhash_lsh", _dedup_minhash, _MINHASH_SQL),
+        QueryDef("dedup_ngram_jaccard", _dedup_ngram, _NGRAM_SQL),
+        QueryDef("dedup_simhash", _dedup_simhash, _sql_simhash()),
+        QueryDef("dedup_embedding_cosine", _dedup_embedding_cosine, _COS_PAIRS_SQL),
+        QueryDef("ann_cosine_topk", _ann_topk, _TOPK_SQL),
+        QueryDef("ann_lsh_bucketed", _ann_lsh, _LSH_BUCKET_SQL),
+        QueryDef("text_token_count", _text_token_count, None),  # sql set below
+        QueryDef("text_language_id", _text_language_id, _LANG_SQL),
+        QueryDef("text_quality_score", _text_quality, _QUALITY_SQL),
+        QueryDef(
+            "text_fingerprint",
+            _text_fingerprint,
+            f"""WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+                SELECT doc_id,
+                       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+                FROM tok""",
+        ),
+        QueryDef(
+            "multimodal_metadata",
+            _multimodal_metadata,
+            """SELECT doc_id AS media_id, 'text' AS kind,
+                      octet_length(encode(text)) AS n_bytes, md5(text) AS checksum
+               FROM documents""",
+        ),
+    ]
+}
+
+EXT_QUERIES["text_token_count"].sql = f"""
+WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct_tokens,
+       length(text) AS n_chars_c
+FROM tok
+"""
