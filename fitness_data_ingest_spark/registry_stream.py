@@ -1,0 +1,88 @@
+"""Streaming-window query registry (batch-mode checkable).
+
+The window operators (stream/windows.py) are mode-agnostic: the same
+transform runs on a static DataFrame (here, for the DuckDB oracle) and
+on a watermarked readStream (tests/test_streaming.py). Oracles express
+windows via epoch-grid arithmetic (origin-independent, identical to
+Spark's epoch-aligned windows) and sessions via gaps-and-islands SQL
+(FIXTURES.md oracle notes).
+"""
+
+from __future__ import annotations
+
+from .registry_util import QueryDef, t
+from .stream import windows as W
+
+_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def _bucket(sec: int, src: str = "ts") -> str:
+    return f"CAST(floor(epoch({src}) / {sec}) AS BIGINT) * {sec}"
+
+
+def _to_ts(expr: str) -> str:
+    return f"TIMESTAMP '1970-01-01' + ({expr}) * INTERVAL 1 SECOND"
+
+
+_CENTS_SUM = "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0"
+
+
+def _window_tumbling(spark, sf_dir):
+    """Tumbling 5-min windows (batch form of the streaming aggregate)."""
+    return W.tumbling_counts(t(spark, sf_dir, "events"))
+
+
+_TUMBLING_SQL = f"""
+SELECT strftime({_to_ts(_bucket(300))}, '{_TS_FMT}') AS window_start,
+       event_type, count(*) AS n, {_CENTS_SUM} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _window_sliding(spark, sf_dir):
+    """Sliding 10-min windows every 5 min — each event in 2 windows."""
+    return W.sliding_counts(t(spark, sf_dir, "events"))
+
+
+_SLIDING_SQL = f"""
+WITH w AS (
+  SELECT {_bucket(300)} - off AS wstart
+  FROM events, (VALUES (0), (300)) o(off))
+SELECT strftime({_to_ts('wstart')}, '{_TS_FMT}') AS window_start, count(*) AS n
+FROM w GROUP BY wstart
+"""
+
+
+def _window_session(spark, sf_dir):
+    """Per-user 30-min-gap session windows (F.session_window in batch)."""
+    return W.session_stats(t(spark, sf_dir, "events"))
+
+
+_SESSION_SQL = f"""
+WITH x AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+y AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x)
+SELECT user_id,
+       strftime(min(ts), '{_TS_FMT}') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '{_TS_FMT}') AS session_end,
+       count(*) AS n_events, {_CENTS_SUM} AS sum_value
+FROM y GROUP BY user_id, sid
+"""
+
+
+STREAM_QUERIES: dict[str, QueryDef] = {
+    q.name: q
+    for q in [
+        QueryDef("window_tumbling", _window_tumbling, _TUMBLING_SQL),
+        QueryDef("window_sliding", _window_sliding, _SLIDING_SQL),
+        QueryDef("window_session", _window_session, _SESSION_SQL),
+    ]
+}

@@ -1,0 +1,107 @@
+"""Streaming surface (north-star extension; the reference has none —
+its "streams" are Strava's name for batch-fetched sample arrays,
+SURVEY.md §2.7).
+
+Window operators are defined once and used in BOTH modes:
+- batch: ``F.window`` / ``F.session_window`` group-bys on a static
+  DataFrame — SQL-expressible, so the DuckDB oracle can check them;
+- streaming: the same transforms applied to ``readStream`` with a
+  watermark — exercised by tests/test_streaming.py with an
+  availableNow/memory-sink run.
+
+Scale notes: tumbling/sliding windows shuffle on (window, key) — state
+is bounded by the watermark horizon; at 100 TB you partition the source
+by key and keep ``spark.sql.shuffle.partitions`` sized to executor
+count, letting AQE coalesce post-watermark output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # epoch-nanos (parquet NANOS)
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def _ts_s(col: str | Column) -> Column:
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+def tumbling_counts(ev: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Tumbling-window counts+sums per event_type."""
+    win = F.window("ts", width)
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) / 100.0).alias(
+                "sum_value"
+            ),
+        )
+        .select(_ts_s("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(ev: DataFrame, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    win = F.window("ts", width, slide)
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(_ts_s("w.start").alias("window_start"), "n")
+    )
+
+
+def session_stats(ev: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based). ``session_window`` works in
+    batch group-bys too — same operator feeds the streaming query."""
+    win = F.session_window("ts", gap)
+    return (
+        ev.groupBy(win.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")) / 100.0).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "user_id",
+            _ts_s("w.start").alias("session_start"),
+            _ts_s("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def read_events_stream(spark, events_dir: str) -> DataFrame:
+    """File-source streaming read of the events fixture.
+
+    The fixture's ts is TIMESTAMP(NANOS) which Spark reads as long
+    (nanosAsLong) — converted by exact integer division, then
+    watermarked. At scale the source would be Kafka/queue; the
+    transform chain is identical.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(events_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def streaming_tumbling(ev_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling aggregate — late rows beyond the watermark
+    are dropped; append-mode emits only finalized windows."""
+    return tumbling_counts(ev_stream.withWatermark("ts", watermark))
