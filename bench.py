@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully via the no-op sink (forces the whole plan —
+``count()`` would let Catalyst prune payload columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fitness_data_ingest_spark.registry import all_queries  # noqa: E402
+from fitness_data_ingest_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3_top10",
+    "tpch_q5_region",
+    "flagship_pipeline",
+    "join_broadcast",
+    "join_range_interval",
+    "pivot_key_value",
+    "window_row_number",
+    "window_tumbling",
+    "window_session",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(
+        app_name="fdis-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    registry = all_queries()
+
+    # JVM/codegen warmup on the smallest query so q1 isn't charged for it
+    registry["agg_min_max"].spark(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = registry[name].spark(spark, sf_dir)
+        start = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

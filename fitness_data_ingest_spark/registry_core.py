@@ -465,10 +465,140 @@ def _string_contains(spark, sf_dir):
     )
 
 
+
+# ------------------------------------------------ TPC-H-style headliners
+# Classic analytical shapes over the fixture star schema — the bench.py
+# anchors. Aggregates use exact integer-cents sums so cross-engine
+# ordering (Q3 top-10) is deterministic.
+
+
+def _tpch_q1(spark, sf_dir):
+    """Pricing summary: scan-heavy groupBy with 8 aggregates."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum(F.col("l_quantity")).alias("sum_qty"),
+        money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        money_sum(disc_price).alias("sum_disc_price"),
+        money_sum(charge).alias("sum_charge"),
+        money_avg(F.col("l_quantity")).alias("avg_qty"),
+        money_avg(F.col("l_extendedprice")).alias("avg_price"),
+        money_avg(F.col("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def _tpch_q3(spark, sf_dir):
+    """Shipping-priority top-10: 3-way join + exact-cents ranking."""
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    j = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    agg = j.groupBy("l_orderkey", "o_orderpriority").agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rev_c").desc(), F.col("l_orderkey").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "l_orderkey", "o_orderpriority", (F.col("rev_c") / 100.0).alias("revenue"), "rnk"
+        )
+    )
+
+
+def _tpch_q5(spark, sf_dir):
+    """Local-supplier revenue by nation in ASIA: 6-table join chain with
+    broadcast dims (nation/region/supplier/customer are all dims)."""
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    li = t(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    j = (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == dims.c_custkey)
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+_TPCH_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_money_sum('l_quantity')} AS sum_qty,
+       {sql_money_sum('l_extendedprice')} AS sum_base_price,
+       {sql_money_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_money_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_money_avg('l_quantity')} AS avg_qty,
+       {sql_money_avg('l_extendedprice')} AS avg_price,
+       {sql_money_avg('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_TPCH_Q3_SQL = """
+WITH agg AS (
+  SELECT l_orderkey, o_orderpriority,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS rev_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate >= TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey, o_orderpriority)
+SELECT l_orderkey, o_orderpriority, rev_c / 100.0 AS revenue,
+       row_number() OVER (ORDER BY rev_c DESC, l_orderkey ASC) AS rnk
+FROM agg
+QUALIFY rnk <= 10
+"""
+
+_TPCH_Q5_SQL = f"""
+SELECT n_name, {sql_money_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+  AND c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
 CORE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
         QueryDef("flagship_pipeline", _flagship, _FLAGSHIP_SQL, ("flagship",)),
+        QueryDef("tpch_q1", _tpch_q1, _TPCH_Q1_SQL, ("bench",)),
+        QueryDef("tpch_q3_top10", _tpch_q3, _TPCH_Q3_SQL, ("bench",)),
+        QueryDef("tpch_q5_region", _tpch_q5, _TPCH_Q5_SQL, ("bench",)),
         QueryDef(
             "project_columns",
             _project_columns,
