@@ -1,0 +1,42 @@
+"""Multimodal plumbing tests: binary payload + metadata convention,
+Arrow-batched mapInPandas feature extraction, decode stub contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fitness_data_ingest_spark.ext import multimodal as MM
+from fitness_data_ingest_spark.registry_util import t
+
+
+def test_text_as_media_schema(spark, sf_dir):
+    media = MM.text_as_media(t(spark, sf_dir, "documents"), "doc_id", "text")
+    assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    r = media.limit(1).collect()[0]
+    assert r["meta"]["kind"] == "text"
+    assert isinstance(r["payload"], (bytes, bytearray))
+
+
+def test_fake_feature_extract_mapinpandas(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").limit(50)
+    media = MM.text_as_media(docs, "doc_id", "text")
+    feats = MM.fake_feature_extract(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(len(r["features"]) == MM.FEATURE_DIM for r in rows)
+    # deterministic: same payload → same features
+    again = {r["media_id"]: r["features"] for r in MM.fake_feature_extract(media).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in rows)
+    # n_bytes agrees with the JVM-side metadata pass
+    stats = {r["media_id"]: r["n_bytes"] for r in MM.media_stats(media).collect()}
+    assert all(stats[r["media_id"]] == r["n_bytes"] for r in rows)
+
+
+def test_decode_stub_raises_at_execution(spark, sf_dir):
+    media = MM.text_as_media(t(spark, sf_dir, "documents").limit(5), "doc_id", "text")
+    decoded = MM.decode_stub(media)  # plan builds fine
+    assert decoded.schema.fieldNames() == ["media_id", "kind", "decoded"]
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        decoded.collect()
