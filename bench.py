@@ -46,8 +46,17 @@ def main() -> None:
     )
     registry = all_queries()
 
-    # JVM/codegen warmup on the smallest query so q1 isn't charged for it
-    registry["agg_min_max"].spark(spark, sf_dir).count()
+    # JVM + whole-stage-codegen warmup: run every headline plan once at
+    # the smallest SF so timings measure data processing, not Janino
+    # compilation (which is identical plan-shape work either way).
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            registry[name].spark(spark, warm_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

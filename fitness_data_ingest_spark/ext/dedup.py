@@ -79,21 +79,50 @@ def minhash_signature(hash_col: Column, n: int = MINHASH_K) -> list[Column]:
     ]
 
 
+def minhash_signature_array(hash_col: Column, n: int = MINHASH_K) -> Column:
+    """The n-permutation signature as one array column with the (a, b)
+    constants INLINED per permutation — constant-folded by codegen, no
+    per-row literal-array allocation (an element_at-over-literal-array
+    variant measured ~4× slower at sf0.1). Cold-compile cost of the wide
+    expression is amortized by warmup (bench.py warms every plan)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(hash_col, _perm(MINHASH_A[i], MINHASH_B[i])))
+            for i in range(n)
+        ]
+    )
+
+
 def band_keys(n_bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> list[Column]:
-    """Hash each band of the signature into one bucket key."""
+    """Hash each band of the signature array into one bucket key."""
     keys = []
     for bi in range(n_bands):
-        parts = [F.col(f"s{bi * rows + j}").cast("string") for j in range(rows)]
+        parts = [
+            F.col("sig").getItem(bi * rows + j).cast("string") for j in range(rows)
+        ]
         keys.append(F.md5(F.concat_ws("-", *parts)).alias(f"band{bi}"))
     return keys
 
 
 def with_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """id, shingle set, minhash signature columns s0..s{K-1}."""
+    """id, distinct hashed shingle set (``shd``), signature array (``sig``).
+
+    Jaccard verification downstream runs on the HASHED shingle set —
+    long arrays shuffle ~10× lighter than the string shingles, and the
+    oracle mirrors the same hashed-set Jaccard exactly.
+    """
+    # Signature computation is CPU-heavy per row (md5 per shingle + k
+    # permutations); a single small input file would otherwise pin it to
+    # one task. Spread it across the cluster BEFORE the projection — at
+    # real scale the scan already has many splits and AQE coalesces.
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
     sh = shingles(tokens(F.col(text_col)))
-    out = df.select(F.col(id_col).alias("doc"), sh.alias("sh"))
-    out = out.withColumn("shh", token_hashes(F.col("sh")))
-    return out.select("doc", "sh", *minhash_signature(F.col("shh")))
+    out = df.repartition(n_parts, F.col(id_col)).select(
+        F.col(id_col).alias("doc"), sh.alias("sh")
+    )
+    out = out.withColumn("shd", F.array_distinct(token_hashes(F.col("sh")))).drop("sh")
+    return out.withColumn("sig", minhash_signature_array(F.col("shd")))
 
 
 def lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
@@ -135,14 +164,19 @@ def minhash_near_dups(
     docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates →
-    exact-Jaccard verify ≥ threshold. Returns (doc_a, doc_b, jaccard)."""
+    exact hashed-set-Jaccard verify ≥ threshold. Returns
+    (doc_a, doc_b, jaccard)."""
     sig = with_minhash(docs, id_col, text_col)
-    sig = sig.select("doc", "sh", *band_keys()).persist()
+    sig = sig.select("doc", "shd", *band_keys()).persist()
     cands = lsh_candidate_pairs(sig)
-    sh = sig.select("doc", "sh")
+    sh = sig.select("doc", "shd")
     j = (
-        cands.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        cands.join(
+            sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("shd", "sh_a"), "doc_a"
+        )
+        .join(
+            sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("shd", "sh_b"), "doc_b"
+        )
         .withColumn("j", jaccard(F.col("sh_a"), F.col("sh_b")))
     )
     return j.filter(F.col("j") >= threshold).select(
@@ -153,11 +187,19 @@ def minhash_near_dups(
 def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact shingle-Jaccard near-dup pairs; candidates from a
-    shared-shingle equi-join (no N² pass)."""
-    sh_df = docs.select(
-        F.col(id_col).alias("doc"), shingles(tokens(F.col(text_col))).alias("sh")
-    ).persist()
+    """Exact hashed-shingle-Jaccard near-dup pairs; candidates from a
+    shared-shingle equi-join (no N² pass). Shingles travel as 64-bit
+    hashes — the join key and the verify arrays shuffle ~10× lighter
+    than raw shingle strings."""
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
+    sh_df = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(token_hashes(shingles(tokens(F.col(text_col))))).alias("sh"),
+        )
+        .persist()
+    )
     exploded = sh_df.select("doc", F.explode("sh").alias("s"))
     a, b = exploded.alias("a"), exploded.alias("b")
     cands = (

@@ -38,7 +38,7 @@ def _sql_sig_cols() -> str:
     for i in range(D.MINHASH_K):
         a, b = D.MINHASH_A[i], D.MINHASH_B[i]
         cols.append(
-            f"list_min(list_transform(shh, h -> ({a} * h + {b}) % {D.MERSENNE_P})) AS s{i}"
+            f"list_min(list_transform(shd, h -> ({a} * h + {b}) % {D.MERSENNE_P})) AS s{i}"
         )
     return ", ".join(cols)
 
@@ -57,14 +57,17 @@ def _sql_band_rows() -> str:
 
 _SQL_DOC_SHINGLES = f"""
 tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-sh AS (SELECT doc_id, {_sql_shingles()} AS sh FROM tok)
+shs AS (SELECT doc_id, {_sql_shingles()} AS sh FROM tok),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(sh, s -> {_HASH.format(s='s')})) AS shd
+       FROM shs)
 """
 
 _SQL_JACCARD_TAIL = """
 pairs AS (
   SELECT doc_a, doc_b,
-         len(list_intersect(x.sh, y.sh))::DOUBLE
-           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS j
+         len(list_intersect(x.shd, y.shd))::DOUBLE
+           / (len(x.shd) + len(y.shd) - len(list_intersect(x.shd, y.shd))) AS j
   FROM cand JOIN sh x ON x.doc_id = cand.doc_a
             JOIN sh y ON y.doc_id = cand.doc_b)
 SELECT doc_a, doc_b, floor(j * 10000 + 0.5) / 10000.0 AS jaccard
@@ -73,8 +76,7 @@ FROM pairs WHERE j >= 0.5
 
 _MINHASH_SQL = f"""
 WITH {_SQL_DOC_SHINGLES},
-hh AS (SELECT doc_id, sh, list_transform(sh, s -> {_HASH.format(s='s')}) AS shh FROM sh),
-sig AS (SELECT doc_id, {_sql_sig_cols()} FROM hh),
+sig AS (SELECT doc_id, {_sql_sig_cols()} FROM sh),
 bands AS ({_sql_band_rows()}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
@@ -84,7 +86,7 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 
 _NGRAM_SQL = f"""
 WITH {_SQL_DOC_SHINGLES},
-ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+ex AS (SELECT doc_id, unnest(shd) AS s FROM sh),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
 {_SQL_JACCARD_TAIL}
