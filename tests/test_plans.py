@@ -1,0 +1,92 @@
+"""Physical-plan quality gates: the plans we'd want at 100 TB, asserted
+via explain() — pushdown reaches the scan, dims broadcast, no
+accidental cartesian products, codegen in the hot path."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from fitness_data_ingest_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = QUERIES["filter_pushdown_partition"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    # the shipdate range must be in the pushed filters, not a post-scan-only filter
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed and ("GreaterThan" in pushed or "LessThan" in pushed)
+
+
+def test_projection_prunes_scan_schema(spark, sf_dir):
+    df = QUERIES["project_columns"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read and "l_quantity" in read
+    # pruned: untouched wide columns must not be read
+    assert "l_comment" not in read and "l_extendedprice" not in read
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ["join_broadcast", "flagship_pipeline", "tpch_q5_region"]:
+        plan = plan_of(QUERIES[name].spark(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, f"{name}: dim join fell back to SMJ"
+
+
+def test_anti_semi_joins_broadcast(spark, sf_dir):
+    for name in ["join_left_anti", "join_left_semi"]:
+        plan = plan_of(QUERIES[name].spark(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_range_join_is_hash_on_equi_key(spark, sf_dir):
+    """The interval join must plan as an equi-join on user_id with the
+    range as post-join filter — NEVER a cartesian/nested-loop over the
+    full fact table."""
+    plan = plan_of(QUERIES["join_range_interval"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "user_id" in plan
+
+
+def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
+    for name in ["tpch_q1", "text_quality_score"]:
+        df = QUERIES[name].spark(spark, sf_dir)
+        # AQE hides codegen spans until the final plan exists; run the
+        # query (cheap at sf0.001) so explain() shows the executed plan.
+        df.collect()
+        plan = plan_of(df, "simple")
+        # codegen stages render as "*(n) Op" in simple mode
+        assert "*(1)" in plan or "WholeStageCodegen" in plan, name
+
+
+def test_no_python_udfs_anywhere_in_registry(spark, sf_dir):
+    """Every registered query must stay JVM-side (BatchEvalPython /
+    ArrowEvalPython in a plan = a row/batch Python boundary). The only
+    sanctioned Python boundary is mapInPandas in the multimodal module,
+    which is not an oracle query."""
+    for name, q in QUERIES.items():
+        plan = plan_of(q.spark(spark, sf_dir), "simple")
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_minhash_signature_stage_is_parallel(spark, sf_dir):
+    from fitness_data_ingest_spark.ext import dedup as D
+    from fitness_data_ingest_spark.registry_util import t
+
+    sig = D.with_minhash(t(spark, sf_dir, "documents"), "doc_id", "text")
+    assert sig.rdd.getNumPartitions() > 1
