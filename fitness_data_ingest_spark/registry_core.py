@@ -492,17 +492,29 @@ def _tpch_q1(spark, sf_dir):
 
 
 def _tpch_q3(spark, sf_dir):
-    """Shipping-priority top-10: 3-way join + exact-cents ranking."""
-    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    """Shipping-priority top-10: 3-way join + exact-cents ranking.
+
+    Scale notes: joins are flat (no broadcast-of-a-join, which would force
+    an extra driver collect); ``orders`` is NOT force-broadcast — at SF1000
+    it is billions of rows, so the join strategy is left to AQE, which
+    broadcasts it at bench scale from runtime stats. Only the
+    segment-filtered customer keys (1/5 of a dim) carry a broadcast hint.
+    The final top-10 is a rank-over-aggregate: the heavy groupBy shuffles
+    on l_orderkey; the global window sorts only the aggregated output.
+    """
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
-    )
+    ).select("o_orderkey", "o_custkey", "o_orderpriority")
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
-    )
-    j = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
-        li.l_orderkey == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    j = li.join(orders, li.l_orderkey == F.col("o_orderkey")).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
     )
     agg = j.groupBy("l_orderkey", "o_orderpriority").agg(
         F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_c")
@@ -533,11 +545,14 @@ def _tpch_q5(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "c_nationkey", "n_name")
     )
+    # orders/customer/supplier are NOT force-broadcast: at SF1000 they are
+    # far beyond driver memory. AQE broadcasts them at bench scale from
+    # runtime stats; nation/region (25 / 5 rows at every SF) stay hinted.
     j = (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(dims), F.col("o_custkey") == dims.c_custkey)
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+        .join(dims, F.col("o_custkey") == dims.c_custkey)
+        .join(supp.select("s_suppkey", "s_nationkey"),
               li.l_suppkey == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
     )

@@ -39,16 +39,28 @@ def test_projection_prunes_scan_schema(spark, sf_dir):
     assert "l_comment" not in read and "l_extendedprice" not in read
 
 
+def final_plan_of(df) -> str:
+    """Executed (AQE-final) physical plan. Static non-CBO join-size
+    estimates are products of child sizes, so small-side joins can plan
+    as SMJ statically and only demote to broadcast at runtime — the
+    runtime plan is the one that matters."""
+    df.collect()
+    plan = plan_of(df, "simple")
+    # explain() prints "== Final Plan ==" then "== Initial Plan ==";
+    # only the final (post-AQE) section matters.
+    return plan.split("== Initial Plan ==")[0]
+
+
 def test_dim_joins_broadcast(spark, sf_dir):
     for name in ["join_broadcast", "flagship_pipeline", "tpch_q5_region"]:
-        plan = plan_of(QUERIES[name].spark(spark, sf_dir))
+        plan = final_plan_of(QUERIES[name].spark(spark, sf_dir))
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, f"{name}: dim join fell back to SMJ"
 
 
 def test_anti_semi_joins_broadcast(spark, sf_dir):
     for name in ["join_left_anti", "join_left_semi"]:
-        plan = plan_of(QUERIES[name].spark(spark, sf_dir))
+        plan = final_plan_of(QUERIES[name].spark(spark, sf_dir))
         assert "BroadcastHashJoin" in plan, name
 
 
