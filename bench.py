@@ -22,7 +22,10 @@ from fitness_data_ingest_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "tpch_q1",
     "tpch_q3_top10",
+    "tpch_q4_semi",
     "tpch_q5_region",
+    "tpch_q6_filter_agg",
+    "tpch_q18_large_orders",
     "flagship_pipeline",
     "join_broadcast",
     "join_range_interval",

@@ -607,13 +607,178 @@ GROUP BY n_name
 """
 
 
+def _tpch_q4(spark, sf_dir):
+    """Order-priority checking (q4 shape): count orders per priority that
+    have at least one late-shipped lineitem. The fixture lineitem has no
+    l_commitdate, so "late" is l_shipdate > o_orderdate + 60 days. The
+    EXISTS is a conditional left-semi join — at scale this shuffles both
+    sides on orderkey once and never materializes the match multiplicity.
+    """
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.timestamp_add("DAY", F.lit(60), orders.o_orderdate)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def _tpch_q6(spark, sf_dir):
+    """Forecasting-revenue-change (q6): pure scan + pushed filter + single
+    aggregate — the whole plan is one codegen stage over a pruned scan."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_TPCH_Q6_SQL = f"""
+SELECT {sql_money_sum('l_extendedprice * l_discount')} AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def _tpch_q18(spark, sf_dir):
+    """Large-volume customer (q18 shape): aggregate-filtered join. The
+    qualifying-orderkey set comes from a groupBy HAVING; joining through
+    it keeps the second pass semi-join-sized. Both aggregations shuffle
+    on l_orderkey/o_orderkey, so AQE reuses the exchange partitioning."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_day"),
+            round2(F.col("o_totalprice")).alias("o_totalprice_r"),
+            "total_qty",
+        )
+    )
+
+
+_TPCH_Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_day,
+       {sql_round2('o_totalprice')} AS o_totalprice_r,
+       total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def _window_running_sum(spark, sf_dir):
+    """Cumulative per-user analytics: running sum + lag delta over the
+    event stream. Partitioned window (one shuffle on user_id, no global
+    sort); ties broken by event_id so the frame is a total order and the
+    oracle hash is deterministic."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").withColumn("value_c", cents(F.col("value")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum("value_c").over(run) / 100.0).alias("running_value"),
+        ((F.col("value_c") - F.lag("value_c", 1).over(w)) / 100.0).alias("delta_prev"),
+    )
+
+
+_WINDOW_RUNNING_SUM_SQL = """
+SELECT user_id, event_id,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+         AS running_value,
+       (CAST(floor(value * 100 + 0.5) AS BIGINT)
+        - lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 1)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 100.0
+         AS delta_prev
+FROM events
+"""
+
+
+def _agg_rollup(spark, sf_dir):
+    """Hierarchical subtotals: ROLLUP(returnflag, linestatus) with a
+    grouping_id so subtotal rows are distinguishable from data rows.
+    Map-side partial aggregation covers all grouping sets in one pass."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+        money_sum(F.col("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_AGG_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+       {sql_money_sum('l_extendedprice')} AS sum_price,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 CORE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
         QueryDef("flagship_pipeline", _flagship, _FLAGSHIP_SQL, ("flagship",)),
         QueryDef("tpch_q1", _tpch_q1, _TPCH_Q1_SQL, ("bench",)),
         QueryDef("tpch_q3_top10", _tpch_q3, _TPCH_Q3_SQL, ("bench",)),
+        QueryDef("tpch_q4_semi", _tpch_q4, _TPCH_Q4_SQL, ("bench",)),
         QueryDef("tpch_q5_region", _tpch_q5, _TPCH_Q5_SQL, ("bench",)),
+        QueryDef("tpch_q6_filter_agg", _tpch_q6, _TPCH_Q6_SQL, ("bench",)),
+        QueryDef("tpch_q18_large_orders", _tpch_q18, _TPCH_Q18_SQL, ("bench",)),
+        QueryDef(
+            "window_running_sum",
+            _window_running_sum,
+            _WINDOW_RUNNING_SUM_SQL,
+            ("window",),
+        ),
+        QueryDef("agg_rollup", _agg_rollup, _AGG_ROLLUP_SQL, ("agg",)),
         QueryDef(
             "project_columns",
             _project_columns,
