@@ -96,3 +96,60 @@ def test_streaming_append_mode_watermark_finalizes(spark, sf_dir, tmp_path):
     appended = {tuple(r) for r in spark.sql("SELECT * FROM append_out").collect()}
     batch = {tuple(r) for r in W.tumbling_counts(t(spark, sf_dir, "events")).collect()}
     assert appended.issubset(batch)
+
+
+def test_stateful_sessionize_matches_session_window(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer == built-in session_window.
+
+    Batch 1 lands the whole fixture: sessions closed by in-data gaps
+    emit immediately; each user's trailing session stays in state with
+    an event-time timeout at last_event + gap. Batch 2 lands a sentinel
+    event far in the future, advancing the watermark past every timeout,
+    which flushes the remaining open sessions. Output must then equal
+    the F.session_window batch result exactly.
+    """
+    from fitness_data_ingest_spark.stream import stateful as S
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    stream_dir = tmp_path / "events_stateful"
+    stream_dir.mkdir()
+    ev.coalesce(1).write.mode("overwrite").parquet(str(stream_dir / "batch1"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1000")
+        .load(str(stream_dir) + "/*")
+        .withWatermark("ts", "1 minute")
+    )
+    out = S.stateful_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateful_sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # sentinel: one event 10 days past the fixture max, for a user id
+        # outside the fixture range — advances the watermark, fires every
+        # pending timeout
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        sentinel = spark.createDataFrame(
+            [(int(-1), max_ts + __import__("datetime").timedelta(days=10), 0.0)],
+            schema=ev.schema,
+        )
+        sentinel.coalesce(1).write.mode("overwrite").parquet(str(stream_dir / "batch2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM stateful_sessions WHERE user_id >= 0"
+        ).collect()
+    }
+    batch = {tuple(r) for r in W.session_stats(t(spark, sf_dir, "events")).collect()}
+    assert len(batch) > 0
+    assert streamed == batch
