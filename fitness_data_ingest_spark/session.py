@@ -49,6 +49,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource pushdown (ingest/datasource.py prunes REST
+        # work items from pushed resource/date predicates)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -73,6 +76,7 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     # Spark has no TIMESTAMP(NANOS) type (events.ts is parquet ns);
     # read as long and convert via exact integer division (io.table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:  # static-ish on some builds; best effort
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:

@@ -137,3 +137,74 @@ def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
     assert one.count() == expected
     files = {r[0] for r in one.select(F.input_file_name()).distinct().collect()}
     assert files and all("l_returnflag=R" in f for f in files)
+
+
+# ------------------------------- Spark 4 Python DataSource (scale path)
+
+
+class TestRestDataSource:
+    @pytest.fixture(autouse=True)
+    def _register(self, spark):
+        from fitness_data_ingest_spark.ingest.datasource import RestDataSource
+
+        spark.dataSource.register(RestDataSource)
+
+    def _read(self, spark, **opts):
+        r = spark.read.format("fitness_rest")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    def test_reads_work_item_grid(self, spark):
+        df = self._read(
+            spark, resources="heart,steps", start="2024-01-01", end="2024-01-05"
+        )
+        # 2 resources x 5 days x 24 samples
+        assert df.count() == 2 * 5 * 24
+        assert df.columns == ["resource", "date", "time", "value"]
+        # one partition per (resource, date) work item
+        assert df.rdd.getNumPartitions() == 10
+
+    def test_empty_day_guard(self, spark):
+        df = self._read(
+            spark,
+            resources="heart",
+            start="2024-01-01",
+            end="2024-01-03",
+            empty_dates="2024-01-02",
+        )
+        assert df.count() == 2 * 24
+
+    def test_filter_pushdown_prunes_work_items(self, spark):
+        """Pushed resource/date predicates must shrink the partition grid
+        (pruned partitions = HTTP calls that never happen)."""
+        df = self._read(
+            spark, resources="heart,steps,calories", start="2024-01-01", end="2024-01-31"
+        )
+        filtered = df.filter(
+            (F.col("resource") == "heart")
+            & (F.col("date") >= "2024-01-10")
+            & (F.col("date") < "2024-01-15")
+        )
+        assert filtered.rdd.getNumPartitions() == 5  # 1 resource x 5 days
+        assert filtered.count() == 5 * 24
+        rows = filtered.select("resource", "date").distinct().collect()
+        assert {r["resource"] for r in rows} == {"heart"}
+        assert {r["date"] for r in rows} == {
+            f"2024-01-1{i}" for i in range(0, 5)
+        }
+
+    def test_pushdown_consumes_predicate(self, spark):
+        """A pushed date-equality must be consumed by the source: the
+        optimized plan keeps only the residual isnotnull, and the scan
+        shrinks to the single matching work item."""
+        df = self._read(spark, resources="heart", start="2024-01-01", end="2024-01-09")
+        filtered = df.filter(F.col("date") == "2024-01-05")
+        plan = filtered._jdf.queryExecution().optimizedPlan().toString()
+        assert "2024-01-05" not in plan  # consumed, not re-evaluated post-scan
+        assert filtered.rdd.getNumPartitions() == 1
+
+    def test_deterministic_payload(self, spark):
+        a = self._read(spark, resources="heart", start="2024-01-01", end="2024-01-02")
+        b = self._read(spark, resources="heart", start="2024-01-01", end="2024-01-02")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
