@@ -1,0 +1,85 @@
+"""Scale techniques (100 TB playbook): salted joins for skew,
+bucketed tables for shuffle-free co-located joins.
+
+These are the two levers AQE does not fully own:
+
+- **Salting**: AQE's skew-join splitting handles sort-merge skew, but a
+  *broadcast-infeasible* dimension with a hot key (one user owning 10%
+  of events) still funnels that key through one reducer. Salting
+  rewrites the join so the hot side's key becomes (key, salt) and the
+  small side is replicated salt-ways — the hot key fans out across
+  ``salt_n`` reducers. Result rows are identical to the plain join.
+
+- **Bucketing**: two fact tables bucketed by the same key into the same
+  bucket count join with ZERO exchange on either side — at 100 TB the
+  shuffle of a fact-fact join is usually the single largest cost in the
+  pipeline, and bucketing amortizes it once at write time. Verified by
+  plan assertion (no Exchange above the scans) in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = 16
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_n: int = DEFAULT_SALT,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: ``big`` (skewed) × ``small`` (too large
+    to broadcast, too small to matter ``salt_n``-replicated).
+
+    big gains a random salt in [0, salt_n); small is exploded to every
+    salt value; the join key becomes (key, salt). Row multiplicity is
+    unchanged: each big row matches exactly the same small rows as an
+    unsalted join, because every (key, salt) slice of small carries the
+    full key's rows.
+    """
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * salt_n).cast("int")
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
+    )
+    out = salted_big.join(
+        salted_small,
+        (salted_big[big_key] == salted_small[small_key])
+        & (salted_big["__salt"] == salted_small["__salt"]),
+        how,
+    )
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Land a table bucketed (and optionally sorted) by the join key.
+
+    Bucket count must match across co-joined tables; at 100 TB pick
+    n_buckets ≈ total-cores so one bucket ≈ one task. Requires a
+    warehouse-backed saveAsTable (bucket metadata lives in the catalog,
+    not the files).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on the bucket key — planned
+    with no Exchange on either side (co-located)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
