@@ -61,12 +61,22 @@ def main() -> None:
         except Exception:
             pass
 
+    # min of 2 measured runs per query: JVM JIT/GC pauses and page-cache
+    # state add multi-x noise to single runs locally; min-of-N is the
+    # standard estimator for the plan's actual cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = registry[name].spark(spark, sf_dir)
-        start = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            # drop persisted intermediates: Spark's cache manager matches
+            # canonicalized plans, so a repeat run would otherwise reuse
+            # run 1's persist() data and under-report the real cost
+            spark.catalog.clearCache()
+            df = registry[name].spark(spark, sf_dir)
+            start = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -105,3 +105,15 @@ def streaming_tumbling(ev_stream: DataFrame, watermark: str = "10 minutes") -> D
     """Watermarked tumbling aggregate — late rows beyond the watermark
     are dropped; append-mode emits only finalized windows."""
     return tumbling_counts(ev_stream.withWatermark("ts", watermark))
+
+
+def dedup_within_watermark(ev: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup with bounded state
+    (``dropDuplicatesWithinWatermark``): duplicate events arriving within
+    the watermark horizon are dropped; state for a key is evicted once
+    the watermark passes it, so state size is O(keys per horizon) — the
+    streaming face of the batch exact-dedup operator (ext/dedup.py).
+
+    ``ev`` must already carry ``withWatermark("ts", ...)``.
+    """
+    return ev.dropDuplicatesWithinWatermark(keys or ["event_id"])

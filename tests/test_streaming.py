@@ -153,3 +153,34 @@ def test_stateful_sessionize_matches_session_window(spark, sf_dir, tmp_path):
     batch = {tuple(r) for r in W.session_stats(t(spark, sf_dir, "events")).collect()}
     assert len(batch) > 0
     assert streamed == batch
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Events landed twice (two identical files) must come out once."""
+    ev = t(spark, sf_dir, "events")
+    stream_dir = tmp_path / "events_dup"
+    stream_dir.mkdir()
+    ev.coalesce(1).write.mode("overwrite").parquet(str(stream_dir / "copy1"))
+    ev.coalesce(1).write.mode("overwrite").parquet(str(stream_dir / "copy2"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .load(str(stream_dir) + "/*")
+        .withWatermark("ts", "1 hour")
+    )
+    out = W.dedup_within_watermark(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_streamed = spark.sql("SELECT count(DISTINCT event_id) c FROM dedup_out").collect()[0]["c"]
+    n_rows = spark.sql("SELECT count(*) c FROM dedup_out").collect()[0]["c"]
+    n_batch = ev.count()
+    assert n_rows == n_streamed == n_batch
