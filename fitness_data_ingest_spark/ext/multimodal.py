@@ -116,3 +116,49 @@ def media_stats(media_df: DataFrame) -> DataFrame:
         F.octet_length("payload").alias("n_bytes"),
         F.md5("payload").alias("checksum"),
     )
+
+
+def frame_sample(
+    media_df: DataFrame, frame_bytes: int = 64, every_k: int = 4
+) -> DataFrame:
+    """Frame sampling with real plumbing: treat the payload as a frame
+    sequence (fixed ``frame_bytes`` stride — a real decoder would use
+    container timestamps), emit every k-th frame as its own row.
+
+    One input row → many output rows, the shape that matters at scale:
+    ``mapInPandas`` lets the batch fan out without exploding driver or
+    single-row memory, and the output inherits the input partitioning
+    (no shuffle)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every_k):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(b[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media_df.mapInPandas(
+        _sample, schema="media_id long, frame_idx int, frame binary"
+    )
+
+
+def resize_stub(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Contract for image resize (needs PIL — not installed): plan
+    builds, schema is checkable, execution raises per batch."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image resize requires codecs not present in this environment"
+        )
+        yield  # pragma: no cover - makes this a generator
+
+    return media_df.mapInPandas(
+        _resize, schema="media_id long, payload binary, width int, height int"
+    )

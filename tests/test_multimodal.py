@@ -40,3 +40,47 @@ def test_decode_stub_raises_at_execution(spark, sf_dir):
     assert decoded.schema.fieldNames() == ["media_id", "kind", "decoded"]
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         decoded.collect()
+
+
+def test_frame_sample_fan_out(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").limit(50)
+    media = MM.text_as_media(docs, "doc_id", "text")
+    frames = MM.frame_sample(media, frame_bytes=64, every_k=4)
+    rows = frames.collect()
+    assert len(rows) > 50  # fan-out happened
+    # every k-th frame only, and frame bytes match the payload slice
+    by_id = {}
+    for r in rows:
+        assert r["frame_idx"] % 4 == 0
+        by_id.setdefault(r["media_id"], []).append(r)
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, fr in by_id.items():
+        for r in fr:
+            lo = r["frame_idx"] * 64
+            assert bytes(r["frame"]) == src[mid][lo : lo + 64]
+    # partitioning preserved: no shuffle in the plan (checked without the
+    # test's limit(), which itself adds a SinglePartition exchange)
+    import contextlib, io as _io
+
+    full = MM.frame_sample(
+        MM.text_as_media(t(spark, sf_dir, "documents"), "doc_id", "text")
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        full.explain()
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_resize_stub_contract(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").limit(5)
+    media = MM.text_as_media(docs, "doc_id", "text")
+    resized = MM.resize_stub(media, 224, 224)
+    # plan + schema build fine
+    assert [f.name for f in resized.schema.fields] == [
+        "media_id",
+        "payload",
+        "width",
+        "height",
+    ]
+    with pytest.raises(Exception, match="NotImplementedError|resize"):
+        resized.collect()
