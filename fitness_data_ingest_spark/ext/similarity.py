@@ -118,3 +118,44 @@ def lsh_bucket(vec: Column) -> Column:
 def lsh_buckets(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     e = df.withColumn("vec", as_double(F.col(vec_col)))
     return e.select(F.col(id_col).alias("id"), lsh_bucket(F.col("vec")).alias("bucket"))
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end ANN search, the scale path: score only within shared
+    LSH buckets. The crossJoin of cosine_topk becomes an equi-join on
+    the bucket id — candidate work drops from |Q|×|C| to the bucket
+    collision count, and the join shuffles on a 64-bit key. Recall is
+    governed by the hyperplane count (more tables / multi-probe at
+    production scale); results are exact within each bucket."""
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.col("nrm").alias("qn"),
+        lsh_bucket(F.col("vec")).alias("bucket"),
+    )
+    c = with_norm(candidates, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("vec").alias("cv"),
+        F.col("nrm").alias("cn"),
+        lsh_bucket(F.col("vec")).alias("bucket"),
+    )
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "cos", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            "rnk",
+            (F.floor(F.col("cos") * 10000 + 0.5) / 10000.0).alias("cos4"),
+        )
+    )

@@ -236,6 +236,12 @@ def _ann_lsh(spark, sf_dir):
     return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation —
+# the GPT-2-style split shape, minus byte-level merges. Character classes
+# only, so Java and RE2 regex dialects agree exactly.
+BPEISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def _text_token_count(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     toks = TX.tokens(F.col("text"))
@@ -243,8 +249,35 @@ def _text_token_count(spark, sf_dir):
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPEISH_PATTERN), 0)).alias(
+            "n_subwords"
+        ),
         F.length("text").alias("n_chars_c"),
     )
+
+
+def _ann_lsh_topk(spark, sf_dir):
+    """End-to-end LSH-bucketed ANN: score only within shared buckets."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.lsh_bucketed_topk(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
+    )
+
+
+_LSH_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             CAST({_sql_lsh_bucket()} AS BIGINT) AS bucket FROM e),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+      FROM (SELECT * FROM n WHERE vec_id < 10) q
+      JOIN (SELECT * FROM n WHERE vec_id >= 10) c USING (bucket))
+SELECT query_id, cand_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rnk,
+       floor(cos * 10000 + 0.5) / 10000.0 AS cos4
+FROM s
+QUALIFY rnk <= 5
+"""
 
 
 def _text_language_id(spark, sf_dir):
@@ -299,6 +332,7 @@ EXT_QUERIES: dict[str, QueryDef] = {
         QueryDef("dedup_embedding_cosine", _dedup_embedding_cosine, _COS_PAIRS_SQL),
         QueryDef("ann_cosine_topk", _ann_topk, _TOPK_SQL),
         QueryDef("ann_lsh_bucketed", _ann_lsh, _LSH_BUCKET_SQL),
+        QueryDef("ann_lsh_topk", _ann_lsh_topk, _LSH_TOPK_SQL),
         QueryDef("text_token_count", _text_token_count, None),  # sql set below
         QueryDef("text_language_id", _text_language_id, _LANG_SQL),
         QueryDef("text_quality_score", _text_quality, _QUALITY_SQL),
@@ -323,6 +357,7 @@ EXT_QUERIES: dict[str, QueryDef] = {
 EXT_QUERIES["text_token_count"].sql = f"""
 WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct_tokens,
+       len(regexp_extract_all(text, '{BPEISH_PATTERN}')) AS n_subwords,
        length(text) AS n_chars_c
 FROM tok
 """
