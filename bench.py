@@ -25,6 +25,8 @@ HEADLINE = [
     "tpch_q4_semi",
     "tpch_q5_region",
     "tpch_q6_filter_agg",
+    "tpch_q10_returns",
+    "tpch_q14_promo",
     "tpch_q18_large_orders",
     "flagship_pipeline",
     "join_broadcast",

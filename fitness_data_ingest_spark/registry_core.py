@@ -708,6 +708,95 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def _tpch_q10(spark, sf_dir):
+    """Returned-item reporting (q10 shape): 4-way join, revenue per
+    customer over returned lineitems, top-20. Join order: lineitem is
+    filtered on returnflag FIRST (cuts the fact ~3×), orders carries the
+    quarter filter; nation broadcasts. The top-20 ranks the aggregated
+    per-customer output, never the fact rows."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rev_c").desc(), F.col("c_custkey").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "c_custkey", "c_name", "n_name",
+            (F.col("rev_c") / 100.0).alias("revenue"), "rnk",
+        )
+    )
+
+
+_TPCH_Q10_SQL = """
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS rev_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1995-10-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY c_custkey, c_name, n_name)
+SELECT c_custkey, c_name, n_name, rev_c / 100.0 AS revenue,
+       row_number() OVER (ORDER BY rev_c DESC, c_custkey ASC) AS rnk
+FROM agg
+QUALIFY rnk <= 20
+"""
+
+
+def _tpch_q14(spark, sf_dir):
+    """Promotion-effect (q14 shape): conditional aggregation — CASE
+    inside the sum, one pass, no second scan. The part join is the only
+    shuffle (or broadcast at bench scale via AQE)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    return j.agg(
+        (F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))) / 100.0).alias(
+            "promo_revenue"
+        ),
+        (F.sum(rev) / 100.0).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_TPCH_Q14_SQL = """
+SELECT sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) / 100.0 AS promo_revenue,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0
+         AS total_revenue,
+       count(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
+
 def _window_running_sum(spark, sf_dir):
     """Cumulative per-user analytics: running sum + lag delta over the
     event stream. Partitioned window (one shuffle on user_id, no global
@@ -771,6 +860,8 @@ CORE_QUERIES: dict[str, QueryDef] = {
         QueryDef("tpch_q4_semi", _tpch_q4, _TPCH_Q4_SQL, ("bench",)),
         QueryDef("tpch_q5_region", _tpch_q5, _TPCH_Q5_SQL, ("bench",)),
         QueryDef("tpch_q6_filter_agg", _tpch_q6, _TPCH_Q6_SQL, ("bench",)),
+        QueryDef("tpch_q10_returns", _tpch_q10, _TPCH_Q10_SQL, ("bench",)),
+        QueryDef("tpch_q14_promo", _tpch_q14, _TPCH_Q14_SQL, ("bench",)),
         QueryDef("tpch_q18_large_orders", _tpch_q18, _TPCH_Q18_SQL, ("bench",)),
         QueryDef(
             "window_running_sum",
