@@ -243,3 +243,60 @@ def exact_dedup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components by min-label propagation: every node ends up
+    labeled with the smallest node id in its component. The iterative
+    piece of the dedup pipeline — near-dup PAIRS become dedup CLUSTERS
+    (keep min id per cluster, drop the rest).
+
+    Each iteration: label(v) <- min(label(v), min over neighbors'
+    labels) — one shuffle per iteration, converging in O(component
+    diameter) rounds (near-dup clusters are shallow; text corpora
+    converge in a handful). ``localCheckpoint`` truncates the growing
+    lineage so round N doesn't replay rounds 1..N-1. The driver-side
+    loop only reads a converged-or-not count per round — no data is
+    collected.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster"))
+
+
+def dedup_clusters(
+    docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs -> connected components ->
+    (doc, cluster) for every clustered doc; singletons excluded (they
+    are their own cluster trivially)."""
+    pairs = minhash_near_dups(docs, id_col, text_col, threshold)
+    return connected_components(pairs.select("doc_a", "doc_b"))

@@ -150,3 +150,48 @@ def min_max(df: DataFrame, col: str, alias_prefix: str) -> DataFrame:
     return df.agg(
         F.min(col).alias(f"{alias_prefix}_min"), F.max(col).alias(f"{alias_prefix}_max")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Backward as-of join: for each left row (identified by ``left_id``),
+    the single right row with the greatest ``right_ts`` <= ``left_ts``
+    for the same key — ties broken by ``right_id`` desc, so the match is
+    a total function. Unmatched left rows are kept with nulls (left
+    as-of). Column names must be disjoint apart from ``key``.
+
+    Shape: equi-join on key + window argmax over the match candidates —
+    Catalyst plans a hash join on the key; the window re-shuffles only
+    matched pairs. At production scale with sorted bucketed tables the
+    same semantics can be had shuffle-free via a merge in
+    ``mapPartitions``; this formulation is the declarative baseline.
+    """
+    # string-qualified aliases, not DataFrame[col] references: left and
+    # right often share lineage (self-as-of on one event table), where
+    # df[col] attribute ids collide and silently mis-resolve
+    rcols = [c for c in right.columns if c != key]
+    j = left.alias("__l").join(
+        right.alias("__r"),
+        (F.col(f"__l.{key}") == F.col(f"__r.{key}"))
+        & (F.col(f"__r.{right_ts}") <= F.col(f"__l.{left_ts}")),
+        "left",
+    )
+    w = Window.partitionBy(F.col(f"__l.{left_id}")).orderBy(
+        F.col(f"__r.{right_ts}").desc_nulls_last(),
+        F.col(f"__r.{right_id}").desc_nulls_last(),
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+            *[F.col(f"__r.{c}").alias(c) for c in rcols],
+        )
+    )

@@ -197,6 +197,75 @@ def _join_range_interval(spark, sf_dir):
     return j.select("user_id", "error_id", "next_id", "next_type")
 
 
+def _join_asof(spark, sf_dir):
+    """Backward as-of join: each purchase event matched to the same
+    user's most recent click at-or-before it (the time-series alignment
+    latent in the reference's intraday↔activity model, SURVEY §2.3)."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    out = R.asof_join(purchases, clicks, "user_id", "p_ts", "c_ts", "p_id", "c_id")
+    return out.select(
+        "user_id",
+        "p_id",
+        "c_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts_s"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("c_ts_s"),
+    )
+
+
+_JOIN_ASOF_SQL = """
+WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS c_id, ts AS c_ts FROM events
+      WHERE event_type = 'click'),
+j AS (SELECT p.user_id, p.p_id, p.p_ts, c.c_id, c.c_ts,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY c.c_ts DESC NULLS LAST,
+                                         c.c_id DESC NULLS LAST) AS rn
+      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.p_ts)
+SELECT user_id, p_id, c_id,
+       strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s,
+       strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts_s
+FROM j WHERE rn = 1
+"""
+
+
+def _agg_percentiles(spark, sf_dir):
+    """Exact percentiles per group (distribution profiling — the
+    data-quality pass a training pipeline runs per shard). Exact
+    ``percentile`` (not approx) so the oracle matches; at 100 TB swap to
+    approx_percentile and verify with tolerance instead of hashes."""
+    li = t(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(l_extendedprice, array(0.25, 0.5, 0.9))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"))
+        .select(
+            "l_returnflag",
+            (F.floor(F.col("p")[0] * 10000 + 0.5) / 10000.0).alias("p25"),
+            (F.floor(F.col("p")[1] * 10000 + 0.5) / 10000.0).alias("p50"),
+            (F.floor(F.col("p")[2] * 10000 + 0.5) / 10000.0).alias("p90"),
+        )
+    )
+
+
+_AGG_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       floor(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) / 10000.0 AS p25,
+       floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000.0 AS p50,
+       floor(quantile_cont(l_extendedprice, 0.9) * 10000 + 0.5) / 10000.0 AS p90
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------- agg / dedup / union / topk
 
 
@@ -870,6 +939,8 @@ CORE_QUERIES: dict[str, QueryDef] = {
             ("window",),
         ),
         QueryDef("agg_rollup", _agg_rollup, _AGG_ROLLUP_SQL, ("agg",)),
+        QueryDef("join_asof", _join_asof, _JOIN_ASOF_SQL, ("join",)),
+        QueryDef("agg_percentiles", _agg_percentiles, _AGG_PERCENTILES_SQL, ("agg",)),
         QueryDef(
             "project_columns",
             _project_columns,

@@ -280,6 +280,28 @@ QUALIFY rnk <= 5
 """
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Iterative: near-dup pairs -> connected components (min-label
+    propagation) -> dedup clusters. The oracle walks the same pair graph
+    with a recursive CTE."""
+    return D.dedup_clusters(t(spark, sf_dir, "documents"), "doc_id", "text", 0.5)
+
+
+def _dedup_clusters_sql() -> str:
+    # same pair graph as _MINHASH_SQL, then min-reachable-label per node
+    return f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({_MINHASH_SQL.strip()})),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach(node, label) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+)
+SELECT node AS doc, min(label) AS cluster FROM reach GROUP BY node
+"""
+
+
 def _text_language_id(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").withColumn("toks", TX.tokens(F.col("text")))
     en_ratio = TX.stopword_hits(F.col("toks"), TX.STOPWORDS["en"]).cast("double") / F.size(
@@ -330,6 +352,7 @@ EXT_QUERIES: dict[str, QueryDef] = {
         QueryDef("dedup_ngram_jaccard", _dedup_ngram, _NGRAM_SQL),
         QueryDef("dedup_simhash", _dedup_simhash, _sql_simhash()),
         QueryDef("dedup_embedding_cosine", _dedup_embedding_cosine, _COS_PAIRS_SQL),
+        QueryDef("dedup_clusters", _dedup_clusters, _dedup_clusters_sql()),
         QueryDef("ann_cosine_topk", _ann_topk, _TOPK_SQL),
         QueryDef("ann_lsh_bucketed", _ann_lsh, _LSH_BUCKET_SQL),
         QueryDef("ann_lsh_topk", _ann_lsh_topk, _LSH_TOPK_SQL),
