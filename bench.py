@@ -35,7 +35,10 @@ HEADLINE = [
     "window_row_number",
     "window_tumbling",
     "window_session",
+    "join_asof",
+    "agg_percentiles",
     "dedup_exact_hash",
+    "dedup_clusters",
     "dedup_minhash_lsh",
     "text_quality_score",
     "ann_cosine_topk",
@@ -74,8 +77,10 @@ def main() -> None:
             # canonicalized plans, so a repeat run would otherwise reuse
             # run 1's persist() data and under-report the real cost
             spark.catalog.clearCache()
-            df = registry[name].spark(spark, sf_dir)
+            # construction is inside the timer: iterative operators
+            # (connected components) execute during construction
             start = time.perf_counter()
+            df = registry[name].spark(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)

@@ -261,9 +261,14 @@ def connected_components(
     loop only reads a converged-or-not count per round — no data is
     collected.
     """
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # materialize the edge list once: it is joined every iteration, and
+    # upstream it may be a whole LSH pipeline — without this each round
+    # would recompute candidate generation from scratch
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint()
+    )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(max_iter):
@@ -272,22 +277,19 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # carry old+new through one checkpoint so the convergence check
+        # is a filter on materialized data, not a second join
+        step = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = step.select("node", "label")
+        if step.filter(F.col("label") != F.col("old_label")).count() == 0:
             break
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster"))
 
