@@ -109,3 +109,41 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(F.col(text_col), F.col("toks")))
         .withColumn("fingerprint", fingerprint(F.col("toks")))
     )
+
+
+def tfidf(docs: DataFrame, id_col: str, text_col: str, min_df: int = 2) -> DataFrame:
+    """Per-(doc, term) TF-IDF over the corpus.
+
+    Plan shape at scale: explode to (doc, term) — narrow, no shuffle —
+    then one groupBy for term frequencies, one for document frequencies
+    (the DF table is |vocab|-sized, broadcast back). idf uses the
+    smoothed ln((N+1)/(df+1)) form; tf is raw count / doc length.
+    Everything is exact IEEE math mirrored by the oracle.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    n_docs = docs.count()  # scalar, computed once; at scale a cheap agg
+    tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf_raw"))
+    doc_len = tf.groupBy("doc").agg(F.sum("tf_raw").alias("len"))
+    df_tbl = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    out = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .join(doc_len, "doc")
+        .withColumn(
+            "tfidf",
+            (F.col("tf_raw").cast("double") / F.col("len"))
+            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df").cast("double") + 1.0)),
+        )
+    )
+    return out.select(
+        "doc",
+        "term",
+        "tf_raw",
+        "df",
+        (F.floor(F.col("tfidf") * 1e8 + 0.5) / 1e8).alias("tfidf8"),
+    )

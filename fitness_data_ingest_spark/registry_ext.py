@@ -331,6 +331,60 @@ def _text_fingerprint(spark, sf_dir):
     return docs.select("doc_id", TX.fingerprint(F.col("toks")).alias("fp"))
 
 
+def _text_tfidf(spark, sf_dir):
+    """Corpus TF-IDF: two aggregations (term-freq, doc-freq), vocab
+    broadcast back — the classic feature-extraction pass."""
+    return TX.tfidf(t(spark, sf_dir, "documents"), "doc_id", "text", min_df=2)
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (SELECT doc_id AS doc, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc, term, count(*) AS tf_raw FROM tok GROUP BY doc, term),
+dl AS (SELECT doc, sum(tf_raw) AS len FROM tf GROUP BY doc),
+dfreq AS (SELECT term, count(DISTINCT doc) AS df FROM tf GROUP BY term
+          HAVING count(DISTINCT doc) >= 2),
+nd AS (SELECT count(*) AS n FROM documents)
+SELECT tf.doc, tf.term, tf.tf_raw, dfreq.df,
+       floor((tf.tf_raw::DOUBLE / dl.len)
+             * ln((nd.n::DOUBLE + 1.0) / (dfreq.df::DOUBLE + 1.0)) * 1e8 + 0.5) / 1e8
+         AS tfidf8
+FROM tf JOIN dfreq USING (term) JOIN dl USING (doc) CROSS JOIN nd
+"""
+
+
+def _sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling by content hash — the
+    reproducible way to downsample training data: the keep-decision is a
+    pure function of (event_id), so it is stable under repartitioning,
+    re-runs, and engine changes (no RNG state). Per-stratum rates:
+    clicks 10%, views 20%, everything else 100%."""
+    ev = t(spark, sf_dir, "events")
+    bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+                    ).cast("long") % 100
+    rate = (
+        F.when(F.col("event_type") == "click", 10)
+        .when(F.col("event_type") == "view", 20)
+        .otherwise(100)
+    )
+    return (
+        ev.filter(bucket < rate)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+_SAMPLE_SQL = """
+WITH b AS (SELECT event_type,
+                  CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 100 AS bucket
+           FROM events)
+SELECT event_type, count(*) AS n_kept
+FROM b
+WHERE bucket < CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 20 ELSE 100 END
+GROUP BY event_type
+"""
+
+
 def _multimodal_metadata(spark, sf_dir):
     """Binary-payload convention: metadata pass (sizes + checksums) over
     the media table — no decode, pure JVM."""
@@ -357,6 +411,8 @@ EXT_QUERIES: dict[str, QueryDef] = {
         QueryDef("ann_lsh_bucketed", _ann_lsh, _LSH_BUCKET_SQL),
         QueryDef("ann_lsh_topk", _ann_lsh_topk, _LSH_TOPK_SQL),
         QueryDef("text_token_count", _text_token_count, None),  # sql set below
+        QueryDef("text_tfidf", _text_tfidf, _TFIDF_SQL),
+        QueryDef("sample_stratified", _sample_stratified, _SAMPLE_SQL),
         QueryDef("text_language_id", _text_language_id, _LANG_SQL),
         QueryDef("text_quality_score", _text_quality, _QUALITY_SQL),
         QueryDef(
