@@ -1,0 +1,46 @@
+"""The driver imports __spark_entry__ and hands it ITS OWN SparkSession —
+not our tuned factory. Everything must work on a vanilla session:
+configure_runtime (called inside registry_util.t) must set every conf the
+queries depend on (UTC, nanosAsLong, python filter pushdown) at runtime.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+# vanilla session: none of the engine's builder confs
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("vanilla-driver-sim")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+import importlib
+mod = importlib.import_module("__spark_entry__")
+
+rows = mod.entry(spark).collect()
+assert len(rows) > 0, "entry() empty on vanilla session"
+
+qs = mod.queries()
+oracles = mod.oracle_sql()
+assert set(oracles) <= set(qs), "oracle keys must be a subset of query keys"
+
+# the confs-sensitive queries: events (nanos ts), timestamps, python DS
+for name in ["window_tumbling", "ts_concat_parse", "topk_latest", "tpch_q1"]:
+    out = qs[name](spark, "/root/testdata/sf0.001")
+    assert out.count() >= 0, name
+print("VANILLA_OK", len(qs))
+"""
+
+
+def test_driver_contract_on_vanilla_session():
+    r = subprocess.run(
+        [sys.executable, "-c", SCRIPT], capture_output=True, text=True, timeout=300
+    )
+    assert "VANILLA_OK" in r.stdout, f"stdout={r.stdout[-2000:]}\nstderr={r.stderr[-2000:]}"

@@ -184,3 +184,44 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     n_rows = spark.sql("SELECT count(*) c FROM dedup_out").collect()[0]["c"]
     n_batch = ev.count()
     assert n_rows == n_streamed == n_batch
+
+
+def test_checkpointed_file_sink_exactly_once_across_restart(spark, sf_dir, tmp_path):
+    """Stop/restart with the same checkpoint must not duplicate or lose
+    rows: run 1 processes batch1, the restarted query processes only
+    batch2 (offsets come from the checkpoint), and the file sink's
+    transaction log nets out to exactly-once."""
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(str(src / "batch1"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema).format("parquet").load(str(src) + "/*")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_after_first = spark.read.parquet(out).count()
+    assert n_after_first == half1.count()
+
+    half2.coalesce(1).write.mode("overwrite").parquet(str(src / "batch2"))
+    run_once()  # restart from the same checkpoint
+    result = spark.read.parquet(out)
+    assert result.count() == ev.count()
+    assert result.select("event_id").distinct().count() == ev.count()
