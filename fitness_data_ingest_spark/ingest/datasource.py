@@ -88,6 +88,10 @@ class RestReader(DataSourceReader):
                 vals = set(f.value) if isinstance(f, In) else {f.value}
                 self.resources = [r for r in self.resources if r in vals]
                 self.pushed.append(f)
+            elif name == "date" and isinstance(f, In):
+                vals = set(f.value)
+                self.dates = [d for d in self.dates if d in vals]
+                self.pushed.append(f)
             elif name == "date" and isinstance(
                 f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
             ):

@@ -208,3 +208,65 @@ class TestRestDataSource:
         a = self._read(spark, resources="heart", start="2024-01-01", end="2024-01-02")
         b = self._read(spark, resources="heart", start="2024-01-01", end="2024-01-02")
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --------------------------- end-to-end incremental ingestion pipeline
+
+
+def test_incremental_ingestion_end_to_end(spark, tmp_path):
+    """The reference's core loop (fitbit_utils.py:185-234), end to end on
+    Spark: fetch grid -> partitioned sink -> manifest -> anti-join ->
+    fetch ONLY missing days -> union'd sink; second run is a no-op."""
+    from fitness_data_ingest_spark.ingest.datasource import RestDataSource
+    from fitness_data_ingest_spark.ingest.incremental import pending_items, work_items
+    from fitness_data_ingest_spark.io import file_manifest, write_partitioned
+    from fitness_data_ingest_spark.ops.scalar import object_key
+
+    spark.dataSource.register(RestDataSource)
+    out = str(tmp_path / "intraday")
+    resources = ("heart", "steps")
+
+    def fetch(start, end):
+        return (
+            spark.read.format("fitness_rest")
+            .option("resources", ",".join(resources))
+            .option("start", start)
+            .option("end", end)
+            .load()
+        )
+
+    # day 1-5 ingested
+    write_partitioned(fetch("2024-01-01", "2024-01-05"), out,
+                      ["resource", "date"], mode="append")
+
+    # manifest -> logical keys (partition path -> reference key layout)
+    def logical_manifest():
+        m = file_manifest(spark, out)
+        return m.filter(F.col("Key").contains("resource=")).select(
+            object_key(
+                "intraday",
+                F.regexp_extract("Key", r"resource=([^/]+)", 1),
+                F.regexp_extract("Key", r"date=([^/]+)", 1),
+            ).alias("Key")
+        )
+
+    # plan a 7-day window: only days 6-7 are pending
+    work = work_items(spark, "2024-01-01", "2024-01-07", resources=resources)
+    pending = pending_items(work, logical_manifest())
+    pend_rows = pending.collect()
+    assert len(pend_rows) == 4  # 2 resources x 2 missing days
+    assert {r["date"] for r in pend_rows} == {"2024-01-06", "2024-01-07"}
+
+    # fetch exactly the pending dates (pushdown prunes the work grid)
+    missing_dates = sorted({r["date"] for r in pend_rows})
+    fresh = fetch("2024-01-01", "2024-01-07").filter(
+        F.col("date").isin(missing_dates)
+    )
+    assert fresh.rdd.getNumPartitions() == 4  # pruned to pending items
+    write_partitioned(fresh, out, ["resource", "date"], mode="append")
+
+    # converged: nothing pending, sink complete and duplicate-free
+    assert pending_items(work, logical_manifest()).count() == 0
+    final = spark.read.parquet(out)
+    assert final.count() == 2 * 7 * 24
+    assert final.select("resource", "date", "time").distinct().count() == 2 * 7 * 24
