@@ -266,6 +266,108 @@ GROUP BY l_returnflag
 """
 
 
+def _window_rank_functions(spark, sf_dir):
+    """Ranking-function family over one window: rank / dense_rank /
+    ntile / percent_rank. Total order (value cents desc, user_id) makes
+    every function engine-deterministic, including ntile tie placement."""
+    ev = t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id", "event_type").agg(
+        F.sum(cents(F.col("value"))).alias("total_c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_c").desc(), F.col("user_id").asc()
+    )
+    return totals.select(
+        "event_type",
+        "user_id",
+        (F.col("total_c") / 100.0).alias("total_value"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        (F.floor(F.percent_rank().over(w) * 10000 + 0.5) / 10000.0).alias("prank4"),
+    )
+
+
+_WINDOW_RANK_SQL = """
+WITH totals AS (
+  SELECT event_type, user_id,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_c
+  FROM events GROUP BY event_type, user_id)
+SELECT event_type, user_id, total_c / 100.0 AS total_value,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       floor(percent_rank() OVER w * 10000 + 0.5) / 10000.0 AS prank4
+FROM totals
+WINDOW w AS (PARTITION BY event_type ORDER BY total_c DESC, user_id ASC)
+"""
+
+
+def _set_ops(spark, sf_dir):
+    """Set operators: customers active in 1995 INTERSECT/EXCEPT 1996.
+    Both sides shuffle once on the key; the tag column turns the two
+    results into one union'd output the oracle can hash."""
+    orders = t(spark, sf_dir, "orders")
+
+    def keys(year):
+        # set semantics need distinct inputs: a customer with several
+        # 1995 orders must not survive EXCEPT by leftover multiplicity
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    both = keys(1995).intersect(keys(1996)).withColumn("tag", F.lit("both"))
+    only95 = keys(1995).subtract(keys(1996)).withColumn("tag", F.lit("only_1995"))
+    return both.unionByName(only95)
+
+
+_SET_OPS_SQL = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+UNION ALL
+SELECT o_custkey, 'only_1995' AS tag FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+"""
+
+
+def _string_functions(spark, sf_dir):
+    """String-function battery over one projection: case folding, trim,
+    pad, substring, replace, reverse, position — all codegen'd."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.lower("c_mktsegment").alias("lower_seg"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked_name"),
+        F.reverse("c_mktsegment").alias("rev_seg"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+_STRING_FUNCS_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS upper_name,
+       lower(c_mktsegment) AS lower_seg,
+       trim('  pad  ') AS trimmed,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+       substring(c_name, 1, 8) AS name_prefix,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+       reverse(c_mktsegment) AS rev_seg,
+       CASE WHEN position('#' IN c_name) IS NULL THEN 0
+            ELSE position('#' IN c_name) END AS hash_pos,
+       length(c_name) AS name_len
+FROM customer
+"""
+
+
 # --------------------------------------------- agg / dedup / union / topk
 
 
@@ -941,6 +1043,11 @@ CORE_QUERIES: dict[str, QueryDef] = {
         QueryDef("agg_rollup", _agg_rollup, _AGG_ROLLUP_SQL, ("agg",)),
         QueryDef("join_asof", _join_asof, _JOIN_ASOF_SQL, ("join",)),
         QueryDef("agg_percentiles", _agg_percentiles, _AGG_PERCENTILES_SQL, ("agg",)),
+        QueryDef(
+            "window_rank_functions", _window_rank_functions, _WINDOW_RANK_SQL, ("window",)
+        ),
+        QueryDef("set_ops", _set_ops, _SET_OPS_SQL, ("setop",)),
+        QueryDef("string_functions", _string_functions, _STRING_FUNCS_SQL, ("scalar",)),
         QueryDef(
             "project_columns",
             _project_columns,

@@ -82,3 +82,50 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     except Exception:
         pass
     return spark
+
+
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_partition_mb: int = 128,
+) -> dict[str, str]:
+    """The conf profile for the real deployment (100 TB / 1000
+    executors) — the local[] factory above IS this profile minus the
+    cluster-only knobs. Returned as data so ops can review/override.
+
+    Sizing rules encoded here:
+    - shuffle partitions ≈ 2.5× total cores: wide enough that one
+      straggler partition doesn't serialize a stage, small enough that
+      task overhead stays negligible; AQE coalesces below this per-stage.
+    - advisory partition size = the target post-shuffle partition
+      (memory per task ≈ 2-3× this after decompression).
+    - broadcast threshold 64 MB: dims up to ~10M rows broadcast; beyond
+      that sort-merge with AQE skew splitting wins.
+    - maxPartitionBytes 128 MB: ~800k scan tasks at 100 TB, drained
+      ~4000-wide — keeps scan tasks short enough for elastic scaling
+      and retry cheapness.
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(int(total_cores * 2.5)),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            target_partition_mb * 1024 * 1024
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.python.filterPushdown.enabled": "true",
+        "spark.sql.shuffle.service.enabled": "true",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.maxExecutors": str(executors),
+        "spark.speculation": "true",
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+    }

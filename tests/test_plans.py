@@ -102,3 +102,21 @@ def test_minhash_signature_stage_is_parallel(spark, sf_dir):
 
     sig = D.with_minhash(t(spark, sf_dir, "documents"), "doc_id", "text")
     assert sig.rdd.getNumPartitions() > 1
+
+
+def test_cluster_conf_profile_is_consistent(spark):
+    """The documented 100TB profile must stay consistent with the local
+    factory (same semantics knobs) and internally sane."""
+    from fitness_data_ingest_spark.session import cluster_conf
+
+    conf = cluster_conf(executors=1000, cores_per_executor=4)
+    assert int(conf["spark.sql.shuffle.partitions"]) == 10000
+    # semantic knobs must match what correctness was verified under
+    for k in [
+        "spark.sql.session.timeZone",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.python.filterPushdown.enabled",
+    ]:
+        assert conf[k] == spark.conf.get(k), k
+    # every value must be settable (string-typed, parseable)
+    assert all(isinstance(v, str) for v in conf.values())
