@@ -1,0 +1,71 @@
+"""Empty/degenerate-input behavior: operators must return empty (typed)
+results, never throw — the reference's empty-result guard generalized
+(fitbit_utils.py:270-277)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fitness_data_ingest_spark.ext import dedup as D
+from fitness_data_ingest_spark.ext import text as TX
+from fitness_data_ingest_spark.ops import scale as SK
+from fitness_data_ingest_spark.ops.relational import asof_join, union_all
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_on_empty_corpus(spark):
+    out = D.minhash_near_dups(_docs(spark, []), "doc_id", "text")
+    assert out.count() == 0
+    assert out.columns == ["doc_a", "doc_b", "jaccard"]
+
+
+def test_minhash_single_doc_no_pairs(spark):
+    out = D.minhash_near_dups(_docs(spark, [(1, "only one document here")]), "doc_id", "text")
+    assert out.count() == 0
+
+
+def test_shingles_shorter_than_k(spark):
+    """Docs shorter than the shingle size collapse to one whole-text
+    shingle instead of an empty set (division-by-zero guard in jaccard)."""
+    docs = _docs(spark, [(1, "two words"), (2, "two words"), (3, "x")])
+    out = D.minhash_near_dups(docs, "doc_id", "text", threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert D.connected_components(edges).count() == 0
+
+
+def test_empty_text_quality_and_tokens(spark):
+    docs = _docs(spark, [(1, ""), (2, "   "), (3, "real text here")])
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    got = {r["doc_id"]: r["t"] for r in toks.collect()}
+    assert got[1] == [] and got[2] == []
+    # tfidf simply drops token-less docs
+    out = TX.tfidf(docs, "doc_id", "text", min_df=1)
+    assert {r["doc"] for r in out.collect()} == {3}
+
+
+def test_asof_join_empty_right(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00")], "user_id long, p_id long, p_ts string"
+    ).withColumn("p_ts", F.to_timestamp("p_ts"))
+    right = spark.createDataFrame([], "user_id long, c_id long, c_ts timestamp")
+    out = asof_join(left, right, "user_id", "p_ts", "c_ts", "p_id", "c_id").collect()
+    assert len(out) == 1 and out[0]["c_id"] is None
+
+
+def test_salted_join_empty_small_side(spark):
+    big = spark.createDataFrame([(1,), (2,)], "k long")
+    small = spark.createDataFrame([], "sk long")
+    assert SK.salted_join(big, small, "k", "sk").count() == 0
+    assert SK.salted_join(big, small, "k", "sk", how="left").count() == 2
+
+
+def test_union_all_single_frame(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    assert union_all([df]).count() == 1
