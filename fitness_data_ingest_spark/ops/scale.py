@@ -19,7 +19,9 @@ These are the two levers AQE does not fully own:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SALT = 16
@@ -83,3 +85,57 @@ def bucketed_join(
     """Join two same-bucketed catalog tables on the bucket key — planned
     with no Exchange on either side (co-located)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def exact_quantiles(
+    df, group_col: str, value_col: str, qs: Sequence[float]
+) -> "DataFrame":
+    """Exact linear-interpolation quantiles per group WITHOUT buffering
+    per-group arrays (the built-in ``percentile()`` is an
+    ObjectHashAggregate that holds every group's values in executor
+    memory — fine at test SF, an OOM at 100 TB with heavy groups).
+
+    One sort shuffle: rank rows per group, then for each requested q
+    pick the two neighbor ranks around ``q*(n-1)`` and interpolate —
+    constant memory per task, identical values to ``quantile_cont``.
+    Output: group_col, q, quantile.
+    """
+    import operator
+    from functools import reduce
+
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    ranked = df.select(
+        group_col,
+        F.col(value_col).alias("v"),
+        (F.row_number().over(w) - 1).alias("rn"),  # 0-based
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("n"),
+    )
+    # single pass: keep any row that is a lo/hi neighbor of ANY q, pull
+    # all neighbor values into one aggregate row per group, interpolate
+    # with the SAME expression shape engines use for quantile_cont
+    # (v_lo + (v_hi - v_lo)*frac) — an algebraically-equal weighted sum
+    # can differ in the last ulp and flip a rounding tie
+    conds, aggs = [], []
+    for i, q in enumerate(qs):
+        idx = F.lit(q) * (F.col("n") - 1)
+        lo, hi = F.floor(idx), F.ceil(idx)
+        conds.append((F.col("rn") == lo) | (F.col("rn") == hi))
+        aggs += [
+            F.min(F.when(F.col("rn") == lo, F.col("v"))).alias(f"vlo{i}"),
+            F.min(F.when(F.col("rn") == hi, F.col("v"))).alias(f"vhi{i}"),
+            F.min(idx - lo).alias(f"fr{i}"),
+        ]
+    picked = ranked.filter(reduce(operator.or_, conds)).groupBy(group_col).agg(*aggs)
+    per_q = [
+        F.struct(
+            F.lit(q).alias("q"),
+            (
+                F.col(f"vlo{i}")
+                + (F.col(f"vhi{i}") - F.col(f"vlo{i}")) * F.col(f"fr{i}")
+            ).alias("quantile"),
+        )
+        for i, q in enumerate(qs)
+    ]
+    return picked.select(
+        group_col, F.explode(F.array(*per_q)).alias("s")
+    ).select(group_col, "s.q", "s.quantile")

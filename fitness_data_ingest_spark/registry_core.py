@@ -237,22 +237,23 @@ FROM j WHERE rn = 1
 
 def _agg_percentiles(spark, sf_dir):
     """Exact percentiles per group (distribution profiling — the
-    data-quality pass a training pipeline runs per shard). Exact
-    ``percentile`` (not approx) so the oracle matches; at 100 TB swap to
-    approx_percentile and verify with tolerance instead of hashes."""
+    data-quality pass a training pipeline runs per shard). Uses the
+    scale-safe sort+rank selection (ops/scale.exact_quantiles) rather
+    than built-in ``percentile()``, whose ObjectHashAggregate buffers
+    every group's values in executor memory — an OOM with heavy groups
+    at 100 TB. Same values as quantile_cont, constant memory per task."""
+    from .ops.scale import exact_quantiles
+
     li = t(spark, sf_dir, "lineitem")
-    pct = F.expr(
-        "percentile(l_extendedprice, array(0.25, 0.5, 0.9))"
+    qres = exact_quantiles(li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.9])
+    piv = qres.groupBy("l_returnflag").pivot("q", [0.25, 0.5, 0.9]).agg(
+        F.first("quantile")
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(pct.alias("p"))
-        .select(
-            "l_returnflag",
-            (F.floor(F.col("p")[0] * 10000 + 0.5) / 10000.0).alias("p25"),
-            (F.floor(F.col("p")[1] * 10000 + 0.5) / 10000.0).alias("p50"),
-            (F.floor(F.col("p")[2] * 10000 + 0.5) / 10000.0).alias("p90"),
-        )
+    return piv.select(
+        "l_returnflag",
+        (F.floor(F.col("`0.25`") * 10000 + 0.5) / 10000.0).alias("p25"),
+        (F.floor(F.col("`0.5`") * 10000 + 0.5) / 10000.0).alias("p50"),
+        (F.floor(F.col("`0.9`") * 10000 + 0.5) / 10000.0).alias("p90"),
     )
 
 
