@@ -369,6 +369,77 @@ FROM customer
 """
 
 
+def _array_functions(spark, sf_dir):
+    """Array-function battery over the embedding column: slice, reverse,
+    element access, sort, dedup, filter/transform lambdas, aggregation —
+    the building blocks every vector/array operator composes from."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sum4 = F.aggregate(
+        F.slice(v, 1, 4), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        (F.floor(F.element_at(v, 1) * 10000 + 0.5) / 10000.0).alias("first4"),
+        (F.floor(F.element_at(v, -1) * 10000 + 0.5) / 10000.0).alias("last4"),
+        (F.floor(sum4 * 10000 + 0.5) / 10000.0).alias("sum_first4"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        (
+            F.floor(F.array_max(v) * 10000 + 0.5) / 10000.0
+        ).alias("max4"),
+    )
+
+
+_ARRAY_FUNCS_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings)
+SELECT vec_id,
+       len(v) AS dim,
+       floor(v[1] * 10000 + 0.5) / 10000.0 AS first4,
+       floor(v[-1] * 10000 + 0.5) / 10000.0 AS last4,
+       floor(list_sum(v[1:4]) * 10000 + 0.5) / 10000.0 AS sum_first4,
+       len(list_filter(v, x -> x > 0)) AS n_positive,
+       floor(list_max(v) * 10000 + 0.5) / 10000.0 AS max4
+FROM e
+"""
+
+
+def _datetime_functions(spark, sf_dir):
+    """Date/time-function battery: trunc, extract fields, month math,
+    day-of-week — the calendar toolkit behind windowed backfills (F3/F4)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus3mo"),
+        F.datediff(F.lit("1999-01-01").cast("date"), F.to_date("o_orderdate")).alias(
+            "days_to_1999"
+        ),
+    )
+
+
+_DATETIME_FUNCS_SQL = """
+SELECT o_orderkey,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       year(o_orderdate) AS y,
+       quarter(o_orderdate) AS qtr,
+       dayofweek(o_orderdate) + 1 AS dow,
+       dayofyear(o_orderdate) AS doy,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_1999
+FROM orders
+"""
+
+
 # --------------------------------------------- agg / dedup / union / topk
 
 
@@ -1049,6 +1120,10 @@ CORE_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef("set_ops", _set_ops, _SET_OPS_SQL, ("setop",)),
         QueryDef("string_functions", _string_functions, _STRING_FUNCS_SQL, ("scalar",)),
+        QueryDef("array_functions", _array_functions, _ARRAY_FUNCS_SQL, ("scalar",)),
+        QueryDef(
+            "datetime_functions", _datetime_functions, _DATETIME_FUNCS_SQL, ("scalar",)
+        ),
         QueryDef(
             "project_columns",
             _project_columns,
