@@ -369,6 +369,69 @@ FROM customer
 """
 
 
+def _unpivot_melt(spark, sf_dir):
+    """Unpivot (melt): wide per-order money columns back to long
+    (measure, value) rows — the inverse of pivot_key_value (R1). Spark's
+    unpivot/melt == SQL UNPIVOT; at scale this is a narrow map-side
+    Expand, no shuffle."""
+    orders = t(spark, sf_dir, "orders")
+    wide = orders.select(
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("total_c"),
+        # floor-div, not /2-then-cast: Spark casts double->long by
+        # truncation, DuckDB by rounding — they disagree on odd cents
+        F.floor(cents(F.col("o_totalprice")) / 2).cast("long").alias("half_c"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["total_c", "half_c"],
+        variableColumnName="measure",
+        valueColumnName="cents_value",
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT o_orderkey, measure, cents_value
+FROM (SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c,
+             CAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / 2) AS BIGINT)
+               AS half_c
+      FROM orders)
+UNPIVOT (cents_value FOR measure IN (total_c, half_c))
+"""
+
+
+def _tpch_q19(spark, sf_dir):
+    """Discounted-revenue (q19 shape): join under a DISJUNCTION of
+    conjunctive predicates. The per-table halves of each disjunct still
+    push to both scans (Catalyst factors the common parts); the residual
+    OR evaluates post-join — the planner-stress shape."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 30)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+    )
+    return j.filter(cond).agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_TPCH_Q19_SQL = f"""
+SELECT {sql_money_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 30)
+"""
+
+
 def _array_functions(spark, sf_dir):
     """Array-function battery over the embedding column: slice, reverse,
     element access, sort, dedup, filter/transform lambdas, aggregation —
@@ -1106,6 +1169,8 @@ CORE_QUERIES: dict[str, QueryDef] = {
         QueryDef("tpch_q10_returns", _tpch_q10, _TPCH_Q10_SQL, ("bench",)),
         QueryDef("tpch_q14_promo", _tpch_q14, _TPCH_Q14_SQL, ("bench",)),
         QueryDef("tpch_q18_large_orders", _tpch_q18, _TPCH_Q18_SQL, ("bench",)),
+        QueryDef("tpch_q19_disjunctive", _tpch_q19, _TPCH_Q19_SQL, ("bench",)),
+        QueryDef("unpivot_melt", _unpivot_melt, _UNPIVOT_SQL, ("reshape",)),
         QueryDef(
             "window_running_sum",
             _window_running_sum,
