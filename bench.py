@@ -25,9 +25,11 @@ HEADLINE = [
     "tpch_q4_semi",
     "tpch_q5_region",
     "tpch_q6_filter_agg",
+    "tpch_q7_binations",
     "tpch_q10_returns",
     "tpch_q14_promo",
     "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
     "flagship_pipeline",
     "join_broadcast",
     "join_range_interval",

@@ -369,6 +369,57 @@ FROM customer
 """
 
 
+def _tpch_q7(spark, sf_dir):
+    """Volume-shipping (q7 shape): the 6-way join with a symmetric
+    two-nation predicate. Supplier and customer nations resolve through
+    two separate broadcast copies of the tiny nation dim; the pair
+    filter evaluates post-join; revenue rolls up per (n1, n2, year)."""
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    j = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.n1_key)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.n2_key)
+        .filter(pair)
+    )
+    return j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")).agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_TPCH_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       {sql_money_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
 def _unpivot_melt(spark, sf_dir):
     """Unpivot (melt): wide per-order money columns back to long
     (measure, value) rows — the inverse of pivot_key_value (R1). Spark's
@@ -1169,6 +1220,7 @@ CORE_QUERIES: dict[str, QueryDef] = {
         QueryDef("tpch_q10_returns", _tpch_q10, _TPCH_Q10_SQL, ("bench",)),
         QueryDef("tpch_q14_promo", _tpch_q14, _TPCH_Q14_SQL, ("bench",)),
         QueryDef("tpch_q18_large_orders", _tpch_q18, _TPCH_Q18_SQL, ("bench",)),
+        QueryDef("tpch_q7_binations", _tpch_q7, _TPCH_Q7_SQL, ("bench",)),
         QueryDef("tpch_q19_disjunctive", _tpch_q19, _TPCH_Q19_SQL, ("bench",)),
         QueryDef("unpivot_melt", _unpivot_melt, _UNPIVOT_SQL, ("reshape",)),
         QueryDef(
