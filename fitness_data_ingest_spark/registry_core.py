@@ -369,6 +369,23 @@ FROM customer
 """
 
 
+def _agg_approx_sketch(spark, sf_dir):
+    """Sketch aggregations — the 100 TB path for distinct counts and
+    quantiles: HLL++ (approx_count_distinct, rsd 1%) and GK
+    (percentile_approx, accuracy 10k). Mergeable fixed-size state, so
+    map-side partials stay tiny no matter the group size — the exact
+    versions (countDistinct shuffles every key; exact_quantiles sorts)
+    are what these replace when error tolerance allows. No SQL oracle
+    (sketch internals are engine-specific); accuracy is pytest-checked
+    against exact values (<2% relative error)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def _tpch_q7(spark, sf_dir):
     """Volume-shipping (q7 shape): the 6-way join with a symmetric
     two-nation predicate. Supplier and customer nations resolve through
@@ -1221,6 +1238,7 @@ CORE_QUERIES: dict[str, QueryDef] = {
         QueryDef("tpch_q14_promo", _tpch_q14, _TPCH_Q14_SQL, ("bench",)),
         QueryDef("tpch_q18_large_orders", _tpch_q18, _TPCH_Q18_SQL, ("bench",)),
         QueryDef("tpch_q7_binations", _tpch_q7, _TPCH_Q7_SQL, ("bench",)),
+        QueryDef("agg_approx_sketch", _agg_approx_sketch, None, ("agg", "sketch")),
         QueryDef("tpch_q19_disjunctive", _tpch_q19, _TPCH_Q19_SQL, ("bench",)),
         QueryDef("unpivot_melt", _unpivot_melt, _UNPIVOT_SQL, ("reshape",)),
         QueryDef(

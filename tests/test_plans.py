@@ -120,3 +120,50 @@ def test_cluster_conf_profile_is_consistent(spark):
         assert conf[k] == spark.conf.get(k), k
     # every value must be settable (string-typed, parseable)
     assert all(isinstance(v, str) for v in conf.values())
+
+
+def test_approx_sketches_within_error_bounds(spark, sf_dir):
+    """HLL++ distinct and GK median must track exact values (<2% rel
+    err at rsd=0.01 / accuracy=10000) — the sketch path is only useful
+    if its error budget actually holds."""
+    from fitness_data_ingest_spark.registry_util import t
+    from pyspark.sql import functions as F
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg_approx_sketch"].spark(spark, sf_dir).collect()
+    }
+    li = t(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.02, flag
+        assert abs(a["approx_median"] - e["median"]) / e["median"] < 0.02, flag
+
+
+def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):
+    """write_partitioned layout must yield PartitionFilters (directory
+    pruning) for a filter on the partition column — the entire point of
+    replacing the reference's path convention with Hive partitioning."""
+    from fitness_data_ingest_spark.io import write_partitioned
+    from fitness_data_ingest_spark.registry_util import t
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "part_sink")
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    write_partitioned(ev, out, ["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "error")
+    plan = plan_of(back)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_type" in pf[0], plan[:500]
+    assert back.count() == ev.filter(F.col("event_type") == "error").count()
