@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 from .sources import FixtureSource
@@ -133,3 +134,69 @@ class RestDataSource(DataSource):
 
     def reader(self, schema) -> RestReader:
         return RestReader(dict(self.options))
+
+
+class RestStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch streaming face of the REST source: continuous
+    ingestion. The offset is the count of dates already ingested
+    (oldest-first — a live deployment appends new dates as they arrive);
+    each micro-batch drains every unconsumed date across all resources.
+
+    ``readBetweenOffsets`` replays any [start, end) deterministically —
+    with the fixture transport that is trivially exact, and with a real
+    REST backend it is as exact as the API's own immutability, which is
+    the contract checkpoint recovery needs for exactly-once.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.resources = [
+            r for r in options.get("resources", DEFAULT_RESOURCES).split(",") if r
+        ]
+        # oldest-first for a forward-moving stream
+        self.dates = _date_seq(
+            options.get("start", "2024-01-01"), options.get("end", "2024-01-07")
+        )[::-1]
+        self.samples = int(options.get("samples_per_day", "24"))
+        self.empty_dates = frozenset(
+            d for d in options.get("empty_dates", "").split(",") if d
+        )
+
+    def initialOffset(self) -> dict:
+        return {"n_dates": 0}
+
+    def _rows(self, lo: int, hi: int) -> list[tuple]:
+        # a LIST, not a generator: the runtime pickles the batch rows
+        # into the checkpoint prefetch cache for replay
+        src = FixtureSource(
+            samples_per_day=self.samples, empty_dates=self.empty_dates
+        )
+        return [
+            (r, d, row["time"], row["value"])
+            for d in self.dates[lo:hi]
+            for r in self.resources
+            for row in src.fetch(r, d)
+        ]
+
+    def read(self, start: dict):
+        lo = start["n_dates"]
+        hi = len(self.dates)
+        # iter(list): the runtime requires an iterator object, and a
+        # list_iterator stays picklable for the prefetch-replay cache
+        return iter(self._rows(lo, hi)), {"n_dates": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["n_dates"], end["n_dates"]))
+
+
+class RestStreamDataSource(DataSource):
+    """``spark.readStream.format("fitness_rest_stream")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fitness_rest_stream"
+
+    def schema(self) -> str:
+        return "resource string, date string, time string, value double"
+
+    def simpleStreamReader(self, schema) -> RestStreamReader:
+        return RestStreamReader(dict(self.options))

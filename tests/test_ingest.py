@@ -270,3 +270,42 @@ def test_incremental_ingestion_end_to_end(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 2 * 7 * 24
     assert final.select("resource", "date", "time").distinct().count() == 2 * 7 * 24
+
+
+def test_streaming_rest_source_exactly_once(spark, tmp_path):
+    """Streaming face of the REST source: micro-batch ingestion with
+    offset tracking. A checkpointed run drains all dates exactly once;
+    a restart from the same checkpoint adds nothing."""
+    from fitness_data_ingest_spark.ingest.datasource import RestStreamDataSource
+
+    spark.dataSource.register(RestStreamDataSource)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("fitness_rest_stream")
+            .option("resources", "heart,steps")
+            .option("start", "2024-01-01")
+            .option("end", "2024-01-05")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    expect = 2 * 5 * 24
+    got = spark.read.parquet(out)
+    assert got.count() == expect
+    run_once()  # restart: offsets say everything is consumed
+    assert spark.read.parquet(out).count() == expect
+    assert got.select("resource", "date", "time").distinct().count() == expect

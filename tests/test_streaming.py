@@ -225,3 +225,65 @@ def test_checkpointed_file_sink_exactly_once_across_restart(spark, sf_dir, tmp_p
     result = spark.read.parquet(out)
     assert result.count() == ev.count()
     assert result.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream join: error events joined to the same
+    user's events in the following hour — the streaming face of the
+    batch join_range_interval operator. Both sides carry watermarks so
+    state is bounded; result must equal the batch interval join."""
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    src = tmp_path / "ss_src"
+    src.mkdir()
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "data"))
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema).format("parquet").load(str(src) + "/*")
+        )
+
+    errors = (
+        stream()
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "2 hours")
+    )
+    later = (
+        stream()
+        .select(
+            "user_id",
+            F.col("event_id").alias("next_id"),
+            F.col("event_type").alias("next_type"),
+            F.col("ts").alias("next_ts"),
+        )
+        .withWatermark("next_ts", "2 hours")
+    )
+    joined = errors.join(
+        later,
+        (F.col("e_user") == F.col("user_id"))
+        & (F.col("next_ts") > F.col("error_ts"))
+        & (F.col("next_ts") <= F.col("error_ts") + F.expr("interval 1 hour")),
+    ).select("user_id", "error_id", "next_id", "next_type")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM ss_join_out").collect()}
+
+    from fitness_data_ingest_spark.registry import all_queries
+
+    batch = {
+        tuple(r) for r in all_queries()["join_range_interval"].spark(spark, sf_dir).collect()
+    }
+    assert len(batch) > 0
+    assert streamed == batch
