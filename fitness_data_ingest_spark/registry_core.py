@@ -369,6 +369,71 @@ FROM customer
 """
 
 
+def _tpch_q8(spark, sf_dir):
+    """National-market-share (q8 shape): share-of-total as a conditional
+    aggregate ratio — numerator and denominator in ONE pass over the
+    joined facts (no second scan, no self-join). Supplier nation tags
+    each row; customer nation restricts to the ASIA region."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n2 = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.n1_key)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.n_nationkey)
+        .join(F.broadcast(region), n2.n_regionkey == region.r_regionkey)
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0))).alias(
+            "n1_c"
+        ),
+        F.sum(rev).alias("all_c"),
+    )
+    return agg.select(
+        "o_year",
+        (
+            F.floor(F.col("n1_c").cast("double") / F.col("all_c") * 1000000 + 0.5)
+            / 1000000.0
+        ).alias("mkt_share6"),
+        (F.col("all_c") / 100.0).alias("total_revenue"),
+    )
+
+
+_TPCH_Q8_SQL = """
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year, n1.n_name AS supp_nation,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA')
+SELECT o_year,
+       floor(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev_c ELSE 0 END)
+                  AS DOUBLE) / sum(rev_c) * 1000000 + 0.5) / 1000000.0 AS mkt_share6,
+       sum(rev_c) / 100.0 AS total_revenue
+FROM j GROUP BY o_year
+"""
+
+
 def _agg_approx_sketch(spark, sf_dir):
     """Sketch aggregations — the 100 TB path for distinct counts and
     quantiles: HLL++ (approx_count_distinct, rsd 1%) and GK
@@ -1238,6 +1303,7 @@ CORE_QUERIES: dict[str, QueryDef] = {
         QueryDef("tpch_q14_promo", _tpch_q14, _TPCH_Q14_SQL, ("bench",)),
         QueryDef("tpch_q18_large_orders", _tpch_q18, _TPCH_Q18_SQL, ("bench",)),
         QueryDef("tpch_q7_binations", _tpch_q7, _TPCH_Q7_SQL, ("bench",)),
+        QueryDef("tpch_q8_mktshare", _tpch_q8, _TPCH_Q8_SQL, ("bench",)),
         QueryDef("agg_approx_sketch", _agg_approx_sketch, None, ("agg", "sketch")),
         QueryDef("tpch_q19_disjunctive", _tpch_q19, _TPCH_Q19_SQL, ("bench",)),
         QueryDef("unpivot_melt", _unpivot_melt, _UNPIVOT_SQL, ("reshape",)),
