@@ -30,6 +30,11 @@ HEADLINE = [
     "tpch_q14_promo",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive",
+    "tpch_q2_mincost",
+    "tpch_q9_profit",
+    "tpch_q13_distribution",
+    "tpch_q17_smallqty",
+    "tpch_q21_waiting",
     "flagship_pipeline",
     "join_broadcast",
     "join_range_interval",

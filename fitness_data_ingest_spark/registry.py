@@ -21,10 +21,15 @@ try:
 except ImportError:  # pragma: no cover - built incrementally
     STREAM_QUERIES: dict[str, QueryDef] = {}
 
+try:
+    from .registry_tpch2 import TPCH2_QUERIES
+except ImportError:  # pragma: no cover - built incrementally
+    TPCH2_QUERIES: dict[str, QueryDef] = {}
+
 
 def all_queries() -> dict[str, QueryDef]:
     out: dict[str, QueryDef] = {}
-    for family in (CORE_QUERIES, EXT_QUERIES, STREAM_QUERIES):
+    for family in (CORE_QUERIES, EXT_QUERIES, STREAM_QUERIES, TPCH2_QUERIES):
         out.update(family)
     return out
 

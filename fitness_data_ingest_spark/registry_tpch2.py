@@ -1,0 +1,629 @@
+"""TPC-H completion set: the 11 query shapes (q2 q9 q11 q12 q13 q15 q16
+q17 q20 q21 q22) not yet in ``registry_core``, adapted to the fixture
+star schema (reference: pipelines/analytics_suite in the studied repo —
+same decision-support shapes, Spark-first plans here).
+
+The fixtures have no ``partsupp`` table and ``lineitem`` has no
+``l_commitdate``/``l_receiptdate``/``l_shipmode``, so each query keeps
+its *shape* (correlated aggregate, scalar subquery, semi/anti chain,
+two-level aggregation) with schema adaptations documented per query.
+
+Scale + determinism discipline (same rules as registry_core):
+- money/quantity aggregates sum exact int64 cents (order-independent);
+- every float threshold is derived from exact integer sums with an IEEE
+  op sequence written identically in Spark and the DuckDB oracle;
+- every ranked output carries an explicit total order;
+- dims (nation/region, filtered part lists) are broadcast; fact-fact
+  joins shuffle on their keys and are left to AQE otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry_util import (
+    QueryDef,
+    cents,
+    money_sum,
+    sql_money_sum,
+    t,
+)
+
+
+# --------------------------------------------------------------- q2
+def _tpch_q2(spark, sf_dir):
+    """Min-cost supplier (q2 shape): correlated MIN subquery resolved as
+    aggregate-then-join-back. No partsupp: unit cost per (part, supplier)
+    is derived from lineitem (min observed l_extendedprice/l_quantity).
+
+    Scale: the per-(part,supp) aggregate shuffles lineitem once on a
+    compound key; the min-per-part rank is a window over that (much
+    smaller) aggregate, not over the fact table. EUROPE suppliers are a
+    broadcast dim. Top-100 output carries a total order.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand")
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    eu_supp = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    costs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(F.min("unit_price").alias("min_unit"))
+    )
+    ranked = costs.join(eu_supp, costs.l_suppkey == eu_supp.s_suppkey)
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("min_unit").asc(), F.col("s_suppkey").asc()
+    )
+    best = ranked.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # Distributed top-k (TakeOrderedAndProject) BEFORE the global ranking
+    # window: the single-partition sort then sees <=100 rows, not |parts|.
+    # The order is total (one row per p_partkey), so limit+re-rank is
+    # equivalent to rank-then-filter.
+    out_order = [
+        F.col("s_acctbal").desc(), F.col("n_name").asc(), F.col("s_name").asc(),
+        F.col("p_partkey").asc(),
+    ]
+    top = best.orderBy(*out_order).limit(100)
+    return (
+        top.withColumn("rnk", F.row_number().over(Window.orderBy(*out_order)))
+        .select(
+            "rnk", "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            (F.floor(F.col("min_unit") * 1000000 + 0.5) / 1000000.0).alias("unit_cost6"),
+        )
+    )
+
+
+_TPCH_Q2_SQL = """
+WITH costs AS (
+  SELECT p_partkey, p_brand, l_suppkey,
+         min(l_extendedprice / l_quantity) AS min_unit
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD' AND p_size <= 15
+  GROUP BY p_partkey, p_brand, l_suppkey),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+best AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name, min_unit,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY min_unit ASC, s_suppkey ASC) AS rn
+  FROM costs JOIN eu ON l_suppkey = s_suppkey)
+SELECT row_number() OVER (ORDER BY s_acctbal DESC, n_name ASC, s_name ASC,
+                          p_partkey ASC) AS rnk,
+       s_acctbal, s_name, n_name, p_partkey, p_brand,
+       floor(min_unit * 1000000 + 0.5) / 1000000.0 AS unit_cost6
+FROM best WHERE rn = 1
+QUALIFY rnk <= 100
+"""
+
+
+# --------------------------------------------------------------- q9
+def _tpch_q9(spark, sf_dir):
+    """Product-type profit (q9 shape): profit per (nation, year) for
+    parts matching a name pattern. No partsupp: supply cost is proxied
+    as 60% of p_retailprice per unit. Amount is an exact difference of
+    integer-cents terms so the sum is order-independent.
+
+    Scale: the part filter prunes the fact scan through a broadcast
+    semi-ish join; nation is broadcast; lineitem->orders shuffles once
+    on orderkey.
+    """
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    amount_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))) - cents(
+        F.col("p_retailprice") * 0.6 * F.col("l_quantity")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return j.groupBy("n_name", "o_year").agg(
+        (F.sum(amount_c) / 100.0).alias("sum_profit"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_TPCH_Q9_SQL = """
+SELECT n_name, year(o_orderdate) AS o_year,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+           - CAST(floor(p_retailprice * 0.6 * l_quantity * 100 + 0.5) AS BIGINT))
+         / 100.0 AS sum_profit,
+       count(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# --------------------------------------------------------------- q11
+def _tpch_q11(spark, sf_dir):
+    """Important stock (q11 shape): per-part value for one nation's
+    suppliers, kept when above a fraction of the global total — the
+    HAVING-against-scalar-subquery shape. No partsupp: value is shipped
+    revenue (exact cents) from lineitem.
+
+    Scale: ONE shuffled aggregate builds the per-part values; the global
+    total is a second-stage reduce of that aggregate (not a rescan of
+    the fact), delivered to every row via a 1-row broadcast cross join.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1").select(
+        "n_nationkey"
+    )
+    nat_supp = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    vals = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("value_c"))
+    )
+    total = vals.agg(F.sum("value_c").alias("total_c"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c").cast("double") > F.col("total_c") * 0.001)
+        .select("l_partkey", (F.col("value_c") / 100.0).alias("part_value"))
+    )
+
+
+_TPCH_Q11_SQL = """
+WITH vals AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS value_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey)
+SELECT l_partkey, value_c / 100.0 AS part_value
+FROM vals
+WHERE CAST(value_c AS DOUBLE) > (SELECT sum(value_c) FROM vals) * 0.001
+"""
+
+
+# --------------------------------------------------------------- q12
+def _tpch_q12(spark, sf_dir):
+    """Shipping-mode service level (q12 shape): conditional CASE counts
+    of order priority classes over a late-shipment join. No l_shipmode /
+    l_receiptdate: groups by l_returnflag, "late" = shipped >30 days
+    after order date, restricted to 1997 ship dates.
+
+    Scale: one shuffle join on orderkey, then a tiny groupBy; both CASE
+    sums compute in the same pass (no second scan).
+    """
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate")
+        > F.timestamp_add("DAY", F.lit(30), F.col("o_orderdate"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+_TPCH_Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------- q13
+def _tpch_q13(spark, sf_dir):
+    """Customer order-count distribution (q13 shape): LEFT join so
+    zero-order customers survive, two-level aggregation (orders per
+    customer, then customers per order-count). The o_comment NOT LIKE
+    filter is proxied by excluding '5-LOW' priority orders.
+
+    Scale: first aggregate shuffles on custkey (orders side pre-filtered
+    map-side); second aggregate is over ~|customers| rows, trivially
+    small. No window, no collect.
+    """
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_TPCH_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------- q15
+def _tpch_q15(spark, sf_dir):
+    """Top supplier (q15 shape): quarterly revenue per supplier, keep
+    the supplier(s) hitting the global max — the scalar-subquery-equals
+    shape. Exact-cents revenue makes the max/equality deterministic.
+
+    Scale: one shuffled aggregate on suppkey, then ``rank() = 1`` over
+    that (|suppliers|-sized) aggregate — "equals the scalar max" as a
+    window, so the fact table is scanned ONCE (the agg-then-crossJoin
+    form plans two lineitem scans when AQE breaks exchange reuse).
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "rev_c"
+        )
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.orderBy(F.col("rev_c").desc())
+    return (
+        rev.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", (F.col("rev_c") / 100.0).alias("total_revenue"))
+    )
+
+
+_TPCH_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+           AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, rev_c / 100.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_c = (SELECT max(rev_c) FROM rev)
+"""
+
+
+# --------------------------------------------------------------- q16
+def _tpch_q16(spark, sf_dir):
+    """Parts/supplier relationship (q16 shape): distinct-supplier counts
+    per part attribute group, excluding a supplier blacklist via NOT IN
+    (anti join). No partsupp: the (part, supplier) pairs come from
+    lineitem; the "complaints" blacklist is proxied by s_acctbal < 0.
+
+    Scale: the anti join broadcasts the (tiny) blacklist; the pair set
+    is deduped map-side by the distinct-count aggregate; output is a
+    small grouped rollup.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").isin("PROMO"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+    )
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+_TPCH_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT IN ('PROMO')
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------- q17
+def _tpch_q17(spark, sf_dir):
+    """Small-quantity-order revenue (q17 shape): rows below 20% of their
+    part's average quantity — the correlated AVG subquery, resolved as
+    aggregate-then-join-back. Quantities sum as exact cents so the
+    threshold double is bit-identical across engines.
+
+    Scale: the correlated average is a WINDOW over partitionBy(partkey),
+    not an aggregate + join-back — one scan of the (broadcast-pruned)
+    fact and one shuffle on partkey, where the join-back form scans
+    lineitem twice and shuffles twice. The brand/type part filter
+    broadcasts into the scan.
+    """
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    wp = Window.partitionBy("l_partkey")
+    j = (
+        li.withColumn("qsum_c", F.sum(cents(F.col("l_quantity"))).over(wp))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .filter(
+            F.col("l_quantity") < 0.2 * (F.col("qsum_c") / 100.0 / F.col("n"))
+        )
+    )
+    return j.agg(
+        (
+            F.floor(
+                F.sum(cents(F.col("l_extendedprice"))) / 100.0 / 7.0 * 100 + 0.5
+            )
+            / 100.0
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+_TPCH_Q17_SQL = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'),
+pa AS (
+  SELECT l_partkey AS pp_key,
+         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qsum_c,
+         count(*) AS n
+  FROM li GROUP BY l_partkey)
+SELECT floor(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             / 100.0 / 7.0 * 100 + 0.5) / 100.0 AS avg_yearly,
+       count(*) AS n_small
+FROM li JOIN pa ON l_partkey = pp_key
+WHERE l_quantity < 0.2 * (qsum_c / 100.0 / n)
+"""
+
+
+# --------------------------------------------------------------- q20
+def _tpch_q20(spark, sf_dir):
+    """Excess-stock suppliers (q20 shape): the nested semi-join chain —
+    name-filtered parts -> heavy-shipper (part,supplier) pairs ->
+    suppliers in one nation. No partsupp availqty: "excess" is shipped
+    quantity > 50 units of 'small%' parts during 1997.
+
+    Scale: part filter broadcasts into the fact scan; the pair aggregate
+    shuffles once; the final LEFT SEMI keeps the supplier dim scan from
+    materializing match multiplicity.
+    """
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        li.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("q_c"))
+        .filter(F.col("q_c") > 50 * 100)
+        .select("l_suppkey")
+    )
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select(
+        "n_nationkey"
+    )
+    supp = t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+_TPCH_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_partkey, l_suppkey
+    HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 5000)
+"""
+
+
+# --------------------------------------------------------------- q21
+def _tpch_q21(spark, sf_dir):
+    """Suppliers who kept orders waiting (q21 shape): EXISTS + NOT
+    EXISTS over sibling lineitems. No l_receiptdate/commitdate: "late"
+    is l_shipdate > o_orderdate + 60 days; orders restricted to
+    status 'F'.
+
+    Spark plan: instead of two correlated self-joins on the fact table
+    (the literal EXISTS/NOT EXISTS translation — two extra shuffles),
+    compute per-(order, supplier) late-line counts in ONE aggregate,
+    then resolve both EXISTS conditions with window counts over the
+    (far smaller) per-order supplier groups. The DuckDB oracle runs the
+    classic correlated form, proving the rewrite's equivalence.
+    """
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late",
+        (
+            F.col("l_shipdate")
+            > F.timestamp_add("DAY", F.lit(60), F.col("o_orderdate"))
+        ).cast("int"),
+    )
+    # One shuffle serves both the (order, supplier) aggregate and the
+    # per-order windows: hashpartitioning(o_orderkey) satisfies the
+    # ClusteredDistribution of the superset grouping key, so EnsureRequirements
+    # inserts no second full-data exchange.
+    per_os = (
+        j.repartition(F.col("o_orderkey"))
+        .groupBy("o_orderkey", "l_suppkey")
+        .agg(F.sum("is_late").alias("late_lines"))
+    )
+    w = Window.partitionBy("o_orderkey")
+    flagged = per_os.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "n_late_supp",
+        F.sum((F.col("late_lines") > 0).cast("int")).over(w),
+    )
+    waiting = flagged.filter(
+        (F.col("late_lines") > 0) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1").select(
+        "n_nationkey"
+    )
+    supp = t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
+    ).select("s_suppkey", "s_name")
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").alias("numwait"))
+    )
+
+
+_TPCH_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name = 'NATION_1'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
+# --------------------------------------------------------------- q22
+def _tpch_q22(spark, sf_dir):
+    """Global sales opportunity (q22 shape): above-average-balance
+    customers with no orders — scalar AVG subquery + anti join. The
+    country-code substring is proxied by an odd-nationkey filter; the
+    average is over positive balances only, computed from exact cents.
+
+    Scale: the scalar average reduces the customer dim and broadcasts
+    back; the anti join shuffles on custkey only for the filtered
+    candidate set.
+    """
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_row = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(cents(F.col("c_acctbal"))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_c")
+        )
+    )
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    rich = cust.crossJoin(F.broadcast(avg_row)).filter(
+        cents(F.col("c_acctbal")).cast("double") > F.col("avg_c")
+    )
+    dormant = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        money_sum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
+_TPCH_Q22_SQL = f"""
+SELECT c_nationkey, count(*) AS numcust,
+       {sql_money_sum('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_nationkey IN (1, 3, 5, 7, 9)
+  AND CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+      > (SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                / count(*)
+         FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+TPCH2_QUERIES: dict[str, QueryDef] = {
+    q.name: q
+    for q in [
+        QueryDef("tpch_q2_mincost", _tpch_q2, _TPCH_Q2_SQL, ("bench",)),
+        QueryDef("tpch_q9_profit", _tpch_q9, _TPCH_Q9_SQL, ("bench",)),
+        QueryDef("tpch_q11_important", _tpch_q11, _TPCH_Q11_SQL, ("bench",)),
+        QueryDef("tpch_q12_latemode", _tpch_q12, _TPCH_Q12_SQL, ("bench",)),
+        QueryDef("tpch_q13_distribution", _tpch_q13, _TPCH_Q13_SQL, ("bench",)),
+        QueryDef("tpch_q15_topsupp", _tpch_q15, _TPCH_Q15_SQL, ("bench",)),
+        QueryDef("tpch_q16_partsupp", _tpch_q16, _TPCH_Q16_SQL, ("bench",)),
+        QueryDef("tpch_q17_smallqty", _tpch_q17, _TPCH_Q17_SQL, ("bench",)),
+        QueryDef("tpch_q20_excess", _tpch_q20, _TPCH_Q20_SQL, ("bench",)),
+        QueryDef("tpch_q21_waiting", _tpch_q21, _TPCH_Q21_SQL, ("bench",)),
+        QueryDef("tpch_q22_dormant", _tpch_q22, _TPCH_Q22_SQL, ("bench",)),
+    ]
+}

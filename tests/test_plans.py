@@ -149,6 +149,57 @@ def test_approx_sketches_within_error_bounds(spark, sf_dir):
         assert abs(a["approx_median"] - e["median"]) / e["median"] < 0.02, flag
 
 
+# Plan-shape gates for the subquery-shaped TPC-H set run at sf0.01:
+# at sf0.001 several results are legitimately empty and AQE collapses
+# whole branches to EmptyRelation, hiding the scan/exchange structure
+# these tests exist to pin down.
+_PLAN_SF = "/root/testdata/sf0.01"
+
+
+def test_tpch2_single_fact_scan(spark):
+    """q11/q15/q17 contain a 'scalar vs aggregate' self-reference that
+    naively plans TWO scans of the fact table. Our formulations (window
+    over the aggregate / ReusedExchange) must keep it to ONE lineitem
+    scan — at 100 TB the second scan is the single biggest waste."""
+    for name in ["tpch_q11_important", "tpch_q15_topsupp", "tpch_q17_smallqty"]:
+        df = QUERIES[name].spark(spark, _PLAN_SF)
+        plan = final_plan_of(df)
+        n_scans = sum(
+            1 for ln in plan.splitlines()
+            if "Scan parquet" in ln and "lineitem" in ln
+        )
+        assert n_scans == 1, f"{name}: {n_scans} lineitem scans"
+
+
+def test_tpch2_q21_single_fact_shuffle(spark):
+    """q21's per-(order,supplier) aggregate + per-order windows must ride
+    ONE hashpartitioning(o_orderkey) exchange of the fact (subset-key
+    clustering), not one per operator."""
+    plan = final_plan_of(QUERIES["tpch_q21_waiting"].spark(spark, _PLAN_SF))
+    fact_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(o_orderkey" in ln
+    ]
+    assert len(fact_exchanges) == 1, plan[:800]
+
+
+def test_tpch2_no_cartesian_or_nested_loop(spark):
+    """None of the subquery-shaped TPC-H adaptations may degrade to a
+    cartesian/nested-loop join over facts. Exception: q11's scalar total
+    joins as a 1-row broadcast cross join (BNLJ with a single-row build
+    is a map-side constant append — the scale-correct plan; the window
+    alternative would single-partition-sort every part). Same for q22's
+    scalar average."""
+    from fitness_data_ingest_spark.registry_tpch2 import TPCH2_QUERIES
+
+    scalar_bcast_ok = {"tpch_q11_important", "tpch_q22_dormant"}
+    for name, q in TPCH2_QUERIES.items():
+        plan = plan_of(q.spark(spark, _PLAN_SF), "simple")
+        assert "CartesianProduct" not in plan, name
+        if name not in scalar_bcast_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):
     """write_partitioned layout must yield PartitionFilters (directory
     pruning) for a filter on the partition column — the entire point of
