@@ -31,10 +31,17 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive",
     "tpch_q2_mincost",
+    "tpch_q8_mktshare",
     "tpch_q9_profit",
+    "tpch_q11_important",
+    "tpch_q12_latemode",
     "tpch_q13_distribution",
+    "tpch_q15_topsupp",
+    "tpch_q16_partsupp",
     "tpch_q17_smallqty",
+    "tpch_q20_excess",
     "tpch_q21_waiting",
+    "tpch_q22_dormant",
     "flagship_pipeline",
     "join_broadcast",
     "join_range_interval",
