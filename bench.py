@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_score",
     "ann_cosine_topk",
+    "ann_ivf_topk",
 ]
 
 

@@ -120,6 +120,102 @@ def lsh_buckets(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding
     return e.select(F.col(id_col).alias("id"), lsh_bucket(F.col("vec")).alias("bucket"))
 
 
+# IVF (inverted-file) ANN: a coarse quantizer partitions candidates into
+# cells; a query probes only its nprobe nearest cells. Centroids here are
+# a fixed, deterministic subset of the data (the shape a kmeans++ seed or
+# offline-trained quantizer would have) so the DuckDB oracle can
+# reproduce cell ids exactly — the plumbing (assignment, inverted cells,
+# probe join) is the real artifact, not the quantizer training.
+IVF_CENTROID_LO = 100
+IVF_CENTROID_HI = 108  # 8 cells
+IVF_NPROBE = 2
+
+
+def ivf_assign(
+    vectors: DataFrame, centroids: DataFrame, n_nearest: int = 1
+) -> DataFrame:
+    """Assign each vector to its ``n_nearest`` highest-cosine centroids.
+
+    Scale: centroids broadcast (C rows); the C-way expansion happens
+    map-side inside the broadcast join. For ``n_nearest=1`` the argmax
+    is an AGGREGATE ``max(struct(cos, -cid))`` — partial-aggregated
+    map-side back to one row per vector before the shuffle — not a
+    window (which would shuffle the C-expanded set). Tie-break: highest
+    cos, then smallest centroid id (struct max compares fields in
+    order; -cid makes smaller ids win).
+    ``vectors`` must carry (id, vec, nrm) from ``with_norm``.
+    """
+    cent = centroids.select(
+        F.col("id").alias("cid"), F.col("vec").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = vectors.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos", cosine(F.col("vec"), F.col("cv"), F.col("nrm"), F.col("cn"))
+    )
+    if n_nearest == 1:
+        best = scored.groupBy("id").agg(
+            F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("neg_cid"))).alias("b")
+        )
+        return best.select("id", (-F.col("b.neg_cid")).alias("cell"))
+    w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= n_nearest)
+        .select("id", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN search: candidates live in their single nearest cell
+    (the inverted file); each query probes its ``nprobe`` nearest cells
+    and scores exactly within them.
+
+    Scale: scoring work drops from |Q|x|C| to the probed-cell fraction
+    (~nprobe/cells of the data per query). The probe join broadcasts
+    the (tiny) query-cell list and shuffles nothing on the candidate
+    side beyond the one partial-aggregated assignment pass; skewed
+    cells split under AQE. Centroids are the IVF_CENTROID_* id range of
+    the candidate set itself (deterministic offline-quantizer stand-in).
+    """
+    cand = with_norm(candidates, vec_col).select(
+        F.col(id_col).alias("id"), "vec", "nrm"
+    )
+    cent = cand.filter(
+        (F.col("id") >= IVF_CENTROID_LO) & (F.col("id") < IVF_CENTROID_HI)
+    )
+    q = with_norm(queries, vec_col).select(F.col(id_col).alias("id"), "vec", "nrm")
+    cand_cells = ivf_assign(cand, cent, 1)
+    q_cells = ivf_assign(q, cent, nprobe)
+    inv = cand.join(cand_cells, "id").select(
+        F.col("id").alias("cand_id"), F.col("vec").alias("cv"),
+        F.col("nrm").alias("cn"), "cell",
+    )
+    probes = q.join(q_cells, "id").select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qv"),
+        F.col("nrm").alias("qn"), "cell",
+    )
+    scored = inv.join(F.broadcast(probes), "cell").withColumn(
+        "cos", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            "rnk",
+            (F.floor(F.col("cos") * 10000 + 0.5) / 10000.0).alias("cos4"),
+        )
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     candidates: DataFrame,

