@@ -218,3 +218,29 @@ def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "event_type" in pf[0], plan[:500]
     assert back.count() == ev.filter(F.col("event_type") == "error").count()
+
+
+def test_ivf_assignment_is_aggregate_not_window(spark, sf_dir):
+    """The candidate-side IVF cell assignment (n_nearest=1) must plan as
+    a hash aggregate with a map-side partial (the C-way centroid
+    expansion collapses back to one row per vector BEFORE the shuffle)
+    and must contain no Window operator — the window form would shuffle
+    the full C-expanded set. See SCALING.md §5."""
+    from fitness_data_ingest_spark.ext import similarity as S
+    from fitness_data_ingest_spark.registry_util import t
+    from pyspark.sql import functions as F
+
+    cand = S.with_norm(
+        t(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 10)
+    ).select(F.col("vec_id").alias("id"), "vec", "nrm")
+    cent = cand.filter(
+        (F.col("id") >= S.IVF_CENTROID_LO) & (F.col("id") < S.IVF_CENTROID_HI)
+    )
+    plan = plan_of(S.ivf_assign(cand, cent, 1), "simple")
+    assert "Window" not in plan
+    # struct-typed max is sort-based (SortAggregate), not hashable — the
+    # property that matters is the partial_max BEFORE the exchange.
+    assert "partial_max" in plan
+    partial_line = next(i for i, ln in enumerate(plan.splitlines()) if "partial_max" in ln)
+    exchange_line = next(i for i, ln in enumerate(plan.splitlines()) if "Exchange hashpartitioning" in ln)
+    assert exchange_line < partial_line, "partial agg must be below (before) the exchange"
