@@ -123,11 +123,13 @@ def latest_snapshot(df: DataFrame, order_col: str, tiebreak: str) -> DataFrame:
     (get_stream_data.py:56-62). pandas relies on positional argmax;
     Spark has no implicit order, so the order is explicit and a
     tiebreak column makes it total (SURVEY §7.3).
+
+    Scale: ``orderBy().limit(1)`` plans as TakeOrderedAndProject — each
+    partition keeps its own top-1 and only those survivors reach the
+    driver-side merge. The previous row_number-over-global-window form
+    sorted the ENTIRE input in one partition to pick one row.
     """
-    w = Window.orderBy(F.col(order_col).desc(), F.col(tiebreak).asc())
-    return (
-        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-    )
+    return df.orderBy(F.col(order_col).desc(), F.col(tiebreak).asc()).limit(1)
 
 
 def latest_per_group(

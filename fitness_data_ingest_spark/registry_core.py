@@ -938,8 +938,13 @@ def _tpch_q3(spark, sf_dir):
     it is billions of rows, so the join strategy is left to AQE, which
     broadcasts it at bench scale from runtime stats. Only the
     segment-filtered customer keys (1/5 of a dim) carry a broadcast hint.
-    The final top-10 is a rank-over-aggregate: the heavy groupBy shuffles
-    on l_orderkey; the global window sorts only the aggregated output.
+    The final top-10 is limit-then-rank (the q2 pattern): a distributed
+    TakeOrderedAndProject keeps 10 survivors per partition, and only
+    those <=10 rows see the single-partition ranking window — the
+    per-orderkey aggregate is fact-grain, so ranking it directly would
+    single-partition-sort billions of rows at SF1000. The order is total
+    (l_orderkey is unique in the aggregate), so limit+re-rank is
+    equivalent to rank-then-filter.
     """
     cust = (
         t(spark, sf_dir, "customer")
@@ -960,10 +965,10 @@ def _tpch_q3(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("rev_c").desc(), F.col("l_orderkey").asc())
+    out_order = [F.col("rev_c").desc(), F.col("l_orderkey").asc()]
+    top = agg.orderBy(*out_order).limit(10)
     return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
+        top.withColumn("rnk", F.row_number().over(Window.orderBy(*out_order)))
         .select(
             "l_orderkey", "o_orderpriority", (F.col("rev_c") / 100.0).alias("revenue"), "rnk"
         )
@@ -1151,8 +1156,13 @@ def _tpch_q10(spark, sf_dir):
     """Returned-item reporting (q10 shape): 4-way join, revenue per
     customer over returned lineitems, top-20. Join order: lineitem is
     filtered on returnflag FIRST (cuts the fact ~3×), orders carries the
-    quarter filter; nation broadcasts. The top-20 ranks the aggregated
-    per-customer output, never the fact rows."""
+    quarter filter; nation broadcasts. The top-20 is limit-then-rank
+    (the q2 pattern): a distributed TakeOrderedAndProject keeps 20
+    survivors per partition; only those <=20 rows see the ranking
+    window — the per-customer aggregate is |customers|-grain, far too
+    big for a single-partition sort at SF1000. The order is total
+    (c_custkey unique in the aggregate), so limit+re-rank is
+    equivalent to rank-then-filter."""
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -1172,10 +1182,10 @@ def _tpch_q10(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("rev_c").desc(), F.col("c_custkey").asc())
+    out_order = [F.col("rev_c").desc(), F.col("c_custkey").asc()]
+    top = agg.orderBy(*out_order).limit(20)
     return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+        top.withColumn("rnk", F.row_number().over(Window.orderBy(*out_order)))
         .select(
             "c_custkey", "c_name", "n_name",
             (F.col("rev_c") / 100.0).alias("revenue"), "rnk",

@@ -297,10 +297,17 @@ def _tpch_q15(spark, sf_dir):
     the supplier(s) hitting the global max — the scalar-subquery-equals
     shape. Exact-cents revenue makes the max/equality deterministic.
 
-    Scale: one shuffled aggregate on suppkey, then ``rank() = 1`` over
-    that (|suppliers|-sized) aggregate — "equals the scalar max" as a
-    window, so the fact table is scanned ONCE (the agg-then-crossJoin
-    form plans two lineitem scans when AQE breaks exchange reuse).
+    Scale: one shuffled aggregate on suppkey; the fact table is scanned
+    ONCE (the agg-then-broadcast-max form plans two lineitem scans —
+    AQE stages each aggregate branch independently and ReusedExchange
+    never fires; verified empirically at sf0.01). The "equals the
+    scalar max" step is limit-then-rank: a distributed
+    TakeOrderedAndProject keeps the top-100 revenue rows (each
+    partition retains <=100), and the tie-preserving ``rank() = 1``
+    window then sees <=100 rows instead of |suppliers|. Ties past 100
+    suppliers at the exact same cents-sum would be dropped — with
+    exact-integer revenue that needs 100+ identical bigint sums, so
+    the bound is documented, not load-bearing.
     """
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -312,9 +319,10 @@ def _tpch_q15(spark, sf_dir):
         )
     )
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    topk = rev.orderBy(F.col("rev_c").desc(), F.col("l_suppkey").asc()).limit(100)
     w = Window.orderBy(F.col("rev_c").desc())
     return (
-        rev.withColumn("rk", F.rank().over(w))
+        topk.withColumn("rk", F.rank().over(w))
         .filter(F.col("rk") == 1)
         .drop("rk")
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)

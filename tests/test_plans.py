@@ -200,6 +200,44 @@ def test_tpch2_no_cartesian_or_nested_loop(spark):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_ext_no_cartesian_or_nested_loop(spark, sf_dir):
+    """No LLM-pipeline operator may degrade to a cartesian/nested-loop
+    join. Sanctioned exceptions, all bounded-build-side by construction:
+    ann_cosine_topk (the brute-force BASELINE: a deliberate broadcast of
+    the small query set), text_tfidf (corpus size N joins in as a 1-row
+    broadcast scalar, the q11/q22 pattern), and ann_ivf_topk (the
+    quantizer's C-way centroid expansion broadcasts the constant-size
+    centroid set — C=8 rows at any data scale)."""
+    from fitness_data_ingest_spark.registry_ext import EXT_QUERIES
+
+    bounded_bcast_ok = {"ann_cosine_topk", "text_tfidf", "ann_ivf_topk"}
+    for name, q in EXT_QUERIES.items():
+        plan = plan_of(q.spark(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+        if name not in bounded_bcast_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_topk_is_limit_then_rank_not_global_window(spark, sf_dir):
+    """q3/q10/q15/topk_latest rank unbounded-cardinality input (per-order /
+    per-customer / per-supplier aggregates, raw events). The plan must
+    bound the set with a distributed TakeOrderedAndProject BEFORE any
+    partition-less ranking window — the window may only ever see the <=N
+    limit survivors. A Sort feeding the Window directly (the round-1
+    shape) would single-partition-sort the full input at SF1000."""
+    for name in ["tpch_q3_top10", "tpch_q10_returns", "tpch_q15_topsupp", "topk_latest"]:
+        plan = plan_of(QUERIES[name].spark(spark, sf_dir), "simple")
+        assert "TakeOrderedAndProject" in plan, f"{name}:\n{plan[:800]}"
+        lines = plan.splitlines()
+        window_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
+        take_idx = [i for i, ln in enumerate(lines) if "TakeOrderedAndProject" in ln]
+        # explain prints parents first: a Window consuming the limit's
+        # output must appear ABOVE TakeOrderedAndProject, never below it
+        # (below = windowing the pre-limit input).
+        for wi in window_idx:
+            assert wi < min(take_idx), f"{name}: Window below the limit\n{plan[:800]}"
+
+
 def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):
     """write_partitioned layout must yield PartitionFilters (directory
     pruning) for a filter on the partition column — the entire point of
