@@ -44,6 +44,15 @@ MINHASH_B = [_rng.randrange(0, 1 << 30) for _ in range(MINHASH_K)]
 
 SHINGLE_K = 3  # 3-word shingles
 
+# A shingle shared by more than this many documents generates no
+# candidate pairs in ngram_jaccard_pairs: one boilerplate shingle in D
+# documents would otherwise emit D*(D-1)/2 candidates — quadratic blowup
+# from a single hot key. Documented recall trade-off: a pair whose ONLY
+# shared shingles are ubiquitous ones is missed, but such pairs sit far
+# below any useful Jaccard threshold anyway (their intersection is
+# boilerplate). The oracle SQL applies the identical cap.
+NGRAM_MAX_DF = 100
+
 
 def shingles(tok_col: Column, k: int = SHINGLE_K) -> Column:
     """Distinct k-word shingles; documents shorter than k words collapse
@@ -185,12 +194,19 @@ def minhash_near_dups(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+    docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
+    max_df: int = NGRAM_MAX_DF,
 ) -> DataFrame:
     """Exact hashed-shingle-Jaccard near-dup pairs; candidates from a
     shared-shingle equi-join (no N² pass). Shingles travel as 64-bit
     hashes — the join key and the verify arrays shuffle ~10× lighter
-    than raw shingle strings."""
+    than raw shingle strings.
+
+    Hot-shingle guard: shingles with document frequency > ``max_df`` are
+    anti-joined out of the candidate-generation side (the hot set is tiny
+    by definition — few shingles are ubiquitous — so it broadcasts). The
+    Jaccard verify still runs on the FULL shingle sets, so scores are
+    exact; only candidate *generation* loses the boilerplate keys."""
     n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
     sh_df = (
         docs.repartition(n_parts, F.col(id_col))
@@ -200,7 +216,14 @@ def ngram_jaccard_pairs(
         )
         .persist()
     )
-    exploded = sh_df.select("doc", F.explode("sh").alias("s"))
+    exploded_all = sh_df.select("doc", F.explode("sh").alias("s"))
+    hot = (
+        exploded_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .filter(F.col("sdf") > max_df)
+        .select("s")
+    )
+    exploded = exploded_all.join(F.broadcast(hot), "s", "left_anti")
     a, b = exploded.alias("a"), exploded.alias("b")
     cands = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
@@ -271,6 +294,7 @@ def connected_components(
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -290,7 +314,16 @@ def connected_components(
         )
         labels = step.select("node", "label")
         if step.filter(F.col("label") != F.col("old_label")).count() == 0:
+            converged = True
             break
+    if not converged:
+        # single-neighbor propagation needs O(component diameter) rounds;
+        # silently returning split clusters would let downstream dedup
+        # keep extra "canonical" docs with no signal anything went wrong
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "raise max_iter (diameter of the near-dup graph exceeds it)"
+        )
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster"))
 
 

@@ -52,9 +52,16 @@ def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Pre-normalize once per row — norms are computed N times, not N²."""
-    return df.withColumn("vec", as_double(F.col(vec_col))).withColumn(
-        "nrm", norm(F.col("vec"))
+    """Pre-normalize once per row — norms are computed N times, not N².
+
+    Zero-norm vectors are dropped: cos against them is 0/0 = NaN, and
+    Spark sorts NaN as the GREATEST double, so one degenerate vector
+    would rank first in every desc-ordered top-k. The oracle SQL mirrors
+    the same ``nrm > 0`` guard."""
+    return (
+        df.withColumn("vec", as_double(F.col(vec_col)))
+        .withColumn("nrm", norm(F.col("vec")))
+        .filter(F.col("nrm") > 0)
     )
 
 
@@ -62,11 +69,45 @@ def cosine_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.3
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold (embedding near-dup detection).
-    Brute force — correct baseline; LSH (below) is the scale path."""
+    Brute force (nested-loop theta-join) — the CORRECTNESS BASELINE
+    only, used by tests to cross-check ``cosine_pairs_bucketed``; never
+    register this as the production operator (O(N²) at scale)."""
     e = with_norm(df, vec_col).select(F.col(id_col).alias("id"), "vec", "nrm")
     a = e.select(F.col("id").alias("vec_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"))
     b = e.select(F.col("id").alias("vec_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", (F.floor(F.col("cos") * 10000 + 0.5) / 10000.0).alias("cos4"))
+    )
+
+
+def cosine_pairs_bucketed(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.3
+) -> DataFrame:
+    """Embedding near-dup pairs, the scale path: candidates come from an
+    EQUI-join on the hyperplane-LSH bucket id and only same-bucket pairs
+    pay the exact-cosine verify — work tracks bucket collision counts,
+    not N². The join shuffles on a 64-bit bucket key (AQE splits hot
+    buckets). Recall: pairs split across buckets are missed; production
+    raises it with multiple hyperplane tables / multi-probe — here the
+    parameters are fixed constants so the oracle reproduces bucket ids
+    exactly. ``cosine_pairs`` (brute force) is the test oracle for the
+    within-bucket results."""
+    e = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), "vec", "nrm", lsh_bucket(F.col("vec")).alias("bucket")
+    )
+    a = e.select(
+        F.col("id").alias("vec_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = e.select(
+        F.col("id").alias("vec_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
     cos = cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         pairs.withColumn("cos", cos)

@@ -119,11 +119,16 @@ def tfidf(docs: DataFrame, id_col: str, text_col: str, min_df: int = 2) -> DataF
     (the DF table is |vocab|-sized, broadcast back). idf uses the
     smoothed ln((N+1)/(df+1)) form; tf is raw count / doc length.
     Everything is exact IEEE math mirrored by the oracle.
+
+    The corpus size N joins in as a broadcast 1-row aggregate (the
+    q14/q22 scalar-subquery pattern) — it stays inside the single lazy
+    plan instead of an eager driver-side ``count()`` that would run an
+    extra job + scan every time the operator is composed.
     """
     tok = docs.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    n_docs = docs.count()  # scalar, computed once; at scale a cheap agg
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf_raw"))
     doc_len = tf.groupBy("doc").agg(F.sum("tf_raw").alias("len"))
     df_tbl = (
@@ -134,10 +139,11 @@ def tfidf(docs: DataFrame, id_col: str, text_col: str, min_df: int = 2) -> DataF
     out = (
         tf.join(F.broadcast(df_tbl), "term")
         .join(doc_len, "doc")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
             (F.col("tf_raw").cast("double") / F.col("len"))
-            * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df").cast("double") + 1.0)),
+            * F.log((F.col("_n_docs") + 1.0) / (F.col("df").cast("double") + 1.0)),
         )
     )
     return out.select(

@@ -87,8 +87,10 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 _NGRAM_SQL = f"""
 WITH {_SQL_DOC_SHINGLES},
 ex AS (SELECT doc_id, unnest(shd) AS s FROM sh),
+hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > {D.NGRAM_MAX_DF}),
+exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id),
+         FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id),
 {_SQL_JACCARD_TAIL}
 """
 
@@ -161,19 +163,26 @@ def _sql_lsh_bucket() -> str:
     return " + ".join(terms)
 
 
-_COS_PAIRS_SQL = f"""
+# Bucketed near-dup pairs: candidates only within a shared LSH bucket —
+# mirrors cosine_pairs_bucketed (the registered scale path; the brute
+# all-pairs form survives only as the pytest cross-check in
+# tests/test_scale_ops.py).
+_COS_PAIRS_BUCKETED_SQL = f"""
 WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings WHERE vec_id % 5 = 0),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+n AS (SELECT * FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                            CAST({_sql_lsh_bucket()} AS BIGINT) AS bucket FROM e)
+      WHERE nrm > 0),
 p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, floor(cos * 10000 + 0.5) / 10000.0 AS cos4
 FROM p WHERE cos >= 0.3
 """
 
 _TOPK_SQL = f"""
 WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+n AS (SELECT * FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      WHERE nrm > 0),
 s AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
              list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
       FROM (SELECT * FROM n WHERE vec_id < 10) q,
@@ -218,9 +227,10 @@ def _dedup_simhash(spark, sf_dir):
 
 def _dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup pairs (cosine ≥ 0.3) on a deterministic
-    sub-sample; brute force = the correctness baseline for LSH."""
+    sub-sample — LSH-bucketed candidate generation (equi-join on the
+    bucket id, never all-pairs); exact cosine verify within buckets."""
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    return S.cosine_pairs(emb, threshold=0.3)
+    return S.cosine_pairs_bucketed(emb, threshold=0.3)
 
 
 def _ann_topk(spark, sf_dir):
@@ -280,7 +290,8 @@ def _ann_ivf_topk(spark, sf_dir):
 # row_number()=1 form here when cos is NaN-free (nonzero norms).
 _IVF_TOPK_SQL = f"""
 WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+n AS (SELECT * FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      WHERE nrm > 0),
 cand AS (SELECT * FROM n WHERE vec_id >= 10),
 cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn
          FROM cand WHERE vec_id >= {S.IVF_CENTROID_LO} AND vec_id < {S.IVF_CENTROID_HI}),
@@ -314,8 +325,9 @@ QUALIFY rnk <= 5
 
 _LSH_TOPK_SQL = f"""
 WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
-n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-             CAST({_sql_lsh_bucket()} AS BIGINT) AS bucket FROM e),
+n AS (SELECT * FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                            CAST({_sql_lsh_bucket()} AS BIGINT) AS bucket FROM e)
+      WHERE nrm > 0),
 s AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
              list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
       FROM (SELECT * FROM n WHERE vec_id < 10) q
@@ -453,7 +465,7 @@ EXT_QUERIES: dict[str, QueryDef] = {
         QueryDef("dedup_minhash_lsh", _dedup_minhash, _MINHASH_SQL),
         QueryDef("dedup_ngram_jaccard", _dedup_ngram, _NGRAM_SQL),
         QueryDef("dedup_simhash", _dedup_simhash, _sql_simhash()),
-        QueryDef("dedup_embedding_cosine", _dedup_embedding_cosine, _COS_PAIRS_SQL),
+        QueryDef("dedup_embedding_cosine", _dedup_embedding_cosine, _COS_PAIRS_BUCKETED_SQL),
         QueryDef("dedup_clusters", _dedup_clusters, _dedup_clusters_sql()),
         QueryDef("ann_cosine_topk", _ann_topk, _TOPK_SQL),
         QueryDef("ann_lsh_bucketed", _ann_lsh, _LSH_BUCKET_SQL),

@@ -111,3 +111,110 @@ def test_ivf_topk_prunes_and_recalls(spark, sf_dir):
     n_cand = cand.count()
     largest_cell = cells.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
     assert largest_cell < n_cand, "assignment must actually partition"
+
+
+def test_salted_join_rejects_right_and_full(spark, sf_dir):
+    """right/full outer would emit unmatched small-side rows once per
+    salt replica — the API must refuse, not silently multiply rows."""
+    events = t(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            SK.salted_join(events, users, "user_id", "user_id", how=how)
+
+
+def test_bucketed_cosine_pairs_match_brute_force(spark, sf_dir):
+    """The registered near-dup operator (LSH-bucketed candidates) must be
+    a subset of the brute-force all-pairs result with IDENTICAL scores —
+    bucketing may only lose cross-bucket pairs, never change a score."""
+    from fitness_data_ingest_spark.ext import similarity as S
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    brute = {
+        (r.vec_a, r.vec_b): r.cos4 for r in S.cosine_pairs(emb, threshold=0.3).collect()
+    }
+    bucketed = {
+        (r.vec_a, r.vec_b): r.cos4
+        for r in S.cosine_pairs_bucketed(emb, threshold=0.3).collect()
+    }
+    assert set(bucketed) <= set(brute)
+    for pair, cos4 in bucketed.items():
+        assert cos4 == brute[pair], pair
+
+
+def test_zero_norm_vectors_never_rank(spark, sf_dir):
+    """A zero embedding gives cos = 0/0 = NaN, and Spark sorts NaN as the
+    greatest double — with_norm must drop degenerate vectors so they can
+    never poison a desc-ordered top-k."""
+    from pyspark.sql import types as ST
+
+    from fitness_data_ingest_spark.ext import similarity as S
+
+    emb = t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    zero_row = spark.createDataFrame(
+        [(999999, [0.0] * dim)],
+        ST.StructType([
+            ST.StructField("vec_id", ST.LongType()),
+            ST.StructField("embedding", ST.ArrayType(ST.DoubleType())),
+        ]),
+    )
+    cand = emb.filter(F.col("vec_id") >= 10).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(zero_row)
+    out = S.cosine_topk(emb.filter(F.col("vec_id") < 10), cand, k=5).collect()
+    assert out, "top-k must still produce results"
+    assert all(r.cand_id != 999999 for r in out)
+    assert all(r.cos4 == r.cos4 for r in out)  # no NaN survives
+
+
+def test_ngram_hot_shingle_cap_prevents_quadratic_candidates(spark):
+    """One boilerplate shingle shared by every document must NOT create
+    O(N^2) candidate pairs: shingles above the document-frequency cap are
+    excluded from candidate generation (their pairs sit far below any
+    useful Jaccard threshold anyway)."""
+    from fitness_data_ingest_spark.ext import dedup as D
+
+    n = 30
+    docs = spark.createDataFrame(
+        [(i, f"common boiler plate unique{i} word{i} tail{i}") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    out = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1, max_df=5)
+    # every pair shares ONLY the ubiquitous 'common boiler plate' shingle
+    # (DF = 30 > 5) -> zero candidates instead of 30*29/2
+    assert out.count() == 0
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A label-propagation run that exits via max_iter with labels still
+    changing must fail loudly — silently split clusters would let
+    downstream dedup keep extra 'canonical' docs."""
+    from fitness_data_ingest_spark.ext import dedup as D
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        D.connected_components(chain, max_iter=2)
+    # and a sufficient budget converges to one cluster
+    ok = D.connected_components(chain, max_iter=15)
+    assert ok.select("cluster").distinct().count() == 1
+
+
+def test_file_manifest_populates_mtime(spark, sf_dir, tmp_path):
+    """The manifest's LastModified must carry the real file mtime (epoch
+    ms -> naive UTC), not null."""
+    import datetime
+
+    from fitness_data_ingest_spark.io import file_manifest
+
+    out = str(tmp_path / "mani")
+    t(spark, sf_dir, "region").write.parquet(out)
+    m = file_manifest(spark, out).filter(F.col("Key").endswith(".parquet"))
+    rows = m.collect()
+    assert rows
+    now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    for r in rows:
+        assert r.LastModified is not None
+        assert abs((now - r.LastModified).total_seconds()) < 3600
