@@ -94,9 +94,6 @@ def _sessionize_key(
             yield pd.DataFrame(out)
         return
 
-    open_s: tuple[int, int, int, int] | None = (
-        tuple(state.get) if state.exists else None
-    )
     rows = pd.concat(list(pdfs), ignore_index=True)
     # event-time order within the batch; ties keep arrival order
     rows = rows.sort_values("ts", kind="stable")
@@ -105,16 +102,38 @@ def _sessionize_key(
     # negative values too
     cents = np.floor(rows["value"].to_numpy() * 100 + 0.5).astype("int64")
 
+    # Fold spans, not events-onto-a-point: the stored open session is a
+    # SPAN (start..last), and a late-but-within-watermark event may land
+    # anywhere relative to it — before start (extend start backwards or
+    # split off an earlier session), inside (count it, bounds unchanged),
+    # or after last (extend / split forwards). Treating the state as one
+    # more span item in the start-ordered fold handles every case with
+    # the same merge rule: overlap-within-gap -> union the spans; else
+    # the earlier span is closed by the gap. (The round-1 fold compared
+    # each event only against `last` and OVERWROTE last with the event's
+    # time, so an out-of-order event moved last BACKWARDS, shrinking
+    # session_end and arming a too-early timeout.)
+    items: list[tuple[int, int, int, int]] = [
+        (int(t), int(t), 1, int(c)) for t, c in zip(ts_us, cents)
+    ]
+    if state.exists:
+        s = tuple(state.get)
+        items.append((int(s[0]), int(s[1]), int(s[2]), int(s[3])))
+    items.sort(key=lambda it: (it[0], it[1]))
+
     closed: list[dict[str, Any]] = []
-    for t_us, c in zip(ts_us, cents):
-        t_us, c = int(t_us), int(c)
-        if open_s is None:
-            open_s = (t_us, t_us, 1, c)
-        elif t_us - open_s[1] > gap_us:
+    open_s = items[0]
+    for it in items[1:]:
+        if it[0] - open_s[1] > gap_us:
             closed.append(_emit(user_id, open_s, gap_us))
-            open_s = (t_us, t_us, 1, c)
+            open_s = it
         else:
-            open_s = (open_s[0], t_us, open_s[2] + 1, open_s[3] + c)
+            open_s = (
+                open_s[0],
+                max(open_s[1], it[1]),
+                open_s[2] + it[2],
+                open_s[3] + it[3],
+            )
 
     state.update(open_s)
     # fire when the watermark proves no event can extend the session

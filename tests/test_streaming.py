@@ -287,3 +287,71 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
     }
     assert len(batch) > 0
     assert streamed == batch
+
+
+def test_stateful_sessionize_late_events_across_batches(spark, tmp_path):
+    """Cross-batch out-of-order events, the case the single-batch parity
+    test can't see: batch 2 delivers events that are LATE but inside the
+    watermark — one inside the open session's span and one BEFORE its
+    start. Span-merge semantics require last = max(last, t) (never
+    backwards: a shrunken last would arm a too-early timeout and cut
+    session_end short) and start = min(start, t). Output must equal the
+    F.session_window batch result on the union of all events."""
+    import datetime as dt
+
+    from pyspark.sql import types as ST
+
+    from fitness_data_ingest_spark.stream import stateful as S
+
+    schema = ST.StructType(
+        [
+            ST.StructField("user_id", ST.LongType()),
+            ST.StructField("ts", ST.TimestampType()),
+            ST.StructField("value", ST.DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema=schema)
+
+    batch1 = mk([(1, t0, 1.0), (1, t0 + dt.timedelta(minutes=10), 2.0)])
+    # late: one event inside the open span, one before its start (both
+    # within the 1h watermark delay of batch1's max ts)
+    batch2 = mk(
+        [
+            (1, t0 + dt.timedelta(minutes=5), 4.0),
+            (1, t0 - dt.timedelta(minutes=5), 8.0),
+        ]
+    )
+    sentinel = mk([(-1, t0 + dt.timedelta(days=10), 0.0)])
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(str(src) + "/*")
+        .withWatermark("ts", "1 hour")
+    )
+    out = S.stateful_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sessions")
+        .start()
+    )
+    try:
+        for i, b in enumerate([batch1, batch2, sentinel]):
+            b.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM late_sessions WHERE user_id >= 0").collect()
+    }
+    batch = {tuple(r) for r in W.session_stats(batch1.unionByName(batch2)).collect()}
+    assert len(batch) == 1  # one merged session: 23:55 .. 00:10 (+gap)
+    assert streamed == batch
