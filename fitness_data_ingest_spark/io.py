@@ -21,6 +21,7 @@ Reference behaviors re-expressed on Spark:
 
 from __future__ import annotations
 
+import datetime
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -98,11 +99,16 @@ def file_manifest(spark: SparkSession, path: str) -> DataFrame:
         it = fs.listFiles(hadoop_path, True)  # recursive
         while it.hasNext():
             st = it.next()
+            # FileStatus mtime is epoch millis; the manifest stores it as
+            # a naive UTC timestamp (session tz is UTC)
+            mtime = datetime.datetime.fromtimestamp(
+                st.getModificationTime() / 1000.0, tz=datetime.timezone.utc
+            ).replace(tzinfo=None)
             rows.append(
                 (
                     st.getPath().toString(),
                     int(st.getLen()),
-                    None,  # mtime as naive ts set below
+                    mtime,
                     "STANDARD",
                 )
             )

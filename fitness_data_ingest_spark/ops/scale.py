@@ -39,11 +39,19 @@ def salted_join(
     to broadcast, too small to matter ``salt_n``-replicated).
 
     big gains a random salt in [0, salt_n); small is exploded to every
-    salt value; the join key becomes (key, salt). Row multiplicity is
-    unchanged: each big row matches exactly the same small rows as an
-    unsalted join, because every (key, salt) slice of small carries the
-    full key's rows.
+    salt value; the join key becomes (key, salt). For ``inner``/``left``
+    row multiplicity is unchanged: each big row matches exactly the same
+    small rows as an unsalted join, because every (key, salt) slice of
+    small carries the full key's rows. ``right``/``full`` are NOT
+    equivalent — an unmatched small-side row appears once per salt
+    replica — so they are rejected.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: the "
+            "salt_n-replicated small side would emit unmatched rows once "
+            "per replica under right/full outer joins"
+        )
     salted_big = big.withColumn(
         "__salt", (F.rand(seed=42) * salt_n).cast("int")
     )
