@@ -9,8 +9,10 @@ Each query executes fully via the no-op sink (forces the whole plan —
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -60,6 +62,25 @@ HEADLINE = [
 ]
 
 
+def _prev_bench() -> dict | None:
+    """Latest recorded BENCH_r{N}.json — the regression baseline."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    # the driver records {"n":..,"rc":..,"parsed": <our JSON line>}
+    return data.get("parsed", data) if isinstance(data, dict) else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -101,17 +122,31 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # regression tracking vs the last recorded round (fail-soft: flagged
+    # in the output + stderr, never a nonzero exit — the driver needs
+    # the JSON line either way)
+    prev = _prev_bench()
+    if prev and isinstance(prev.get("queries"), dict) and prev.get("sf") == out["sf"]:
+        vs_prev = {
+            name: round(timings[name] / prev["queries"][name], 2)
+            for name in timings
+            if isinstance(prev["queries"].get(name), (int, float))
+            and prev["queries"][name] > 0
+        }
+        out["vs_prev"] = vs_prev
+        regressions = sorted(n for n, r in vs_prev.items() if r > 1.5)
+        out["regressions"] = regressions
+        if regressions:
+            print(f"WARN: >1.5x regressions vs previous round: {regressions}",
+                  file=sys.stderr)
+    print(json.dumps(out))
     spark.stop()
 
 
