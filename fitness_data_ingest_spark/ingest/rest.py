@@ -58,11 +58,14 @@ class FakeResponse:
 
 
 class Transport(Protocol):
-    """One HTTP GET. Implementations: RequestsTransport (live),
+    """HTTP GET/POST. Implementations: RequestsTransport (live),
     CannedTransport (tests)."""
 
     def get(self, url: str, params: Mapping[str, Any] | None = None,
             headers: Mapping[str, str] | None = None) -> Response: ...
+
+    def post(self, url: str, data: Mapping[str, Any] | None = None,
+             headers: Mapping[str, str] | None = None) -> Response: ...
 
 
 class RequestsTransport:
@@ -84,6 +87,10 @@ class RequestsTransport:
         return self._session.get(url, params=params, headers=headers,
                                  timeout=self._timeout)
 
+    def post(self, url, data=None, headers=None):  # pragma: no cover - live
+        return self._session.post(url, data=data, headers=headers,
+                                  timeout=self._timeout)
+
 
 @dataclass
 class CannedTransport:
@@ -97,6 +104,9 @@ class CannedTransport:
         if not self.responses:
             raise AssertionError("CannedTransport exhausted")
         return self.responses.pop(0)
+
+    def post(self, url, data=None, headers=None) -> FakeResponse:
+        return self.get(url, params=data, headers=headers)
 
 
 @dataclass
