@@ -271,18 +271,27 @@ def exact_dedup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
 def connected_components(
     edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
 ) -> DataFrame:
-    """Connected components by min-label propagation: every node ends up
-    labeled with the smallest node id in its component. The iterative
-    piece of the dedup pipeline — near-dup PAIRS become dedup CLUSTERS
-    (keep min id per cluster, drop the rest).
+    """Connected components by min-label propagation WITH pointer
+    jumping: every node ends up labeled with the smallest node id in its
+    component. The iterative piece of the dedup pipeline — near-dup
+    PAIRS become dedup CLUSTERS (keep min id per cluster, drop rest).
 
-    Each iteration: label(v) <- min(label(v), min over neighbors'
-    labels) — one shuffle per iteration, converging in O(component
-    diameter) rounds (near-dup clusters are shallow; text corpora
-    converge in a handful). ``localCheckpoint`` truncates the growing
-    lineage so round N doesn't replay rounds 1..N-1. The driver-side
-    loop only reads a converged-or-not count per round — no data is
-    collected.
+    Each iteration does two label-table joins:
+    1. propagate: label(v) <- min(label(v), min over neighbors' labels)
+       — one shuffle over the edge table;
+    2. shortcut (pointer jumping): label(v) <- label(label(v)) — one
+       self-join of the |nodes|-sized label table. Shortcutting is what
+       turns O(diameter) rounds into O(log diameter): a chain of length
+       d converges in ~log2(d) rounds because labels hop through the
+       already-compressed prefix. At 100 TB the edge-table join
+       dominates, so halving-the-exponent on round COUNT is the lever
+       that matters (the classic alternating-star result).
+
+    Labels only decrease and are bounded by the component min, so the
+    fixpoint is exact, not approximate. ``localCheckpoint`` truncates
+    the growing lineage so round N doesn't replay rounds 1..N-1. The
+    driver-side loop only reads a converged-or-not count per round — no
+    data is collected.
     """
     # materialize the edge list once: it is joined every iteration, and
     # upstream it may be a whole LSH pipeline — without this each round
@@ -301,14 +310,25 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
+        prop = labels.join(neighbor_min, labels.node == neighbor_min.a, "left").select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+        )
+        # pointer jumping: follow one more hop through the label table
+        # (label(label(v))); labels are node ids, so the hop is a
+        # self-join on the small label table, not the edge table
+        hop = prop.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
         # carry old+new through one checkpoint so the convergence check
         # is a filter on materialized data, not a second join
         step = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            prop.join(hop, prop.label == hop.l_node, "left")
             .select(
                 "node",
-                F.col("label").alias("old_label"),
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label"),
+                "old_label",
+                F.least(F.col("label"), F.coalesce("l_label", "label")).alias("label"),
             )
             .localCheckpoint()
         )
@@ -317,9 +337,9 @@ def connected_components(
             converged = True
             break
     if not converged:
-        # single-neighbor propagation needs O(component diameter) rounds;
-        # silently returning split clusters would let downstream dedup
-        # keep extra "canonical" docs with no signal anything went wrong
+        # even with shortcutting, pathological diameters can exhaust the
+        # budget; silently returning split clusters would let downstream
+        # dedup keep extra "canonical" docs with no signal anything broke
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations; "
             "raise max_iter (diameter of the near-dup graph exceeds it)"
