@@ -30,6 +30,18 @@ HYPERPLANES: list[list[float]] = [
     [round(_rng.random() * 2 - 1, 3) for _ in range(EMB_DIM)] for _ in range(LSH_PLANES)
 ]
 
+# Multi-table LSH: L independent hyperplane sets. A near neighbor
+# missed by one table's bucketing is recalled by another — recall
+# 1-(1-p^r)^L instead of p^r — while candidate generation stays
+# equi-join-shaped per table. Table 0 IS the single-table HYPERPLANES
+# (seeded stream continues, so adding tables never changes table 0's
+# bucket ids or any existing oracle).
+LSH_TABLES = 3
+HYPERPLANE_TABLES: list[list[list[float]]] = [HYPERPLANES] + [
+    [[round(_rng.random() * 2 - 1, 3) for _ in range(EMB_DIM)] for _ in range(LSH_PLANES)]
+    for _ in range(LSH_TABLES - 1)
+]
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -147,10 +159,10 @@ def cosine_topk(
     )
 
 
-def lsh_bucket(vec: Column) -> Column:
+def lsh_bucket(vec: Column, planes: list[list[float]] | None = None) -> Column:
     """Signed-random-projection bucket id: bit i = [dot(v, plane_i) > 0]."""
     acc = F.lit(0).cast("long")
-    for i, plane in enumerate(HYPERPLANES):
+    for i, plane in enumerate(planes if planes is not None else HYPERPLANES):
         p = F.array(*[F.lit(c) for c in plane])
         acc = acc + F.when(dot(vec, p) > 0, F.lit(1 << i).cast("long")).otherwise(0)
     return acc
@@ -283,6 +295,57 @@ def lsh_bucketed_topk(
         lsh_bucket(F.col("vec")).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "cos", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            "rnk",
+            (F.floor(F.col("cos") * 10000 + 0.5) / 10000.0).alias("cos4"),
+        )
+    )
+
+
+def lsh_multitable_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH ANN: candidates collide in ANY of the L hyperplane
+    tables (union of per-table equi-joins, deduped before scoring), then
+    exact cosine + per-query top-k.
+
+    Scale: per-table work is the same bucket-key equi-join as the
+    single-table path; L multiplies candidate-generation cost by ~L
+    while lifting recall from p^r to 1-(1-p^r)^L — the standard
+    recall/cost dial (the other dial, multi-probe, visits neighboring
+    buckets of one table). The pair dedup happens BEFORE the dot
+    products, so each surviving pair is scored exactly once.
+    """
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = with_norm(candidates, vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col("vec").alias("cv"), F.col("nrm").alias("cn")
+    )
+    pairs = None
+    for planes in HYPERPLANE_TABLES:
+        qb = q.withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+        cb = c.withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+        j = cb.join(F.broadcast(qb), "bucket").select(
+            "query_id", "cand_id", "qv", "qn", "cv", "cn"
+        )
+        pairs = j if pairs is None else pairs.unionByName(j)
+    # dedup collisions seen by several tables; payload columns are
+    # identical across duplicates so any survivor is the right one
+    pairs = pairs.dropDuplicates(["query_id", "cand_id"])
+    scored = pairs.withColumn(
         "cos", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())

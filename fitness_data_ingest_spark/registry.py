@@ -39,6 +39,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_lsh_bucketed",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_lsh_multitable",
     "text_token_count",
     "text_tfidf",
     "sample_stratified",
@@ -82,7 +83,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q18_large_orders",
     "join_asof",
     "agg_percentiles",
-    "window_running_sum",
 )
 
 

@@ -155,9 +155,9 @@ FROM tok
 _EMB_D = "list_transform(embedding, x -> x::DOUBLE)"
 
 
-def _sql_lsh_bucket() -> str:
+def _sql_lsh_bucket(planes: list[list[float]] | None = None) -> str:
     terms = []
-    for i, plane in enumerate(S.HYPERPLANES):
+    for i, plane in enumerate(planes if planes is not None else S.HYPERPLANES):
         lit = "[" + ", ".join(repr(c) for c in plane) + "]"
         terms.append(f"CASE WHEN list_dot_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END")
     return " + ".join(terms)
@@ -340,6 +340,45 @@ QUALIFY rnk <= 5
 """
 
 
+def _ann_lsh_multitable(spark, sf_dir):
+    """Multi-table LSH ANN: candidates collide in ANY of the 3
+    hyperplane tables; recall 1-(1-p^r)^L for the same equi-join shape."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.lsh_multitable_topk(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
+    )
+
+
+def _multitable_sql() -> str:
+    buckets = ", ".join(
+        f"CAST({_sql_lsh_bucket(p)} AS BIGINT) AS bucket{i}"
+        for i, p in enumerate(S.HYPERPLANE_TABLES)
+    )
+    unions = " UNION ".join(
+        f"SELECT q.vec_id AS query_id, c.vec_id AS cand_id "
+        f"FROM q JOIN c ON q.bucket{i} = c.bucket{i}"
+        for i in range(len(S.HYPERPLANE_TABLES))
+    )
+    return f"""
+WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
+n AS (SELECT * FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                            {buckets} FROM e)
+      WHERE nrm > 0),
+q AS (SELECT * FROM n WHERE vec_id < 10),
+c AS (SELECT * FROM n WHERE vec_id >= 10),
+cand AS ({unions}),
+s AS (SELECT cand.query_id, cand.cand_id,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+      FROM cand JOIN q ON cand.query_id = q.vec_id
+                JOIN c ON cand.cand_id = c.vec_id)
+SELECT query_id, cand_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rnk,
+       floor(cos * 10000 + 0.5) / 10000.0 AS cos4
+FROM s
+QUALIFY rnk <= 5
+"""
+
+
 def _dedup_clusters(spark, sf_dir):
     """Iterative: near-dup pairs -> connected components (min-label
     propagation) -> dedup clusters. The oracle walks the same pair graph
@@ -471,6 +510,7 @@ EXT_QUERIES: dict[str, QueryDef] = {
         QueryDef("ann_lsh_bucketed", _ann_lsh, _LSH_BUCKET_SQL),
         QueryDef("ann_lsh_topk", _ann_lsh_topk, _LSH_TOPK_SQL),
         QueryDef("ann_ivf_topk", _ann_ivf_topk, _IVF_TOPK_SQL),
+        QueryDef("ann_lsh_multitable", _ann_lsh_multitable, _multitable_sql()),
         QueryDef("text_token_count", _text_token_count, None),  # sql set below
         QueryDef("text_tfidf", _text_tfidf, _TFIDF_SQL),
         QueryDef("sample_stratified", _sample_stratified, _SAMPLE_SQL),

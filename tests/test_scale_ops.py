@@ -218,3 +218,20 @@ def test_file_manifest_populates_mtime(spark, sf_dir, tmp_path):
     for r in rows:
         assert r.LastModified is not None
         assert abs((now - r.LastModified).total_seconds()) < 3600
+
+
+def test_multitable_lsh_recall_dominates_single_table(spark, sf_dir):
+    """L tables can only ADD candidate collisions: multi-table top-k
+    recall vs the exact result must be >= the single-table path's (and
+    candidate supersets make per-query results at least as good)."""
+    from fitness_data_ingest_spark.ext import similarity as S
+
+    emb = t(spark, sf_dir, "embeddings")
+    q, c = emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
+    exact = {(r.query_id, r.cand_id) for r in S.cosine_topk(q, c).collect()}
+    single = {(r.query_id, r.cand_id) for r in S.lsh_bucketed_topk(q, c).collect()}
+    multi = {(r.query_id, r.cand_id) for r in S.lsh_multitable_topk(q, c).collect()}
+    assert len(exact & multi) >= len(exact & single)
+    # table 0 of the multi-table config IS the single-table config, so
+    # every single-table result pair remains a candidate
+    assert len(multi) >= len(single)
