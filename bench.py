@@ -56,9 +56,12 @@ HEADLINE = [
     "dedup_exact_hash",
     "dedup_clusters",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "text_quality_score",
+    "text_tfidf",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_lsh_multitable",
 ]
 
 

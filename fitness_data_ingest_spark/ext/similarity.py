@@ -328,20 +328,65 @@ def lsh_multitable_topk(
     buckets of one table). The pair dedup happens BEFORE the dot
     products, so each surviving pair is scored exactly once.
     """
-    q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("vec").alias("qv"), F.col("nrm").alias("qn")
+    # all L bucket ids in ONE projection per side, then posexplode to
+    # (table, bucket) rows — the minhash band-table shape. Two tricks
+    # keep this fast:
+    # 1. a per-table join loop would rescan and re-project each side L
+    #    times; here the heavy work runs once per row and the join key
+    #    is the compound (table, bucket);
+    # 2. the L×r×d plane matrix rides in as BROADCAST DATA (a 1-row
+    #    crossJoin), not as literals — inlining 1536 literal
+    #    coefficients into the expression tree costs whole seconds of
+    #    driver-side analysis/codegen per query (measured: 2.3 s for
+    #    the 3-table literal tree on 2k rows, i.e. ~all of it planning
+    #    overhead), while the higher-order-function form over an array
+    #    column keeps the tree tiny and the math identical.
+    spark = queries.sparkSession
+    tables_df = spark.createDataFrame(
+        [(HYPERPLANE_TABLES,)], "tables array<array<array<double>>>"
     )
-    c = with_norm(candidates, vec_col).select(
-        F.col(id_col).alias("cand_id"), F.col("vec").alias("cv"), F.col("nrm").alias("cn")
-    )
-    pairs = None
-    for planes in HYPERPLANE_TABLES:
-        qb = q.withColumn("bucket", lsh_bucket(F.col("qv"), planes))
-        cb = c.withColumn("bucket", lsh_bucket(F.col("cv"), planes))
-        j = cb.join(F.broadcast(qb), "bucket").select(
-            "query_id", "cand_id", "qv", "qn", "cv", "cn"
+    plane_idx = F.sequence(F.lit(0), F.lit(LSH_PLANES - 1))
+
+    def buckets_col(vec: Column) -> Column:
+        # bucket(table) = Σ_i [dot(vec, plane_i) > 0] * 2^i — bit order
+        # identical to lsh_bucket, so table 0 matches the single-table
+        # path and every oracle bucket expression
+        return F.transform(
+            F.col("tables"),
+            lambda tbl: F.aggregate(
+                F.zip_with(
+                    tbl,
+                    plane_idx,
+                    lambda p, i: F.when(
+                        dot(vec, p) > 0, F.pow(F.lit(2.0), i).cast("long")
+                    ).otherwise(F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
         )
-        pairs = j if pairs is None else pairs.unionByName(j)
+
+    def tabled(df, id_alias):
+        e = with_norm(df, vec_col).select(
+            F.col(id_col).alias(id_alias), "vec", "nrm"
+        )
+        withb = e.crossJoin(F.broadcast(tables_df)).withColumn(
+            "buckets", buckets_col(F.col("vec"))
+        )
+        return withb.select(
+            id_alias, "vec", "nrm",
+            F.posexplode("buckets").alias("tbl", "bucket"),
+        )
+
+    qb = tabled(queries, "query_id").select(
+        "query_id", F.col("vec").alias("qv"), F.col("nrm").alias("qn"), "tbl", "bucket"
+    )
+    cb = tabled(candidates, "cand_id").select(
+        "cand_id", F.col("vec").alias("cv"), F.col("nrm").alias("cn"), "tbl", "bucket"
+    )
+    pairs = cb.join(F.broadcast(qb), ["tbl", "bucket"]).select(
+        "query_id", "cand_id", "qv", "qn", "cv", "cn"
+    )
     # dedup collisions seen by several tables; payload columns are
     # identical across duplicates so any survivor is the right one
     pairs = pairs.dropDuplicates(["query_id", "cand_id"])

@@ -205,12 +205,16 @@ def test_ext_no_cartesian_or_nested_loop(spark, sf_dir):
     join. Sanctioned exceptions, all bounded-build-side by construction:
     ann_cosine_topk (the brute-force BASELINE: a deliberate broadcast of
     the small query set), text_tfidf (corpus size N joins in as a 1-row
-    broadcast scalar, the q11/q22 pattern), and ann_ivf_topk (the
+    broadcast scalar, the q11/q22 pattern), ann_ivf_topk (the
     quantizer's C-way centroid expansion broadcasts the constant-size
-    centroid set — C=8 rows at any data scale)."""
+    centroid set — C=8 rows at any data scale), and ann_lsh_multitable
+    (the L*r*d hyperplane matrix rides in as a 1-row broadcast so the
+    coefficients stay out of the expression tree)."""
     from fitness_data_ingest_spark.registry_ext import EXT_QUERIES
 
-    bounded_bcast_ok = {"ann_cosine_topk", "text_tfidf", "ann_ivf_topk"}
+    bounded_bcast_ok = {
+        "ann_cosine_topk", "text_tfidf", "ann_ivf_topk", "ann_lsh_multitable",
+    }
     for name, q in EXT_QUERIES.items():
         plan = plan_of(q.spark(spark, sf_dir), "simple")
         assert "CartesianProduct" not in plan, name
