@@ -153,3 +153,87 @@ def tfidf(docs: DataFrame, id_col: str, text_col: str, min_df: int = 2) -> DataF
         "df",
         (F.floor(F.col("tfidf") * 1e8 + 0.5) / 1e8).alias("tfidf8"),
     )
+
+
+def word_2grams(tok_col: Column) -> Column:
+    """All adjacent token pairs, duplicates KEPT (repetition measurement
+    needs multiplicity, unlike dedup shingling which distincts)."""
+    idx = F.sequence(F.lit(0), F.size(tok_col) - 2)
+    pairs = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(tok_col, (i + 1).cast("int")),
+            F.element_at(tok_col, (i + 2).cast("int")),
+        ),
+    )
+    return F.when(F.size(tok_col) >= 2, pairs).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition/shape quality signals per document (the
+    published pre-training filters: Rae et al. 2021 §A1.1): duplicate
+    2-gram fraction, max/mean word length. High duplicate-2gram
+    fractions mark boilerplate/spam; extreme word lengths mark junk.
+
+    Pure JVM array expressions — scan-speed, no shuffle, same plan
+    family as quality_score.
+    """
+    toks = tokens(F.col(text_col))
+    grams = word_2grams(toks)
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    dup_frac = F.when(
+        n_grams > 0, (n_grams - n_distinct).cast("double") / n_grams
+    ).otherwise(F.lit(0.0))
+    word_lens = F.transform(toks, F.length)
+    mean_len = F.when(
+        F.size(toks) > 0,
+        F.aggregate(word_lens, F.lit(0).cast("long"), lambda a, x: a + x).cast(
+            "double"
+        )
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_grams.alias("n_2grams"),
+        n_distinct.alias("n_distinct_2grams"),
+        (F.floor(dup_frac * 10000 + 0.5) / 10000.0).alias("dup_2gram_frac4"),
+        F.array_max(word_lens).alias("max_word_len"),
+        (F.floor(mean_len * 10000 + 0.5) / 10000.0).alias("mean_word_len4"),
+    )
+
+
+def benchmark_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Decontamination: per-document count of k-word shingles shared
+    with a benchmark corpus (the n-gram-overlap check every serious
+    training pipeline runs before evaluation; k=13 in the GPT-3 paper,
+    k=SHINGLE_K here because fixture docs are short).
+
+    Scale: the benchmark shingle SET is tiny relative to the corpus
+    (eval suites are small) — it broadcasts; the corpus side explodes
+    its shingles once and equi-joins on the 64-bit hash. Cost is one
+    corpus scan, no shuffle of corpus data.
+    """
+    from .. import ext  # local import to avoid a cycle at module load
+
+    shingle_hashes = ext.dedup.shingle_hashes
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingle_hashes(F.col(text_col)))).alias("s"),
+    )
+    bench_sh = benchmark.select(
+        F.explode(F.array_distinct(shingle_hashes(F.col(text_col)))).alias("s")
+    ).distinct()
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )

@@ -45,6 +45,8 @@ _PRIORITY: tuple[str, ...] = (
     "sample_stratified",
     "text_language_id",
     "text_quality_score",
+    "text_repetition",
+    "text_decontaminate",
     "text_fingerprint",
     "multimodal_metadata",
     # -- Structured Streaming windows (registry_stream) --
@@ -81,8 +83,6 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q7_binations",
     "tpch_q8_mktshare",
     "tpch_q18_large_orders",
-    "join_asof",
-    "agg_percentiles",
 )
 
 

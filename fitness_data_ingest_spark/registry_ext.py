@@ -451,6 +451,54 @@ FROM tf JOIN dfreq USING (term) JOIN dl USING (doc) CROSS JOIN nd
 """
 
 
+def _text_repetition(spark, sf_dir):
+    """Gopher-style repetition/shape quality stats per document."""
+    return TX.repetition_stats(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_REPETITION_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE []::VARCHAR[] END AS grams
+      FROM tok)
+SELECT doc_id,
+       len(grams) AS n_2grams,
+       len(list_distinct(grams)) AS n_distinct_2grams,
+       floor(CASE WHEN len(grams) > 0
+                  THEN (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)
+                  ELSE 0.0 END * 10000 + 0.5) / 10000.0 AS dup_2gram_frac4,
+       list_max(list_transform(toks, x -> length(x))) AS max_word_len,
+       floor(CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                       / len(toks)
+                  ELSE 0.0 END * 10000 + 0.5) / 10000.0 AS mean_word_len4
+FROM g
+"""
+
+
+def _text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing >=1 shingle
+    with the benchmark subset (deterministic stand-in: doc_id % 50 == 0);
+    benchmark docs themselves are excluded from the corpus side."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return TX.benchmark_overlap(corpus, bench, "doc_id", "text")
+
+
+_DECONTAMINATE_SQL = f"""
+WITH {_SQL_DOC_SHINGLES},
+bench AS (SELECT DISTINCT unnest(shd) AS s FROM sh WHERE doc_id % 50 = 0),
+corpus AS (SELECT doc_id, unnest(shd) AS s FROM sh WHERE doc_id % 50 <> 0)
+SELECT doc_id, count(*) AS n_shared_shingles
+FROM corpus JOIN bench USING (s)
+GROUP BY doc_id
+"""
+
+
 def _sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling by content hash — the
     reproducible way to downsample training data: the keep-decision is a
@@ -516,6 +564,8 @@ EXT_QUERIES: dict[str, QueryDef] = {
         QueryDef("sample_stratified", _sample_stratified, _SAMPLE_SQL),
         QueryDef("text_language_id", _text_language_id, _LANG_SQL),
         QueryDef("text_quality_score", _text_quality, _QUALITY_SQL),
+        QueryDef("text_repetition", _text_repetition, _REPETITION_SQL),
+        QueryDef("text_decontaminate", _text_decontaminate, _DECONTAMINATE_SQL),
         QueryDef(
             "text_fingerprint",
             _text_fingerprint,
