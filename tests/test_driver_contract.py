@@ -44,3 +44,28 @@ def test_driver_contract_on_vanilla_session():
         [sys.executable, "-c", SCRIPT], capture_output=True, text=True, timeout=300
     )
     assert "VANILLA_OK" in r.stdout, f"stdout={r.stdout[-2000:]}\nstderr={r.stderr[-2000:]}"
+
+
+def test_registry_priority_window_is_sound():
+    """The verification driver gives correctness verdicts to the first
+    ~50 registry entries in dict order. Pin the invariants the round-2
+    ordering relies on: the priority prefix exists, has no duplicates,
+    is exactly the window size, and front-loads every key that lacked a
+    round-1 verdict (all ext/stream/tpch2 keys + the scalar tail) plus
+    the queries whose plans changed this round."""
+    from fitness_data_ingest_spark import registry
+    from fitness_data_ingest_spark.registry_ext import EXT_QUERIES
+    from fitness_data_ingest_spark.registry_stream import STREAM_QUERIES
+    from fitness_data_ingest_spark.registry_tpch2 import TPCH2_QUERIES
+
+    prio = registry._PRIORITY
+    assert len(prio) == 50
+    assert len(set(prio)) == len(prio), "duplicate keys in priority list"
+    ordered = list(registry.all_queries())
+    assert ordered[: len(prio)] == list(prio)
+    window = set(prio)
+    for family in (EXT_QUERIES, STREAM_QUERIES, TPCH2_QUERIES):
+        missing = set(family) - window
+        assert not missing, f"driver window misses: {sorted(missing)}"
+    for key in ["tpch_q3_top10", "tpch_q10_returns", "topk_latest"]:
+        assert key in window, f"rewritten query {key} needs a re-verdict"
