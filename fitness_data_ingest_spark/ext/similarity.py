@@ -404,3 +404,90 @@ def lsh_multitable_topk(
             (F.floor(F.col("cos") * 10000 + 0.5) / 10000.0).alias("cos4"),
         )
     )
+
+
+def knn_classify(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote label classification over an embedding column
+    (the standard label-propagation / weak-annotation step of a
+    training-data pipeline).
+
+    Scale: the only heavy stage is the neighbor search itself
+    (cosine_topk: broadcast query set, one candidate scan). The vote
+    runs on |Q|*k rows: labels attach by broadcasting the tiny top-k
+    result against the candidate scan (a broadcast equi-join that
+    prunes to k*|Q| rows map-side), and the argmax is an aggregate
+    ``max(struct(votes, -label))`` — partial-aggregated, never a
+    window. Swap in lsh_bucketed_topk / ivf_topk for the search stage
+    at scale without touching the vote.
+
+    Tie-break: most votes, then smallest label id.
+    """
+    topk = cosine_topk(queries, candidates, k=k, id_col=id_col, vec_col=vec_col)
+    labels = candidates.select(
+        F.col(id_col).alias("cand_id"), F.col(label_col).alias("lbl")
+    )
+    votes = (
+        labels.join(F.broadcast(topk), "cand_id")
+        .groupBy("query_id", "lbl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    best = votes.groupBy("query_id").agg(
+        F.max(F.struct(F.col("votes"), (-F.col("lbl")).alias("neg_lbl"))).alias("b")
+    )
+    return best.select(
+        "query_id",
+        (-F.col("b.neg_lbl")).cast("int").alias("predicted_label"),
+        F.col("b.votes").alias("votes"),
+    )
+
+
+def seed_cluster_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic k-means E-step: assign every vector to its
+    nearest seed centroid by cosine (semantic clustering for corpus
+    curation / stratified curriculum sampling).
+
+    Seeds stand in for an offline-trained quantizer the same way
+    IVF_CENTROID_* does: the lowest-id vector of each label class,
+    reproducible exactly by the SQL oracle. Scale: seeds are k rows
+    (broadcast); assignment is ONE scan of the data with the k-way
+    centroid expansion map-side, and the argmax is the aggregate
+    ``max(struct(cos, -seed))`` — partial-aggregated back to one row
+    per vector before any shuffle, never a window over the expanded
+    set (the ivf_assign pattern). Tie-break: highest cos, then
+    smallest seed label.
+    """
+    e = with_norm(df, vec_col)
+    seed_ids = e.groupBy(label_col).agg(F.min(id_col).alias("sid"))
+    seeds = e.join(
+        F.broadcast(seed_ids.select(F.col(label_col).alias("seed_lbl"), "sid")),
+        F.col(id_col) == F.col("sid"),
+    ).select(
+        F.col("seed_lbl").alias("cid"),
+        F.col("vec").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        e.select(F.col(id_col).alias("id"), "vec", "nrm")
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("ccos", cosine(F.col("vec"), F.col("cv"), F.col("nrm"), F.col("cn")))
+    )
+    best = scored.groupBy("id").agg(
+        F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("neg_cid"))).alias("b")
+    )
+    return best.select(
+        F.col("id").alias("vec_id"),
+        (-F.col("b.neg_cid")).cast("int").alias("cluster"),
+        (F.floor(F.col("b.ccos") * 10000 + 0.5) / 10000.0).alias("cos4"),
+    )

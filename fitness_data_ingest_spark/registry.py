@@ -22,10 +22,12 @@ from .registry_tpch2 import TPCH2_QUERIES
 from .registry_util import QueryDef
 
 # First ~50 keys get driver correctness rows each round.  Round-2 window:
-#   1 flagship + 17 ext + 3 stream + 11 tpch2 + 7 scalar tail = 39
-#   (the 38 keys with no round-1 verdict), then 11 re-verification slots
-#   for queries whose physical plan changed this round (q3/q10/topk_latest
-#   top-k rewrites) plus the heaviest multi-join aggregates.
+#   1 flagship + 20 ext + 3 stream + 11 tpch2 + 7 scalar tail
+#   (every key with no round-1 verdict), the 4 operators added this
+#   round (kNN vote / k-means E-step / corpus audits), re-verification
+#   slots for the queries whose physical plan changed this round
+#   (q3/q10/topk_latest top-k rewrites), and the heaviest multi-join
+#   shape (q7).  Keys already green in a prior round trail behind.
 _PRIORITY: tuple[str, ...] = (
     "flagship_pipeline",
     # -- LLM-pipeline extensions (registry_ext) --
@@ -73,16 +75,17 @@ _PRIORITY: tuple[str, ...] = (
     "array_join",
     "math_round",
     "string_contains",
+    # -- new this round: kNN vote, k-means E-step, corpus audits --
+    "ann_knn_classify",
+    "embed_cluster_assign",
+    "text_length_histogram",
+    "text_quality_filter",
     # -- re-verify: plans rewritten this round (limit-then-rank / max_by) --
     "tpch_q3_top10",
     "tpch_q10_returns",
     "topk_latest",
-    # -- re-verify: heaviest remaining shapes --
-    "tpch_q1",
-    "tpch_q5_region",
+    # -- re-verify: heaviest remaining multi-join shape --
     "tpch_q7_binations",
-    "tpch_q8_mktshare",
-    "tpch_q18_large_orders",
 )
 
 

@@ -539,6 +539,150 @@ def _multimodal_metadata(spark, sf_dir):
     return MM.media_stats(media)
 
 
+def _ann_knn_classify(spark, sf_dir):
+    """k-NN majority-label vote: brute top-5 neighbors, then an
+    aggregate argmax over the votes (most votes, smallest label)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.knn_classify(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10)
+    )
+
+
+_KNN_CLASSIFY_SQL = f"""
+WITH e AS (SELECT vec_id, label, {_EMB_D} AS v FROM embeddings),
+n AS (SELECT * FROM (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+                     FROM e)
+      WHERE nrm > 0),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS lbl,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+      FROM (SELECT * FROM n WHERE vec_id < 10) q,
+           (SELECT * FROM n WHERE vec_id >= 10) c),
+tk AS (SELECT * FROM (
+           SELECT query_id, cand_id, lbl,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cand_id ASC) AS rnk
+           FROM s)
+       WHERE rnk <= 5),
+v AS (SELECT query_id, lbl, count(*) AS votes FROM tk GROUP BY query_id, lbl)
+SELECT query_id, lbl::INT AS predicted_label, votes
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, lbl ASC) AS pr FROM v)
+WHERE pr = 1
+"""
+
+
+def _embed_cluster_assign(spark, sf_dir):
+    """Deterministic k-means E-step: nearest-seed assignment of every
+    vector (seeds = lowest-id vector per label class)."""
+    return S.seed_cluster_assign(t(spark, sf_dir, "embeddings"))
+
+
+_CLUSTER_ASSIGN_SQL = f"""
+WITH e AS (SELECT vec_id, label, {_EMB_D} AS v FROM embeddings),
+n AS (SELECT * FROM (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+                     FROM e)
+      WHERE nrm > 0),
+sid AS (SELECT label AS seed_lbl, min(vec_id) AS s_id FROM n GROUP BY label),
+seeds AS (SELECT sid.seed_lbl AS cid, n.v AS cv, n.nrm AS cn
+          FROM sid JOIN n ON n.vec_id = sid.s_id),
+sc AS (SELECT n.vec_id, seeds.cid,
+              list_dot_product(n.v, seeds.cv) / (n.nrm * seeds.cn) AS ccos,
+              row_number() OVER (
+                  PARTITION BY n.vec_id
+                  ORDER BY list_dot_product(n.v, seeds.cv) / (n.nrm * seeds.cn) DESC,
+                           seeds.cid ASC) AS pr
+       FROM n, seeds)
+SELECT vec_id, cid::INT AS cluster, floor(ccos * 10000 + 0.5) / 10000.0 AS cos4
+FROM sc WHERE pr = 1
+"""
+
+
+def _text_length_histogram(spark, sf_dir):
+    """Log2-bucketed token-length histogram — the length-distribution
+    audit every corpus build starts with. Integer-exact bucketing via
+    the binary-digit count (length(bin(n)) - 1 == floor(log2 n)) so
+    both engines agree without floating-point log."""
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(TX.tokens(F.col("text")))
+    b = docs.select(n_tokens.alias("n_tokens")).filter(F.col("n_tokens") > 0)
+    return (
+        b.withColumn(
+            "bucket", (F.length(F.bin(F.col("n_tokens").cast("long"))) - 1)
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+_LENGTH_HISTOGRAM_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (SELECT len(toks) AS n_tokens, length(bin(len(toks))) - 1 AS bucket
+      FROM tok WHERE len(toks) > 0)
+SELECT bucket, count(*) AS n_docs, min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens, sum(n_tokens) AS sum_tokens
+FROM b GROUP BY bucket
+"""
+
+
+def _text_quality_filter(spark, sf_dir):
+    """C4/Gopher-style composite quality GATE (the score variant above
+    ranks; this one filters): keep docs with >= 30 tokens, unique-token
+    ratio >= 0.25, mean token length in [2, 8], and at least one
+    stopword. All predicates are integer-exact or a single IEEE double
+    division of exact ints, so both engines make identical keep
+    decisions."""
+    docs = t(spark, sf_dir, "documents").withColumn("toks", TX.tokens(F.col("text")))
+    n_tokens = F.size("toks").cast("long")
+    n_distinct = F.size(F.array_distinct("toks")).cast("long")
+    n_chars_ns = F.length(F.translate("text", " ", "")).cast("long")
+    distinct_ratio = n_distinct.cast("double") / n_tokens
+    mean_len = n_chars_ns.cast("double") / n_tokens
+    has_stop = F.array_contains("toks", "the") | F.array_contains("toks", "a")
+    return (
+        docs.filter(n_tokens > 0)
+        .filter(
+            (n_tokens >= 30)
+            & (distinct_ratio >= 0.25)
+            & (mean_len >= 2.0)
+            & (mean_len <= 8.0)
+            & has_stop
+        )
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            (F.floor(distinct_ratio * 10000 + 0.5) / 10000.0).alias("distinct_ratio4"),
+            (F.floor(mean_len * 10000 + 0.5) / 10000.0).alias("mean_token_len4"),
+        )
+    )
+
+
+_QUALITY_FILTER_SQL = f"""
+WITH tok AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             length(replace(text, ' ', '')) AS n_chars_ns,
+             (list_contains(toks, 'the') OR list_contains(toks, 'a')) AS has_stop
+      FROM tok WHERE len(toks) > 0)
+SELECT doc_id, n_tokens,
+       floor((n_distinct::DOUBLE / n_tokens) * 10000 + 0.5) / 10000.0
+         AS distinct_ratio4,
+       floor((n_chars_ns::DOUBLE / n_tokens) * 10000 + 0.5) / 10000.0
+         AS mean_token_len4
+FROM m
+WHERE n_tokens >= 30
+  AND n_distinct::DOUBLE / n_tokens >= 0.25
+  AND n_chars_ns::DOUBLE / n_tokens >= 2.0
+  AND n_chars_ns::DOUBLE / n_tokens <= 8.0
+  AND has_stop
+"""
+
+
 EXT_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -566,6 +710,10 @@ EXT_QUERIES: dict[str, QueryDef] = {
         QueryDef("text_quality_score", _text_quality, _QUALITY_SQL),
         QueryDef("text_repetition", _text_repetition, _REPETITION_SQL),
         QueryDef("text_decontaminate", _text_decontaminate, _DECONTAMINATE_SQL),
+        QueryDef("ann_knn_classify", _ann_knn_classify, _KNN_CLASSIFY_SQL),
+        QueryDef("embed_cluster_assign", _embed_cluster_assign, _CLUSTER_ASSIGN_SQL),
+        QueryDef("text_length_histogram", _text_length_histogram, _LENGTH_HISTOGRAM_SQL),
+        QueryDef("text_quality_filter", _text_quality_filter, _QUALITY_FILTER_SQL),
         QueryDef(
             "text_fingerprint",
             _text_fingerprint,

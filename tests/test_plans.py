@@ -214,6 +214,9 @@ def test_ext_no_cartesian_or_nested_loop(spark, sf_dir):
 
     bounded_bcast_ok = {
         "ann_cosine_topk", "text_tfidf", "ann_ivf_topk", "ann_lsh_multitable",
+        # knn vote reuses cosine_topk's broadcast query set; the k-means
+        # E-step broadcasts the k seed centroids (k rows at any scale)
+        "ann_knn_classify", "embed_cluster_assign",
     }
     for name, q in EXT_QUERIES.items():
         plan = plan_of(q.spark(spark, sf_dir), "simple")
