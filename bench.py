@@ -62,6 +62,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_lsh_multitable",
+    "ann_knn_classify",
+    "embed_cluster_assign",
+    "text_quality_filter",
+    "text_length_histogram",
 ]
 
 
