@@ -66,6 +66,14 @@ HEADLINE = [
     "embed_cluster_assign",
     "text_quality_filter",
     "text_length_histogram",
+    "corpus_pack_chunks",
+    "corpus_vocab_topk",
+    "corpus_mixture_sample",
+    "text_pii_redact",
+    "embed_dim_stats",
+    "events_anomaly_zscore",
+    "events_funnel",
+    "stream_interval_join",
 ]
 
 

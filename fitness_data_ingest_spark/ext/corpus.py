@@ -1,0 +1,208 @@
+"""Corpus-construction operators for large-scale training-data pipelines:
+sequence packing, vocabulary statistics, deterministic mixture sampling,
+PII redaction, embedding-dimension audits, anomaly flagging, and funnel
+attribution.
+
+All batch paths are JVM-side built-in expressions (codegen'd, zero
+Python in the row path). Cross-engine determinism follows the house
+rules: md5-based hashing, integer-exact aggregation (scaled longs
+summed order-independently), and floor(x*s + 0.5)/s rounding mirrored
+into every oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as TX
+
+# Token budget for one packed training sequence (small so fixture docs
+# produce several chunks per source; production would use 2048/4096).
+PACK_BUDGET = 256
+
+# Packing is windowed per (source, shard): a shard caps the number of
+# rows any single window partition holds, so the sort stays bounded no
+# matter how many documents one source contributes at 100 TB. Packing
+# is inherently sequential *within* a shard (chunk boundaries depend on
+# the running total), but shards pack independently in parallel.
+PACK_SHARD_DOCS = 100_000
+
+# Mixture sampling keeps a document when the top 16 bits of
+# md5(doc_id) fall under rate * 2^16 — deterministic, engine-portable,
+# and stable under reruns/backfills (no RNG state).
+MIX_HI_RATE = 0.75
+MIX_LO_RATE = 0.25
+_MIX_DENOM = 1 << 16
+
+
+def _hash16(col: F.Column) -> F.Column:
+    """Top 16 bits of md5 of a string column, as long in [0, 65536)."""
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("long")
+
+
+def pack_chunks(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end
+    in doc_id order within each (source, shard) and cut into
+    fixed-token-budget chunks; a document belongs to the chunk its
+    first token lands in.
+
+    Per-chunk stats are what a packing job needs to emit for audit:
+    how many documents landed in each chunk and how full it is.
+    """
+    n_tok = F.size(TX.tokens(F.col("text"))).cast("long")
+    shard = F.floor(F.col("doc_id") / F.lit(PACK_SHARD_DOCS)).cast("long")
+    w = Window.partitionBy("source", "shard").orderBy("doc_id")
+    staged = (
+        docs.select("doc_id", "source", n_tok.alias("n_tok"))
+        .withColumn("shard", shard)
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn(
+            "chunk_id",
+            F.floor((F.col("cum") - F.col("n_tok")) / budget).cast("long"),
+        )
+    )
+    return staged.groupBy("source", "shard", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("chunk_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus vocabulary: term frequency + document frequency, top-k
+    terms by TF. Global top-k via orderBy().limit() — a distributed
+    TakeOrderedAndProject (per-partition heaps merged on the driver),
+    never a single-partition global window; the rank is re-derived on
+    the <= k survivors only.
+    """
+    tok = docs.select(
+        F.col("doc_id"), F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    agg = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    top = agg.orderBy(F.desc("tf"), F.asc("term")).limit(k)
+    rank_w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return top.withColumn("rnk", F.row_number().over(rank_w))
+
+
+def mixture_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic per-source mixture sampling — the domain-weighting
+    step of a data-mixing pipeline. Sources whose last digit is even
+    keep MIX_HI_RATE of documents, odd keep MIX_LO_RATE; the keep
+    decision hashes doc_id so it is reproducible across reruns and
+    engines (no RNG). Emits per-source audit counts.
+    """
+    last = F.substring(F.col("source"), -1, 1)
+    even = last.isin("0", "2", "4", "6", "8")
+    rate = F.when(even, F.lit(MIX_HI_RATE)).otherwise(F.lit(MIX_LO_RATE))
+    threshold = F.floor(rate * _MIX_DENOM).cast("long")
+    kept = (_hash16(F.col("doc_id").cast("string")) < threshold).cast("long")
+    out = docs.select("source", kept.alias("kept")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+    )
+    achieved = F.col("n_kept").cast("double") / F.col("n_docs")
+    return out.withColumn(
+        "achieved_rate4", F.floor(achieved * 10000 + F.lit(0.5)) / 10000.0
+    )
+
+
+def embedding_dim_stats(emb: DataFrame) -> DataFrame:
+    """Per-dimension audit of an embedding column: count, exact sum in
+    micro-units, and min/max. The sum scales each float to an integer
+    (floor(v * 1e6)) and sums longs — order-independent, so the
+    aggregate is bit-stable under any partitioning/combining order,
+    unlike a float sum. The mean re-derives from the exact sum.
+
+    Plan shape: posexplode (narrow) then one groupBy on the 64-value
+    dim key — partial aggregation does almost all the work map-side.
+    """
+    e = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    micro = F.floor(F.col("v").cast("double") * 1e6).cast("long")
+    out = e.select("dim", micro.alias("micro"), F.col("v").cast("double").alias("vd"))
+    agg = out.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("micro").alias("sum_micro"),
+        F.min("vd").alias("min_v"),
+        F.max("vd").alias("max_v"),
+    )
+    mean = F.col("sum_micro").cast("double") / F.col("n_vecs") / 1e6
+    return agg.withColumn("mean6", F.floor(mean * 1e6 + F.lit(0.5)) / 1e6)
+
+
+def anomaly_zscore(events: DataFrame, z_cut: int = 3) -> DataFrame:
+    """Per-event-type z-score outlier audit from exact integer moments:
+    values are scaled to int64 cents, and sum / sum-of-squares are
+    summed exactly, so mean and variance are bit-identical regardless
+    of partitioning. The outlier test |z| > z_cut is evaluated in the
+    equivalent polynomial form (c*n - sc)^2 > z^2 * (n*sq - sc^2) with
+    both sides cast to double through the same expression, so both
+    engines make identical flag decisions. (At 100 TB the moments
+    would accumulate in decimal(38,0); int64 is ample for fixture SFs.)
+    """
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    per = events.select("event_type", c.alias("c"))
+    mom = per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    joined = per.join(F.broadcast(mom), "event_type")
+    lhs = (F.col("c") * F.col("n") - F.col("sc")).cast("double")
+    rhs = (F.col("n") * F.col("sq") - F.col("sc") * F.col("sc")).cast("double")
+    flag = (lhs * lhs > F.lit(float(z_cut * z_cut)) * rhs).cast("long")
+    out = joined.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(flag).alias("n_outliers"),
+        F.max("sc").alias("sc"),
+        F.max("sq").alias("sq"),
+    )
+    mean = F.col("sc").cast("double") / F.col("n") / 100.0
+    var = (
+        (F.col("n") * F.col("sq") - F.col("sc") * F.col("sc")).cast("double")
+        / (F.col("n") * F.col("n")).cast("double")
+    )
+    std = F.sqrt(var) / 100.0
+    return out.select(
+        "event_type",
+        "n",
+        "n_outliers",
+        (F.floor(mean * 1e4 + F.lit(0.5)) / 1e4).alias("mean4"),
+        (F.floor(std * 1e4 + F.lit(0.5)) / 1e4).alias("std4"),
+    )
+
+
+def funnel_counts(events: DataFrame) -> DataFrame:
+    """Strict-order funnel (view -> click -> purchase) per user, then
+    corpus-level stage counts. Stage timestamps cascade through window
+    minima over the SAME user partitioning, so the whole funnel costs
+    exactly one shuffle (no repeated scans, no self-joins):
+    t1 = first view, t2 = first click after t1, t3 = first purchase
+    after t2.
+    """
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = events.select("user_id", "event_type", "ts").withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t3", t3)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("t1").isNotNull(), 1)).alias("n_viewed"),
+        F.count(F.when(F.col("t2").isNotNull(), 1)).alias("n_clicked_after_view"),
+        F.count(F.when(F.col("t3").isNotNull(), 1)).alias("n_purchased_after_click"),
+    )

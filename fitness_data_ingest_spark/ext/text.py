@@ -206,6 +206,27 @@ def repetition_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# Dialect-portable PII patterns: character classes only (no \d, no
+# anchors), so Java regex (Spark) and RE2-style (DuckDB) agree exactly.
+EMAIL_RE = "[a-z0-9]+@[a-z]+[.][a-z]+"
+PHONE_RE = "555-[0-9]{4}"
+
+
+def redact_pii(text_col: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, redacted_text): count then strip email and
+    555-prefixed phone patterns. Counting runs before replacement so
+    the counts describe the original text. Pure regexp built-ins —
+    scan-speed, no shuffle, the shape of every PII-scrub pass a
+    training pipeline runs before anything else.
+    """
+    n_emails = F.regexp_count(text_col, F.lit(EMAIL_RE))
+    n_phones = F.regexp_count(text_col, F.lit(PHONE_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(text_col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return n_emails, n_phones, redacted
+
+
 def benchmark_overlap(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -17,17 +17,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .registry_core import CORE_QUERIES
 from .registry_ext import EXT_QUERIES
+from .registry_pipeline import PIPELINE_QUERIES
 from .registry_stream import STREAM_QUERIES
 from .registry_tpch2 import TPCH2_QUERIES
 from .registry_util import QueryDef
 
 # First ~50 keys get driver correctness rows each round.  Round-2 window:
-#   1 flagship + 20 ext + 3 stream + 11 tpch2 + 7 scalar tail
-#   (every key with no round-1 verdict), the 4 operators added this
-#   round (kNN vote / k-means E-step / corpus audits), re-verification
-#   slots for the queries whose physical plan changed this round
-#   (q3/q10/topk_latest top-k rewrites), and the heaviest multi-join
-#   shape (q7).  Keys already green in a prior round trail behind.
+#   1 flagship + 24 ext + 3 stream + 11 tpch2 + 8 pipeline +
+#   1 scalar battery (consolidated verdict for the F4-F11 tail; the
+#   individual scalar keys trail behind, each semantically subsumed by
+#   the battery) + 2 re-verification slots for queries whose physical
+#   plan changed this round (q3/q10 limit-then-rank rewrites).  Keys
+#   already green in round 1's CORRECTNESS report trail behind.
 _PRIORITY: tuple[str, ...] = (
     "flagship_pipeline",
     # -- LLM-pipeline extensions (registry_ext) --
@@ -67,31 +68,37 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q20_excess",
     "tpch_q21_waiting",
     "tpch_q22_dormant",
-    # -- scalar battery tail (no round-1 verdict) --
-    "date_add_window",
-    "epoch_convert",
-    "string_split_extract",
-    "string_concat_format",
-    "array_join",
-    "math_round",
-    "string_contains",
     # -- new this round: kNN vote, k-means E-step, corpus audits --
     "ann_knn_classify",
     "embed_cluster_assign",
     "text_length_histogram",
     "text_quality_filter",
-    # -- re-verify: plans rewritten this round (limit-then-rank / max_by) --
+    # -- pipeline family (packing/vocab/mixture/PII/audits/funnel/join) --
+    "corpus_pack_chunks",
+    "corpus_vocab_topk",
+    "corpus_mixture_sample",
+    "text_pii_redact",
+    "embed_dim_stats",
+    "events_anomaly_zscore",
+    "events_funnel",
+    "stream_interval_join",
+    # -- consolidated scalar-tail verdict (F4-F11 in one scan) --
+    "scalar_battery",
+    # -- re-verify: plans rewritten this round (limit-then-rank) --
     "tpch_q3_top10",
     "tpch_q10_returns",
-    "topk_latest",
-    # -- re-verify: heaviest remaining multi-join shape --
-    "tpch_q7_binations",
 )
 
 
 def all_queries() -> dict[str, QueryDef]:
     merged: dict[str, QueryDef] = {}
-    for family in (CORE_QUERIES, EXT_QUERIES, STREAM_QUERIES, TPCH2_QUERIES):
+    for family in (
+        CORE_QUERIES,
+        EXT_QUERIES,
+        STREAM_QUERIES,
+        TPCH2_QUERIES,
+        PIPELINE_QUERIES,
+    ):
         merged.update(family)
     out: dict[str, QueryDef] = {}
     for name in _PRIORITY:

@@ -904,6 +904,29 @@ def _string_contains(spark, sf_dir):
     )
 
 
+def _scalar_battery(spark, sf_dir):
+    """F4+F5+F6+F7+F8+F10+F11 in one scan — the consolidated driver
+    verdict for the scalar tail (each op also keeps its own registry
+    key for per-op use; those trail the driver window). One row per
+    event, every scalar family exercised on real columns."""
+    ev = t(spark, sf_dir, "events")
+    day = SC.date_str(F.col("ts"))
+    key = SC.object_key("intraday", F.col("event_type"), F.col("ts"))
+    return ev.select(
+        "event_id",
+        day.alias("day"),
+        F.date_format(SC.window_end(F.to_date("ts"), 29), "yyyy-MM-dd").alias(
+            "window_end_day"
+        ),
+        SC.epoch_seconds(F.col("ts")).alias("epoch_s"),
+        key.alias("key"),
+        F.date_format(SC.filename_date(key), "yyyy-MM-dd").alias("file_day"),
+        round2(F.col("value") / 60.0).alias("per_minute"),
+        SC.contains_key(F.col("props"), F.lit('"k"')).alias("has_marker"),
+        SC.joined_keys(F.array(F.col("event_type"), day)).alias("joined"),
+    )
+
+
 
 # ------------------------------------------------ TPC-H-style headliners
 # Classic analytical shapes over the fixture star schema — the bench.py
@@ -1588,6 +1611,22 @@ CORE_QUERIES: dict[str, QueryDef] = {
             "string_contains",
             _string_contains,
             "SELECT doc_id, n_chars FROM documents WHERE contains(text, 'merge')",
+        ),
+        QueryDef(
+            "scalar_battery",
+            _scalar_battery,
+            f"""SELECT event_id,
+                      strftime(ts, '%Y-%m-%d') AS day,
+                      strftime(CAST(ts AS DATE) + INTERVAL 29 DAY, '%Y-%m-%d')
+                        AS window_end_day,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                      'intraday/' || event_type || '/' || event_type || '_'
+                        || strftime(ts, '%Y-%m-%d') || '.parquet' AS key,
+                      strftime(ts, '%Y-%m-%d') AS file_day,
+                      {sql_round2('value / 60.0')} AS per_minute,
+                      contains(props, '"k"') AS has_marker,
+                      event_type || ',' || strftime(ts, '%Y-%m-%d') AS joined
+               FROM events""",
         ),
     ]
 }

@@ -1,0 +1,233 @@
+"""Pipeline-operator registry: corpus construction (packing, vocab,
+mixture sampling, PII), embedding audits, anomaly flagging, funnel
+attribution, and the stream-stream interval join's batch form.
+
+Oracle SQL mirrors the Spark expressions exactly (same integer-exact
+aggregation, same floor-rounding, same tie-breaks) so value hashes
+match bit-for-bit; see registry_ext's header for the determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .ext import corpus as C
+from .ext import text as TX
+from .registry_util import QueryDef, t
+from .stream import windows as W
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _corpus_pack_chunks(spark, sf_dir):
+    return C.pack_chunks(t(spark, sf_dir, "documents"))
+
+
+_PACK_SQL = f"""
+WITH d AS (SELECT doc_id, source, len({_TOKS}) AS n_tok,
+                  CAST(floor(doc_id / {C.PACK_SHARD_DOCS}) AS BIGINT) AS shard
+           FROM documents),
+s AS (SELECT *, sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d),
+c AS (SELECT *, CAST(floor((cum - n_tok) / {C.PACK_BUDGET}) AS BIGINT)
+                  AS chunk_id
+      FROM s)
+SELECT source, shard, chunk_id, count(*) AS n_docs, sum(n_tok) AS chunk_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1, 2, 3
+"""
+
+
+def _corpus_vocab_topk(spark, sf_dir):
+    return C.vocab_topk(t(spark, sf_dir, "documents"))
+
+
+_VOCAB_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+agg AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM tok GROUP BY 1),
+top AS (SELECT * FROM agg ORDER BY tf DESC, term LIMIT 50)
+SELECT term, tf, df, row_number() OVER (ORDER BY tf DESC, term) AS rnk FROM top
+"""
+
+
+def _corpus_mixture_sample(spark, sf_dir):
+    return C.mixture_sample(t(spark, sf_dir, "documents"))
+
+
+_MIXTURE_SQL = f"""
+WITH r AS (
+  SELECT source, doc_id,
+         CASE WHEN substr(source, length(source), 1)
+                   IN ('0','2','4','6','8')
+              THEN {C.MIX_HI_RATE} ELSE {C.MIX_LO_RATE} END AS rate
+  FROM documents),
+k AS (
+  SELECT source,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+                   < CAST(floor(rate * 65536) AS BIGINT)
+              THEN 1 ELSE 0 END AS kept
+  FROM r)
+SELECT source, count(*) AS n_docs, sum(kept) AS n_kept,
+       floor((sum(kept)::DOUBLE / count(*)) * 10000 + 0.5) / 10000.0
+         AS achieved_rate4
+FROM k GROUP BY source
+"""
+
+
+def _text_pii_redact(spark, sf_dir):
+    """PII scrub over documents; the fixture corpus carries no PII, so a
+    deterministic augmentation plants synthetic emails/phones keyed by
+    doc_id first — the redaction (count + strip) then runs on real
+    regexp built-ins against varying per-row content."""
+    docs = t(spark, sf_dir, "documents")
+    email = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    synth = F.concat(F.col("text"), email, phone)
+    n_emails, n_phones, redacted = TX.redact_pii(synth)
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+_PII_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 <> 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' call 555-' || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END AS synth
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(synth, '{TX.EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(synth, '{TX.PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(synth, '{TX.EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{TX.PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM s
+"""
+
+
+def _embed_dim_stats(spark, sf_dir):
+    return C.embedding_dim_stats(t(spark, sf_dir, "embeddings"))
+
+
+_DIM_STATS_SQL = """
+WITH e AS (SELECT unnest(embedding) AS v,
+                  unnest(range(0, len(embedding))) AS dim
+           FROM embeddings),
+m AS (SELECT dim, CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS micro,
+             CAST(v AS DOUBLE) AS vd
+      FROM e)
+SELECT dim, count(*) AS n_vecs, sum(micro) AS sum_micro,
+       min(vd) AS min_v, max(vd) AS max_v,
+       floor((CAST(sum(micro) AS DOUBLE) / count(*) / 1e6) * 1e6 + 0.5) / 1e6
+         AS mean6
+FROM m GROUP BY dim
+"""
+
+
+def _events_anomaly_zscore(spark, sf_dir):
+    return C.anomaly_zscore(t(spark, sf_dir, "events"))
+
+
+_ANOMALY_SQL = """
+WITH per AS (SELECT event_type,
+                    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+             FROM events),
+mom AS (SELECT event_type, count(*) AS n,
+               CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS sq
+        FROM per GROUP BY 1),
+j AS (SELECT per.event_type, c, n, sc, sq FROM per JOIN mom USING (event_type)),
+f AS (SELECT event_type, n, sc, sq,
+             CASE WHEN CAST(c * n - sc AS DOUBLE) * CAST(c * n - sc AS DOUBLE)
+                       > 9.0 * CAST(n * sq - sc * sc AS DOUBLE)
+                  THEN 1 ELSE 0 END AS flag
+      FROM j)
+SELECT event_type, max(n) AS n, sum(flag) AS n_outliers,
+       floor((CAST(max(sc) AS DOUBLE) / max(n) / 100.0) * 1e4 + 0.5) / 1e4
+         AS mean4,
+       floor((sqrt(CAST(max(n) * max(sq) - max(sc) * max(sc) AS DOUBLE)
+                   / CAST(max(n) * max(n) AS DOUBLE)) / 100.0) * 1e4 + 0.5) / 1e4
+         AS std4
+FROM f GROUP BY event_type
+"""
+
+
+def _events_funnel(spark, sf_dir):
+    return C.funnel_counts(t(spark, sf_dir, "events"))
+
+
+_FUNNEL_SQL = """
+WITH a AS (SELECT user_id, event_type, ts,
+                  min(CASE WHEN event_type = 'view' THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+           FROM events),
+b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                    OVER (PARTITION BY user_id) AS t2
+      FROM a),
+c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                    OVER (PARTITION BY user_id) AS t3
+      FROM b),
+u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+      FROM c GROUP BY user_id)
+SELECT count(t1) AS n_viewed, count(t2) AS n_clicked_after_view,
+       count(t3) AS n_purchased_after_click
+FROM u
+"""
+
+
+def _stream_interval_join(spark, sf_dir):
+    """Batch form of the stream-stream interval join (the same operator
+    runs on two watermarked streams — tests/test_streaming.py)."""
+    return W.click_attribution(t(spark, sf_dir, "events"))
+
+
+_INTERVAL_JOIN_SQL = """
+WITH v AS (SELECT user_id, ts AS v_ts, event_id AS view_id FROM events
+           WHERE event_type = 'view'),
+c AS (SELECT user_id, ts AS c_ts, event_id AS click_id FROM events
+      WHERE event_type = 'click'),
+p AS (SELECT v.user_id, view_id, click_id
+      FROM v JOIN c ON v.user_id = c.user_id
+                   AND c.c_ts > v.v_ts
+                   AND c.c_ts <= v.v_ts + INTERVAL 10 MINUTE)
+SELECT user_id, count(*) AS n_pairs,
+       count(DISTINCT click_id) AS n_clicks,
+       count(DISTINCT view_id) AS n_views
+FROM p GROUP BY user_id
+"""
+
+
+PIPELINE_QUERIES: dict[str, QueryDef] = {
+    q.name: q
+    for q in [
+        QueryDef("corpus_pack_chunks", _corpus_pack_chunks, _PACK_SQL),
+        QueryDef("corpus_vocab_topk", _corpus_vocab_topk, _VOCAB_SQL),
+        QueryDef("corpus_mixture_sample", _corpus_mixture_sample, _MIXTURE_SQL),
+        QueryDef("text_pii_redact", _text_pii_redact, _PII_SQL),
+        QueryDef("embed_dim_stats", _embed_dim_stats, _DIM_STATS_SQL),
+        QueryDef("events_anomaly_zscore", _events_anomaly_zscore, _ANOMALY_SQL),
+        QueryDef("events_funnel", _events_funnel, _FUNNEL_SQL),
+        QueryDef("stream_interval_join", _stream_interval_join, _INTERVAL_JOIN_SQL),
+    ]
+}

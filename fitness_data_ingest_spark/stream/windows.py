@@ -84,6 +84,41 @@ def session_stats(ev: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def click_attribution(ev: DataFrame, horizon_min: int = 10) -> DataFrame:
+    """View→click attribution: join each click to the views of the same
+    user in the preceding ``horizon_min`` minutes, then count attributed
+    pairs per user.
+
+    Mode-agnostic like the window ops: in batch this is an equi-join on
+    user_id with a range predicate (sort-merge join, range applied as a
+    post-join filter — never a nested loop); on two watermarked streams
+    the identical condition is a Structured Streaming stream-stream
+    interval join whose state eviction is bounded by watermark +
+    horizon.
+    """
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    pairs = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon_min} MINUTES")),
+    )
+    return pairs.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("click_id").alias("n_clicks"),
+        F.countDistinct("view_id").alias("n_views"),
+    )
+
+
 def read_events_stream(spark, events_dir: str) -> DataFrame:
     """File-source streaming read of the events fixture.
 

@@ -51,10 +51,11 @@ def test_registry_priority_window_is_sound():
     ~50 registry entries in dict order. Pin the invariants the round-2
     ordering relies on: the priority prefix exists, has no duplicates,
     is exactly the window size, and front-loads every key that lacked a
-    round-1 verdict (all ext/stream/tpch2 keys + the scalar tail) plus
-    the queries whose plans changed this round."""
+    round-1 verdict (all ext/stream/tpch2/pipeline keys + the scalar
+    battery) plus the queries whose plans changed this round."""
     from fitness_data_ingest_spark import registry
     from fitness_data_ingest_spark.registry_ext import EXT_QUERIES
+    from fitness_data_ingest_spark.registry_pipeline import PIPELINE_QUERIES
     from fitness_data_ingest_spark.registry_stream import STREAM_QUERIES
     from fitness_data_ingest_spark.registry_tpch2 import TPCH2_QUERIES
 
@@ -64,8 +65,10 @@ def test_registry_priority_window_is_sound():
     ordered = list(registry.all_queries())
     assert ordered[: len(prio)] == list(prio)
     window = set(prio)
-    for family in (EXT_QUERIES, STREAM_QUERIES, TPCH2_QUERIES):
+    for family in (EXT_QUERIES, STREAM_QUERIES, TPCH2_QUERIES, PIPELINE_QUERIES):
         missing = set(family) - window
         assert not missing, f"driver window misses: {sorted(missing)}"
-    for key in ["tpch_q3_top10", "tpch_q10_returns", "topk_latest"]:
+    # scalar_battery's single verdict covers the trailing F4-F11 keys
+    assert "scalar_battery" in window
+    for key in ["tpch_q3_top10", "tpch_q10_returns"]:
         assert key in window, f"rewritten query {key} needs a re-verdict"

@@ -225,6 +225,32 @@ def test_ext_no_cartesian_or_nested_loop(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_pipeline_no_cartesian_or_nested_loop(spark, sf_dir):
+    """Pipeline-family operators (packing/vocab/mixture/PII/audits/
+    funnel/interval-join) must all execute as hash/sort-merge joins on
+    equi keys — range predicates ride as post-join filters, never a
+    nested loop."""
+    from fitness_data_ingest_spark.registry_pipeline import PIPELINE_QUERIES
+
+    for name, q in PIPELINE_QUERIES.items():
+        plan = plan_of(q.spark(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_vocab_topk_is_limit_then_rank(spark, sf_dir):
+    """Global vocabulary top-k must bound with a distributed
+    TakeOrderedAndProject before the <=k-row rank window (same invariant
+    as q3/q10)."""
+    plan = plan_of(QUERIES["corpus_vocab_topk"].spark(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    lines = plan.splitlines()
+    window_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
+    take_idx = [i for i, ln in enumerate(lines) if "TakeOrderedAndProject" in ln]
+    for wi in window_idx:
+        assert wi < min(take_idx), f"Window below the limit\n{plan[:800]}"
+
+
 def test_topk_is_limit_then_rank_not_global_window(spark, sf_dir):
     """q3/q10/q15/topk_latest rank unbounded-cardinality input (per-order /
     per-customer / per-supplier aggregates, raw events). The plan must

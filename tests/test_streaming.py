@@ -289,6 +289,73 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
     assert streamed == batch
 
 
+def test_streaming_click_attribution_matches_batch(spark, sf_dir, tmp_path):
+    """The click-attribution interval join (stream/windows.py) run as a
+    real watermarked stream-stream join: the pair join streams in append
+    mode; the per-user rollup of the streamed pairs must equal the batch
+    operator's output. (The rollup itself runs on the collected pairs —
+    chaining a second stateful aggregate after a stream-stream join is a
+    separate Spark capability not under test here.)"""
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    src = tmp_path / "attr_src"
+    src.mkdir()
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "data"))
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema).format("parquet").load(str(src) + "/*")
+        )
+
+    views = (
+        stream()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    pairs = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("interval 10 minutes")),
+    ).select(F.col("v_user").alias("user_id"), "view_id", "click_id")
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_pairs_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rolled = {
+        tuple(r)
+        for r in spark.sql(
+            """SELECT user_id, count(*) AS n_pairs,
+                      count(DISTINCT click_id) AS n_clicks,
+                      count(DISTINCT view_id) AS n_views
+               FROM attr_pairs_out GROUP BY user_id"""
+        ).collect()
+    }
+    batch = {tuple(r) for r in W.click_attribution(t(spark, sf_dir, "events")).collect()}
+    assert len(batch) > 0
+    assert rolled == batch
+
+
 def test_stateful_sessionize_late_events_across_batches(spark, tmp_path):
     """Cross-batch out-of-order events, the case the single-batch parity
     test can't see: batch 2 delivers events that are LATE but inside the
