@@ -74,6 +74,10 @@ HEADLINE = [
     "events_anomaly_zscore",
     "events_funnel",
     "stream_interval_join",
+    "ts_resample_ffill",
+    "ts_rolling_hour_avg",
+    "scd2_merge",
+    "agg_cube",
 ]
 
 

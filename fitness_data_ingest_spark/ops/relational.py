@@ -197,3 +197,44 @@ def asof_join(
             *[F.col(f"__r.{c}").alias(c) for c in rcols],
         )
     )
+
+
+def scd2_changes(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    compare: str,
+) -> DataFrame:
+    """Change-data-capture diff between a current dimension snapshot and
+    an incoming one — the classification step of an SCD-type-2 MERGE:
+    ``insert`` (key only in updates), ``close`` (key only in current),
+    ``update`` (both sides, compared value changed). Unchanged keys are
+    dropped (a production MERGE leaves them untouched).
+
+    Shape: one full-outer equi-join on the key — a single shuffle, the
+    same plan a Delta/Iceberg MERGE's find-touched-files phase executes.
+    The output feeds the writer that closes old versions and appends new
+    ones; at 100 TB the join benefits from both snapshots sharing a
+    bucketed layout on the key.
+    """
+    cur = current.select(
+        F.col(key).alias("__k"), F.col(compare).alias("old_val")
+    )
+    upd = updates.select(F.col(key).alias("__ku"), F.col(compare).alias("new_val"))
+    j = cur.join(upd, F.col("__k") == F.col("__ku"), "full_outer")
+    action = (
+        F.when(F.col("__ku").isNull(), F.lit("close"))
+        .when(F.col("__k").isNull(), F.lit("insert"))
+        .when(F.col("old_val") != F.col("new_val"), F.lit("update"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        j.withColumn("action", action)
+        .filter(F.col("action") != "keep")
+        .select(
+            F.coalesce(F.col("__k"), F.col("__ku")).alias(key),
+            "action",
+            "old_val",
+            "new_val",
+        )
+    )

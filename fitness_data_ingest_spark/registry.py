@@ -23,14 +23,14 @@ from .registry_tpch2 import TPCH2_QUERIES
 from .registry_util import QueryDef
 
 # First ~50 keys get driver correctness rows each round.  Round-2 window:
-#   1 flagship + 24 ext + 3 stream + 11 tpch2 + 8 pipeline +
-#   1 scalar battery (consolidated verdict for the F4-F11 tail; the
-#   individual scalar keys trail behind, each semantically subsumed by
-#   the battery) + 2 re-verification slots for queries whose physical
-#   plan changed this round (q3/q10 limit-then-rank rewrites).  Keys
-#   already green in round 1's CORRECTNESS report trail behind.
+#   24 ext + 3 stream + 11 tpch2 + 8 pipeline + 1 scalar battery
+#   (consolidated verdict for the F4-F11 tail; the individual scalar
+#   keys trail behind, each semantically subsumed by the battery) +
+#   3 re-verification slots for queries whose physical plan changed
+#   this round (q3/q10/topk_latest limit-then-rank rewrites).  Keys
+#   already green in round 1's CORRECTNESS report trail behind —
+#   including the flagship, which entry() smoke-checks every round.
 _PRIORITY: tuple[str, ...] = (
-    "flagship_pipeline",
     # -- LLM-pipeline extensions (registry_ext) --
     "dedup_exact_hash",
     "dedup_minhash_lsh",
@@ -87,6 +87,16 @@ _PRIORITY: tuple[str, ...] = (
     # -- re-verify: plans rewritten this round (limit-then-rank) --
     "tpch_q3_top10",
     "tpch_q10_returns",
+    "topk_latest",
+)
+
+# Keys added after the round-2 window filled; they lead the NEXT
+# round's rotation (oracle parity is pytest-enforced meanwhile).
+_NEXT_ROTATION: tuple[str, ...] = (
+    "ts_resample_ffill",
+    "ts_rolling_hour_avg",
+    "scd2_merge",
+    "agg_cube",
 )
 
 

@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 
 from .ext import corpus as C
 from .ext import text as TX
-from .registry_util import QueryDef, t
+from .ops import relational as R
+from .ops import timeseries as TS
+from .registry_util import QueryDef, sql_money_sum, t
 from .stream import windows as W
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -218,6 +220,118 @@ FROM p GROUP BY user_id
 """
 
 
+def _ts_resample_ffill(spark, sf_dir):
+    return TS.resample_ffill(t(spark, sf_dir, "events"))
+
+
+_RESAMPLE_SQL = f"""
+WITH obs AS (SELECT user_id, epoch_us(ts) AS ord_us, 1 AS is_obs, value AS v,
+                    event_id AS eid, CAST(NULL AS BIGINT) AS gs FROM events),
+b AS (SELECT user_id,
+             CAST(floor(epoch(min(ts)) / {TS.GRID_S}) * {TS.GRID_S} AS BIGINT) AS g0,
+             CAST(floor(epoch(max(ts)) / {TS.GRID_S}) * {TS.GRID_S} AS BIGINT) AS g1
+      FROM events GROUP BY user_id),
+grid AS (SELECT user_id, unnest(range(g0, g1 + {TS.GRID_S}, {TS.GRID_S})) AS gs
+         FROM b),
+g2 AS (SELECT user_id, gs * 1000000 AS ord_us, 0 AS is_obs,
+              CAST(NULL AS DOUBLE) AS v, CAST(-1 AS BIGINT) AS eid, gs FROM grid),
+u AS (SELECT * FROM obs UNION ALL SELECT * FROM g2),
+f AS (SELECT *, last_value(v IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY ord_us, is_obs DESC, eid
+        ROWS UNBOUNDED PRECEDING) AS value_ffill FROM u)
+SELECT user_id,
+       strftime(TIMESTAMP '1970-01-01' + gs * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS slot,
+       value_ffill
+FROM f WHERE is_obs = 0
+"""
+
+
+def _ts_rolling_hour_avg(spark, sf_dir):
+    return TS.rolling_hour_avg(t(spark, sf_dir, "events"))
+
+
+_ROLLING_SQL = """
+WITH s AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events)
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       floor((CAST(sum(c) OVER w AS DOUBLE) / count(*) OVER w / 100.0) * 1e4 + 0.5)
+         / 1e4 AS avg_1h4
+FROM s
+WINDOW w AS (PARTITION BY user_id ORDER BY es
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _scd2_merge(spark, sf_dir):
+    """SCD2/CDC classification between the customer snapshot and a
+    deterministically mutated incoming snapshot (every %10th balance
+    bumped, every %13==7 key deleted, a %97==3 clone set inserted) —
+    exercises the full-outer MERGE diff on real data without a second
+    fixture table."""
+    cust = t(spark, sf_dir, "customer")
+    cur = cust.select("c_custkey", "c_acctbal")
+    upd_mod = cust.filter(F.col("c_custkey") % 13 != 7).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100.0
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    upd_new = cust.filter(F.col("c_custkey") % 97 == 3).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    updates = upd_mod.unionByName(upd_new)
+    return R.scd2_changes(cur, updates, "c_custkey", "c_acctbal")
+
+
+_SCD2_SQL = """
+WITH cur AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+upd AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS bal
+  FROM customer WHERE c_custkey % 13 <> 7
+  UNION ALL
+  SELECT c_custkey + 1000000 AS k, 0.0 AS bal
+  FROM customer WHERE c_custkey % 97 = 3),
+j AS (SELECT cur.k AS ck, upd.k AS uk, cur.bal AS old_val, upd.bal AS new_val
+      FROM cur FULL OUTER JOIN upd ON cur.k = upd.k)
+SELECT coalesce(ck, uk) AS c_custkey,
+       CASE WHEN uk IS NULL THEN 'close'
+            WHEN ck IS NULL THEN 'insert'
+            ELSE 'update' END AS action,
+       old_val, new_val
+FROM j
+WHERE uk IS NULL OR ck IS NULL OR old_val <> new_val
+"""
+
+
+def _agg_cube(spark, sf_dir):
+    """CUBE over (status, priority) with grouping_id — all four rollup
+    combinations in one pass (Expand + single aggregate exchange)."""
+    from .registry_util import money_sum
+
+    orders = t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum(F.col("o_totalprice")).alias("total_price"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+_CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       {sql_money_sum('o_totalprice')} AS total_price,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -229,5 +343,9 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
         QueryDef("events_anomaly_zscore", _events_anomaly_zscore, _ANOMALY_SQL),
         QueryDef("events_funnel", _events_funnel, _FUNNEL_SQL),
         QueryDef("stream_interval_join", _stream_interval_join, _INTERVAL_JOIN_SQL),
+        QueryDef("ts_resample_ffill", _ts_resample_ffill, _RESAMPLE_SQL),
+        QueryDef("ts_rolling_hour_avg", _ts_rolling_hour_avg, _ROLLING_SQL),
+        QueryDef("scd2_merge", _scd2_merge, _SCD2_SQL),
+        QueryDef("agg_cube", _agg_cube, _CUBE_SQL),
     ]
 }

@@ -64,11 +64,12 @@ def test_registry_priority_window_is_sound():
     assert len(set(prio)) == len(prio), "duplicate keys in priority list"
     ordered = list(registry.all_queries())
     assert ordered[: len(prio)] == list(prio)
-    window = set(prio)
+    window = set(prio) | set(registry._NEXT_ROTATION)
     for family in (EXT_QUERIES, STREAM_QUERIES, TPCH2_QUERIES, PIPELINE_QUERIES):
         missing = set(family) - window
         assert not missing, f"driver window misses: {sorted(missing)}"
+    assert not set(registry._NEXT_ROTATION) & set(prio), "rotation overlaps window"
     # scalar_battery's single verdict covers the trailing F4-F11 keys
     assert "scalar_battery" in window
-    for key in ["tpch_q3_top10", "tpch_q10_returns"]:
+    for key in ["tpch_q3_top10", "tpch_q10_returns", "topk_latest"]:
         assert key in window, f"rewritten query {key} needs a re-verdict"
