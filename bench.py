@@ -78,6 +78,7 @@ HEADLINE = [
     "ts_rolling_hour_avg",
     "scd2_merge",
     "agg_cube",
+    "er_fuzzy_pairs",
 ]
 
 

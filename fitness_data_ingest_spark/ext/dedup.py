@@ -355,3 +355,54 @@ def dedup_clusters(
     are their own cluster trivially)."""
     pairs = minhash_near_dups(docs, id_col, text_col, threshold)
     return connected_components(pairs.select("doc_a", "doc_b"))
+
+
+def masked_variants(s: Column) -> Column:
+    """All single-position masks of a string: position i replaced by
+    '_', as an array of (pos, masked) structs. Two strings share a
+    variant at position i iff they are equal everywhere else — the
+    deletion-neighborhood blocking of SymSpell-style fuzzy matching,
+    which finds every substitution-distance-1 pair with an equi-join
+    (never an all-pairs distance scan)."""
+    idx = F.sequence(F.lit(1), F.length(s))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat(
+                F.substring(s, F.lit(1), i - 1),
+                F.lit("_"),
+                F.substring(s, i + 1, F.length(s)),
+            ).alias("masked"),
+        ),
+    )
+
+
+def fuzzy_name_pairs(df: DataFrame, key_col: str, name_col: str) -> DataFrame:
+    """Entity-resolution candidate pairs at edit distance <= 1
+    (substitutions): explode each name's masked variants, equi-join on
+    (pos, masked), verify with levenshtein. Blocking bounds the join to
+    names agreeing outside one position — O(collisions), scan-speed
+    variant generation, no quadratic pass at any corpus size."""
+    v = df.select(
+        F.col(key_col).alias("k"),
+        F.col(name_col).alias("nm"),
+        F.explode(masked_variants(F.col(name_col))).alias("mv"),
+    ).select("k", "nm", F.col("mv.pos").alias("pos"), F.col("mv.masked").alias("masked"))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.masked") == F.col("b.masked"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(
+            F.col("a.k").alias("key_a"),
+            F.col("b.k").alias("key_b"),
+            F.col("a.nm").alias("name_a"),
+            F.col("b.nm").alias("name_b"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn("lev", F.levenshtein("name_a", "name_b"))

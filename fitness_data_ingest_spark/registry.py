@@ -97,6 +97,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "ts_rolling_hour_avg",
     "scd2_merge",
     "agg_cube",
+    "er_fuzzy_pairs",
 )
 
 

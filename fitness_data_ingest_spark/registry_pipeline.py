@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .ext import corpus as C
+from .ext import dedup as D
 from .ext import text as TX
 from .ops import relational as R
 from .ops import timeseries as TS
@@ -332,6 +333,28 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def _er_fuzzy_pairs(spark, sf_dir):
+    """Entity-resolution pairs over customer names at substitution
+    distance <= 1, via masked-position blocking (SymSpell-style) —
+    the fuzzy-match face of the dedup family."""
+    return D.fuzzy_name_pairs(t(spark, sf_dir, "customer"), "c_custkey", "c_name")
+
+
+_ER_FUZZY_SQL = """
+WITH c AS (SELECT c_custkey AS k, c_name AS nm FROM customer),
+v AS (SELECT k, nm, i,
+             substr(nm, 1, i - 1) || '_' || substr(nm, i + 1) AS masked
+      FROM c, UNNEST(range(1, length(nm) + 1)) AS t(i)),
+p AS (SELECT DISTINCT a.k AS key_a, b.k AS key_b,
+                      a.nm AS name_a, b.nm AS name_b
+      FROM v a JOIN v b
+        ON a.i = b.i AND a.masked = b.masked AND a.k < b.k)
+SELECT key_a, key_b, name_a, name_b,
+       levenshtein(name_a, name_b) AS lev
+FROM p
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -347,5 +370,6 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
         QueryDef("ts_rolling_hour_avg", _ts_rolling_hour_avg, _ROLLING_SQL),
         QueryDef("scd2_merge", _scd2_merge, _SCD2_SQL),
         QueryDef("agg_cube", _agg_cube, _CUBE_SQL),
+        QueryDef("er_fuzzy_pairs", _er_fuzzy_pairs, _ER_FUZZY_SQL),
     ]
 }

@@ -1,0 +1,55 @@
+"""User-facing surface: SQL temp-view registration, the CLI runner, and
+the fuzzy ER operator's semantic bounds."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from fitness_data_ingest_spark.__main__ import main
+from fitness_data_ingest_spark.ext.dedup import fuzzy_name_pairs
+from fitness_data_ingest_spark.registry_util import t
+from fitness_data_ingest_spark.sql import TABLES, register_tables, run_sql
+
+
+def test_sql_surface_matches_dataframe_path(spark, sf_dir):
+    n_sql = run_sql(
+        spark,
+        sf_dir,
+        "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+    ).first()["n"]
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    n_df = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert n_sql == n_df > 0
+
+
+def test_sql_surface_registers_every_table(spark, sf_dir):
+    register_tables(spark, sf_dir)
+    for name in TABLES:
+        assert spark.sql(f"SELECT * FROM {name} LIMIT 1").count() >= 0
+
+
+def test_cli_list_and_query(spark, sf_dir, capsys):
+    assert main(["--list"], spark=spark) == 0
+    listed = capsys.readouterr().out
+    assert "tpch_q1\t" in listed and "dedup_minhash_lsh" in listed
+    assert (
+        main(["--query", "agg_min_max", "--sf-dir", sf_dir, "--limit", "5"], spark=spark)
+        == 0
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and all(isinstance(json.loads(ln), dict) for ln in out)
+
+
+def test_cli_rejects_unknown_query(spark, sf_dir):
+    assert main(["--query", "no_such_query"], spark=spark) == 2
+    assert main([], spark=spark) == 2
+
+
+def test_fuzzy_pairs_all_within_distance_one(spark, sf_dir):
+    pairs = fuzzy_name_pairs(t(spark, sf_dir, "customer"), "c_custkey", "c_name")
+    assert pairs.count() > 0
+    assert pairs.filter(F.col("lev") > 1).count() == 0
+    assert pairs.filter(F.col("key_a") >= F.col("key_b")).count() == 0
