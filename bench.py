@@ -79,6 +79,8 @@ HEADLINE = [
     "scd2_merge",
     "agg_cube",
     "er_fuzzy_pairs",
+    "events_retention_cohort",
+    "join_salted_skew",
 ]
 
 

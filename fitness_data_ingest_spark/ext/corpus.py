@@ -176,6 +176,64 @@ def anomaly_zscore(events: DataFrame, z_cut: int = 3) -> DataFrame:
     )
 
 
+def source_composition(docs: DataFrame) -> DataFrame:
+    """Per-source corpus composition report — the mixture audit a data
+    curator reads before weighting sources: document count, exact char
+    volume, language diversity, share of corpus, mean document length.
+
+    The corpus total enters the plan as a 1-row aggregate broadcast
+    crossJoin (house pattern, cf. tfidf): no eager ``count()`` action,
+    single-job execution, and the share column never needs a global
+    window. Per-source aggregation is one shuffle with map-side partial
+    aggregation on a low-cardinality key.
+    """
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("total_docs"))
+    out = per.crossJoin(F.broadcast(total))
+    share = F.col("n_docs").cast("double") / F.col("total_docs")
+    mean_chars = F.col("sum_chars").cast("double") / F.col("n_docs")
+    return out.select(
+        "source",
+        "n_docs",
+        "sum_chars",
+        "n_langs",
+        (F.floor(share * 1e6 + F.lit(0.5)) / 1e6).alias("share6"),
+        (F.floor(mean_chars * 100 + F.lit(0.5)) / 100.0).alias("mean_chars2"),
+    )
+
+
+def retention_cohort(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by the epoch-week
+    of their first event (cohort), counted distinct in every later week
+    they reappear. The canonical activation/retention analysis.
+
+    The cohort week comes from a min window over the SAME user_id
+    partitioning the activity rows already need — one shuffle, no
+    self-join; the matrix itself is a distinct-count aggregate on the
+    (cohort, offset, user) key. Epoch-week arithmetic (floor of epoch
+    seconds / 604800) is engine-portable, unlike calendar week-of-year
+    which differs across ISO conventions.
+    """
+    wk = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(604800)).cast("long")
+    w = Window.partitionBy("user_id")
+    staged = events.select("user_id", wk.alias("wk")).withColumn(
+        "cohort_wk", F.min("wk").over(w)
+    )
+    return (
+        staged.select(
+            "user_id",
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"),
+        )
+        .groupBy("cohort_wk", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 def funnel_counts(events: DataFrame) -> DataFrame:
     """Strict-order funnel (view -> click -> purchase) per user, then
     corpus-level stage counts. Stage timestamps cascade through window

@@ -12,7 +12,7 @@ integer ops or mirrored IEEE expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -170,6 +170,25 @@ def word_2grams(tok_col: Column) -> Column:
     return F.when(F.size(tok_col) >= 2, pairs).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def bigram_topk(docs: DataFrame, text_col: str = "text", k: int = 40) -> DataFrame:
+    """Corpus-level top-k word bigrams by frequency — the collocation
+    sweep of an LM-data analysis (vocab_topk's unigram counterpart).
+
+    Bigram generation is a per-row array transform (scan-speed, no
+    shuffle); counting is one groupBy with map-side partial aggregation;
+    the global top-k is ``orderBy().limit(k)`` — a distributed
+    TakeOrderedAndProject — with rank re-derived on the <= k survivors,
+    never a single-partition window over the full bigram vocabulary.
+    """
+    grams = docs.select(
+        F.explode(word_2grams(tokens(F.col(text_col)))).alias("bigram")
+    )
+    agg = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("tf"))
+    top = agg.orderBy(F.desc("tf"), F.asc("bigram")).limit(k)
+    rank_w = Window.orderBy(F.desc("tf"), F.asc("bigram"))
+    return top.withColumn("rnk", F.row_number().over(rank_w))
 
 
 def repetition_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

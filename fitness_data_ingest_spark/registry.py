@@ -98,6 +98,10 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "scd2_merge",
     "agg_cube",
     "er_fuzzy_pairs",
+    "corpus_source_composition",
+    "events_retention_cohort",
+    "text_bigram_topk",
+    "join_salted_skew",
 )
 
 

@@ -15,8 +15,9 @@ from .ext import corpus as C
 from .ext import dedup as D
 from .ext import text as TX
 from .ops import relational as R
+from .ops import scale as SC
 from .ops import timeseries as TS
-from .registry_util import QueryDef, sql_money_sum, t
+from .registry_util import QueryDef, money_sum, sql_money_sum, t
 from .stream import windows as W
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -355,6 +356,84 @@ FROM p
 """
 
 
+def _corpus_source_composition(spark, sf_dir):
+    """Per-source mixture audit; corpus total via 1-row broadcast
+    crossJoin (single job, no eager count)."""
+    return C.source_composition(t(spark, sf_dir, "documents"))
+
+
+_SOURCE_COMP_SQL = """
+WITH per AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                    count(DISTINCT lang) AS n_langs
+             FROM documents GROUP BY 1),
+tot AS (SELECT count(*) AS total_docs FROM documents)
+SELECT source, n_docs, sum_chars, n_langs,
+       floor((CAST(n_docs AS DOUBLE) / total_docs) * 1e6 + 0.5) / 1e6
+         AS share6,
+       floor((CAST(sum_chars AS DOUBLE) / n_docs) * 100 + 0.5) / 100.0
+         AS mean_chars2
+FROM per, tot
+"""
+
+
+def _events_retention_cohort(spark, sf_dir):
+    """Weekly cohort retention matrix: cohort from a min window over the
+    user partitioning (one shuffle, no self-join)."""
+    return C.retention_cohort(t(spark, sf_dir, "events"))
+
+
+_RETENTION_SQL = """
+WITH w AS (SELECT user_id,
+                  CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+           FROM events),
+c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY 1),
+j AS (SELECT w.user_id, cohort_wk, wk - cohort_wk AS weeks_since
+      FROM w JOIN c USING (user_id))
+SELECT cohort_wk, weeks_since, count(DISTINCT user_id) AS n_active
+FROM j GROUP BY 1, 2
+"""
+
+
+def _text_bigram_topk(spark, sf_dir):
+    """Top-40 corpus bigrams via distributed TakeOrderedAndProject."""
+    return TX.bigram_topk(t(spark, sf_dir, "documents"))
+
+
+_BIGRAM_SQL = f"""
+WITH t AS (SELECT {_TOKS} AS tk FROM documents),
+g AS (SELECT tk[i] || ' ' || tk[i + 1] AS bigram
+      FROM t, UNNEST(range(1, len(tk))) AS r(i)
+      WHERE len(tk) >= 2),
+agg AS (SELECT bigram, count(*) AS tf FROM g GROUP BY 1),
+top AS (SELECT * FROM agg ORDER BY tf DESC, bigram LIMIT 40)
+SELECT bigram, tf, row_number() OVER (ORDER BY tf DESC, bigram) AS rnk FROM top
+"""
+
+
+def _join_salted_skew(spark, sf_dir):
+    """The skew-salting scale op driven through the correctness gate:
+    lineitem x supplier on suppkey salted 8 ways (the hot key fans
+    across 8 reducers), then revenue per supplier nation — results
+    provably identical to the plain join the oracle runs."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = SC.salted_join(li, supp, "l_suppkey", "s_suppkey", salt_n=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+    )
+
+
+_SALTED_SQL = f"""
+SELECT s_nationkey, count(*) AS n_lines,
+       {sql_money_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -371,5 +450,15 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
         QueryDef("scd2_merge", _scd2_merge, _SCD2_SQL),
         QueryDef("agg_cube", _agg_cube, _CUBE_SQL),
         QueryDef("er_fuzzy_pairs", _er_fuzzy_pairs, _ER_FUZZY_SQL),
+        QueryDef(
+            "corpus_source_composition",
+            _corpus_source_composition,
+            _SOURCE_COMP_SQL,
+        ),
+        QueryDef(
+            "events_retention_cohort", _events_retention_cohort, _RETENTION_SQL
+        ),
+        QueryDef("text_bigram_topk", _text_bigram_topk, _BIGRAM_SQL),
+        QueryDef("join_salted_skew", _join_salted_skew, _SALTED_SQL),
     ]
 }
