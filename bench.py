@@ -81,6 +81,7 @@ HEADLINE = [
     "er_fuzzy_pairs",
     "events_retention_cohort",
     "join_salted_skew",
+    "corpus_curation_funnel",
 ]
 
 

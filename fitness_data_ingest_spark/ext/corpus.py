@@ -176,6 +176,102 @@ def anomaly_zscore(events: DataFrame, z_cut: int = 3) -> DataFrame:
     )
 
 
+def curation_funnel(docs: DataFrame, quality_min: float = 0.45) -> DataFrame:
+    """End-to-end corpus-curation audit — the per-source survivor counts
+    of the canonical training-data pipeline: quality gate → language
+    gate → exact-dedup canonical pick → mixture keep.
+
+    Stage flags CASCADE per document inside one scan (stage k is stage
+    k-1 AND its own predicate), so the whole four-stage funnel costs one
+    table scan plus one window shuffle (the dedup canonical pick: min
+    surviving doc_id per md5(text), computed over the hash partitioning
+    — no self-join, no second scan). Dedup is corpus-global while
+    counts aggregate per source. Every predicate is deterministic and
+    engine-portable: the quality score's double is built from the same
+    IEEE ops in both engines, and the mixture keep reuses the md5-based
+    rule of mixture_sample (no RNG).
+    """
+    toks = TX.tokens(F.col("text"))
+    pass_q = TX.quality_score(F.col("text"), toks) >= quality_min
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        pass_q.alias("pq"),
+        (pass_q & (F.col("lang") == "en")).alias("pl"),
+    )
+    w = Window.partitionBy("h")
+    min_survivor = F.min(F.when(F.col("pl"), F.col("doc_id"))).over(w)
+    staged = staged.withColumn(
+        "canon", F.col("pl") & (F.col("doc_id") == min_survivor)
+    )
+    last = F.substring(F.col("source"), -1, 1)
+    even = last.isin("0", "2", "4", "6", "8")
+    rate = F.when(even, F.lit(MIX_HI_RATE)).otherwise(F.lit(MIX_LO_RATE))
+    threshold = F.floor(rate * _MIX_DENOM).cast("long")
+    keep = F.col("canon") & (_hash16(F.col("doc_id").cast("string")) < threshold)
+    staged = staged.withColumn("keep", keep)
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("pq").cast("long")).alias("n_quality"),
+        F.sum(F.col("pl").cast("long")).alias("n_lang"),
+        F.sum(F.col("canon").cast("long")).alias("n_canonical"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+
+
+def linear_fit(
+    df: DataFrame, group_col: str, x_long: F.Column, y_cents: F.Column
+) -> DataFrame:
+    """Per-group OLS line + Pearson r from EXACT integer moments.
+
+    The built-in ``corr``/``regr_slope`` aggregate floats, whose sum
+    order varies with partitioning — results drift in the last ulp
+    between runs and engines. Here x (integral long) and y (int64
+    cents) accumulate n/Σx/Σy/Σx²/Σxy/Σy² as decimal(38,0) — exact,
+    order-independent, map-side combinable (one shuffle of six numbers
+    per group; DuckDB mirrors with int128). The moment combination
+    (n·Σxy − ΣxΣy etc.) stays exact and casts to double at single,
+    mirrored points, so both engines execute identical IEEE arithmetic.
+    """
+    d38 = "decimal(38,0)"
+    agg = (
+        df.select(
+            F.col(group_col),
+            x_long.cast(d38).alias("x"),
+            y_cents.cast(d38).alias("y"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope_c = cov / vx  # cents of y per unit of x
+
+    def r6(c: F.Column) -> F.Column:
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    intercept = (
+        (F.col("sy").cast("double") - slope_c * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+    ) / 100.0
+    return agg.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        r6(slope_c / 100.0).alias("slope6"),
+        r6(intercept).alias("intercept6"),
+        r6(cov / (F.sqrt(vx) * F.sqrt(vy))).alias("corr6"),
+    )
+
+
 def source_composition(docs: DataFrame) -> DataFrame:
     """Per-source corpus composition report — the mixture audit a data
     curator reads before weighting sources: document count, exact char

@@ -102,6 +102,8 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "events_retention_cohort",
     "text_bigram_topk",
     "join_salted_skew",
+    "corpus_curation_funnel",
+    "agg_linear_fit",
 )
 
 

@@ -434,6 +434,85 @@ GROUP BY s_nationkey
 """
 
 
+def _corpus_curation_funnel(spark, sf_dir):
+    """Four-stage curation funnel (quality -> language -> dedup
+    canonical -> mixture keep) in one scan + one window shuffle."""
+    return C.curation_funnel(t(spark, sf_dir, "documents"))
+
+
+_EN_LIST_P = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"]) + "]"
+
+_CURATION_SQL = f"""
+WITH tok AS (SELECT doc_id, source, lang, text, {_TOKS} AS toks
+             FROM documents),
+s AS (SELECT doc_id, source, md5(text) AS h,
+             (least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+              + (len(list_filter(toks, x -> list_contains({_EN_LIST_P}, x)))::DOUBLE
+                 / len(toks)) * 0.3
+              + (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+                 / length(text)) * 0.3) >= 0.45 AS pq,
+             lang = 'en' AS is_en
+      FROM tok),
+f AS (SELECT *, pq AND is_en AS pl FROM s),
+c AS (SELECT *, min(CASE WHEN pl THEN doc_id END)
+                  OVER (PARTITION BY h) AS msur
+      FROM f),
+k AS (SELECT source, pq, pl, (pl AND doc_id = msur) AS canon,
+             (pl AND doc_id = msur
+              AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+                  < CAST(floor(CASE WHEN substr(source, length(source), 1)
+                                         IN ('0','2','4','6','8')
+                                    THEN {C.MIX_HI_RATE}
+                                    ELSE {C.MIX_LO_RATE} END * 65536)
+                         AS BIGINT)) AS keep
+      FROM c)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN pq THEN 1 ELSE 0 END) AS n_quality,
+       sum(CASE WHEN pl THEN 1 ELSE 0 END) AS n_lang,
+       sum(CASE WHEN canon THEN 1 ELSE 0 END) AS n_canonical,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept
+FROM k GROUP BY source
+"""
+
+
+def _agg_linear_fit(spark, sf_dir):
+    """OLS price-vs-quantity per returnflag from exact integer moments
+    (decimal(38,0) sums; DuckDB mirrors with int128)."""
+    li = t(spark, sf_dir, "lineitem")
+    return C.linear_fit(
+        li,
+        "l_returnflag",
+        F.col("l_quantity").cast("long"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"),
+    )
+
+
+_LINEAR_FIT_SQL = """
+WITH m AS (SELECT l_returnflag,
+                  CAST(l_quantity AS HUGEINT) AS x,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+           FROM lineitem),
+a AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM m GROUP BY 1)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       floor(((CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0) * 1e6 + 0.5) / 1e6
+         AS slope6,
+       floor((((CAST(sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE)) / 100.0) * 1e6 + 0.5) / 1e6
+         AS intercept6,
+       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 1e6 + 0.5) / 1e6
+         AS corr6
+FROM a
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -460,5 +539,9 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef("text_bigram_topk", _text_bigram_topk, _BIGRAM_SQL),
         QueryDef("join_salted_skew", _join_salted_skew, _SALTED_SQL),
+        QueryDef(
+            "corpus_curation_funnel", _corpus_curation_funnel, _CURATION_SQL
+        ),
+        QueryDef("agg_linear_fit", _agg_linear_fit, _LINEAR_FIT_SQL),
     ]
 }
