@@ -254,7 +254,10 @@ def linear_fit(
     cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    slope_c = cov / vx  # cents of y per unit of x
+    # degenerate groups (zero variance in x or y) have no defined
+    # slope/correlation: NULL, guarded BEFORE the division so ANSI mode
+    # never sees a zero divisor; the oracle mirrors with CASE WHEN
+    slope_c = F.when(vx > 0, cov / vx)  # cents of y per unit of x
 
     def r6(c: F.Column) -> F.Column:
         return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
@@ -263,12 +266,13 @@ def linear_fit(
         (F.col("sy").cast("double") - slope_c * F.col("sx").cast("double"))
         / F.col("n").cast("double")
     ) / 100.0
+    corr = F.when((vx > 0) & (vy > 0), cov / (F.sqrt(vx) * F.sqrt(vy)))
     return agg.select(
         group_col,
         F.col("n").cast("long").alias("n"),
         r6(slope_c / 100.0).alias("slope6"),
         r6(intercept).alias("intercept6"),
-        r6(cov / (F.sqrt(vx) * F.sqrt(vy))).alias("corr6"),
+        r6(corr).alias("corr6"),
     )
 
 

@@ -384,10 +384,14 @@ def fuzzy_name_pairs(df: DataFrame, key_col: str, name_col: str) -> DataFrame:
     (pos, masked), verify with levenshtein. Blocking bounds the join to
     names agreeing outside one position — O(collisions), scan-speed
     variant generation, no quadratic pass at any corpus size."""
-    v = df.select(
-        F.col(key_col).alias("k"),
-        F.col(name_col).alias("nm"),
-        F.explode(masked_variants(F.col(name_col))).alias("mv"),
+    # two-step select: aliasing and consuming the name column in ONE
+    # select makes Spark 4 resolve the explode's argument as a lateral
+    # column alias when name_col is itself named "nm" (internal LCA
+    # error with explode-of-transform); the intermediate projection
+    # keeps the reference ordinary
+    base = df.select(F.col(key_col).alias("k"), F.col(name_col).alias("nm"))
+    v = base.select(
+        "k", "nm", F.explode(masked_variants(F.col("nm"))).alias("mv")
     ).select("k", "nm", F.col("mv.pos").alias("pos"), F.col("mv.masked").alias("masked"))
     a, b = v.alias("a"), v.alias("b")
     pairs = (

@@ -497,18 +497,22 @@ a AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
              sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
       FROM m GROUP BY 1)
 SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-       floor(((CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0) * 1e6 + 0.5) / 1e6
-         AS slope6,
-       floor((((CAST(sy AS DOUBLE)
-                - (CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-               / CAST(n AS DOUBLE)) / 100.0) * 1e6 + 0.5) / 1e6
-         AS intercept6,
-       floor((CAST(n * sxy - sx * sy AS DOUBLE)
-              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 1e6 + 0.5) / 1e6
-         AS corr6
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+         floor(((CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0) * 1e6 + 0.5) / 1e6
+       END AS slope6,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+         floor((((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE)) / 100.0) * 1e6 + 0.5) / 1e6
+       END AS intercept6,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+         floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) * 1e6 + 0.5) / 1e6
+       END AS corr6
 FROM a
 """
 

@@ -229,13 +229,47 @@ def test_pipeline_no_cartesian_or_nested_loop(spark, sf_dir):
     """Pipeline-family operators (packing/vocab/mixture/PII/audits/
     funnel/interval-join) must all execute as hash/sort-merge joins on
     equi keys — range predicates ride as post-join filters, never a
-    nested loop."""
+    nested loop. Sanctioned exception: corpus_source_composition joins
+    the corpus total in as a 1-row broadcast scalar (the tfidf/q11/q22
+    pattern) — bounded build side at any data scale."""
     from fitness_data_ingest_spark.registry_pipeline import PIPELINE_QUERIES
 
+    bounded_bcast_ok = {"corpus_source_composition"}
     for name, q in PIPELINE_QUERIES.items():
         plan = plan_of(q.spark(spark, sf_dir), "simple")
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        if name not in bounded_bcast_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bigram_topk_is_limit_then_rank(spark, sf_dir):
+    """The corpus bigram top-k must bound with TakeOrderedAndProject
+    before its <=k-row rank window (same invariant as vocab_topk)."""
+    plan = plan_of(QUERIES["text_bigram_topk"].spark(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    lines = plan.splitlines()
+    window_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
+    take_idx = [i for i, ln in enumerate(lines) if "TakeOrderedAndProject" in ln]
+    for wi in window_idx:
+        assert wi < min(take_idx), f"Window below the limit\n{plan[:800]}"
+
+
+def test_curation_funnel_single_scan(spark, sf_dir):
+    """The four-stage curation funnel must cost ONE scan of documents —
+    the stage flags cascade inside the row, they never re-read or
+    self-join the table."""
+    plan = plan_of(QUERIES["corpus_curation_funnel"].spark(spark, sf_dir), "simple")
+    assert plan.count("documents.parquet") == 1, plan[:1200]
+
+
+def test_linear_fit_is_partial_aggregate(spark, sf_dir):
+    """The OLS moment aggregation must be a plain two-phase hash
+    aggregate (map-side partial combine) — no window, no join, one
+    exchange on the group key."""
+    plan = plan_of(QUERIES["agg_linear_fit"].spark(spark, sf_dir), "simple")
+    assert "Window" not in plan, plan[:800]
+    assert "Join" not in plan, plan[:800]
+    assert plan.count("Exchange") <= 2, plan[:1200]
 
 
 def test_vocab_topk_is_limit_then_rank(spark, sf_dir):

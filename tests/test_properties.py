@@ -89,3 +89,82 @@ def test_identical_docs_minhash_jaccard_one(spark):
     pairs = minhash_near_dups(docs, "doc_id", "text", threshold=0.5).collect()
     assert len(pairs) == 1
     assert (pairs[0]["doc_a"], pairs[0]["doc_b"], pairs[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_curation_funnel_counts_are_monotone(spark, sf_dir):
+    """Stage flags cascade, so per-source survivor counts must be
+    monotone non-increasing along the funnel, and the doc totals must
+    conserve the corpus size."""
+    from fitness_data_ingest_spark.ext.corpus import curation_funnel
+    from fitness_data_ingest_spark.registry_util import t
+
+    docs = t(spark, sf_dir, "documents")
+    rows = curation_funnel(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert (
+            r["n_docs"] >= r["n_quality"] >= r["n_lang"]
+            >= r["n_canonical"] >= r["n_kept"] >= 0
+        ), r
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=1, max_value=50),
+            st.integers(min_value=-10000, max_value=10000),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@PROP_SETTINGS
+def test_linear_fit_corr_bounded_and_exact_on_lines(spark, pts):
+    """Pearson r must lie in [-1, 1]; for points ON the line y = 2x the
+    fit must recover slope 2, intercept 0, r = 1 exactly (the integer
+    moments make this bit-exact, no tolerance needed)."""
+    from fitness_data_ingest_spark.ext.corpus import linear_fit
+
+    df = spark.createDataFrame(
+        [(g, x, y) for g, x, y in pts], "g int, x long, y long"
+    )
+    fit = linear_fit(df, "g", F.col("x"), F.col("y") * 100)
+    for r in fit.collect():
+        if r["corr6"] is not None:
+            assert -1.0 <= r["corr6"] <= 1.0, r
+    on_line = spark.createDataFrame(
+        [(0, x, 2 * x) for x in range(1, 8)], "g int, x long, y long"
+    )
+    exact = linear_fit(on_line, "g", F.col("x"), F.col("y") * 100).collect()[0]
+    assert (exact["slope6"], exact["intercept6"], exact["corr6"]) == (2.0, 0.0, 1.0)
+
+
+def test_retention_cohort_week_zero_matches_cohort_size(spark, sf_dir):
+    """Every user is active in their own cohort week, so the
+    weeks_since=0 cell must count every user of that cohort, and no
+    offset may be negative or exceed the cohort-0 population."""
+    from fitness_data_ingest_spark.ext.corpus import retention_cohort
+    from fitness_data_ingest_spark.registry_util import t
+
+    events = t(spark, sf_dir, "events")
+    rows = retention_cohort(events).collect()
+    assert all(r["weeks_since"] >= 0 for r in rows)
+    base = {r["cohort_wk"]: r["n_active"] for r in rows if r["weeks_since"] == 0}
+    n_users = events.select("user_id").distinct().count()
+    assert sum(base.values()) == n_users
+    for r in rows:
+        assert r["n_active"] <= base[r["cohort_wk"]], r
+
+
+def test_fuzzy_pairs_finds_planted_near_name(spark):
+    """A planted single-substitution variant must pair with its
+    original; an unrelated name must not pair with anything."""
+    from fitness_data_ingest_spark.ext.dedup import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [(1, "customer#42"), (2, "customer#43"), (3, "zzzzzzzz")],
+        "k long, nm string",
+    )
+    pairs = fuzzy_name_pairs(df, "k", "nm").collect()
+    assert [(p["key_a"], p["key_b"], p["lev"]) for p in pairs] == [(1, 2, 1)]
