@@ -82,6 +82,7 @@ HEADLINE = [
     "events_retention_cohort",
     "join_salted_skew",
     "corpus_curation_funnel",
+    "affinity_part_pairs",
 ]
 
 

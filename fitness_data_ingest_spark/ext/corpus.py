@@ -276,6 +276,37 @@ def linear_fit(
     )
 
 
+def cooccurrence_topk(
+    df: DataFrame, group_col: str, item_col: str, k: int = 25
+) -> DataFrame:
+    """Within-group item co-occurrence — market-basket affinity over
+    orders, token co-occurrence over documents, any (group, item) pair
+    source.
+
+    The pair generation is a DISTINCT projection followed by a self
+    equi-join on the group key: fan-out is bounded by the per-group
+    distinct-item count squared (an order holds a dozen parts at any
+    corpus size), never a cross-group all-pairs. Counting is one
+    partial-agg groupBy on the pair key; the global top-k is
+    limit-then-rank (distributed TakeOrderedAndProject, rank re-derived
+    on the <= k survivors). String-qualified aliases keep the self-join
+    unambiguous."""
+    d = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g")) & (F.col("a.item") < F.col("b.item")),
+    ).select(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+    agg = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+    order = [F.desc("n_groups"), F.asc("item_a"), F.asc("item_b")]
+    top = agg.orderBy(*order).limit(k)
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+
+
 def source_composition(docs: DataFrame) -> DataFrame:
     """Per-source corpus composition report — the mixture audit a data
     curator reads before weighting sources: document count, exact char

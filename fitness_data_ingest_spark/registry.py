@@ -104,6 +104,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "join_salted_skew",
     "corpus_curation_funnel",
     "agg_linear_fit",
+    "affinity_part_pairs",
 )
 
 

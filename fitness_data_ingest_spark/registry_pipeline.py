@@ -517,6 +517,26 @@ FROM a
 """
 
 
+def _affinity_part_pairs(spark, sf_dir):
+    """Market-basket affinity: top co-occurring part pairs within
+    orders; self equi-join bounded by per-order line count."""
+    return C.cooccurrence_topk(
+        t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+
+
+_AFFINITY_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+pr AS (SELECT a.item AS item_a, b.item AS item_b
+       FROM d a JOIN d b ON a.g = b.g AND a.item < b.item),
+agg AS (SELECT item_a, item_b, count(*) AS n_groups FROM pr GROUP BY 1, 2),
+top AS (SELECT * FROM agg ORDER BY n_groups DESC, item_a, item_b LIMIT 25)
+SELECT item_a, item_b, n_groups,
+       row_number() OVER (ORDER BY n_groups DESC, item_a, item_b) AS rnk
+FROM top
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -547,5 +567,6 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
             "corpus_curation_funnel", _corpus_curation_funnel, _CURATION_SQL
         ),
         QueryDef("agg_linear_fit", _agg_linear_fit, _LINEAR_FIT_SQL),
+        QueryDef("affinity_part_pairs", _affinity_part_pairs, _AFFINITY_SQL),
     ]
 }
