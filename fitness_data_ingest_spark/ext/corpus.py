@@ -276,6 +276,34 @@ def linear_fit(
     )
 
 
+def mode_per_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Most frequent value per group (the mode), as a pure two-phase
+    aggregate: count per (group, value), then argmax via a min-struct
+    over (-count, value) — ties break to the lexicographically smallest
+    value, deterministically.
+
+    The argmax is an AGGREGATE, not a rank window: partial min-structs
+    combine map-side and the shuffle moves one struct per (group,
+    value) — at 100 TB a per-group window would sort every count row
+    while this reduces them. (Same plan family as the IVF cell
+    assignment.)"""
+    counts = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    packed = counts.groupBy("g").agg(
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("v"))).alias("top")
+    )
+    return packed.select(
+        F.col("g").alias(group_col),
+        F.col("top.v").alias(f"mode_{value_col}"),
+        (-F.col("top.nc")).alias("n"),
+    )
+
+
 def cooccurrence_topk(
     df: DataFrame, group_col: str, item_col: str, k: int = 25
 ) -> DataFrame:

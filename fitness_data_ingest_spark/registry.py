@@ -105,6 +105,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "corpus_curation_funnel",
     "agg_linear_fit",
     "affinity_part_pairs",
+    "agg_mode_argmax",
 )
 
 

@@ -537,6 +537,22 @@ FROM top
 """
 
 
+def _agg_mode_argmax(spark, sf_dir):
+    """Per-user modal event type via min-struct argmax aggregate (no
+    window); the oracle proves equivalence with a rank-window form."""
+    return C.mode_per_group(t(spark, sf_dir, "events"), "user_id", "event_type")
+
+
+_MODE_SQL = """
+WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY cnt DESC, event_type) AS rn
+      FROM c)
+SELECT user_id, event_type AS mode_event_type, cnt AS n FROM r WHERE rn = 1
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -568,5 +584,6 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef("agg_linear_fit", _agg_linear_fit, _LINEAR_FIT_SQL),
         QueryDef("affinity_part_pairs", _affinity_part_pairs, _AFFINITY_SQL),
+        QueryDef("agg_mode_argmax", _agg_mode_argmax, _MODE_SQL),
     ]
 }

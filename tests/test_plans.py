@@ -262,6 +262,15 @@ def test_curation_funnel_single_scan(spark, sf_dir):
     assert plan.count("documents.parquet") == 1, plan[:1200]
 
 
+def test_mode_argmax_is_aggregate_not_window(spark, sf_dir):
+    """The per-group mode must reduce through min-struct partial
+    aggregates — the rank-window form (which the DuckDB oracle runs)
+    would sort every count row inside each group's partition."""
+    plan = plan_of(QUERIES["agg_mode_argmax"].spark(spark, sf_dir), "simple")
+    assert "Window" not in plan, plan[:800]
+    assert "Join" not in plan, plan[:800]
+
+
 def test_linear_fit_is_partial_aggregate(spark, sf_dir):
     """The OLS moment aggregation must be a plain two-phase hash
     aggregate (map-side partial combine) — no window, no join, one
