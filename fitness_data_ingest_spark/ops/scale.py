@@ -81,6 +81,18 @@ def write_bucketed(
     warehouse-backed saveAsTable (bucket metadata lives in the catalog,
     not the files).
     """
+    spark = df.sparkSession
+    # idempotent across sessions: with the default in-memory catalog a
+    # new session forgets the table but its warehouse directory
+    # survives, and saveAsTable then fails with LOCATION_ALREADY_EXISTS
+    # — drop the catalog entry AND any orphaned location first
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = jvm.org.apache.hadoop.fs.Path(wh.rstrip("/") + "/" + table.lower())
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)

@@ -106,6 +106,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "agg_linear_fit",
     "affinity_part_pairs",
     "agg_mode_argmax",
+    "join_bucketed_colocated",
 )
 
 

@@ -553,6 +553,49 @@ SELECT user_id, event_type AS mode_event_type, cnt AS n FROM r WHERE rn = 1
 """
 
 
+def _join_bucketed_colocated(spark, sf_dir):
+    """Fact-fact join through same-key bucketed catalog tables: both
+    sides land bucketed by the order key (amortized once at write time
+    on a real pipeline), so the join itself plans with ZERO Exchange —
+    the plan gate for that shape is
+    tests/test_scale_ops.py::test_bucketed_join_has_no_exchange; this
+    registered query proves the co-located result matches the plain
+    join the oracle runs. Projections are pruned before the write so
+    the bucket files carry only the join/agg columns."""
+    SC.write_bucketed(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "fdis_orders_b",
+        "o_orderkey",
+        n_buckets=8,
+    )
+    SC.write_bucketed(
+        t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        "fdis_lineitem_b",
+        "l_orderkey",
+        n_buckets=8,
+    )
+    j = spark.table("fdis_lineitem_b").join(
+        spark.table("fdis_orders_b"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+    )
+
+
+_BUCKETED_SQL = f"""
+SELECT o_orderstatus, count(*) AS n_lines,
+       {sql_money_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -585,5 +628,8 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
         QueryDef("agg_linear_fit", _agg_linear_fit, _LINEAR_FIT_SQL),
         QueryDef("affinity_part_pairs", _affinity_part_pairs, _AFFINITY_SQL),
         QueryDef("agg_mode_argmax", _agg_mode_argmax, _MODE_SQL),
+        QueryDef(
+            "join_bucketed_colocated", _join_bucketed_colocated, _BUCKETED_SQL
+        ),
     ]
 }
