@@ -107,6 +107,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "affinity_part_pairs",
     "agg_mode_argmax",
     "join_bucketed_colocated",
+    "agg_string_concat",
 )
 
 

@@ -596,6 +596,29 @@ GROUP BY o_orderstatus
 """
 
 
+def _agg_string_concat(spark, sf_dir):
+    """Per-nation sorted supplier-name roster as one delimited string —
+    the listagg/string_agg surface. collect_list is order-nondeterministic
+    under parallelism, so the list is array_sort-ed before joining:
+    deterministic output for ANY partitioning. Group size is bounded by
+    |suppliers per nation|, so the per-group buffer is safe at scale
+    (unbounded-group rosters would need the pack-chunks shard pattern)."""
+    supp = t(spark, sf_dir, "supplier")
+    return supp.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.array_join(
+            F.array_sort(F.collect_list("s_name")), ","
+        ).alias("roster"),
+    )
+
+
+_STRING_CONCAT_SQL = """
+SELECT s_nationkey, count(*) AS n_supp,
+       string_agg(s_name, ',' ORDER BY s_name) AS roster
+FROM supplier GROUP BY s_nationkey
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -631,5 +654,6 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "join_bucketed_colocated", _join_bucketed_colocated, _BUCKETED_SQL
         ),
+        QueryDef("agg_string_concat", _agg_string_concat, _STRING_CONCAT_SQL),
     ]
 }
