@@ -79,6 +79,29 @@ def write_partitioned(
     writer.parquet(path)
 
 
+def write_range_clustered(
+    df: DataFrame, path: str, key_col: str, n_files: int = 8
+) -> None:
+    """Range-clustered parquet sink: rows are range-partitioned by the
+    key and sorted within each file, so every file's (and row group's)
+    parquet min/max statistics cover a narrow, disjoint key range.
+
+    This is the data-skipping layout (1-D Z-order): a point or range
+    predicate on the cluster key then prunes whole files/row groups at
+    scan time — pushdown becomes IO *elision*, not just decode savings.
+    At 100 TB, clustering the dominant filter key this way is the
+    difference between touching 1/1000th of the files and all of them.
+    Equal keys land in one partition (repartitionByRange), so file key
+    ranges never interleave.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def file_manifest(spark: SparkSession, path: str) -> DataFrame:
     """Build the catalog/manifest DataFrame for a storage prefix (S6).
 

@@ -235,3 +235,25 @@ def test_multitable_lsh_recall_dominates_single_table(spark, sf_dir):
     # table 0 of the multi-table config IS the single-table config, so
     # every single-table result pair remains a candidate
     assert len(multi) >= len(single)
+
+
+def test_range_clustered_files_have_disjoint_key_ranges(spark, sf_dir, tmp_path):
+    """write_range_clustered must produce files whose key ranges never
+    interleave — the precondition for parquet min/max stats to skip
+    whole files under a key predicate."""
+    from fitness_data_ingest_spark.io import write_range_clustered
+
+    events = t(spark, sf_dir, "events")
+    path = str(tmp_path / "clustered")
+    write_range_clustered(events, path, "user_id", n_files=4)
+    back = spark.read.parquet(path)
+    ranges = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    assert len(spans) > 1
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "file key ranges must not interleave"
+    assert back.count() == events.count()
