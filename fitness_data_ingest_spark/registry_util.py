@@ -69,13 +69,22 @@ def sql_money_avg(expr: str) -> str:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; pins runtime confs (UTC tz) first.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's type system
-    lacks ([PARQUET_TYPE_ILLEGAL]); it is read as epoch-nanos long
+    ``events.ts`` has shipped in two physical forms across fixture
+    generations: parquet TIMESTAMP(NANOS), which Spark's type system
+    lacks ([PARQUET_TYPE_ILLEGAL]) — read as epoch-nanos long
     (``spark.sql.legacy.parquet.nanosAsLong``) and converted with exact
-    integer division — truncation to µs, same as DuckDB's ns→µs cast.
+    integer division (truncation to µs, same as DuckDB's ns→µs cast) —
+    and plain TIMESTAMP(US) without UTC adjustment, which Spark reads
+    as TIMESTAMP_NTZ. Both normalize to session-tz (UTC) TimestampType
+    so every downstream operator (window/unix_micros/watermark) sees
+    one type, and oracle parity matches DuckDB's naive-UTC reading.
     """
     configure_runtime(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

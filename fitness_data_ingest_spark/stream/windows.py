@@ -122,18 +122,30 @@ def click_attribution(ev: DataFrame, horizon_min: int = 10) -> DataFrame:
 def read_events_stream(spark, events_dir: str) -> DataFrame:
     """File-source streaming read of the events fixture.
 
-    The fixture's ts is TIMESTAMP(NANOS) which Spark reads as long
-    (nanosAsLong) — converted by exact integer division, then
-    watermarked. At scale the source would be Kafka/queue; the
+    Handles both fixture generations: TIMESTAMP(NANOS) (read as long
+    via nanosAsLong, converted by exact integer division) and
+    TIMESTAMP(US) (read as TIMESTAMP_NTZ, cast to session-tz UTC
+    timestamp). The physical ts form is sniffed from a batch read of
+    the same path. At scale the source would be Kafka/queue; the
     transform chain is identical.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(events_dir)
+    ts_type = dict(spark.read.parquet(events_dir).dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .load(events_dir)
+        )
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType(), True)
+            for f in EVENTS_RAW_SCHEMA.fields
+        ]
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    raw = spark.readStream.schema(schema).format("parquet").load(events_dir)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_tumbling(ev_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
