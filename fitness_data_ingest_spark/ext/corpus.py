@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import text as TX
+from ..ops.scale import ranked_topk
 
 # Token budget for one packed training sequence (small so fixture docs
 # produce several chunks per source; production would use 2048/4096).
@@ -84,9 +85,7 @@ def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct("doc_id").alias("df"),
     )
-    top = agg.orderBy(F.desc("tf"), F.asc("term")).limit(k)
-    rank_w = Window.orderBy(F.desc("tf"), F.asc("term"))
-    return top.withColumn("rnk", F.row_number().over(rank_w))
+    return ranked_topk(agg, [("tf", "desc"), ("term", "asc")], k)
 
 
 def mixture_sample(docs: DataFrame) -> DataFrame:
@@ -330,9 +329,9 @@ def cooccurrence_topk(
     agg = pairs.groupBy("item_a", "item_b").agg(
         F.count(F.lit(1)).alias("n_groups")
     )
-    order = [F.desc("n_groups"), F.asc("item_a"), F.asc("item_b")]
-    top = agg.orderBy(*order).limit(k)
-    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+    return ranked_topk(
+        agg, [("n_groups", "desc"), ("item_a", "asc"), ("item_b", "asc")], k
+    )
 
 
 def source_composition(docs: DataFrame) -> DataFrame:

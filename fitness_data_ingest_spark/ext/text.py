@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..ops.scale import ranked_topk
+
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Order = tie-break priority.
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -186,9 +188,7 @@ def bigram_topk(docs: DataFrame, text_col: str = "text", k: int = 40) -> DataFra
         F.explode(word_2grams(tokens(F.col(text_col)))).alias("bigram")
     )
     agg = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("tf"))
-    top = agg.orderBy(F.desc("tf"), F.asc("bigram")).limit(k)
-    rank_w = Window.orderBy(F.desc("tf"), F.asc("bigram"))
-    return top.withColumn("rnk", F.row_number().over(rank_w))
+    return ranked_topk(agg, [("tf", "desc"), ("bigram", "asc")], k)
 
 
 def repetition_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

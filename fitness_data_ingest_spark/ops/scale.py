@@ -159,3 +159,58 @@ def exact_quantiles(
     return picked.select(
         group_col, F.explode(F.array(*per_q)).alias("s")
     ).select(group_col, "s.q", "s.quantile")
+
+
+def ranked_topk(
+    df: DataFrame,
+    order: Sequence[tuple[str, str]],
+    n: int,
+    rank_name: str = "rnk",
+    ties: bool = False,
+    n_rank_keys: int | None = None,
+) -> DataFrame:
+    """Global top-``n`` with an explicit rank column and NO ranking
+    window — not even over the bounded survivors.
+
+    ``orderBy().limit(n)`` compiles to a distributed
+    ``TakeOrderedAndProject`` (each task keeps its local top-n, the
+    driver merges — never a full single-partition sort, the round-1
+    anti-pattern). The rank is then derived from the <=n survivors with
+    an aggregate: collect the rows into one sort-encoded array,
+    ``array_sort``, ``posexplode`` — position+1 IS row_number, and
+    ``array_position`` of the first equal key vector IS the
+    tie-preserving rank(). A partition-less ``WindowExec`` (which logs
+    a single-partition warning and, if ever handed unbounded input,
+    becomes a scale cliff) never appears in the plan.
+
+    ``order`` is ``[(col, "asc"|"desc"), ...]``; ``desc`` columns must
+    be numeric non-null (encoded by negation so one ascending
+    ``array_sort`` honors the mixed directions). With ``ties``,
+    ``n_rank_keys`` limits the rank() key to the first k order columns
+    so trailing columns stay pure tiebreaks for WHICH n rows survive
+    (e.g. rank by revenue alone, break limit-ties by key). The
+    aggregate holds only the n survivors — driver/executor memory is
+    O(n), independent of |df|.
+    """
+    sort_cols = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order
+    ]
+    top = df.orderBy(*sort_cols).limit(n)
+    keys = [
+        ((-F.col(c)) if d == "desc" else F.col(c)).alias(f"_k{i}")
+        for i, (c, d) in enumerate(order)
+    ]
+    payload = F.struct(*[F.col(c) for c in df.columns]).alias("_row")
+    xs = top.agg(F.array_sort(F.collect_list(F.struct(*keys, payload))).alias("_xs"))
+    exploded = xs.select("_xs", F.posexplode("_xs").alias("_pos", "_s"))
+    if ties:
+        nk = len(order) if n_rank_keys is None else n_rank_keys
+        key_of = lambda x: F.struct(  # noqa: E731
+            *[x[f"_k{i}"].alias(f"_k{i}") for i in range(nk)]
+        )
+        rank = F.array_position(
+            F.transform(F.col("_xs"), key_of), key_of(F.col("_s"))
+        ).cast("int")
+    else:
+        rank = (F.col("_pos") + 1).cast("int")
+    return exploded.select(rank.alias(rank_name), "_s._row.*")

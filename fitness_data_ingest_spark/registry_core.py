@@ -22,6 +22,7 @@ from .io import scan_with_lineage, write_partitioned
 from .ops import relational as R
 from .ops import reshape as RS
 from .ops import scalar as SC
+from .ops.scale import ranked_topk
 from .registry_util import (
     QueryDef,
     cents,
@@ -962,9 +963,10 @@ def _tpch_q3(spark, sf_dir):
     broadcasts it at bench scale from runtime stats. Only the
     segment-filtered customer keys (1/5 of a dim) carry a broadcast hint.
     The final top-10 is limit-then-rank (the q2 pattern): a distributed
-    TakeOrderedAndProject keeps 10 survivors per partition, and only
-    those <=10 rows see the single-partition ranking window — the
-    per-orderkey aggregate is fact-grain, so ranking it directly would
+    TakeOrderedAndProject keeps 10 survivors per partition, and the
+    output rank is derived window-free from those <=10 rows
+    (``ranked_topk``: array_sort + posexplode) — the per-orderkey
+    aggregate is fact-grain, so ranking it directly would
     single-partition-sort billions of rows at SF1000. The order is total
     (l_orderkey is unique in the aggregate), so limit+re-rank is
     equivalent to rank-then-filter.
@@ -986,12 +988,8 @@ def _tpch_q3(spark, sf_dir):
     agg = j.groupBy("l_orderkey", "o_orderpriority").agg(
         F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_c")
     )
-    from pyspark.sql import Window
-
-    out_order = [F.col("rev_c").desc(), F.col("l_orderkey").asc()]
-    top = agg.orderBy(*out_order).limit(10)
     return (
-        top.withColumn("rnk", F.row_number().over(Window.orderBy(*out_order)))
+        ranked_topk(agg, [("rev_c", "desc"), ("l_orderkey", "asc")], 10)
         .select(
             "l_orderkey", "o_orderpriority", (F.col("rev_c") / 100.0).alias("revenue"), "rnk"
         )
@@ -1181,9 +1179,10 @@ def _tpch_q10(spark, sf_dir):
     filtered on returnflag FIRST (cuts the fact ~3×), orders carries the
     quarter filter; nation broadcasts. The top-20 is limit-then-rank
     (the q2 pattern): a distributed TakeOrderedAndProject keeps 20
-    survivors per partition; only those <=20 rows see the ranking
-    window — the per-customer aggregate is |customers|-grain, far too
-    big for a single-partition sort at SF1000. The order is total
+    survivors per partition; the output rank derives window-free from
+    those <=20 rows (``ranked_topk``) — the per-customer aggregate is
+    |customers|-grain, far too big for a single-partition sort at
+    SF1000. The order is total
     (c_custkey unique in the aggregate), so limit+re-rank is
     equivalent to rank-then-filter."""
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
@@ -1203,12 +1202,8 @@ def _tpch_q10(spark, sf_dir):
     agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
         F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_c")
     )
-    from pyspark.sql import Window
-
-    out_order = [F.col("rev_c").desc(), F.col("c_custkey").asc()]
-    top = agg.orderBy(*out_order).limit(20)
     return (
-        top.withColumn("rnk", F.row_number().over(Window.orderBy(*out_order)))
+        ranked_topk(agg, [("rev_c", "desc"), ("c_custkey", "asc")], 20)
         .select(
             "c_custkey", "c_name", "n_name",
             (F.col("rev_c") / 100.0).alias("revenue"), "rnk",

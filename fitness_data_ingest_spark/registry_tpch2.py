@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .ops.scale import ranked_topk
 from .registry_util import (
     QueryDef,
     cents,
@@ -69,21 +70,19 @@ def _tpch_q2(spark, sf_dir):
         F.col("min_unit").asc(), F.col("s_suppkey").asc()
     )
     best = ranked.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    # Distributed top-k (TakeOrderedAndProject) BEFORE the global ranking
-    # window: the single-partition sort then sees <=100 rows, not |parts|.
-    # The order is total (one row per p_partkey), so limit+re-rank is
-    # equivalent to rank-then-filter.
-    out_order = [
-        F.col("s_acctbal").desc(), F.col("n_name").asc(), F.col("s_name").asc(),
-        F.col("p_partkey").asc(),
-    ]
-    top = best.orderBy(*out_order).limit(100)
-    return (
-        top.withColumn("rnk", F.row_number().over(Window.orderBy(*out_order)))
-        .select(
-            "rnk", "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
-            (F.floor(F.col("min_unit") * 1000000 + 0.5) / 1000000.0).alias("unit_cost6"),
-        )
+    # Distributed top-k (TakeOrderedAndProject) bounds the set to <=100
+    # rows; the output rank is then derived window-free from the bounded
+    # survivors (ranked_topk: array_sort + posexplode — no partition-less
+    # WindowExec anywhere in the plan). The order is total (one row per
+    # p_partkey), so limit+re-rank is equivalent to rank-then-filter.
+    return ranked_topk(
+        best,
+        [("s_acctbal", "desc"), ("n_name", "asc"), ("s_name", "asc"),
+         ("p_partkey", "asc")],
+        100,
+    ).select(
+        "rnk", "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+        (F.floor(F.col("min_unit") * 1000000 + 0.5) / 1000000.0).alias("unit_cost6"),
     )
 
 
@@ -303,11 +302,12 @@ def _tpch_q15(spark, sf_dir):
     never fires; verified empirically at sf0.01). The "equals the
     scalar max" step is limit-then-rank: a distributed
     TakeOrderedAndProject keeps the top-100 revenue rows (each
-    partition retains <=100), and the tie-preserving ``rank() = 1``
-    window then sees <=100 rows instead of |suppliers|. Ties past 100
-    suppliers at the exact same cents-sum would be dropped — with
-    exact-integer revenue that needs 100+ identical bigint sums, so
-    the bound is documented, not load-bearing.
+    partition retains <=100), and the tie-preserving rank()==1 is
+    derived window-free from those <=100 survivors (``ranked_topk``
+    ties mode, ranking on rev_c alone). Ties past 100 suppliers at
+    the exact same cents-sum would be dropped — with exact-integer
+    revenue that needs 100+ identical bigint sums, so the bound is
+    documented, not load-bearing.
     """
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -319,10 +319,11 @@ def _tpch_q15(spark, sf_dir):
         )
     )
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    topk = rev.orderBy(F.col("rev_c").desc(), F.col("l_suppkey").asc()).limit(100)
-    w = Window.orderBy(F.col("rev_c").desc())
     return (
-        topk.withColumn("rk", F.rank().over(w))
+        ranked_topk(
+            rev, [("rev_c", "desc"), ("l_suppkey", "asc")], 100,
+            rank_name="rk", ties=True, n_rank_keys=1,
+        )
         .filter(F.col("rk") == 1)
         .drop("rk")
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)

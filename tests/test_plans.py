@@ -244,14 +244,10 @@ def test_pipeline_no_cartesian_or_nested_loop(spark, sf_dir):
 
 def test_bigram_topk_is_limit_then_rank(spark, sf_dir):
     """The corpus bigram top-k must bound with TakeOrderedAndProject
-    before its <=k-row rank window (same invariant as vocab_topk)."""
+    and derive its rank window-free (same invariant as vocab_topk)."""
     plan = plan_of(QUERIES["text_bigram_topk"].spark(spark, sf_dir), "simple")
     assert "TakeOrderedAndProject" in plan, plan[:800]
-    lines = plan.splitlines()
-    window_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
-    take_idx = [i for i, ln in enumerate(lines) if "TakeOrderedAndProject" in ln]
-    for wi in window_idx:
-        assert wi < min(take_idx), f"Window below the limit\n{plan[:800]}"
+    assert "Window" not in plan, f"unexpected Window\n{plan[:800]}"
 
 
 def test_curation_funnel_single_scan(spark, sf_dir):
@@ -283,35 +279,25 @@ def test_linear_fit_is_partial_aggregate(spark, sf_dir):
 
 def test_vocab_topk_is_limit_then_rank(spark, sf_dir):
     """Global vocabulary top-k must bound with a distributed
-    TakeOrderedAndProject before the <=k-row rank window (same invariant
-    as q3/q10)."""
+    TakeOrderedAndProject and derive its rank window-free (same
+    invariant as q3/q10)."""
     plan = plan_of(QUERIES["corpus_vocab_topk"].spark(spark, sf_dir), "simple")
     assert "TakeOrderedAndProject" in plan, plan[:800]
-    lines = plan.splitlines()
-    window_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
-    take_idx = [i for i, ln in enumerate(lines) if "TakeOrderedAndProject" in ln]
-    for wi in window_idx:
-        assert wi < min(take_idx), f"Window below the limit\n{plan[:800]}"
+    assert "Window" not in plan, f"unexpected Window\n{plan[:800]}"
 
 
 def test_topk_is_limit_then_rank_not_global_window(spark, sf_dir):
     """q3/q10/q15/topk_latest rank unbounded-cardinality input (per-order /
     per-customer / per-supplier aggregates, raw events). The plan must
-    bound the set with a distributed TakeOrderedAndProject BEFORE any
-    partition-less ranking window — the window may only ever see the <=N
-    limit survivors. A Sort feeding the Window directly (the round-1
+    bound the set with a distributed TakeOrderedAndProject, and since the
+    output rank now derives from the <=N survivors via ``ranked_topk``
+    (array_sort + posexplode), NO WindowExec — partitioned or global —
+    may appear anywhere. A Sort feeding a Window directly (the round-1
     shape) would single-partition-sort the full input at SF1000."""
     for name in ["tpch_q3_top10", "tpch_q10_returns", "tpch_q15_topsupp", "topk_latest"]:
         plan = plan_of(QUERIES[name].spark(spark, sf_dir), "simple")
         assert "TakeOrderedAndProject" in plan, f"{name}:\n{plan[:800]}"
-        lines = plan.splitlines()
-        window_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
-        take_idx = [i for i, ln in enumerate(lines) if "TakeOrderedAndProject" in ln]
-        # explain prints parents first: a Window consuming the limit's
-        # output must appear ABOVE TakeOrderedAndProject, never below it
-        # (below = windowing the pre-limit input).
-        for wi in window_idx:
-            assert wi < min(take_idx), f"{name}: Window below the limit\n{plan[:800]}"
+        assert "Window" not in plan, f"{name}: unexpected Window\n{plan[:800]}"
 
 
 def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):

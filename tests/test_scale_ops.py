@@ -257,3 +257,36 @@ def test_range_clustered_files_have_disjoint_key_ranges(spark, sf_dir, tmp_path)
     for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 <= lo2, "file key ranges must not interleave"
     assert back.count() == events.count()
+
+
+def test_ranked_topk_matches_window_semantics(spark):
+    """ranked_topk must reproduce row_number()/rank() exactly — same
+    rows, same ranks — while planning zero WindowExec nodes."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 5, f"s{i % 3}") for i in range(60)],
+        "id long, score long, name string",
+    )
+    got = SK.ranked_topk(df, [("score", "desc"), ("id", "asc")], 7)
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    exp = (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 7")
+        .select("rnk", "id", "score", "name")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    plan = got._jdf.queryExecution().sparkPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+    # ties mode on a key prefix: rank() by score only, survivors still
+    # deterministically chosen by the id tiebreak
+    got_t = SK.ranked_topk(
+        df, [("score", "desc"), ("id", "asc")], 60,
+        rank_name="rk", ties=True, n_rank_keys=1,
+    )
+    exp_t = df.withColumn("rk", F.rank().over(Window.orderBy(F.col("score").desc())))
+    assert sorted((r.id, r.rk) for r in got_t.collect()) == sorted(
+        (r.id, r.rk) for r in exp_t.collect()
+    )
