@@ -69,11 +69,16 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     Zero-norm vectors are dropped: cos against them is 0/0 = NaN, and
     Spark sorts NaN as the GREATEST double, so one degenerate vector
     would rank first in every desc-ordered top-k. The oracle SQL mirrors
-    the same ``nrm > 0`` guard."""
+    the same ``nrm > 0`` guard. The guard here is ``exists(x != 0)``
+    rather than ``nrm > 0`` so the O(d) dot product runs ONCE per row
+    (a filter on the derived ``nrm`` column gets substituted by the
+    optimizer and re-evaluates the whole fold); for finite inputs the
+    two predicates are identical, and exists short-circuits on the
+    first nonzero element."""
     return (
         df.withColumn("vec", as_double(F.col(vec_col)))
+        .filter(F.exists(F.col(vec_col), lambda x: x != 0))
         .withColumn("nrm", norm(F.col("vec")))
-        .filter(F.col("nrm") > 0)
     )
 
 
