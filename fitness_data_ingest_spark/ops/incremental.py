@@ -1,0 +1,90 @@
+"""Incremental aggregate maintenance: merge a materialized aggregate
+state with a delta-only aggregate instead of rescanning history.
+
+The 100 TB shape this models: a nightly pipeline holds a materialized
+per-key aggregate over years of facts (the *base state*). New data
+arrives as a small delta partition. Recomputing the aggregate from
+scratch rescans the full history — O(|history|) every night; merging
+aggregate STATES costs O(|base keys| + |delta|): aggregate the delta
+alone, then combine per key with the algebraic merge of each measure
+(sum+sum, count+count, min/min, max/max). Averages and other derived
+measures are never stored — they re-derive from (sum, count) at read
+time, which is exactly why the state carries sums and counts instead.
+
+This is the same partial/final aggregate split Spark itself performs
+inside one job (partial_sum map-side, final merge after the exchange),
+lifted across pipeline RUNS: the base state is last night's "partial".
+
+Merge correctness is the algebraic-aggregate property
+``agg(A ∪ B) == merge(agg(A), agg(B))`` — the registered query's
+DuckDB oracle aggregates the union directly, so the driver hash-checks
+that property end-to-end.
+
+At scale:
+- the merge is a full-outer equi-join on the state key — one shuffle
+  of two *aggregated* (key-grain, not fact-grain) inputs; with the
+  base state bucketed by key on disk (``write_bucketed``) even that
+  shuffle disappears on the base side;
+- the delta aggregate partial-aggregates map-side like any groupBy;
+- no measure requires re-reading base facts: every kept measure is
+  algebraic (sum/count/min/max); non-algebraic measures (exact
+  distinct) must keep their own state (e.g. a key set / sketch) and
+  are deliberately excluded here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (merge function, fill value for keys absent from one side) per measure
+# kind. Sums/counts merge by +; min/max merge by least/greatest with
+# null-safe semantics (F.least/F.greatest ignore nulls).
+_MERGES = {
+    "sum": lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+    "count": lambda a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+    "min": F.least,
+    "max": F.greatest,
+}
+
+
+def merge_agg_states(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    measures: dict[str, str],
+) -> DataFrame:
+    """Combine two aggregate states keyed by ``keys``.
+
+    ``measures`` maps column name -> kind ('sum' | 'count' | 'min' |
+    'max'). Both inputs must carry exactly keys + measure columns. Keys
+    present in only one state pass through with the other side's
+    measures treated as the merge identity (0 for sum/count, identity
+    for min/max via null-ignoring least/greatest).
+    """
+    unknown = {k for k in measures.values()} - set(_MERGES)
+    if unknown:
+        raise ValueError(f"unknown measure kinds: {sorted(unknown)}")
+    b = base.select(
+        *[F.col(k).alias(f"_bk_{k}") for k in keys],
+        *[F.col(m).alias(f"_b_{m}") for m in measures],
+    )
+    d = delta.select(
+        *[F.col(k).alias(f"_dk_{k}") for k in keys],
+        *[F.col(m).alias(f"_d_{m}") for m in measures],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"_bk_{k}") == F.col(f"_dk_{k}")
+        cond = c if cond is None else cond & c
+    j = b.join(d, cond, "full_outer")
+    out_keys = [
+        F.coalesce(F.col(f"_bk_{k}"), F.col(f"_dk_{k}")).alias(k) for k in keys
+    ]
+    out_measures = [
+        _MERGES[kind](F.col(f"_b_{m}"), F.col(f"_d_{m}")).alias(m)
+        for m, kind in measures.items()
+    ]
+    return j.select(*out_keys, *out_measures)

@@ -108,6 +108,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "agg_mode_argmax",
     "join_bucketed_colocated",
     "agg_string_concat",
+    "agg_incremental_merge",
 )
 
 

@@ -619,6 +619,70 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+def _agg_incremental_merge(spark, sf_dir):
+    """Incremental aggregate maintenance: last run's materialized
+    per-customer state (orders before 1997) merged with the new delta
+    partition (1997+) via algebraic state merge (ops/incremental.py) —
+    O(|state|+|delta|), never a rescan of history. The oracle
+    aggregates the union directly, so the driver hash-checks
+    agg(A∪B) == merge(agg(A), agg(B)) end-to-end. Derived measures
+    (the 2-decimal average) re-derive from (sum, count) at read time —
+    exactly why the state stores sums and counts, not averages."""
+    from .ops.incremental import merge_agg_states
+    from .registry_util import cents
+
+    orders = t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+
+    def state(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("total_c"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    merged = merge_agg_states(
+        state(orders.filter(F.col("o_orderdate") < cut)),
+        state(orders.filter(F.col("o_orderdate") >= cut)),
+        keys=["o_custkey"],
+        measures={
+            "n_orders": "count",
+            "total_c": "sum",
+            "first_order": "min",
+            "last_order": "max",
+        },
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        (F.col("total_c") / 100.0).alias("total_price"),
+        "first_order",
+        "last_order",
+        (
+            F.floor(
+                F.col("total_c").cast("double") / F.col("n_orders") / 100.0 * 100
+                + 0.5
+            )
+            / 100.0
+        ).alias("avg_price2"),
+    )
+
+
+_INCR_MERGE_SQL = """
+SELECT o_custkey,
+       count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+         AS total_price,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order,
+       floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) / 100.0 * 100 + 0.5) / 100.0 AS avg_price2
+FROM orders
+GROUP BY o_custkey
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -655,5 +719,8 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
             "join_bucketed_colocated", _join_bucketed_colocated, _BUCKETED_SQL
         ),
         QueryDef("agg_string_concat", _agg_string_concat, _STRING_CONCAT_SQL),
+        QueryDef(
+            "agg_incremental_merge", _agg_incremental_merge, _INCR_MERGE_SQL
+        ),
     ]
 }

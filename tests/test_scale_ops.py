@@ -290,3 +290,47 @@ def test_ranked_topk_matches_window_semantics(spark):
     assert sorted((r.id, r.rk) for r in got_t.collect()) == sorted(
         (r.id, r.rk) for r in exp_t.collect()
     )
+
+
+def test_merge_agg_states_equals_direct_aggregate(spark, sf_dir):
+    """The algebraic-merge property agg(A ∪ B) == merge(agg(A), agg(B))
+    must hold for every split point, including keys present on only one
+    side of the split."""
+    from fitness_data_ingest_spark.ops.incremental import merge_agg_states
+    from fitness_data_ingest_spark.registry_util import cents
+
+    orders = t(spark, sf_dir, "orders")
+
+    def state(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("o_totalprice"))).alias("tot_c"),
+            F.min("o_orderdate").alias("lo"),
+            F.max("o_orderdate").alias("hi"),
+        )
+
+    measures = {"n": "count", "tot_c": "sum", "lo": "min", "hi": "max"}
+    # key-disjoint split: even keys only in base, odd only in delta —
+    # exercises the full-outer passthrough with merge identities
+    for base_pred, delta_pred in [
+        (F.col("o_orderkey") % 3 == 0, F.col("o_orderkey") % 3 != 0),
+        (F.col("o_custkey") % 2 == 0, F.col("o_custkey") % 2 == 1),
+    ]:
+        merged = merge_agg_states(
+            state(orders.filter(base_pred)),
+            state(orders.filter(delta_pred)),
+            keys=["o_custkey"],
+            measures=measures,
+        )
+        direct = state(orders)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+
+def test_merge_agg_states_rejects_unknown_kind(spark, sf_dir):
+    from fitness_data_ingest_spark.ops.incremental import merge_agg_states
+
+    orders = t(spark, sf_dir, "orders").groupBy("o_custkey").count()
+    with pytest.raises(ValueError, match="unknown measure kinds"):
+        merge_agg_states(orders, orders, ["o_custkey"], {"count": "avg"})
