@@ -24,7 +24,7 @@ from __future__ import annotations
 import datetime
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -146,3 +146,37 @@ def scan_with_lineage(df: DataFrame) -> DataFrame:
     ``input_file_name()`` is evaluated inside the scan — no extra pass.
     """
     return df.withColumn("file_name", F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1))
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    group_col: str,
+    order_col: str,
+    weight_col: str,
+    target: int,
+) -> DataFrame:
+    """Small-file compaction planner: assign each input unit (file /
+    partition) to an output bin so every bin holds ~``target`` weight
+    (rows or bytes), without merging across ``group_col`` boundaries
+    (partition directories cannot be compacted together).
+
+    The assignment is the deterministic greedy scan used by table
+    compactors (Iceberg/Delta binpack-sort flavor): within each group,
+    units in ``order_col`` order accumulate; unit i lands in bin
+    ``floor(cum_before_i / target)``. A unit heavier than ``target``
+    fills bins on its own. One keyed window per group — the planner is
+    metadata-grain (|files|, not |rows|), and grouping by partition
+    directory keeps every window partition small at any table size.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(weight_col)).over(w)
+    return manifest.select(
+        group_col,
+        order_col,
+        weight_col,
+        F.floor((cum - F.col(weight_col)) / F.lit(target)).cast("int").alias("bin"),
+    )

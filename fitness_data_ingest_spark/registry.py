@@ -109,6 +109,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "join_bucketed_colocated",
     "agg_string_concat",
     "agg_incremental_merge",
+    "files_compaction_plan",
 )
 
 

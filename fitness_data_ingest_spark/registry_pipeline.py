@@ -683,6 +683,51 @@ GROUP BY o_custkey
 """
 
 
+def _files_compaction_plan(spark, sf_dir):
+    """Small-file compaction plan over a REAL partitioned sink: events
+    are written Hive-partitioned by day (the reference's
+    one-file-per-date convention, fitbit_utils.py:227-228 — the layout
+    that breeds small files), the written files are manifest-scanned
+    back (input_file_name row counts), and ``io.compaction_plan``
+    greedily bins days to ~2000 rows per output file within each month
+    (partition dirs never merge across months). The oracle derives the
+    identical plan relationally — per-day row counts are invariant to
+    the physical write — so the driver hash-checks planner math
+    end-to-end. Metadata-grain: the planner windows over |files|, keyed
+    by month."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from .io import compaction_plan, write_partitioned
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out_dir = _os.path.join(
+        _tempfile.gettempdir(), f"fdis_compact_plan_{_os.getpid()}"
+    )
+    write_partitioned(ev, out_dir, partition_by=["day"])
+    back = spark.read.parquet(out_dir)
+    per_file = back.groupBy("day").agg(F.count(F.lit(1)).alias("n_rows"))
+    manifest = per_file.withColumn("month", F.substring("day", 1, 7))
+    return compaction_plan(
+        manifest, group_col="month", order_col="day",
+        weight_col="n_rows", target=2000,
+    )
+
+
+_COMPACTION_SQL = """
+WITH per AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows
+             FROM events GROUP BY 1),
+m AS (SELECT substr(day, 1, 7) AS month, day, n_rows FROM per)
+SELECT month, day, n_rows,
+       CAST(floor(CAST(sum(n_rows) OVER (PARTITION BY month ORDER BY day
+                                         ROWS UNBOUNDED PRECEDING) - n_rows
+                       AS DOUBLE) / 2000) AS INT) AS bin
+FROM m
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -721,6 +766,9 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
         QueryDef("agg_string_concat", _agg_string_concat, _STRING_CONCAT_SQL),
         QueryDef(
             "agg_incremental_merge", _agg_incremental_merge, _INCR_MERGE_SQL
+        ),
+        QueryDef(
+            "files_compaction_plan", _files_compaction_plan, _COMPACTION_SQL
         ),
     ]
 }

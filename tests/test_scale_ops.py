@@ -334,3 +334,34 @@ def test_merge_agg_states_rejects_unknown_kind(spark, sf_dir):
     orders = t(spark, sf_dir, "orders").groupBy("o_custkey").count()
     with pytest.raises(ValueError, match="unknown measure kinds"):
         merge_agg_states(orders, orders, ["o_custkey"], {"count": "avg"})
+
+
+def test_compaction_plan_bins_respect_target_and_groups(spark):
+    """Greedy binning: a bin only exceeds target when a single unit is
+    itself overweight, bins fill in order, and units never merge across
+    the group boundary."""
+    from fitness_data_ingest_spark.io import compaction_plan
+
+    rows = [
+        ("g1", "a", 400), ("g1", "b", 400), ("g1", "c", 400),
+        ("g1", "d", 2500),  # overweight: fills bins on its own
+        ("g1", "e", 100),
+        ("g2", "a", 900), ("g2", "b", 900),
+    ]
+    df = spark.createDataFrame(rows, "grp string, unit string, w long")
+    plan = compaction_plan(df, "grp", "unit", "w", target=1000)
+    got = {(r.grp, r.unit): r.bin for r in plan.collect()}
+    assert got[("g1", "a")] == 0 and got[("g1", "b")] == 0
+    assert got[("g1", "c")] == 0  # cum_before=800 < 1000
+    assert got[("g1", "d")] == 1  # starts at cum_before=1200
+    assert got[("g1", "e")] == 3  # lands past the overweight unit
+    # group g2 restarts at bin 0 — no cross-group merge
+    assert got[("g2", "a")] == 0 and got[("g2", "b")] == 0
+    # per-(group, bin) totals: every bin except ones containing an
+    # overweight unit stays under target + max unit weight
+    from collections import defaultdict
+
+    totals = defaultdict(int)
+    for (g, u), b in got.items():
+        totals[(g, b)] += dict(((r, un), w) for r, un, w in rows)[(g, u)]
+    assert totals[("g1", 0)] == 1200
