@@ -180,3 +180,47 @@ def compaction_plan(
         weight_col,
         F.floor((cum - F.col(weight_col)) / F.lit(target)).cast("int").alias("bin"),
     )
+
+
+def zorder_key(x: F.Column, y: F.Column, bits: int = 16) -> F.Column:
+    """Morton (Z-order) key: bit-interleave the low ``bits`` bits of two
+    non-negative integer dimensions — bit i of x lands at position 2i,
+    bit i of y at 2i+1. Points close in BOTH dimensions get close
+    z-values, so sorting by z clusters 2-D neighborhoods; a filter on
+    EITHER dimension then prunes most files via parquet min/max stats
+    (a 1-D sort clusters only its own key and shuffles the other
+    dimension everywhere).
+
+    Pure bit arithmetic (shifts/and/or) — codegen'd, oracle-expressible
+    with the same operators in ANSI SQL. Dimensions wider than ``bits``
+    bits alias modulo 2^bits; real deployments first quantile-map each
+    dimension into 2^bits ranks (see ``exact_quantiles``), which is a
+    separate, stats-gathering pass.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def write_zorder_clustered(
+    df: DataFrame, path: str, x_col: str, y_col: str, n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """2-D data-skipping layout: range-partition + sort by the Morton
+    key of (x, y), so each parquet file covers a compact rectangle of
+    the key space and min/max stats prune on predicates over either
+    column. The z column is dropped before writing — it is a physical
+    layout device, not data."""
+    z = zorder_key(F.col(x_col), F.col(y_col), bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -110,6 +110,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "agg_string_concat",
     "agg_incremental_merge",
     "files_compaction_plan",
+    "zorder_locality",
 )
 
 

@@ -728,6 +728,50 @@ FROM m
 """
 
 
+def _zorder_locality(spark, sf_dir):
+    """Z-order (Morton) clustering audit: per z-cell bounding boxes
+    over (l_partkey, l_suppkey). The z-key bit-interleaves the two
+    dimensions (io.zorder_key), so sorting by it gives every cell a
+    compact rectangle in BOTH dimensions — the layout
+    ``write_zorder_clustered`` materializes for 2-D data skipping. The
+    oracle rebuilds the identical interleave with ANSI bit operators,
+    hash-checking the layout math end-to-end. Pure codegen'd bit
+    arithmetic; one shuffled aggregate on the cell id."""
+    from .io import zorder_key
+
+    li = t(spark, sf_dir, "lineitem")
+    z = zorder_key(F.col("l_partkey"), F.col("l_suppkey"), bits=8)
+    return (
+        li.withColumn("zcell", F.shiftright(z, 6))
+        .groupBy("zcell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("part_lo"),
+            F.max("l_partkey").alias("part_hi"),
+            F.min("l_suppkey").alias("supp_lo"),
+            F.max("l_suppkey").alias("supp_hi"),
+        )
+    )
+
+
+# the oracle's interleave is generated with the same bit positions as
+# io.zorder_key (bit i of x -> 2i, bit i of y -> 2i+1); disjoint bit
+# targets make sum equivalent to bitwise-or
+_Z_TERMS = " + ".join(
+    f"(((l_partkey >> {i}) & 1) << {2 * i}) + "
+    f"(((l_suppkey >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+_ZORDER_SQL = f"""
+SELECT ({_Z_TERMS}) >> 6 AS zcell,
+       count(*) AS n_rows,
+       min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
+       min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
+FROM lineitem
+GROUP BY 1
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -770,5 +814,6 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "files_compaction_plan", _files_compaction_plan, _COMPACTION_SQL
         ),
+        QueryDef("zorder_locality", _zorder_locality, _ZORDER_SQL),
     ]
 }

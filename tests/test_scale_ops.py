@@ -365,3 +365,39 @@ def test_compaction_plan_bins_respect_target_and_groups(spark):
     for (g, u), b in got.items():
         totals[(g, b)] += dict(((r, un), w) for r, un, w in rows)[(g, u)]
     assert totals[("g1", 0)] == 1200
+
+
+def test_zorder_files_bound_both_dimensions(spark, tmp_path):
+    """write_zorder_clustered must give every file a compact bounding
+    box in BOTH dimensions: vs a 1-D range-cluster on x, the per-file
+    y span must shrink while the x span stays bounded. Uses a uniform
+    256x256 grid — the fixtures' l_suppkey domain (10 values) is too
+    small to separate, which is itself the documented precondition
+    (comparable-cardinality dimensions) for z-ordering to pay off."""
+    from fitness_data_ingest_spark.io import (
+        write_range_clustered,
+        write_zorder_clustered,
+    )
+
+    pts = spark.range(20000).select(
+        (F.col("id") % 256).alias("x"),
+        ((F.col("id") * 2654435761) % 256).alias("y"),
+    )
+    zdir, rdir = str(tmp_path / "zorder"), str(tmp_path / "range1d")
+    write_zorder_clustered(pts, zdir, "x", "y", n_files=16, bits=8)
+    write_range_clustered(pts, rdir, "x", n_files=16)
+
+    def spans(path, col):
+        back = spark.read.parquet(path)
+        rows = (
+            back.groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .collect()
+        )
+        return sum(r.span for r in rows) / len(rows)
+
+    # the 1-D layout leaves y unclustered (~full domain per file);
+    # z-order must cut the per-file y span well below it
+    assert spans(zdir, "y") < spans(rdir, "y") * 0.75
+    # and x stays clustered too — never the full domain in every file
+    assert spans(zdir, "x") < 255 * 0.75
