@@ -83,6 +83,9 @@ HEADLINE = [
     "join_salted_skew",
     "corpus_curation_funnel",
     "affinity_part_pairs",
+    "agg_incremental_merge",
+    "files_compaction_plan",
+    "zorder_locality",
 ]
 
 
