@@ -168,3 +168,84 @@ def test_fuzzy_pairs_finds_planted_near_name(spark):
     )
     pairs = fuzzy_name_pairs(df, "k", "nm").collect()
     assert [(p["key_a"], p["key_b"], p["lev"]) for p in pairs] == [(1, 2, 1)]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    split=st.integers(min_value=-50, max_value=50),
+)
+@PROP_SETTINGS
+def test_merge_agg_states_split_invariance(spark, rows, split):
+    """agg(A ∪ B) == merge(agg(A), agg(B)) for ANY split point — the
+    algebraic property incremental maintenance rests on."""
+    from fitness_data_ingest_spark.ops.incremental import merge_agg_states
+
+    df = spark.createDataFrame([(k, int(v)) for k, v in rows], "k long, v long")
+
+    def state(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+
+    merged = merge_agg_states(
+        state(df.filter(F.col("v") < split)),
+        state(df.filter(F.col("v") >= split)),
+        keys=["k"],
+        measures={"n": "count", "s": "sum", "lo": "min", "hi": "max"},
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, state(df).collect())
+    )
+
+
+@given(
+    n=st.integers(min_value=1, max_value=25),
+    k=st.integers(min_value=1, max_value=10),
+)
+@PROP_SETTINGS
+def test_ranked_topk_matches_sorted_prefix(spark, n, k):
+    """ranked_topk == the first k rows of the total order, ranks 1..k
+    contiguous, for any input size (including k > |df|)."""
+    rows = [(int(i), int((i * 13) % 7)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = SK.ranked_topk(df, [("v", "desc"), ("id", "asc")], k).collect()
+    expected = sorted(rows, key=lambda r: (-r[1], r[0]))[:k]
+    assert sorted((r.rnk, r.id, r.v) for r in got) == [
+        (i + 1, rid, rv) for i, (rid, rv) in enumerate(expected)
+    ]
+
+
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=25),
+    target=st.integers(min_value=1, max_value=600),
+)
+@PROP_SETTINGS
+def test_compaction_plan_weight_conservation_and_monotone_bins(
+    spark, weights, target
+):
+    """Bins are contiguous and monotone in scan order, every unit is
+    assigned exactly once, and a new bin only opens once the running
+    weight crosses a target boundary."""
+    from fitness_data_ingest_spark.io import compaction_plan
+
+    rows = [("g", f"u{idx:03d}", int(w)) for idx, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "grp string, unit string, w long")
+    got = {
+        r.unit: r.bin
+        for r in compaction_plan(df, "grp", "unit", "w", target=target).collect()
+    }
+    assert len(got) == len(rows)
+    cum = 0
+    for idx, w in enumerate(weights):
+        assert got[f"u{idx:03d}"] == cum // target
+        cum += w
