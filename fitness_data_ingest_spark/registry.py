@@ -111,6 +111,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "agg_incremental_merge",
     "files_compaction_plan",
     "zorder_locality",
+    "feature_quantile_bin",
 )
 
 

@@ -772,6 +772,64 @@ GROUP BY 1
 """
 
 
+def _feature_quantile_bin(spark, sf_dir):
+    """Equi-depth feature binning (the discretization step of a
+    large-scale feature pipeline): per-group quartile thresholds from
+    the scale-safe sort+rank selection (`ops/scale.exact_quantiles` —
+    constant memory per task, identical values to quantile_cont), then
+    the thresholds broadcast back over the fact scan and every row maps
+    to its bin with a codegen'd CASE — one stats pass + one binning
+    pass, no per-group buffering anywhere. Output: per-(group, bin)
+    volume and exact money sum. At 100 TB the stats pass is the
+    standard candidate for sampling/sketching; the binning pass shape
+    is unchanged."""
+    from .ops.scale import exact_quantiles
+    from .registry_util import money_sum
+
+    li = t(spark, sf_dir, "lineitem")
+    qres = exact_quantiles(li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75])
+    thr = (
+        qres.groupBy("l_returnflag")
+        .pivot("q", [0.25, 0.5, 0.75])
+        .agg(F.first("quantile"))
+        .withColumnRenamed("0.25", "t25")
+        .withColumnRenamed("0.5", "t50")
+        .withColumnRenamed("0.75", "t75")
+    )
+    x = F.col("l_extendedprice")
+    binned = li.join(F.broadcast(thr), "l_returnflag").withColumn(
+        "bin",
+        F.when(x <= F.col("t25"), 0)
+        .when(x <= F.col("t50"), 1)
+        .when(x <= F.col("t75"), 2)
+        .otherwise(3),
+    )
+    return binned.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        money_sum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+_QUANTILE_BIN_SQL = """
+WITH thr AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.25) AS t25,
+         quantile_cont(l_extendedprice, 0.5)  AS t50,
+         quantile_cont(l_extendedprice, 0.75) AS t75
+  FROM lineitem GROUP BY 1)
+SELECT li.l_returnflag,
+       CASE WHEN l_extendedprice <= t25 THEN 0
+            WHEN l_extendedprice <= t50 THEN 1
+            WHEN l_extendedprice <= t75 THEN 2
+            ELSE 3 END AS bin,
+       count(*) AS n_rows,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+         AS sum_price
+FROM lineitem li JOIN thr ON li.l_returnflag = thr.l_returnflag
+GROUP BY 1, 2
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -815,5 +873,8 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
             "files_compaction_plan", _files_compaction_plan, _COMPACTION_SQL
         ),
         QueryDef("zorder_locality", _zorder_locality, _ZORDER_SQL),
+        QueryDef(
+            "feature_quantile_bin", _feature_quantile_bin, _QUANTILE_BIN_SQL
+        ),
     ]
 }
