@@ -112,6 +112,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "files_compaction_plan",
     "zorder_locality",
     "feature_quantile_bin",
+    "events_key_skew",
 )
 
 

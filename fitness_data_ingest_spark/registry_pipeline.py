@@ -830,6 +830,61 @@ GROUP BY 1, 2
 """
 
 
+def _events_key_skew(spark, sf_dir):
+    """Join-key skew profile (the diagnostic that decides between a
+    plain shuffle join, AQE skew split, and `ops/scale.salted_join`):
+    per event_type — row volume, distinct keys, the hottest key's row
+    count and share, and the mean rows/key. One shuffled aggregate at
+    (type, key) grain, then a keyed argmax rollup (max_by struct, no
+    window) — the profile is computable at any scale because nothing
+    ever buffers a key group."""
+    ev = t(spark, sf_dir, "events")
+    per_key = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_key.groupBy("event_type").agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("hot_rows"),
+        F.max_by("user_id", F.struct(F.col("n"), (-F.col("user_id")).alias("u"))).alias(
+            "hot_key"
+        ),
+        (
+            F.floor(
+                F.max("n").cast("double") / F.sum("n") * 1000000 + 0.5
+            )
+            / 1000000.0
+        ).alias("hot_share6"),
+        (
+            F.floor(F.sum("n").cast("double") / F.count(F.lit(1)) * 100 + 0.5)
+            / 100.0
+        ).alias("mean_rows_per_key2"),
+    )
+
+
+_KEY_SKEW_SQL = """
+WITH per AS (SELECT event_type, user_id, count(*) AS n
+             FROM events GROUP BY 1, 2),
+agg AS (SELECT event_type,
+               sum(n) AS n_rows,
+               count(*) AS n_keys,
+               max(n) AS hot_rows,
+               floor(CAST(max(n) AS DOUBLE) / sum(n) * 1000000 + 0.5)
+                 / 1000000.0 AS hot_share6,
+               floor(CAST(sum(n) AS DOUBLE) / count(*) * 100 + 0.5) / 100.0
+                 AS mean_rows_per_key2
+        FROM per GROUP BY event_type),
+hot AS (SELECT event_type, user_id AS hot_key
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY n DESC, user_id) AS rn
+              FROM per)
+        WHERE rn = 1)
+SELECT agg.event_type, n_rows, n_keys, hot_rows, hot_key, hot_share6,
+       mean_rows_per_key2
+FROM agg JOIN hot ON agg.event_type = hot.event_type
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -876,5 +931,6 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "feature_quantile_bin", _feature_quantile_bin, _QUANTILE_BIN_SQL
         ),
+        QueryDef("events_key_skew", _events_key_skew, _KEY_SKEW_SQL),
     ]
 }
