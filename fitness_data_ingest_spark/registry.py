@@ -113,6 +113,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "zorder_locality",
     "feature_quantile_bin",
     "events_key_skew",
+    "dq_audit_lineitem",
 )
 
 

@@ -885,6 +885,59 @@ FROM agg JOIN hot ON agg.event_type = hot.event_type
 """
 
 
+def _dq_audit_lineitem(spark, sf_dir):
+    """Single-pass data-quality audit (Deequ-style constraint report)
+    over the fact table: null counts on join/measure columns, domain
+    violations (negative quantity, discount outside [0,1], shipdate
+    outside the corpus era), plus referential orphans against orders —
+    all constraint counters ride ONE scan as conditional sums, and the
+    FK check is a broadcast-eligible left-anti pattern expressed as a
+    null-probe left join so it shares the same pass shape. The audit a
+    100 TB pipeline runs as a pre-publish gate: cost is one fact scan
+    + one key join, independent of how many constraints are stacked."""
+    li = t(spark, sf_dir, "lineitem")
+    ok = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("fk_ok")
+    ).distinct()
+    probed = li.join(
+        F.broadcast(ok), li.l_orderkey == F.col("fk_ok"), "left"
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        flag(F.col("l_orderkey").isNull()).alias("null_orderkey"),
+        flag(F.col("l_quantity").isNull()).alias("null_quantity"),
+        flag(F.col("l_quantity") <= 0).alias("nonpositive_quantity"),
+        flag(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).alias("discount_out_of_range"),
+        flag(
+            (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        ).alias("shipdate_out_of_era"),
+        flag(F.col("fk_ok").isNull()).alias("orphan_orderkeys"),
+    )
+
+
+_DQ_AUDIT_SQL = """
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_orderkey,
+       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_quantity,
+       sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+         AS nonpositive_quantity,
+       sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+         AS discount_out_of_range,
+       sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                  OR l_shipdate >= TIMESTAMP '1999-01-01'
+                THEN 1 ELSE 0 END) AS shipdate_out_of_era,
+       sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+         AS orphan_orderkeys
+FROM lineitem li
+LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+  ON li.l_orderkey = o.o_orderkey
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -932,5 +985,6 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
             "feature_quantile_bin", _feature_quantile_bin, _QUANTILE_BIN_SQL
         ),
         QueryDef("events_key_skew", _events_key_skew, _KEY_SKEW_SQL),
+        QueryDef("dq_audit_lineitem", _dq_audit_lineitem, _DQ_AUDIT_SQL),
     ]
 }
