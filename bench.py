@@ -86,6 +86,9 @@ HEADLINE = [
     "agg_incremental_merge",
     "files_compaction_plan",
     "zorder_locality",
+    "feature_quantile_bin",
+    "events_key_skew",
+    "dq_audit_lineitem",
 ]
 
 
