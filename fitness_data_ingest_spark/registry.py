@@ -114,6 +114,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "feature_quantile_bin",
     "events_key_skew",
     "dq_audit_lineitem",
+    "window_topk",
 )
 
 

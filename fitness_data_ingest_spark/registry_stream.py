@@ -53,6 +53,26 @@ FROM w GROUP BY wstart
 """
 
 
+def _window_topk(spark, sf_dir):
+    """Top-2 event types per 15-min tumbling window (trending items);
+    streaming parity via foreachBatch ranking — see test_streaming."""
+    return W.windowed_type_topk(t(spark, sf_dir, "events"))
+
+
+_WINDOW_TOPK_SQL = f"""
+WITH agg AS (
+  SELECT {_bucket(900)} AS wstart, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY wstart
+                               ORDER BY n DESC, event_type) AS rnk
+  FROM agg)
+SELECT strftime({_to_ts('wstart')}, '{_TS_FMT}') AS window_start,
+       event_type, n, rnk
+FROM r WHERE rnk <= 2
+"""
+
+
 def _window_session(spark, sf_dir):
     """Per-user 30-min-gap session windows (F.session_window in batch)."""
     return W.session_stats(t(spark, sf_dir, "events"))
@@ -84,5 +104,6 @@ STREAM_QUERIES: dict[str, QueryDef] = {
         QueryDef("window_tumbling", _window_tumbling, _TUMBLING_SQL),
         QueryDef("window_sliding", _window_sliding, _SLIDING_SQL),
         QueryDef("window_session", _window_session, _SESSION_SQL),
+        QueryDef("window_topk", _window_topk, _WINDOW_TOPK_SQL),
     ]
 }

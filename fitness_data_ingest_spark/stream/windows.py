@@ -52,6 +52,35 @@ def tumbling_counts(ev: DataFrame, width: str = "5 minutes") -> DataFrame:
     )
 
 
+def windowed_type_topk(ev: DataFrame, width: str = "15 minutes", k: int = 2) -> DataFrame:
+    """Top-k event types per tumbling window — the trending-items
+    shape. Batch: windowed aggregate + a rank window PARTITIONED by the
+    time bucket (each partition holds |event_types| rows — bounded, so
+    no scale cliff). Streaming: the same aggregate runs watermarked and
+    the per-window rank applies in foreachBatch on the (tiny) per-batch
+    aggregate output — ranking inside the stream would need complete
+    mode; see tests/test_streaming.py for the parity run."""
+    win = F.window("ts", width)
+    agg = ev.groupBy(win.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return rank_window_topk(agg, k).select(
+        _ts_s("w.start").alias("window_start"), "event_type", "n", "rnk"
+    )
+
+
+def rank_window_topk(agg: DataFrame, k: int) -> DataFrame:
+    """Rank rows within each time bucket (n desc, type asc) and keep the
+    top k. Split out so the streaming foreachBatch path applies the
+    identical ranking to each micro-batch's aggregate output."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("w").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    )
+
+
 def sliding_counts(ev: DataFrame, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
     """Sliding windows: each event lands in width/slide windows."""
     win = F.window("ts", width, slide)

@@ -422,3 +422,49 @@ def test_stateful_sessionize_late_events_across_batches(spark, tmp_path):
     batch = {tuple(r) for r in W.session_stats(batch1.unionByName(batch2)).collect()}
     assert len(batch) == 1  # one merged session: 23:55 .. 00:10 (+gap)
     assert streamed == batch
+
+
+def test_streaming_windowed_topk_via_foreachbatch(spark, sf_dir, events_dir):
+    """Streaming trending-items: the watermarked windowed aggregate runs
+    in the stream; the per-window rank applies in foreachBatch on each
+    micro-batch's (tiny) aggregate output — ranking inside the stream
+    would need complete-mode recomputation of every window. With the
+    whole fixture in one batch the final ranked output must equal the
+    batch operator exactly."""
+    stream = (
+        spark.readStream.schema(t(spark, sf_dir, "events").schema)
+        .format("parquet")
+        .load(events_dir)
+    )
+    win = F.window("ts", "15 minutes")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    collected = []
+
+    def rank_batch(batch_df, _bid):
+        ranked = W.rank_window_topk(batch_df, k=2).select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "rnk",
+        )
+        collected.extend(tuple(r) for r in ranked.collect())
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(rank_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch = {
+        tuple(r)
+        for r in W.windowed_type_topk(t(spark, sf_dir, "events")).collect()
+    }
+    assert set(collected) == batch
+    assert len(batch) > 0
