@@ -115,6 +115,8 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "events_key_skew",
     "dq_audit_lineitem",
     "window_topk",
+    "agg_dispersion",
+    "events_gap_stats",
 )
 
 

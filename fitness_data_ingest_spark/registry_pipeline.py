@@ -938,6 +938,121 @@ LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
 """
 
 
+def _agg_dispersion(spark, sf_dir):
+    """Per-group dispersion profile (n, mean, sample variance, stddev,
+    coefficient of variation) from EXACT decimal(38,0) integer moments
+    — the built-in var_samp/stddev_samp float-accumulate in partition
+    order and drift in the last ulp between runs/engines. Moments are
+    map-side combinable (one shuffle of three numbers per group); the
+    combination (n·Σy² − (Σy)²) stays exact and casts to double at
+    single mirrored points, so Spark and the DuckDB int128 oracle run
+    identical IEEE arithmetic."""
+    li = t(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").cast(d38)
+    agg = (
+        li.select(F.col("l_returnflag"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    var_c2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    ) / (nd * (nd - 1))
+    mean_d = F.col("sy").cast("double") / nd / 100.0
+    var_d = var_c2 / 10000.0
+    std_d = F.sqrt(var_c2) / 100.0
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (F.floor(mean_d * 100 + 0.5) / 100.0).alias("mean2"),
+        (F.floor(var_d * 100 + 0.5) / 100.0).alias("var2"),
+        (F.floor(std_d * 10000 + 0.5) / 10000.0).alias("std4"),
+        (F.floor(std_d / mean_d * 1000000 + 0.5) / 1000000.0).alias("cv6"),
+    )
+
+
+_DISPERSION_SQL = """
+WITH m AS (SELECT l_returnflag,
+                  CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS HUGEINT) AS y
+           FROM lineitem),
+a AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+             sum(y) AS sy, sum(y * y) AS syy
+      FROM m GROUP BY 1)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       floor((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0) * 100 + 0.5)
+         / 100.0 AS mean2,
+       floor((CAST(n * syy - sy * sy AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) / 10000.0) * 100
+             + 0.5) / 100.0 AS var2,
+       floor((sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 100.0)
+             * 10000 + 0.5) / 10000.0 AS std4,
+       floor(((sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 100.0)
+              / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)) * 1000000
+             + 0.5) / 1000000.0 AS cv6
+FROM a
+"""
+
+
+def _events_gap_stats(spark, sf_dir):
+    """Inter-arrival gap profile per user (the session-gap calibration
+    pass: what gap threshold splits sessions?): per-user event count,
+    mean/max gap seconds, and share of gaps above the 30-min session
+    cutoff. One keyed window (lag over user partition, total order via
+    event_id tiebreak) + one aggregate — gaps are integral seconds so
+    every stat is exact until the final mirrored rounding."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds: unix_timestamp() truncates to seconds
+    # while DuckDB's epoch-cast rounds — µs on both sides is drift-free
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 1).over(w))
+    gapped = ev.select("user_id", gap.alias("gap_us"))
+    return gapped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("gap_us").alias("n_gaps"),
+        F.max("gap_us").alias("max_gap_us"),
+        (
+            F.floor(
+                F.sum("gap_us").cast("double") / F.count("gap_us") / 1e6 * 100
+                + 0.5
+            )
+            / 100.0
+        ).alias("mean_gap_s2"),
+        F.sum(
+            F.when(F.col("gap_us") > 1800 * 1000000, 1).otherwise(0)
+        ).alias("n_session_breaks"),
+    )
+
+
+_GAP_STATS_SQL = """
+WITH g AS (SELECT user_id,
+                  epoch_us(ts)
+                  - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)) AS gap_us
+           FROM events)
+SELECT user_id,
+       count(*) AS n_events,
+       count(gap_us) AS n_gaps,
+       max(gap_us) AS max_gap_us,
+       floor(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1e6 * 100 + 0.5)
+         / 100.0 AS mean_gap_s2,
+       sum(CASE WHEN gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+         AS n_session_breaks
+FROM g
+GROUP BY user_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -986,5 +1101,7 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef("events_key_skew", _events_key_skew, _KEY_SKEW_SQL),
         QueryDef("dq_audit_lineitem", _dq_audit_lineitem, _DQ_AUDIT_SQL),
+        QueryDef("agg_dispersion", _agg_dispersion, _DISPERSION_SQL),
+        QueryDef("events_gap_stats", _events_gap_stats, _GAP_STATS_SQL),
     ]
 }
