@@ -117,6 +117,8 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "window_topk",
     "agg_dispersion",
     "events_gap_stats",
+    "events_transition_matrix",
+    "text_keywords_topk",
 )
 
 

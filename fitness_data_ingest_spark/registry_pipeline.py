@@ -1053,6 +1053,90 @@ GROUP BY user_id
 """
 
 
+def _events_transition_matrix(spark, sf_dir):
+    """Event-type transition matrix (the Markov-chain view of user
+    behavior): count consecutive (prev_type -> type) pairs per user
+    stream, plus each transition's share of its source row. One keyed
+    lag window (total order via event_id tiebreak), one aggregate at
+    (from, to) grain, one broadcast-size row-total join — the matrix is
+    |types|² regardless of event volume."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type", 1).over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = counts.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return counts.join(F.broadcast(row_tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.floor(F.col("n").cast("double") / F.col("row_n") * 1000000 + 0.5)
+            / 1000000.0
+        ).alias("share6"),
+    )
+
+
+_TRANSITION_SQL = """
+WITH p AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS from_type,
+                  event_type AS to_type
+           FROM events),
+c AS (SELECT from_type, to_type, count(*) AS n
+      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT from_type, sum(n) AS row_n FROM c GROUP BY 1)
+SELECT c.from_type, to_type, n,
+       floor(CAST(n AS DOUBLE) / row_n * 1000000 + 0.5) / 1000000.0 AS share6
+FROM c JOIN r ON c.from_type = r.from_type
+"""
+
+
+def _text_keywords_topk(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by TF-IDF — the
+    document-tagging pass of a corpus pipeline. Reuses the tfidf
+    operator (broadcast 1-row corpus count, |vocab|-sized DF table) and
+    ranks within each document (keyed window, bounded by per-doc
+    vocabulary). Ranking on the ROUNDED tfidf8 keeps the tie-break
+    engine-identical; ties resolve by term asc."""
+    from pyspark.sql import Window
+
+    scored = TX.tfidf(t(spark, sf_dir, "documents"), "doc_id", "text")
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tfidf8").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc", "term", "tfidf8", "rnk")
+    )
+
+
+_KEYWORDS_SQL = f"""
+WITH tok AS (SELECT doc_id AS doc, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc, term, count(*) AS tf_raw FROM tok GROUP BY doc, term),
+dl AS (SELECT doc, sum(tf_raw) AS len FROM tf GROUP BY doc),
+dfreq AS (SELECT term, count(DISTINCT doc) AS df FROM tf GROUP BY term
+          HAVING count(DISTINCT doc) >= 2),
+nd AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc, tf.term,
+         floor((tf.tf_raw::DOUBLE / dl.len)
+               * ln((nd.n::DOUBLE + 1.0) / (dfreq.df::DOUBLE + 1.0)) * 1e8
+               + 0.5) / 1e8 AS tfidf8
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc) CROSS JOIN nd),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc
+                                   ORDER BY tfidf8 DESC, term) AS rnk
+      FROM scored)
+SELECT doc, term, tfidf8, rnk FROM r WHERE rnk <= 3
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -1103,5 +1187,9 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
         QueryDef("dq_audit_lineitem", _dq_audit_lineitem, _DQ_AUDIT_SQL),
         QueryDef("agg_dispersion", _agg_dispersion, _DISPERSION_SQL),
         QueryDef("events_gap_stats", _events_gap_stats, _GAP_STATS_SQL),
+        QueryDef(
+            "events_transition_matrix", _events_transition_matrix, _TRANSITION_SQL
+        ),
+        QueryDef("text_keywords_topk", _text_keywords_topk, _KEYWORDS_SQL),
     ]
 }
