@@ -89,6 +89,11 @@ HEADLINE = [
     "feature_quantile_bin",
     "events_key_skew",
     "dq_audit_lineitem",
+    "window_topk",
+    "agg_dispersion",
+    "events_gap_stats",
+    "events_transition_matrix",
+    "text_keywords_topk",
 ]
 
 
