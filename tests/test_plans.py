@@ -229,12 +229,13 @@ def test_pipeline_no_cartesian_or_nested_loop(spark, sf_dir):
     """Pipeline-family operators (packing/vocab/mixture/PII/audits/
     funnel/interval-join) must all execute as hash/sort-merge joins on
     equi keys — range predicates ride as post-join filters, never a
-    nested loop. Sanctioned exception: corpus_source_composition joins
-    the corpus total in as a 1-row broadcast scalar (the tfidf/q11/q22
-    pattern) — bounded build side at any data scale."""
+    nested loop. Sanctioned exceptions: corpus_source_composition and
+    text_keywords_topk (via tfidf) join the corpus total in as a 1-row
+    broadcast scalar (the tfidf/q11/q22 pattern) — bounded build side
+    at any data scale."""
     from fitness_data_ingest_spark.registry_pipeline import PIPELINE_QUERIES
 
-    bounded_bcast_ok = {"corpus_source_composition"}
+    bounded_bcast_ok = {"corpus_source_composition", "text_keywords_topk"}
     for name, q in PIPELINE_QUERIES.items():
         plan = plan_of(q.spark(spark, sf_dir), "simple")
         assert "CartesianProduct" not in plan, name
