@@ -1058,8 +1058,11 @@ def _events_transition_matrix(spark, sf_dir):
     behavior): count consecutive (prev_type -> type) pairs per user
     stream, plus each transition's share of its source row. One keyed
     lag window (total order via event_id tiebreak), one aggregate at
-    (from, to) grain, one broadcast-size row-total join — the matrix is
-    |types|² regardless of event volume."""
+    (from, to) grain, then the row totals come from a keyed window SUM
+    over the |types|²-row counts table — a join-back would rescan the
+    fact (Spark reuses no subplan without an exchange), so the window
+    keeps the whole operator at ONE events scan; its partitions hold at
+    most |types| rows at any event volume."""
     from pyspark.sql import Window
 
     ev = t(spark, sf_dir, "events")
@@ -1071,13 +1074,13 @@ def _events_transition_matrix(spark, sf_dir):
     counts = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    row_tot = counts.groupBy("from_type").agg(F.sum("n").alias("row_n"))
-    return counts.join(F.broadcast(row_tot), "from_type").select(
+    row_n = F.sum("n").over(Window.partitionBy("from_type"))
+    return counts.select(
         "from_type",
         "to_type",
         "n",
         (
-            F.floor(F.col("n").cast("double") / F.col("row_n") * 1000000 + 0.5)
+            F.floor(F.col("n").cast("double") / row_n * 1000000 + 0.5)
             / 1000000.0
         ).alias("share6"),
     )

@@ -345,3 +345,36 @@ def test_ivf_assignment_is_aggregate_not_window(spark, sf_dir):
     partial_line = next(i for i, ln in enumerate(plan.splitlines()) if "partial_max" in ln)
     exchange_line = next(i for i, ln in enumerate(plan.splitlines()) if "Exchange hashpartitioning" in ln)
     assert exchange_line < partial_line, "partial agg must be below (before) the exchange"
+
+
+def test_new_audit_ops_plan_shapes(spark, sf_dir):
+    """Plan gates for the late-round operator batch: the incremental
+    merge full-outer-joins two AGGREGATED (key-grain) inputs; the DQ
+    audit costs one fact scan + one broadcast key probe; the skew
+    profile and dispersion stats are pure aggregates (no window, one
+    scan); the transition matrix costs ONE events scan with only keyed
+    windows."""
+    checks = {
+        "agg_incremental_merge": dict(fullouter=True, max_windows=0),
+        "dq_audit_lineitem": dict(max_scans=2, bhj=True, max_windows=0),
+        "events_key_skew": dict(max_scans=1, max_windows=0),
+        "agg_dispersion": dict(max_scans=1, max_windows=0),
+        "events_transition_matrix": dict(max_scans=1),
+    }
+    for name, want in checks.items():
+        plan = plan_of(QUERIES[name].spark(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        if "fullouter" in want:
+            assert "FullOuter" in plan, name
+        if "bhj" in want:
+            assert "BroadcastHashJoin" in plan, name
+        if "max_scans" in want:
+            assert plan.count(".parquet") <= want["max_scans"], (
+                f"{name}: too many scans\n{plan[:900]}"
+            )
+        if "max_windows" in want:
+            n_win = sum("Window" in ln for ln in plan.splitlines())
+            assert n_win <= want["max_windows"], (
+                f"{name}: unexpected window\n{plan[:900]}"
+            )
