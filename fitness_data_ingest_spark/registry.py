@@ -119,6 +119,8 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "events_gap_stats",
     "events_transition_matrix",
     "text_keywords_topk",
+    "corpus_split_assign",
+    "orders_seasonality",
 )
 
 

@@ -1140,6 +1140,86 @@ SELECT doc, term, tfidf8, rnk FROM r WHERE rnk <= 3
 """
 
 
+def _corpus_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (90/5/5 by md5 of doc_id —
+    reproducible across reruns, engines, and cluster sizes; no RNG)
+    with the per-(split, source) composition report a dataset card
+    needs. The hash bucket in [0, 65536) maps <58982 -> train,
+    <62259 -> val, rest -> test; one scan, one aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    split = (
+        F.when(h < F.lit(58982), "train")
+        .when(h < F.lit(62259), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+_SPLIT_SQL = """
+WITH h AS (SELECT source, n_chars,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT AS hv
+           FROM documents),
+s AS (SELECT CASE WHEN hv < 58982 THEN 'train'
+                  WHEN hv < 62259 THEN 'val'
+                  ELSE 'test' END AS split,
+             source, n_chars
+      FROM h)
+SELECT split, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM s GROUP BY 1, 2
+"""
+
+
+def _orders_seasonality(spark, sf_dir):
+    """Month-grain seasonality with month-over-month delta: exact-cents
+    monthly revenue, order counts, and the MoM change — one shuffled
+    aggregate at month grain plus a single-column lag over the (tiny,
+    |months|-row) aggregate; the lag window partitions by year so no
+    partition ever exceeds 12 rows."""
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev_c"),
+    )
+    w = Window.partitionBy("yr").orderBy("mo")
+    prev = F.lag("rev_c", 1).over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        "n_orders",
+        (F.col("rev_c") / 100.0).alias("revenue"),
+        ((F.col("rev_c") - prev) / 100.0).alias("mom_delta"),
+    )
+
+
+_SEASONALITY_SQL = """
+WITH m AS (SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                  CAST(month(o_orderdate) AS INT) AS mo,
+                  count(*) AS n_orders,
+                  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+           FROM orders GROUP BY 1, 2)
+SELECT yr, mo, n_orders, rev_c / 100.0 AS revenue,
+       (rev_c - lag(rev_c) OVER (PARTITION BY yr ORDER BY mo)) / 100.0
+         AS mom_delta
+FROM m
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -1194,5 +1274,7 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
             "events_transition_matrix", _events_transition_matrix, _TRANSITION_SQL
         ),
         QueryDef("text_keywords_topk", _text_keywords_topk, _KEYWORDS_SQL),
+        QueryDef("corpus_split_assign", _corpus_split_assign, _SPLIT_SQL),
+        QueryDef("orders_seasonality", _orders_seasonality, _SEASONALITY_SQL),
     ]
 }
