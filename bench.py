@@ -94,6 +94,8 @@ HEADLINE = [
     "events_gap_stats",
     "events_transition_matrix",
     "text_keywords_topk",
+    "corpus_split_assign",
+    "orders_seasonality",
 ]
 
 

@@ -468,3 +468,42 @@ def test_streaming_windowed_topk_via_foreachbatch(spark, sf_dir, events_dir):
     }
     assert set(collected) == batch
     assert len(batch) > 0
+
+
+def test_stream_static_broadcast_enrichment(spark, sf_dir, events_dir):
+    """Stream-static join: the unbounded event stream enriched with a
+    static (broadcastable) per-user dimension — the canonical streaming
+    enrichment. The static side is re-read per micro-batch, never
+    state-buffered, so the stream's own state stays empty. Output must
+    equal the identical batch join."""
+    ev_batch = t(spark, sf_dir, "events")
+    dim = ev_batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_total"))
+    stream = (
+        spark.readStream.schema(ev_batch.schema)
+        .format("parquet")
+        .load(events_dir)
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "n_total"
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    batch = {
+        tuple(r)
+        for r in ev_batch.join(F.broadcast(dim), "user_id")
+        .select("event_id", "user_id", "n_total")
+        .collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
