@@ -249,3 +249,40 @@ def test_compaction_plan_weight_conservation_and_monotone_bins(
     for idx, w in enumerate(weights):
         assert got[f"u{idx:03d}"] == cum // target
         cum += w
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@PROP_SETTINGS
+def test_zorder_key_is_bijective_and_matches_reference(spark, pts):
+    """The Morton key must equal the reference interleave bit-for-bit
+    and be a bijection on the [0, 2^bits)² grid — any collision or
+    off-by-one bit silently destroys the clustering guarantee."""
+    from fitness_data_ingest_spark.io import zorder_key
+
+    def ref_morton(x, y, bits=4):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame([(x, y) for x, y in pts], "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), bits=4).alias("z")
+        ).collect()
+    }
+    expected = {(x, y): ref_morton(x, y) for x, y in pts}
+    assert got == expected
+    assert len(set(got.values())) == len(pts)  # injective on unique points
