@@ -121,6 +121,8 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "text_keywords_topk",
     "corpus_split_assign",
     "orders_seasonality",
+    "agg_grouping_sets",
+    "events_hour_heatmap",
 )
 
 

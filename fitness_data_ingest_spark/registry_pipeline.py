@@ -1220,6 +1220,61 @@ FROM m
 """
 
 
+def _agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form of ROLLUP/CUBE, both
+    already registered): exactly the (status), (priority), and
+    grand-total groupings — no lattice blowup, each requested set
+    expanded map-side in the same single-shuffle Expand as rollup.
+    Null-marker columns disambiguate real NULL keys from subtotal
+    rows, mirrored via GROUPING() in the oracle."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            money_sum(F.col("o_totalprice")).alias("sum_total"),
+        )
+    )
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       {sql_money_sum('o_totalprice')} AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def _events_hour_heatmap(spark, sf_dir):
+    """Activity heatmap at (day-of-week x hour-of-day) grain — the
+    seasonality fingerprint ops dashboards draw. ISO day numbering on
+    both engines; one shuffled aggregate over a 7x24-bounded key
+    domain (map-side partials collapse almost everything)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_HOUR_HEATMAP_SQL = """
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow, CAST(hour(ts) AS INT) AS hod,
+       count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -1276,5 +1331,9 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
         QueryDef("text_keywords_topk", _text_keywords_topk, _KEYWORDS_SQL),
         QueryDef("corpus_split_assign", _corpus_split_assign, _SPLIT_SQL),
         QueryDef("orders_seasonality", _orders_seasonality, _SEASONALITY_SQL),
+        QueryDef(
+            "agg_grouping_sets", _agg_grouping_sets, _GROUPING_SETS_SQL
+        ),
+        QueryDef("events_hour_heatmap", _events_hour_heatmap, _HOUR_HEATMAP_SQL),
     ]
 }

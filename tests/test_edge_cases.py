@@ -69,3 +69,30 @@ def test_salted_join_empty_small_side(spark):
 def test_union_all_single_frame(spark):
     df = spark.createDataFrame([(1,)], "k long")
     assert union_all([df]).count() == 1
+
+
+def test_new_ops_survive_empty_inputs(spark):
+    """Empty-relation paths through the late-round operators: AQE
+    collapses empty branches aggressively, which has broken window/
+    aggregate combinations before — every operator must return an
+    empty (or identity) result, never throw."""
+    from pyspark.sql import functions as F
+
+    from fitness_data_ingest_spark.io import compaction_plan
+    from fitness_data_ingest_spark.ops.incremental import merge_agg_states
+    from fitness_data_ingest_spark.ops.scale import ranked_topk
+
+    empty_kv = spark.createDataFrame([], "k long, v long")
+    # ranked_topk of nothing -> no rows (the size>0 filter guards the
+    # posexplode of the empty collect_list)
+    assert ranked_topk(empty_kv, [("v", "desc"), ("k", "asc")], 5).count() == 0
+    # merge with an empty delta -> base passes through unchanged
+    base = spark.createDataFrame([(1, 2, 10)], "k long, n long, s long")
+    empty_state = spark.createDataFrame([], "k long, n long, s long")
+    merged = merge_agg_states(
+        base, empty_state, ["k"], {"n": "count", "s": "sum"}
+    )
+    assert sorted(map(tuple, merged.collect())) == [(1, 2, 10)]
+    # compaction plan over an empty manifest -> empty plan
+    empty_manifest = spark.createDataFrame([], "grp string, unit string, w long")
+    assert compaction_plan(empty_manifest, "grp", "unit", "w", 10).count() == 0
