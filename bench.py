@@ -96,6 +96,8 @@ HEADLINE = [
     "text_keywords_topk",
     "corpus_split_assign",
     "orders_seasonality",
+    "agg_grouping_sets",
+    "events_hour_heatmap",
 ]
 
 
