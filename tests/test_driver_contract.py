@@ -46,30 +46,31 @@ def test_driver_contract_on_vanilla_session():
     assert "VANILLA_OK" in r.stdout, f"stdout={r.stdout[-2000:]}\nstderr={r.stderr[-2000:]}"
 
 
-def test_registry_priority_window_is_sound():
+def test_registry_verification_window_rotates():
     """The verification driver gives correctness verdicts to the first
-    ~50 registry entries in dict order. Pin the invariants the round-2
-    ordering relies on: the priority prefix exists, has no duplicates,
-    is exactly the window size, and front-loads every key that lacked a
-    round-1 verdict (all ext/stream/tpch2/pipeline keys + the scalar
-    battery) plus the queries whose plans changed this round."""
+    ~50 registry entries in dict order. Ordering is now DYNAMIC: keys
+    with a fully-green row in any recorded CORRECTNESS_r*.json yield
+    their slot to keys that never earned one, except _FORCE_REVERIFY
+    (plans rewritten after their last green verdict), which lead
+    unconditionally. Pin the invariants: no duplicates, nothing lost,
+    forced keys first, and — past them — the window contains ONLY
+    never-verified keys while green keys trail."""
     from fitness_data_ingest_spark import registry
-    from fitness_data_ingest_spark.registry_ext import EXT_QUERIES
-    from fitness_data_ingest_spark.registry_pipeline import PIPELINE_QUERIES
-    from fitness_data_ingest_spark.registry_stream import STREAM_QUERIES
-    from fitness_data_ingest_spark.registry_tpch2 import TPCH2_QUERIES
 
-    prio = registry._PRIORITY
-    assert len(prio) == 50
-    assert len(set(prio)) == len(prio), "duplicate keys in priority list"
     ordered = list(registry.all_queries())
-    assert ordered[: len(prio)] == list(prio)
-    window = set(prio) | set(registry._NEXT_ROTATION)
-    for family in (EXT_QUERIES, STREAM_QUERIES, TPCH2_QUERIES, PIPELINE_QUERIES):
-        missing = set(family) - window
-        assert not missing, f"driver window misses: {sorted(missing)}"
-    assert not set(registry._NEXT_ROTATION) & set(prio), "rotation overlaps window"
-    # scalar_battery's single verdict covers the trailing F4-F11 keys
-    assert "scalar_battery" in window
-    for key in ["tpch_q3_top10", "tpch_q10_returns", "topk_latest"]:
-        assert key in window, f"rewritten query {key} needs a re-verdict"
+    assert len(ordered) == len(set(ordered)), "duplicate keys"
+    forced = list(registry._FORCE_REVERIFY)
+    assert ordered[: len(forced)] == forced
+    green = registry._driver_verified()
+    if green:  # recorded verdicts exist (always true in this repo)
+        window = ordered[len(forced) : 50]
+        leaked = [k for k in window if k in green]
+        assert not leaked, f"green keys occupying the window: {leaked}"
+        n_unverified = sum(1 for k in ordered if k not in green)
+        # every unverified key must sit ahead of every green key
+        # (except the forced re-verifications, which are green+leading)
+        head = set(ordered[: n_unverified + len(forced)])
+        assert all(k in head for k in ordered if k not in green)
+    # rotation bookkeeping must reference real keys only
+    assert set(registry._NEXT_ROTATION) <= set(ordered)
+    assert set(registry._PRIORITY) <= set(ordered)
