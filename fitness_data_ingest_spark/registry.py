@@ -129,14 +129,15 @@ _NEXT_ROTATION: tuple[str, ...] = (
 
 
 # Keys whose physical plan was rewritten AFTER earning a green verdict
-# (round 2: the window-free ranked_topk rewrite) — they re-enter the
-# verification window ahead of everything until re-greened, because a
-# prior round's verdict no longer covers the plan that ships.
-_FORCE_REVERIFY: tuple[str, ...] = (
-    "tpch_q3_top10",
-    "tpch_q10_returns",
-    "topk_latest",
-)
+# (round 2: the window-free ranked_topk rewrite) paired with the round
+# that last green-lit the OLD plan — they re-enter the verification
+# window ahead of everything until a LATER round's verdict covers the
+# rewritten plan, then release their slots automatically.
+_FORCE_REVERIFY: dict[str, int] = {
+    "tpch_q3_top10": 1,
+    "tpch_q10_returns": 1,
+    "topk_latest": 1,
+}
 
 
 def _driver_verified() -> set[str]:
@@ -153,7 +154,11 @@ def _driver_verified() -> set[str]:
     green: set[str] = set()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
+        import re
+
         for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            rnd = int(m.group(1)) if m else 0
             with open(path) as f:
                 data = json.load(f)
             if not isinstance(data, dict):
@@ -162,6 +167,11 @@ def _driver_verified() -> set[str]:
                 if isinstance(row, dict) and all(
                     row.get(c) for c in ("rows_match", "schema_match", "hash_match")
                 ):
+                    # a key forced back into the window counts as
+                    # verified only once a round AFTER its plan rewrite
+                    # has green-lit the new plan
+                    if key in _FORCE_REVERIFY and rnd <= _FORCE_REVERIFY[key]:
+                        continue
                     green.add(key)
     except Exception:
         return set()
@@ -186,7 +196,7 @@ def all_queries() -> dict[str, QueryDef]:
     # stays covered by entry()'s per-round smoke check regardless of
     # position.
     ordered = (
-        list(_FORCE_REVERIFY)
+        [n for n in _FORCE_REVERIFY if n not in verified]
         + [n for n in _PRIORITY if n not in verified]
         + [n for n in _NEXT_ROTATION if n not in verified]
         + [n for n in merged if n not in verified]
