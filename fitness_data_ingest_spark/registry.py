@@ -125,6 +125,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "orders_seasonality",
     "agg_grouping_sets",
     "events_hour_heatmap",
+    "set_ops_all",
 )
 
 

@@ -1275,6 +1275,43 @@ GROUP BY 1, 2
 """
 
 
+def _set_ops_all(spark, sf_dir):
+    """Bag-semantics set operators (INTERSECT ALL / EXCEPT ALL over
+    per-customer order events in 1995 vs 1996): multiplicity is the
+    min / truncated difference of per-side counts, which Spark's
+    intersectAll/exceptAll compute with one count-aggregate per side —
+    no row-level matching shuffle. The tag column folds both results
+    into one hashable output (the distinct-semantics sibling is
+    ``set_ops``)."""
+    orders = t(spark, sf_dir, "orders")
+
+    def keys(year):
+        return orders.filter(F.year("o_orderdate") == year).select(
+            "o_custkey", "o_orderpriority"
+        )
+
+    both = (
+        keys(1995).intersectAll(keys(1996)).withColumn("tag", F.lit("both"))
+    )
+    only95 = (
+        keys(1995).exceptAll(keys(1996)).withColumn("tag", F.lit("only_1995"))
+    )
+    return both.unionByName(only95)
+
+
+_SET_OPS_ALL_SQL = """
+WITH a AS (SELECT o_custkey, o_orderpriority FROM orders
+           WHERE year(o_orderdate) = 1995),
+b AS (SELECT o_custkey, o_orderpriority FROM orders
+      WHERE year(o_orderdate) = 1996)
+SELECT o_custkey, o_orderpriority, 'both' AS tag
+FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+UNION ALL
+SELECT o_custkey, o_orderpriority, 'only_1995' AS tag
+FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -1335,5 +1372,6 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
             "agg_grouping_sets", _agg_grouping_sets, _GROUPING_SETS_SQL
         ),
         QueryDef("events_hour_heatmap", _events_hour_heatmap, _HOUR_HEATMAP_SQL),
+        QueryDef("set_ops_all", _set_ops_all, _SET_OPS_ALL_SQL),
     ]
 }
