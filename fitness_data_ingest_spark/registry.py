@@ -126,6 +126,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "agg_grouping_sets",
     "events_hour_heatmap",
     "set_ops_all",
+    "window_value_functions",
 )
 
 

@@ -1312,6 +1312,43 @@ FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
 """
 
 
+def _window_value_functions(spark, sf_dir):
+    """Value-window family over one keyed window: first/last/nth value
+    with an EXPLICIT whole-partition frame (the default frame stops at
+    CURRENT ROW, which silently changes last_value), plus lead/lag.
+    Total order via event_id tiebreak keeps every function
+    engine-deterministic. Complements window_rank_functions (the
+    ranking family) and window_running_sum (the frame family)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(full).alias("first_type"),
+        F.last("event_type").over(full).alias("last_type"),
+        F.nth_value("event_type", 2).over(full).alias("second_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+    )
+
+
+_WINDOW_VALUE_SQL = """
+SELECT user_id, event_id,
+       first_value(event_type) OVER wf AS first_type,
+       last_value(event_type) OVER wf AS last_type,
+       nth_value(event_type, 2) OVER wf AS second_type,
+       lead(event_type) OVER w AS next_type,
+       lag(event_type) OVER w AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 PIPELINE_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -1373,5 +1410,8 @@ PIPELINE_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef("events_hour_heatmap", _events_hour_heatmap, _HOUR_HEATMAP_SQL),
         QueryDef("set_ops_all", _set_ops_all, _SET_OPS_ALL_SQL),
+        QueryDef(
+            "window_value_functions", _window_value_functions, _WINDOW_VALUE_SQL
+        ),
     ]
 }
