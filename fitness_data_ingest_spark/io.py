@@ -197,11 +197,16 @@ def zorder_key(x: F.Column, y: F.Column, bits: int = 16) -> F.Column:
     dimension into 2^bits ranks (see ``exact_quantiles``), which is a
     separate, stats-gathering pass.
     """
+    # All shift arithmetic must happen in 64-bit: with 32-bit inputs and
+    # bits=16, y's bit 15 shifts to position 31 — the int sign bit —
+    # and sign-extends when OR'd into the long accumulator, corrupting
+    # the high 32 bits of the key.
+    xl, yl = x.cast("long"), y.cast("long")
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = (
-            z.bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
-            .bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+            z.bitwiseOR(F.shiftleft(F.shiftright(xl, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(yl, i).bitwiseAND(F.lit(1)), 2 * i + 1))
         )
     return z
 

@@ -624,7 +624,8 @@ WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 b AS (SELECT len(toks) AS n_tokens, length(bin(len(toks))) - 1 AS bucket
       FROM tok WHERE len(toks) > 0)
 SELECT bucket, count(*) AS n_docs, min(n_tokens) AS min_tokens,
-       max(n_tokens) AS max_tokens, sum(n_tokens) AS sum_tokens
+       max(n_tokens) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
 FROM b GROUP BY bucket
 """
 

@@ -37,7 +37,8 @@ s AS (SELECT *, sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
 c AS (SELECT *, CAST(floor((cum - n_tok) / {C.PACK_BUDGET}) AS BIGINT)
                   AS chunk_id
       FROM s)
-SELECT source, shard, chunk_id, count(*) AS n_docs, sum(n_tok) AS chunk_tokens,
+SELECT source, shard, chunk_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS chunk_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY 1, 2, 3
 """
@@ -73,7 +74,7 @@ k AS (
                    < CAST(floor(rate * 65536) AS BIGINT)
               THEN 1 ELSE 0 END AS kept
   FROM r)
-SELECT source, count(*) AS n_docs, sum(kept) AS n_kept,
+SELECT source, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
        floor((sum(kept)::DOUBLE / count(*)) * 10000 + 0.5) / 10000.0
          AS achieved_rate4
 FROM k GROUP BY source
@@ -142,7 +143,7 @@ WITH e AS (SELECT unnest(embedding) AS v,
 m AS (SELECT dim, CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT) AS micro,
              CAST(v AS DOUBLE) AS vd
       FROM e)
-SELECT dim, count(*) AS n_vecs, sum(micro) AS sum_micro,
+SELECT dim, count(*) AS n_vecs, CAST(sum(micro) AS BIGINT) AS sum_micro,
        min(vd) AS min_v, max(vd) AS max_v,
        floor((CAST(sum(micro) AS DOUBLE) / count(*) / 1e6) * 1e6 + 0.5) / 1e6
          AS mean6
@@ -167,7 +168,7 @@ f AS (SELECT event_type, n, sc, sq,
                        > 9.0 * CAST(n * sq - sc * sc AS DOUBLE)
                   THEN 1 ELSE 0 END AS flag
       FROM j)
-SELECT event_type, max(n) AS n, sum(flag) AS n_outliers,
+SELECT event_type, max(n) AS n, CAST(sum(flag) AS BIGINT) AS n_outliers,
        floor((CAST(max(sc) AS DOUBLE) / max(n) / 100.0) * 1e4 + 0.5) / 1e4
          AS mean4,
        floor((sqrt(CAST(max(n) * max(sq) - max(sc) * max(sc) AS DOUBLE)
@@ -363,7 +364,8 @@ def _corpus_source_composition(spark, sf_dir):
 
 
 _SOURCE_COMP_SQL = """
-WITH per AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+WITH per AS (SELECT source, count(*) AS n_docs,
+                    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                     count(DISTINCT lang) AS n_langs
              FROM documents GROUP BY 1),
 tot AS (SELECT count(*) AS total_docs FROM documents)
@@ -467,10 +469,10 @@ k AS (SELECT source, pq, pl, (pl AND doc_id = msur) AS canon,
                          AS BIGINT)) AS keep
       FROM c)
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN pq THEN 1 ELSE 0 END) AS n_quality,
-       sum(CASE WHEN pl THEN 1 ELSE 0 END) AS n_lang,
-       sum(CASE WHEN canon THEN 1 ELSE 0 END) AS n_canonical,
-       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept
+       CAST(sum(CASE WHEN pq THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN pl THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM k GROUP BY source
 """
 
@@ -707,7 +709,13 @@ def _files_compaction_plan(spark, sf_dir):
         _tempfile.gettempdir(), f"fdis_compact_plan_{_os.getpid()}"
     )
     write_partitioned(ev, out_dir, partition_by=["day"])
-    back = spark.read.parquet(out_dir)
+    # Partition-column type inference turns the Hive `day=...` dir back
+    # into DATE; the oracle (and the writer) use a yyyy-MM-dd string —
+    # re-cast so both engines emit the same type for the driver's
+    # type-sensitive value hash.
+    back = spark.read.parquet(out_dir).withColumn(
+        "day", F.col("day").cast("string")
+    )
     per_file = back.groupBy("day").agg(F.count(F.lit(1)).alias("n_rows"))
     manifest = per_file.withColumn("month", F.substring("day", 1, 7))
     return compaction_plan(
@@ -866,7 +874,7 @@ _KEY_SKEW_SQL = """
 WITH per AS (SELECT event_type, user_id, count(*) AS n
              FROM events GROUP BY 1, 2),
 agg AS (SELECT event_type,
-               sum(n) AS n_rows,
+               CAST(sum(n) AS BIGINT) AS n_rows,
                count(*) AS n_keys,
                max(n) AS hot_rows,
                floor(CAST(max(n) AS DOUBLE) / sum(n) * 1000000 + 0.5)
@@ -921,16 +929,19 @@ def _dq_audit_lineitem(spark, sf_dir):
 
 _DQ_AUDIT_SQL = """
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_orderkey,
-       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_quantity,
-       sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_orderkey,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_quantity,
+       CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS nonpositive_quantity,
-       sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                     THEN 1 ELSE 0 END) AS BIGINT)
          AS discount_out_of_range,
-       sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
-                  OR l_shipdate >= TIMESTAMP '1999-01-01'
-                THEN 1 ELSE 0 END) AS shipdate_out_of_era,
-       sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                       OR l_shipdate >= TIMESTAMP '1999-01-01'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_out_of_era,
+       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS orphan_orderkeys
 FROM lineitem li
 LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
@@ -1046,8 +1057,8 @@ SELECT user_id,
        max(gap_us) AS max_gap_us,
        floor(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1e6 * 100 + 0.5)
          / 100.0 AS mean_gap_s2,
-       sum(CASE WHEN gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
-         AS n_session_breaks
+       CAST(sum(CASE WHEN gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_session_breaks
 FROM g
 GROUP BY user_id
 """
@@ -1174,7 +1185,8 @@ s AS (SELECT CASE WHEN hv < 58982 THEN 'train'
                   ELSE 'test' END AS split,
              source, n_chars
       FROM h)
-SELECT split, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT split, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM s GROUP BY 1, 2
 """
 

@@ -52,9 +52,11 @@ def test_registry_verification_window_rotates():
     with a fully-green row in any recorded CORRECTNESS_r*.json yield
     their slot to keys that never earned one, except _FORCE_REVERIFY
     (plans rewritten after their last green verdict), which lead
-    unconditionally. Pin the invariants: no duplicates, nothing lost,
-    forced keys first, and — past them — the window contains ONLY
-    never-verified keys while green keys trail."""
+    unconditionally. Pin the PREFIX invariants: no duplicates, nothing
+    lost, forced keys first, and no green key ahead of any unverified
+    key. Green keys MAY backfill the tail of the window once fewer than
+    ~50 unverified keys remain — that is the rotation converging, not a
+    leak."""
     from fitness_data_ingest_spark import registry
 
     ordered = list(registry.all_queries())
@@ -63,14 +65,14 @@ def test_registry_verification_window_rotates():
     forced = [k for k in registry._FORCE_REVERIFY if k not in green]
     assert ordered[: len(forced)] == forced
     if green:  # recorded verdicts exist (always true in this repo)
-        window = ordered[len(forced) : 50]
-        leaked = [k for k in window if k in green]
-        assert not leaked, f"green keys occupying the window: {leaked}"
-        n_unverified = sum(1 for k in ordered if k not in green)
-        # every unverified key must sit ahead of every green key
-        # (except the forced re-verifications, which are green+leading)
-        head = set(ordered[: n_unverified + len(forced)])
-        assert all(k in head for k in ordered if k not in green)
+        # prefix property: every unverified key precedes every green key
+        # (past the forced re-verifications, which lead regardless)
+        tail = ordered[len(forced) :]
+        first_green = next(
+            (i for i, k in enumerate(tail) if k in green), len(tail)
+        )
+        leaked = [k for k in tail[first_green:] if k not in green]
+        assert not leaked, f"unverified keys behind a green key: {leaked}"
     # rotation bookkeeping must reference real keys only
     assert set(registry._NEXT_ROTATION) <= set(ordered)
     assert set(registry._PRIORITY) <= set(ordered)

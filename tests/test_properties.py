@@ -286,3 +286,31 @@ def test_zorder_key_is_bijective_and_matches_reference(spark, pts):
     expected = {(x, y): ref_morton(x, y) for x, y in pts}
     assert got == expected
     assert len(set(got.values())) == len(pts)  # injective on unique points
+
+
+def test_zorder_key_int32_inputs_bits16_no_sign_extension(spark):
+    """With 32-bit INT inputs and bits=16, y's bit 15 lands at position
+    31 — the int sign bit.  The shift loop must run in 64-bit or the
+    sign extension corrupts the high 32 bits of the Morton key
+    (latent round-2 bug: registered query used bits=8, tests used
+    long columns)."""
+    from fitness_data_ingest_spark.io import zorder_key
+
+    def ref_morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(0, 32768), (32768, 32768), (65535, 65535), (1, 65535)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), bits=16).alias("z")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == ref_morton(x, y), (x, y, got[(x, y)])
+        assert got[(x, y)] >= 0
