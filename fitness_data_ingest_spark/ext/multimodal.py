@@ -6,11 +6,14 @@ Arrow-batched pandas functions over ``mapInPandas`` so each executor
 processes whole record batches (the only sane shape at 100 TB — payload
 bytes never transit the driver, and partition sizing bounds memory).
 
-The actual image/audio codecs are NOT in this container, so the decode
-step is stubbed: ``decode_stub`` raises NotImplementedError by contract,
-and ``fake_feature_extract`` is the deterministic stand-in used by tests
-to prove the Spark-side plumbing (schema, batch iteration, partitioning)
-end to end.
+Compressed codecs (JPEG/MP3/H.264) are NOT in this container, so those
+paths stay stubbed (``decode_stub``/``resize_stub`` raise
+NotImplementedError by contract). Uncompressed container formats ARE
+really decoded, dependency-free: ``decode_media`` parses RIFF/WAVE
+(PCM) and PPM (P6) payloads byte-for-byte — chunk walk, fmt/data
+extraction, ASCII header scan — and ``resize_ppm`` does a real
+nearest-neighbor resample with numpy. ``fake_feature_extract`` remains
+the deterministic stand-in for learned-embedding extraction.
 """
 
 from __future__ import annotations
@@ -59,8 +62,234 @@ def text_as_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# --- real, dependency-free codecs: RIFF/WAVE (PCM) and PPM (P6) ------
+
+
+def encode_wav_pcm16(
+    samples: list[int], sample_rate: int, n_channels: int = 1
+) -> bytes:
+    """Minimal canonical RIFF/WAVE writer: PCM, 16-bit little-endian.
+    ``samples`` is interleaved if multi-channel (len must divide evenly)."""
+    import struct
+
+    if n_channels < 1 or len(samples) % n_channels:
+        raise ValueError("samples must interleave n_channels evenly")
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_ppm_p6(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal PPM (P6, maxval 255) writer; ``pixels`` is RGB24,
+    row-major, exactly width*height*3 bytes."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes of RGB24")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def parse_wav(b: bytes) -> dict | None:
+    """Pure-Python RIFF chunk walk → {sample_rate, n_channels, bits,
+    n_samples} (frames, not interleaved values). None if not a PCM WAV."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        if cid == b"fmt " and size >= 16 and pos + 24 <= len(b):
+            fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
+        elif cid == b"data":
+            data_size = min(size, len(b) - pos - 8)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None or fmt[0] != 1:  # PCM only
+        return None
+    _, n_channels, sample_rate, _, block_align, bits = fmt
+    if block_align == 0:
+        return None
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits": bits,
+        "n_samples": data_size // block_align,
+    }
+
+
+def parse_ppm(b: bytes) -> dict | None:
+    """Pure-Python PPM (P6) header scan → {width, height, maxval,
+    pixel_offset}; handles '#' comments and arbitrary whitespace.
+    None if not P6."""
+    if len(b) < 2 or b[:2] != b"P6":
+        return None
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3 and pos < len(b):
+        c = b[pos : pos + 1]
+        if c == b"#":
+            nl = b.find(b"\n", pos)
+            pos = len(b) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            start = pos
+            while pos < len(b) and b[pos : pos + 1].isdigit():
+                pos += 1
+            fields.append(int(b[start:pos]))
+        else:
+            return None
+    if len(fields) < 3:
+        return None
+    width, height, maxval = fields
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "pixel_offset": pos + 1,  # single whitespace after maxval
+    }
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id",
+                     len_col: str = "n_chars") -> DataFrame:
+    """Deterministic media synthesizer: each (id, length) row becomes a
+    REAL binary payload — even ids a PCM WAV, odd ids a PPM image —
+    with format parameters derived arithmetically from (id, length):
+
+      WAV : sample_rate = 8000 + (id % 4) * 4000, channels = 1 + (id//2) % 2,
+            16-bit, n_sample_frames = length % 256 + 16
+      PPM : width = length % 32 + 1, height = (id//2) % 16 + 1, maxval 255
+
+    Sample/pixel bytes come from an id-seeded LCG, so payloads are
+    bit-reproducible anywhere. The point: ``decode_media`` sees ONLY the
+    bytes, so a relational oracle computing the same parameters from
+    (id, length) hash-verifies that the byte-level encode→decode loop
+    recovers every field exactly."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, n in zip(pdf[id_col], pdf[len_col]):
+                mid, n = int(mid), int(n)
+                seed = (mid * 6364136223846793005 + 1442695040888963407) % (2**63)
+                if mid % 2 == 0:
+                    rate = 8000 + (mid % 4) * 4000
+                    channels = 1 + (mid // 2) % 2
+                    frames = n % 256 + 16
+                    samples = []
+                    for _ in range(frames * channels):
+                        seed = (seed * 6364136223846793005 + 1) % (2**63)
+                        samples.append((seed >> 33) % 65536 - 32768)
+                    payloads.append(encode_wav_pcm16(samples, rate, channels))
+                else:
+                    w, h = n % 32 + 1, (mid // 2) % 16 + 1
+                    px = bytearray()
+                    for _ in range(w * h * 3):
+                        seed = (seed * 6364136223846793005 + 1) % (2**63)
+                        px.append((seed >> 33) % 256)
+                    payloads.append(encode_ppm_p6(w, h, bytes(px)))
+                ids.append(mid)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select(id_col, len_col).mapInPandas(
+        _synth, schema="media_id long, payload binary"
+    )
+
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, mime string, width int, height int, "
+    "sample_rate int, n_channels int, bits int, n_samples long"
+)
+
+
+def decode_media(media_df: DataFrame) -> DataFrame:
+    """REAL decode over ``mapInPandas`` (Arrow-batched, zero shuffle):
+    sniffs each payload's magic bytes and parses RIFF/WAVE (PCM) or PPM
+    (P6) headers byte-for-byte, emitting the recovered typed metadata.
+    Unknown formats degrade to kind='unknown' with null fields rather
+    than failing the batch — at 100 TB a poison payload must not kill
+    the stage."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                wav = parse_wav(b)
+                if wav is not None:
+                    rows.append(
+                        (mid, "audio", "audio/wav", None, None,
+                         wav["sample_rate"], wav["n_channels"], wav["bits"],
+                         wav["n_samples"])
+                    )
+                    continue
+                ppm = parse_ppm(b)
+                if ppm is not None:
+                    bits = 16 if ppm["maxval"] > 255 else 8
+                    rows.append(
+                        (mid, "image", "image/x-portable-pixmap",
+                         ppm["width"], ppm["height"], None, None, bits, None)
+                    )
+                    continue
+                rows.append(
+                    (mid, "unknown", None, None, None, None, None, None, None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "mime", "width", "height",
+                         "sample_rate", "n_channels", "bits", "n_samples"],
+            )
+
+    return media_df.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def resize_ppm(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize for PPM (P6) payloads: nearest-neighbor
+    resample via numpy fancy indexing, re-encoded as P6 with the new
+    dimensions. Non-PPM payloads pass through with null output payload
+    (same poison-payload policy as decode_media)."""
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                ppm = parse_ppm(b)
+                if ppm is None or ppm["maxval"] > 255:
+                    out.append((mid, None, None, None))
+                    continue
+                w0, h0, off = ppm["width"], ppm["height"], ppm["pixel_offset"]
+                need = w0 * h0 * 3
+                if len(b) - off < need:
+                    out.append((mid, None, None, None))
+                    continue
+                px = np.frombuffer(b, dtype=np.uint8, count=need, offset=off)
+                img = px.reshape(h0, w0, 3)
+                ys = (np.arange(height) * h0) // height
+                xs = (np.arange(width) * w0) // width
+                resized = img[ys][:, xs].tobytes()
+                out.append(
+                    (mid, encode_ppm_p6(width, height, resized), width, height)
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "payload", "width", "height"]
+            )
+
+    return media_df.mapInPandas(
+        _resize, schema="media_id long, payload binary, width int, height int"
+    )
+
+
 def decode_stub(media_df: DataFrame) -> DataFrame:
-    """Contract for the real decoder (needs PIL/ffmpeg — not installed).
+    """Contract for the compressed-codec decoder (JPEG/MP3/H.264 need
+    PIL/ffmpeg — not installed; WAV/PPM are really decoded by
+    ``decode_media``).
 
     Raises at *execution* time, per batch, so the plan still builds and
     the schema contract is checkable."""

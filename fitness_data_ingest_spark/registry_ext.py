@@ -539,6 +539,21 @@ def _multimodal_metadata(spark, sf_dir):
     return MM.media_stats(media)
 
 
+def _multimodal_decode(spark, sf_dir):
+    """REAL byte-level decode loop, hash-verified end to end: documents
+    become deterministic binary payloads (even doc_id → PCM WAV, odd →
+    PPM P6; parameters derived from (doc_id, length)), then
+    ``decode_media`` recovers every format field by parsing ONLY the
+    bytes — RIFF chunk walk, PPM header scan. The oracle computes the
+    same fields arithmetically, so any encode/decode bug flips the
+    driver hash. Both mapInPandas stages are Arrow-batched and
+    shuffle-free (payloads never leave their input partition)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    return MM.decode_media(MM.synthesize_media(docs))
+
+
 def _ann_knn_classify(spark, sf_dir):
     """k-NN majority-label vote: brute top-5 neighbors, then an
     aggregate argmax over the votes (most votes, smallest label)."""
@@ -729,6 +744,27 @@ EXT_QUERIES: dict[str, QueryDef] = {
             """SELECT doc_id AS media_id, 'text' AS kind,
                       octet_length(encode(text)) AS n_bytes, md5(text) AS checksum
                FROM documents""",
+        ),
+        QueryDef(
+            "multimodal_decode",
+            _multimodal_decode,
+            """WITH d AS (SELECT doc_id, length(text) AS n FROM documents)
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+            ELSE 'image/x-portable-pixmap' END AS mime,
+       CASE WHEN doc_id % 2 = 0 THEN NULL
+            ELSE CAST(n % 32 + 1 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN NULL
+            ELSE CAST((doc_id // 2) % 16 + 1 AS INTEGER) END AS height,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(8000 + (doc_id % 4) * 4000 AS INTEGER)
+            ELSE NULL END AS sample_rate,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(1 + (doc_id // 2) % 2 AS INTEGER)
+            ELSE NULL END AS n_channels,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS INTEGER) AS bits,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN n % 256 + 16 ELSE NULL END
+            AS BIGINT) AS n_samples
+FROM d""",
         ),
     ]
 }

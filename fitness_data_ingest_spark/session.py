@@ -76,6 +76,12 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     # Spark has no TIMESTAMP(NANOS) type (events.ts is parquet ns);
     # read as long and convert via exact integer division (io.table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive parquet TIMESTAMP(US) (isAdjustedToUTC=false) should come
+    # out of the scan as session-tz TimestampType directly, not as
+    # TIMESTAMP_NTZ + a per-row cast in a Project: the cast cost ~20%
+    # on window_session at sf0.1 (the round-2 regression) and the
+    # session is UTC-pinned, so the two readings are value-identical.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:  # static-ish on some builds; best effort
         spark.conf.set("spark.sql.shuffle.partitions", "32")

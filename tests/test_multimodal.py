@@ -84,3 +84,96 @@ def test_resize_stub_contract(spark, sf_dir):
     ]
     with pytest.raises(Exception, match="NotImplementedError|resize"):
         resized.collect()
+
+
+def test_wav_roundtrip_parse():
+    """encode_wav_pcm16 -> parse_wav recovers every fmt field, incl.
+    multi-channel interleave and the word-alignment chunk walk."""
+    samples = list(range(-50, 50))  # 100 values
+    b = MM.encode_wav_pcm16(samples, 16000, n_channels=2)
+    got = MM.parse_wav(b)
+    assert got == {
+        "sample_rate": 16000,
+        "n_channels": 2,
+        "bits": 16,
+        "n_samples": 50,  # frames, not interleaved values
+    }
+    # non-WAV and truncated payloads degrade to None, never raise
+    assert MM.parse_wav(b"\x00\x01") is None
+    assert MM.parse_wav(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert MM.parse_wav(b[:20]) is None
+
+
+def test_ppm_roundtrip_parse_with_comments():
+    px = bytes(range(2 * 3 * 3))  # 2x3 RGB
+    b = MM.encode_ppm_p6(2, 3, px)
+    got = MM.parse_ppm(b)
+    assert (got["width"], got["height"], got["maxval"]) == (2, 3, 255)
+    assert b[got["pixel_offset"] :] == px
+    # comment lines inside the header are legal PPM
+    commented = b"P6\n# a comment\n2 3\n# another\n255\n" + px
+    got2 = MM.parse_ppm(commented)
+    assert (got2["width"], got2["height"]) == (2, 3)
+    assert commented[got2["pixel_offset"] :] == px
+    assert MM.parse_ppm(b"P5\n1 1\n255\n\x00") is None
+
+
+def test_decode_media_real_formats(spark):
+    """decode_media recovers WAV/PPM metadata from bytes alone; unknown
+    payloads degrade to kind='unknown' instead of failing the batch."""
+    rows = [
+        (1, MM.encode_wav_pcm16([0] * 30, 8000, 1)),
+        (2, MM.encode_ppm_p6(4, 5, bytes(4 * 5 * 3))),
+        (3, b"not a media payload"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in MM.decode_media(df).collect()}
+    assert got[1]["kind"] == "audio" and got[1]["sample_rate"] == 8000
+    assert got[1]["n_samples"] == 30 and got[1]["bits"] == 16
+    assert got[2]["kind"] == "image" and (got[2]["width"], got[2]["height"]) == (4, 5)
+    assert got[3]["kind"] == "unknown" and got[4]["kind"] == "unknown"
+
+
+def test_resize_ppm_nearest_neighbor(spark):
+    """Real resample: 2x2 checkerboard upscaled 2x must replicate each
+    source pixel into a 2x2 block (nearest neighbor), re-encoded P6."""
+    r, g, b_, w = b"\xff\x00\x00", b"\x00\xff\x00", b"\x00\x00\xff", b"\xff\xff\xff"
+    src = MM.encode_ppm_p6(2, 2, r + g + b_ + w)
+    df = spark.createDataFrame(
+        [(1, src), (2, b"junk")], "media_id long, payload binary"
+    )
+    got = {row["media_id"]: row for row in MM.resize_ppm(df, 4, 4).collect()}
+    out = bytes(got[1]["payload"])
+    meta = MM.parse_ppm(out)
+    assert (meta["width"], meta["height"]) == (4, 4)
+    px = out[meta["pixel_offset"] :]
+    rows_px = [px[i * 12 : (i + 1) * 12] for i in range(4)]
+    assert rows_px[0] == rows_px[1] == (r + r + g + g)
+    assert rows_px[2] == rows_px[3] == (b_ + b_ + w + w)
+    assert got[2]["payload"] is None  # poison passthrough
+
+
+def test_synthesize_then_decode_matches_arithmetic(spark, sf_dir):
+    """The registered multimodal_decode loop: every decoded field equals
+    the (doc_id, length)-derived expectation — byte-level proof."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    ).limit(40)
+    expected = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    got = {
+        r["media_id"]: r.asDict()
+        for r in MM.decode_media(MM.synthesize_media(docs)).collect()
+    }
+    assert set(got) == set(expected)
+    for mid, n in expected.items():
+        row = got[mid]
+        if mid % 2 == 0:
+            assert row["kind"] == "audio"
+            assert row["sample_rate"] == 8000 + (mid % 4) * 4000
+            assert row["n_channels"] == 1 + (mid // 2) % 2
+            assert row["n_samples"] == n % 256 + 16
+        else:
+            assert row["kind"] == "image"
+            assert row["width"] == n % 32 + 1
+            assert row["height"] == (mid // 2) % 16 + 1
