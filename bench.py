@@ -98,6 +98,12 @@ HEADLINE = [
     "orders_seasonality",
     "agg_grouping_sets",
     "events_hour_heatmap",
+    "multimodal_decode",
+    "merge_upsert",
+    "unpivot_melt",
+    "array_hof_battery",
+    "er_edit_distance",
+    "graph_pagerank",
 ]
 
 

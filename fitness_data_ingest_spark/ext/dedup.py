@@ -410,3 +410,40 @@ def fuzzy_name_pairs(df: DataFrame, key_col: str, name_col: str) -> DataFrame:
         .distinct()
     )
     return pairs.withColumn("lev", F.levenshtein("name_a", "name_b"))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    name_col: str,
+    block_col: Column,
+    max_dist: int = 4,
+) -> DataFrame:
+    """Blocked edit-distance similarity join over DISTINCT names — the
+    classic entity-resolution candidate step with a true string metric
+    (Levenshtein), complementing :func:`fuzzy_name_pairs`'s
+    masked-position blocking.
+
+    The blocking expression bounds the candidate set: names pair only
+    within a block (same last token, same phonetic key, same length
+    band — caller's choice), so the quadratic term is per-block, never
+    corpus-wide. The distinct-name projection collapses the fact-grain
+    input to entity grain first; Levenshtein (a JVM built-in) runs only
+    on surviving candidates.
+    """
+    names = df.select(
+        F.col(name_col).alias("name"), block_col.alias("blk")
+    ).distinct()
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -496,3 +496,28 @@ def seed_cluster_assign(
         (-F.col("b.neg_cid")).cast("int").alias("cluster"),
         (F.floor(F.col("b.ccos") * 10000 + 0.5) / 10000.0).alias("cos4"),
     )
+
+
+def array_profile(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Per-vector audit via higher-order array functions — the
+    transform/filter/aggregate/array_max family exercised end-to-end on
+    the embedding column, all JVM-side (zero Python row path).
+
+    Every statistic is exact int64 micro-units (floor(x*1e6 + 0.5) per
+    element, integer sums), so results are independent of element
+    order and bit-identical across engines: n_dims, positive-element
+    count, L1 norm, and max element.
+    """
+    xd = "CAST(x AS DOUBLE)"
+    return df.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).cast("long").alias("n_dims"),
+        F.expr(f"CAST(size(filter({vec_col}, x -> x > 0)) AS BIGINT)").alias("n_pos"),
+        F.expr(
+            f"aggregate(transform({vec_col}, x -> CAST(floor(abs({xd})*1e6 + 0.5) AS BIGINT)),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("l1_micro"),
+        F.expr(
+            f"array_max(transform({vec_col}, x -> CAST(floor({xd}*1e6 + 0.5) AS BIGINT)))"
+        ).alias("max_micro"),
+    )

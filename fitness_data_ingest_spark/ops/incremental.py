@@ -88,3 +88,45 @@ def merge_agg_states(
         for m, kind in measures.items()
     ]
     return j.select(*out_keys, *out_measures)
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changeset to a snapshot — the batch MERGE INTO:
+    ``I`` rows insert, ``U`` rows replace the matched row's non-key
+    columns, ``D`` rows delete; unmatched snapshot rows pass through.
+    ``changes`` carries the same schema as ``snapshot`` plus ``op_col``
+    (payload columns of ``D`` rows are ignored). One change row per key.
+
+    This is the apply step downstream of :func:`~fitness_data_ingest_spark.ops.relational.scd2_changes`
+    (which *classifies*); together they are the reference's idempotent
+    re-ingest loop (services/fitbit/fitbit_utils.py:230-232) promoted to
+    row-level upsert semantics.
+
+    Shape: ONE full-outer equi-join on the key — the same single
+    shuffle a Delta/Iceberg MERGE plans for the touched partition set.
+    The changeset is change-grain (small); at scale it broadcasts, and
+    a bucketed snapshot makes the join entirely co-located. No window,
+    no second pass.
+    """
+    cols = snapshot.columns
+    snap = snapshot.select([F.col(c).alias(f"s_{c}") for c in cols])
+    chg = changes.select(
+        [F.col(c).alias(f"c_{c}") for c in cols] + [F.col(op_col).alias("_op")]
+    )
+    j = snap.join(chg, snap[f"s_{key}"] == chg[f"c_{key}"], "full_outer")
+    merged = j.filter(
+        # D removes the key; a U/I with no payload change still lands
+        (F.col("_op").isNull()) | (F.col("_op") != F.lit("D"))
+    )
+    picked = [
+        F.when(F.col("_op").isin("U", "I"), F.col(f"c_{c}"))
+        .otherwise(F.col(f"s_{c}"))
+        .alias(c)
+        for c in cols
+    ]
+    return merged.select(*picked)

@@ -169,32 +169,51 @@ def asof_join(
     a total function. Unmatched left rows are kept with nulls (left
     as-of). Column names must be disjoint apart from ``key``.
 
-    Shape: equi-join on key + window argmax over the match candidates —
-    Catalyst plans a hash join on the key; the window re-shuffles only
-    matched pairs. At production scale with sorted bucketed tables the
-    same semantics can be had shuffle-free via a merge in
-    ``mapPartitions``; this formulation is the declarative baseline.
+    Shape: a union-merge, NOT a range-predicate join. The equi-join +
+    window-argmax formulation materializes every (left row × earlier
+    right row of the same key) candidate pair — O(n²) per key, a
+    scale-killer on long histories. Here both sides union on the key and
+    ONE last-value-ignore-nulls window over (key, ts) carries the most
+    recent right row forward onto each left row: one shuffle on the key,
+    one partition-local sort, zero pair materialization — the same merge
+    a sorted-bucketed ``mapPartitions`` would do, kept declarative.
+
+    Sort order within a key: (ts, is_right desc, right_id): at equal
+    timestamps the right row sorts BEFORE the left row (<= semantics),
+    and among equal-ts right rows the largest ``right_id`` sorts last so
+    ``last()`` picks it — ties broken by ``right_id`` desc, exactly the
+    old argmax contract.
     """
-    # string-qualified aliases, not DataFrame[col] references: left and
-    # right often share lineage (self-as-of on one event table), where
-    # df[col] attribute ids collide and silently mis-resolve
     rcols = [c for c in right.columns if c != key]
-    j = left.alias("__l").join(
-        right.alias("__r"),
-        (F.col(f"__l.{key}") == F.col(f"__r.{key}"))
-        & (F.col(f"__r.{right_ts}") <= F.col(f"__l.{left_ts}")),
-        "left",
+    r_side = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_r"),
+        F.col(right_id).alias("__rid"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
     )
-    w = Window.partitionBy(F.col(f"__l.{left_id}")).orderBy(
-        F.col(f"__r.{right_ts}").desc_nulls_last(),
-        F.col(f"__r.{right_id}").desc_nulls_last(),
+    l_side = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_r"),
+        F.lit(None).cast(r_side.schema["__rid"].dataType).alias("__rid"),
+        F.lit(None).cast(r_side.schema["__r"].dataType).alias("__r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    unioned = r_side.withColumn(
+        "__l", F.lit(None).cast(l_side.schema["__l"].dataType)
+    ).unionByName(l_side)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts"), F.col("__is_r").desc(), F.col("__rid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        j.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        unioned.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__is_r") == 0)
         .select(
             *[F.col(f"__l.{c}").alias(c) for c in left.columns],
-            *[F.col(f"__r.{c}").alias(c) for c in rcols],
+            *[F.col(f"__m.{c}").alias(c) for c in rcols],
         )
     )
 

@@ -103,3 +103,4 @@ def with_struct(df: DataFrame, struct_col: str, fields: Mapping[str, str]) -> Da
     return df.withColumn(
         struct_col, F.struct(*[F.col(src).alias(dst) for dst, src in fields.items()])
     )
+

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .registry_core import CORE_QUERIES
 from .registry_ext import EXT_QUERIES
 from .registry_pipeline import PIPELINE_QUERIES
+from .registry_r3 import R3_QUERIES
 from .registry_stream import STREAM_QUERIES
 from .registry_tpch2 import TPCH2_QUERIES
 from .registry_util import QueryDef
@@ -139,6 +140,9 @@ _FORCE_REVERIFY: dict[str, int] = {
     "tpch_q3_top10": 1,
     "tpch_q10_returns": 1,
     "topk_latest": 1,
+    # round 3: asof rewritten from equi-join + window-argmax (O(n²)
+    # candidate pairs per key) to the union-merge single-sort form
+    "join_asof": 2,
 }
 
 
@@ -188,6 +192,7 @@ def all_queries() -> dict[str, QueryDef]:
         STREAM_QUERIES,
         TPCH2_QUERIES,
         PIPELINE_QUERIES,
+        R3_QUERIES,
     ):
         merged.update(family)
     verified = _driver_verified()

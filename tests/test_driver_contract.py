@@ -107,3 +107,31 @@ def test_bench_line_fits_driver_tail_capture():
         assert max((fake["queries"][n] for n in dropped), default=0.0) <= min(
             fake["queries"][n] for n in kept
         )
+
+
+def test_registry_families_have_no_key_collisions():
+    """A key defined in two family dicts silently shadows one plan with
+    the other (dict.update order wins) — caught live in round 3 when a
+    new family re-defined core's ``unpivot_melt``. Every registry key
+    must come from exactly one family."""
+    from collections import Counter
+
+    from fitness_data_ingest_spark.registry_core import CORE_QUERIES
+    from fitness_data_ingest_spark.registry_ext import EXT_QUERIES
+    from fitness_data_ingest_spark.registry_pipeline import PIPELINE_QUERIES
+    from fitness_data_ingest_spark.registry_r3 import R3_QUERIES
+    from fitness_data_ingest_spark.registry_stream import STREAM_QUERIES
+    from fitness_data_ingest_spark.registry_tpch2 import TPCH2_QUERIES
+
+    counts = Counter()
+    for family in (
+        CORE_QUERIES,
+        EXT_QUERIES,
+        STREAM_QUERIES,
+        TPCH2_QUERIES,
+        PIPELINE_QUERIES,
+        R3_QUERIES,
+    ):
+        counts.update(family.keys())
+    dupes = sorted(k for k, n in counts.items() if n > 1)
+    assert not dupes, f"registry keys defined in more than one family: {dupes}"

@@ -1,0 +1,108 @@
+"""Unit tests for the round-3 operators: integer-exact PageRank,
+batch MERGE (CDC apply), the union-merge as-of join's edge semantics,
+HOF array profile, and blocked edit-distance ER."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fitness_data_ingest_spark.ext.dedup import edit_distance_pairs
+from fitness_data_ingest_spark.ext.similarity import array_profile
+from fitness_data_ingest_spark.ops.graph import (
+    RANK_UNIT,
+    cooccurrence_edges,
+    pagerank_int,
+)
+from fitness_data_ingest_spark.ops.incremental import merge_upsert
+from fitness_data_ingest_spark.ops.relational import asof_join
+
+
+def _pagerank_py(edges, iters=6, damp=85):
+    """Python mirror of the integer recurrence (truncating division)."""
+    from collections import defaultdict
+
+    out = defaultdict(set)
+    for s, d in edges:
+        out[s].add(d)
+    nodes = sorted(out)
+    rank = {n: RANK_UNIT for n in nodes}
+    base = (100 - damp) * RANK_UNIT // 100
+    for _ in range(iters):
+        contrib = defaultdict(int)
+        for s in nodes:
+            c = rank[s] // len(out[s])
+            for d in out[s]:
+                contrib[d] += c
+        rank = {n: base + contrib[n] * damp // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_mirror(spark):
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3), (4, 1), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_micro for r in pagerank_int(df, iters=6).collect()}
+    assert got == _pagerank_py(edges)
+
+
+def test_pagerank_sink_heavy_node_ranks_highest(spark):
+    # star graph: every spoke links the hub (and back)
+    edges = [(h, 0) for h in range(1, 9)] + [(0, h) for h in range(1, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_micro for r in pagerank_int(df, iters=8).collect()}
+    assert got[0] > max(v for n, v in got.items() if n != 0)
+
+
+def test_cooccurrence_edges_symmetric_and_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 10), (2, 10), (2, 11), (3, 12)],
+        "g long, i long",
+    )
+    got = {(r.src, r.dst) for r in cooccurrence_edges(df, "g", "i").collect()}
+    assert got == {(10, 11), (11, 10)}  # the duplicate pair collapses; singleton drops
+
+
+def test_merge_upsert_semantics(spark):
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    chg = spark.createDataFrame(
+        [(2, "B", 99.0, "U"), (3, None, 0.0, "D"), (9, "i", 1.0, "I")],
+        "k long, s string, v double, op string",
+    )
+    got = {r.k: (r.s, r.v) for r in merge_upsert(snap, chg, "k").collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 9: ("i", 1.0)}
+
+
+def test_asof_join_equal_ts_matches_and_tiebreak(spark):
+    left = spark.createDataFrame([(1, 100, 7)], "user_id long, p_ts long, p_id long")
+    right = spark.createDataFrame(
+        [(1, 100, 51), (1, 100, 52), (1, 99, 40), (1, 101, 60)],
+        "user_id long, c_ts long, c_id long",
+    )
+    row = asof_join(left, right, "user_id", "p_ts", "c_ts", "p_id", "c_id").collect()[0]
+    # <= semantics: the equal-ts right row is visible; right_id desc tie-break
+    assert row.c_id == 52
+
+
+def test_asof_join_unmatched_left_keeps_nulls(spark):
+    left = spark.createDataFrame([(1, 50, 7)], "user_id long, p_ts long, p_id long")
+    right = spark.createDataFrame([(1, 99, 40)], "user_id long, c_ts long, c_id long")
+    row = asof_join(left, right, "user_id", "p_ts", "c_ts", "p_id", "c_id").collect()[0]
+    assert row.c_id is None and row.c_ts is None and row.p_id == 7
+
+
+def test_array_profile_exact(spark):
+    df = spark.createDataFrame([(1, [0.5, -0.25, 0.0])], "vec_id long, embedding array<double>")
+    r = array_profile(df).collect()[0]
+    assert (r.n_dims, r.n_pos, r.l1_micro, r.max_micro) == (3, 1, 750000, 500000)
+
+
+def test_edit_distance_pairs_blocked(spark):
+    df = spark.createDataFrame(
+        [("red gear",), ("blue gear",), ("red bolt",)], "p_name string"
+    )
+    out = edit_distance_pairs(
+        df, "p_name", F.substring_index(F.col("p_name"), " ", -1), 4
+    ).collect()
+    # cross-block pairs never form, even when close in edit distance
+    assert {(r.name_a, r.name_b, r.dist) for r in out} == {("blue gear", "red gear", 4)}
