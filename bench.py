@@ -104,6 +104,7 @@ HEADLINE = [
     "array_hof_battery",
     "er_edit_distance",
     "graph_pagerank",
+    "ann_sq8_topk",
 ]
 
 

@@ -310,22 +310,26 @@ def cooccurrence_topk(
     orders, token co-occurrence over documents, any (group, item) pair
     source.
 
-    The pair generation is a DISTINCT projection followed by a self
-    equi-join on the group key: fan-out is bounded by the per-group
-    distinct-item count squared (an order holds a dozen parts at any
-    corpus size), never a cross-group all-pairs. Counting is one
-    partial-agg groupBy on the pair key; the global top-k is
-    limit-then-rank (distributed TakeOrderedAndProject, rank re-derived
-    on the <= k survivors). String-qualified aliases keep the self-join
-    unambiguous."""
-    d = df.select(
-        F.col(group_col).alias("g"), F.col(item_col).alias("item")
-    ).distinct()
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.g") == F.col("b.g")) & (F.col("a.item") < F.col("b.item")),
-    ).select(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+    Pair generation is ONE partial-aggregated ``collect_set`` shuffle on
+    the group key, then the ordered pairs expand IN PLACE with
+    higher-order array functions (a generate — no self-join, no second
+    full shuffle of the fact table; the earlier self-equi-join
+    formulation paid an extra shuffle of both sides for the same
+    candidate set). Fan-out stays bounded by the per-group distinct-item
+    count squared (an order holds a dozen parts at any corpus size),
+    never a cross-group all-pairs. Counting is one partial-agg groupBy
+    on the pair key; the global top-k is limit-then-rank (distributed
+    TakeOrderedAndProject, rank re-derived on the <= k survivors)."""
+    baskets = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.collect_set(F.col(item_col)).alias("items")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(items, x -> transform("
+        "filter(items, y -> y > x), y -> struct(x AS item_a, y AS item_b))))"
+    )
+    pairs = baskets.select(F.explode(pair_expr).alias("p")).select(
+        "p.item_a", "p.item_b"
+    )
     agg = pairs.groupBy("item_a", "item_b").agg(
         F.count(F.lit(1)).alias("n_groups")
     )

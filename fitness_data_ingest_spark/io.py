@@ -229,3 +229,76 @@ def write_zorder_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------
+# Versioned snapshot store (time travel)
+
+
+def write_versioned(
+    df: DataFrame, base_path: str, note: str = ""
+) -> int:
+    """Append a new immutable snapshot version under ``base_path`` and
+    return its version number — the minimal transactional pattern under
+    Delta/Iceberg time travel: data files are never mutated, a tiny
+    JSON log entry (``_versions/v{N}.json``) commits the version, and
+    the latest committed version is the max N present.
+
+    The commit is atomic at the log-entry level: readers resolve
+    versions ONLY through ``_versions/`` entries, so a writer that died
+    mid-parquet-write leaves an orphaned data directory, never a
+    readable half-version. At 100 TB the data write scales out like any
+    parquet sink; the log entry is O(1) driver-side metadata.
+    """
+    import json
+    import os
+    import time
+
+    os.makedirs(os.path.join(base_path, "_versions"), exist_ok=True)
+    version = latest_version(base_path) + 1
+    data_dir = os.path.join(base_path, f"v{version}")
+    df.write.mode("errorifexists").parquet(data_dir)
+    entry = {
+        "version": version,
+        "path": data_dir,
+        "note": note,
+        "committed_at": time.time(),
+    }
+    tmp = os.path.join(base_path, "_versions", f".v{version}.json.tmp")
+    final = os.path.join(base_path, "_versions", f"v{version}.json")
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+    os.replace(tmp, final)  # atomic rename = the commit point
+    return version
+
+
+def latest_version(base_path: str) -> int:
+    """Highest committed version under ``base_path`` (-1 if none)."""
+    import glob
+    import os
+    import re
+
+    latest = -1
+    for p in glob.glob(os.path.join(base_path, "_versions", "v*.json")):
+        m = re.search(r"v(\d+)\.json$", p)
+        if m:
+            latest = max(latest, int(m.group(1)))
+    return latest
+
+
+def read_versioned(
+    spark: SparkSession, base_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed snapshot: the given version, or the latest.
+    Uncommitted (orphaned) data directories are invisible — the read
+    path trusts only the version log."""
+    import json
+    import os
+
+    v = latest_version(base_path) if version is None else version
+    log = os.path.join(base_path, "_versions", f"v{v}.json")
+    if v < 0 or not os.path.exists(log):
+        raise ValueError(f"no committed version {version!r} under {base_path}")
+    with open(log) as f:
+        entry = json.load(f)
+    return spark.read.parquet(entry["path"])

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .ext import dedup as D
+from .ext import multimodal as MM
 from .ext import similarity as S
 from .ops import graph as G
 from .ops import incremental as INC
@@ -120,6 +121,78 @@ FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
 WHERE levenshtein(a.name, b.name) <= 4
 """
 
+# ------------------------------------------------------ SQ8 QUANTIZED ANN
+
+
+def _ann_sq8_topk(spark, sf_dir):
+    """ANN over scalar-quantized (SQ8) codes: per-dim corpus bounds ->
+    0..255 integer codes -> exact integer quantized-L2 top-5 per query.
+    The vector-compression scale path (8-bit scan, integer kernel)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.sq8_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+_SQ8_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+idx AS (SELECT vec_id, v, unnest(range(1, len(v)+1)) AS i FROM e),
+d AS (SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx FROM idx GROUP BY 1),
+b AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM d),
+codes AS (SELECT vec_id,
+  list_transform(range(1, len(v)+1), i ->
+    CASE WHEN b.mx[i] > b.mn[i]
+         THEN CAST(floor((v[i] - b.mn[i]) / (b.mx[i] - b.mn[i]) * 255 + 0.5) AS BIGINT)
+         ELSE 0 END) AS c
+  FROM e CROSS JOIN b),
+s AS (SELECT q.vec_id AS query_id, c2.vec_id AS cand_id,
+       CAST(list_sum(list_transform(range(1, len(q.c)+1),
+            i -> (q.c[i] - c2.c[i]) * (q.c[i] - c2.c[i]))) AS BIGINT) AS dist2
+      FROM (SELECT * FROM codes WHERE vec_id < 10) q,
+           (SELECT * FROM codes WHERE vec_id >= 10) c2)
+SELECT query_id, cand_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, cand_id ASC) AS rnk,
+       dist2
+FROM s QUALIFY rnk <= 5
+"""
+
+# ------------------------------------------------- FRAME SAMPLING
+
+
+def _multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over REAL synthesized payloads: documents become
+    deterministic WAV/PPM binaries (ext/multimodal.synthesize_media),
+    then ``frame_sample`` slices every 4th 64-byte frame inside an
+    Arrow-batched mapInPandas (shuffle-free — payloads never leave
+    their partition). The oracle re-derives each payload's byte length
+    arithmetically from (doc_id, n_chars) — 44-byte WAV header + PCM
+    data, PPM header + RGB plane — and regenerates the sampled frame
+    index/length grid relationally, so a slicing bug flips the hash."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    media = MM.synthesize_media(docs)
+    fs = MM.frame_sample(media, frame_bytes=64, every_k=4)
+    return fs.select(
+        "media_id", "frame_idx", F.length("frame").cast("long").alias("frame_len")
+    )
+
+
+_FRAME_SQL = """
+WITH d AS (SELECT doc_id AS media_id, len(text) AS n FROM documents),
+p AS (SELECT media_id,
+   CASE WHEN media_id % 2 = 0
+        THEN 44 + 2 * (n % 256 + 16) * (1 + (media_id // 2) % 2)
+        ELSE 3 + len(CAST(n % 32 + 1 AS VARCHAR)) + 1
+               + len(CAST((media_id // 2) % 16 + 1 AS VARCHAR)) + 1 + 4
+               + 3 * (n % 32 + 1) * ((media_id // 2) % 16 + 1)
+   END AS plen FROM d),
+f AS (SELECT media_id, plen,
+             unnest(range(0, (plen + 63) // 64, 4)) AS frame_idx
+      FROM p)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(least(64, plen - frame_idx * 64) AS BIGINT) AS frame_len
+FROM f
+"""
+
 # ------------------------------------------------------------ PAGERANK
 
 _PR_ITERS = 6
@@ -127,19 +200,23 @@ _PR_ITERS = 6
 
 def _graph_pagerank(spark, sf_dir):
     """Integer-exact PageRank over the part co-occurrence graph
-    (parts sharing an order), 6 iterations of the int64 micro-unit
+    (parts sharing >= 2 orders — the single-co-occurrence noise tail
+    drops), 6 iterations of the int64 micro-unit
     recurrence — bit-identical to the unrolled SQL oracle under any
     partitioning because every per-node reduction is an integer sum."""
     li = t(spark, sf_dir, "lineitem")
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey").cache()
+    edges = G.cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_groups=2
+    ).cache()
     return G.pagerank_int(edges, iters=_PR_ITERS)
 
 
 _PR_EDGES_CTE = """
-SELECT DISTINCT a.i AS src, b.i AS dst
+SELECT a.i AS src, b.i AS dst
 FROM (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem) a
 JOIN (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem) b
   ON a.g = b.g AND a.i <> b.i
+GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 _PR_SQL = G.pagerank_oracle_sql(_PR_EDGES_CTE, iters=_PR_ITERS)
@@ -151,6 +228,13 @@ R3_QUERIES: dict[str, QueryDef] = {
         QueryDef("merge_upsert", _merge_upsert, _MERGE_SQL, ("incremental",)),
         QueryDef("array_hof_battery", _array_hof_battery, _HOF_SQL, ("ext",)),
         QueryDef("er_edit_distance", _er_edit_distance, _ER_EDIT_SQL, ("ext",)),
+        QueryDef("ann_sq8_topk", _ann_sq8_topk, _SQ8_SQL, ("ext",)),
+        QueryDef(
+            "multimodal_frame_sample",
+            _multimodal_frame_sample,
+            _FRAME_SQL,
+            ("multimodal",),
+        ),
         QueryDef("graph_pagerank", _graph_pagerank, _PR_SQL, ("graph",)),
     )
 }

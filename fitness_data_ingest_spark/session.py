@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime row-level filtering (explicit, though default-on in
+        # Spark 4): inject a Bloom filter built from the small side of a
+        # shuffle join into the big side's scan — at 100 TB this prunes
+        # fact-table rows before the exchange (the "bloom-prune" pattern
+        # done by the optimizer, not by hand)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

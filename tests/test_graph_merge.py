@@ -106,3 +106,17 @@ def test_edit_distance_pairs_blocked(spark):
     ).collect()
     # cross-block pairs never form, even when close in edit distance
     assert {(r.name_a, r.name_b, r.dist) for r in out} == {("blue gear", "red gear", 4)}
+
+
+def test_sq8_codes_bounds_and_nearest(spark):
+    from fitness_data_ingest_spark.ext.similarity import sq8_codes, sq8_topk
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (10, [0.1, 0.9]), (11, [1.0, 0.0]), (12, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    codes = {r.vec_id: r.c for r in sq8_codes(df).collect()}
+    assert all(0 <= v <= 255 for c in codes.values() for v in c)
+    assert codes[0] == [0, 255]  # corpus min/max pin the code range ends
+    top = sq8_topk(df, F.col("vec_id") < 10, k=3).collect()
+    assert [r.cand_id for r in sorted(top, key=lambda r: r.rnk)] == [10, 12, 11]

@@ -438,3 +438,33 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_versioned_store_time_travel(spark, sf_dir, tmp_path):
+    """write_versioned commits monotonically increasing versions;
+    read_versioned resolves both latest and historical snapshots, and
+    never sees uncommitted data directories."""
+    import os
+
+    from fitness_data_ingest_spark.io import (
+        latest_version,
+        read_versioned,
+        write_versioned,
+    )
+    from fitness_data_ingest_spark.registry_util import t
+
+    base = str(tmp_path / "store")
+    nation = t(spark, sf_dir, "nation")
+    v0 = write_versioned(nation, base, note="full")
+    v1 = write_versioned(nation.limit(3), base, note="sampled")
+    assert (v0, v1) == (0, 1) and latest_version(base) == 1
+    assert read_versioned(spark, base).count() == 3
+    assert read_versioned(spark, base, 0).count() == nation.count()
+    # an orphaned (uncommitted) data dir is invisible to readers
+    os.makedirs(os.path.join(base, "v2"))
+    assert latest_version(base) == 1
+    assert read_versioned(spark, base).count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_versioned(spark, base, 7)
