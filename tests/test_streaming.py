@@ -507,3 +507,69 @@ def test_stream_static_broadcast_enrichment(spark, sf_dir, events_dir):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_streaming_cdc_merge_into_versioned_store(spark, sf_dir, tmp_path):
+    """Streaming CDC apply: a file-source changeset stream drives
+    foreachBatch(merge_upsert) against a versioned snapshot store —
+    each micro-batch reads the latest committed snapshot, merges, and
+    commits a new immutable version. The streaming analog of Delta's
+    MERGE loop: exactly the batch operator, lifted into the stream, so
+    batch/stream semantics cannot drift apart."""
+    import os
+
+    from fitness_data_ingest_spark.io import (
+        read_versioned,
+        write_versioned,
+    )
+    from fitness_data_ingest_spark.ops.incremental import merge_upsert
+
+    base = str(tmp_path / "store")
+    snap0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    write_versioned(snap0, base, note="initial")
+
+    src = tmp_path / "cdc"
+    os.makedirs(src)
+    batch1 = spark.createDataFrame(
+        [(2, "B", 99.0, "U"), (9, "i", 1.0, "I")], "k long, s string, v double, op string"
+    )
+    batch2 = spark.createDataFrame([(3, None, 0.0, "D")], "k long, s string, v double, op string")
+    batch1.coalesce(1).write.parquet(str(src / "b1"))
+
+    def apply_cdc(changes, epoch_id):
+        if changes.isEmpty():
+            return
+        cur = read_versioned(changes.sparkSession, base)
+        write_versioned(
+            merge_upsert(cur, changes, "k"), base, note=f"epoch {epoch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .format("parquet")
+        .load(str(src) + "/*")
+        .writeStream.foreachBatch(apply_cdc)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+    batch2.coalesce(1).write.parquet(str(src / "b2"))
+    stream2 = (
+        spark.readStream.schema(batch1.schema)
+        .format("parquet")
+        .load(str(src) + "/*")
+        .writeStream.foreachBatch(apply_cdc)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream2.awaitTermination(120)
+
+    final = {r.k: (r.s, r.v) for r in read_versioned(spark, base).collect()}
+    assert final == {1: ("a", 10.0), 2: ("B", 99.0), 9: ("i", 1.0)}
+    # history preserved: version 1 still has the pre-delete state
+    v1 = {r.k for r in read_versioned(spark, base, 1).collect()}
+    assert 3 in v1
