@@ -54,10 +54,17 @@ def pagerank_int(
     # ``iters`` references re-derives the degree join from the raw
     # edge list — O(iters) redundant passes over the big table
     ed = edges.join(deg, "src").persist()
-    nodes = deg.select("src").persist()
+    # zero-contribution seed rows: one per node, riding the SAME
+    # groupBy shuffle as the edge contributions, so every node appears
+    # in the aggregate output and no second join (a broadcast barrier
+    # per iteration — half the iteration's stage overhead) is needed
+    # to re-attach nodes with no in-edges
+    zeros = deg.select(
+        F.col("src").alias("dst"), F.lit(0).cast("long").alias("c")
+    ).persist()
     base = (100 - damp_pct) * RANK_UNIT // 100
-    ranks = nodes.select(
-        F.col("src").alias("node"),
+    ranks = zeros.select(
+        F.col("dst").alias("node"),
         F.lit(RANK_UNIT).cast("long").alias("rank_micro"),
     )
     for _ in range(iters):
@@ -71,18 +78,15 @@ def pagerank_int(
                 F.col("dst"),
                 F.expr("rank_micro div outdeg").alias("c"),
             )
+            .unionByName(zeros)
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(F.broadcast(contrib), nodes.src == contrib.dst, "left")
-            .select(
-                F.col("src").alias("node"),
-                (
-                    F.lit(base)
-                    + F.expr(f"coalesce(s, 0L) * {damp_pct} div 100")
-                ).cast("long").alias("rank_micro"),
-            )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(base) + F.expr(f"s * {damp_pct} div 100")
+            ).cast("long").alias("rank_micro"),
         )
     return ranks
 
