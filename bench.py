@@ -105,6 +105,8 @@ HEADLINE = [
     "er_edit_distance",
     "graph_pagerank",
     "ann_sq8_topk",
+    "corpus_chunk_overlap",
+    "multimodal_frame_sample",
 ]
 
 

@@ -426,3 +426,77 @@ def funnel_counts(events: DataFrame) -> DataFrame:
         F.count(F.when(F.col("t2").isNotNull(), 1)).alias("n_clicked_after_view"),
         F.count(F.when(F.col("t3").isNotNull(), 1)).alias("n_purchased_after_click"),
     )
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_overlap(
+    docs: DataFrame,
+    chunk: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/pretraining prep step
+    that splits each document into ``chunk``-token windows advancing by
+    ``stride`` (overlap = chunk - stride), the final window clamped at
+    the document tail.
+
+    Entirely JVM expressions (split → sequence → explode → slice →
+    array_join): the chunk fan-out is a generate inside the scan
+    projection — zero shuffle, no Python row path, and each document's
+    chunks stay on its input partition (the packing/sharding step
+    downstream owns any re-distribution).
+    """
+    n_chunks = (
+        f"CASE WHEN size(toks) <= {chunk} THEN 1 "
+        f"ELSE CAST((size(toks) - {chunk} + {stride} - 1) div {stride} AS INT) + 1 END"
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("toks"),
+        )
+        .select(
+            id_col,
+            "toks",
+            F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias("ci"),
+        )
+        .select(
+            id_col,
+            F.col("ci").cast("long").alias("chunk_idx"),
+            F.expr(f"CAST(size(slice(toks, ci * {stride} + 1, {chunk})) AS BIGINT)").alias(
+                "n_tok"
+            ),
+            F.expr(f"array_join(slice(toks, ci * {stride} + 1, {chunk}), ' ')").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+def chunk_overlap_udtf_class(chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE):
+    """Python UDTF (Spark 4 user-defined TABLE function) computing the
+    same overlapping chunks as :func:`chunk_overlap` — the capability
+    demo for procedural row-expanding logic that SQL can't express.
+
+    Deliberately NOT the registered path: UDTFs are the Python slow
+    path (row-at-a-time eval), and chunking IS SQL-expressible — the
+    JVM expression form stays the production operator, and a pytest
+    pins this UDTF's output to it row-for-row so the two surfaces can
+    never drift. Use the UDTF shape only when the per-row expansion
+    logic genuinely needs Python (stateful tokenizers, C extensions).
+    """
+
+    class ChunkDoc:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+            toks = [t for t in (text or "").split(" ") if t]
+            n = len(toks)
+            n_chunks = 1 if n <= chunk else (n - chunk + stride - 1) // stride + 1
+            for ci in range(n_chunks):
+                window = toks[ci * stride : ci * stride + chunk]
+                yield doc_id, ci, len(window), " ".join(window)
+
+    return ChunkDoc

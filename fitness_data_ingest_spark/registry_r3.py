@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .ext import dedup as D
+from .ext import corpus as C2
 from .ext import multimodal as MM
 from .ext import similarity as S
 from .ops import graph as G
@@ -193,6 +194,29 @@ SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
 FROM f
 """
 
+# ---------------------------------------------------- CHUNK OVERLAP
+
+
+def _corpus_chunk_overlap(spark, sf_dir):
+    """Overlapping 64-token windows advancing by 48 per document — the
+    RAG/pretraining chunk-prep step, entirely JVM expressions (split ->
+    sequence -> explode -> slice -> array_join), zero shuffle."""
+    return C2.chunk_overlap(t(spark, sf_dir, "documents"))
+
+
+_CHUNK_SQL = """
+WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+c AS (SELECT doc_id, toks,
+             unnest(range(0, CASE WHEN len(toks) <= 64 THEN 1
+                                  ELSE (len(toks) - 64 + 47) // 48 + 1 END)) AS ci
+      FROM d)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(len(toks[ci*48 + 1 : ci*48 + 64]) AS BIGINT) AS n_tok,
+       array_to_string(toks[ci*48 + 1 : ci*48 + 64], ' ') AS chunk_text
+FROM c
+"""
+
 # ------------------------------------------------------------ PAGERANK
 
 _PR_ITERS = 6
@@ -229,6 +253,9 @@ R3_QUERIES: dict[str, QueryDef] = {
         QueryDef("array_hof_battery", _array_hof_battery, _HOF_SQL, ("ext",)),
         QueryDef("er_edit_distance", _er_edit_distance, _ER_EDIT_SQL, ("ext",)),
         QueryDef("ann_sq8_topk", _ann_sq8_topk, _SQ8_SQL, ("ext",)),
+        QueryDef(
+            "corpus_chunk_overlap", _corpus_chunk_overlap, _CHUNK_SQL, ("corpus",)
+        ),
         QueryDef(
             "multimodal_frame_sample",
             _multimodal_frame_sample,
