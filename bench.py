@@ -107,6 +107,7 @@ HEADLINE = [
     "ann_sq8_topk",
     "corpus_chunk_overlap",
     "multimodal_frame_sample",
+    "graph_triangles",
 ]
 
 

@@ -158,3 +158,58 @@ def pagerank_oracle_sql(
         )
     parts.append(f"SELECT node, rank_micro FROM r{iters}")
     return "\n".join(parts)
+
+
+def triangle_stats(edges: DataFrame, min_degree: int = 2) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over a
+    symmetric edge list — the cohesion audit of a co-occurrence graph.
+
+    Canonicalize to src < dst (each undirected edge once), enumerate
+    triangles with the ordered two-path join (a<b<c, so each triangle
+    materializes exactly once), then credit all three corners via one
+    union + groupBy. Join fan-out is sum-of-degrees-squared over the
+    CANONICAL (halved, thresholded) edge set — run this on a
+    noise-thresholded graph (``cooccurrence_edges(min_groups=...)``),
+    never a raw pair explosion. Clustering coefficient
+    ``2T / (d (d-1))`` quantizes to 4 decimals through the shared IEEE
+    floor-round so engines agree bitwise.
+    """
+    ce = edges.filter(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    deg = (
+        edges.select("src", "dst")
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+    )
+    e1, e2, e3 = ce.alias("e1"), ce.alias("e2"), ce.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    tcount = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    out = deg.join(tcount, "node", "left").filter(F.col("deg") >= min_degree)
+    cc = (
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+        * 2.0
+        / (F.col("deg").cast("double") * (F.col("deg") - 1).cast("double"))
+    )
+    return out.select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+        (F.floor(cc * 10000 + F.lit(0.5)) / 10000.0).alias("cc4"),
+    )

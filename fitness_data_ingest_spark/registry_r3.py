@@ -246,6 +246,38 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 _PR_SQL = G.pagerank_oracle_sql(_PR_EDGES_CTE, iters=_PR_ITERS)
 
 
+def _graph_triangles(spark, sf_dir):
+    """Per-node triangle count + local clustering coefficient over the
+    thresholded part co-occurrence graph: ordered two-path join over
+    canonical (src < dst) edges, each triangle credited to its three
+    corners in one union + groupBy."""
+    li = t(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_groups=2
+    ).cache()
+    return G.triangle_stats(edges)
+
+
+_TRI_SQL = f"""
+WITH edges AS ({_PR_EDGES_CTE}),
+ce AS (SELECT src, dst FROM edges WHERE src < dst),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM ce e1 JOIN ce e2 ON e1.dst = e2.src
+        JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+corners AS (SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri),
+tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY 1)
+SELECT d.node, d.deg, CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+       floor(CAST(COALESCE(t.n_tri, 0) AS DOUBLE) * 2.0
+             / (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE))
+             * 10000 + 0.5) / 10000.0 AS cc4
+FROM deg d LEFT JOIN tc t ON d.node = t.node
+WHERE d.deg >= 2
+"""
+
+
 R3_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in (
@@ -263,5 +295,6 @@ R3_QUERIES: dict[str, QueryDef] = {
             ("multimodal",),
         ),
         QueryDef("graph_pagerank", _graph_pagerank, _PR_SQL, ("graph",)),
+        QueryDef("graph_triangles", _graph_triangles, _TRI_SQL, ("graph",)),
     )
 }

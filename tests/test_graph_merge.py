@@ -120,3 +120,38 @@ def test_sq8_codes_bounds_and_nearest(spark):
     assert codes[0] == [0, 255]  # corpus min/max pin the code range ends
     top = sq8_topk(df, F.col("vec_id") < 10, k=3).collect()
     assert [r.cand_id for r in sorted(top, key=lambda r: r.rnk)] == [10, 12, 11]
+
+
+def test_asof_join_matches_bruteforce_on_random_series(spark):
+    """The union-merge as-of formulation must agree with the O(n²)
+    brute-force argmax definition on a seeded random interleaving,
+    including duplicate timestamps on both sides."""
+    import random
+
+    rng = random.Random(42)
+    lefts = [(rng.randrange(4), rng.randrange(30), 1000 + i) for i in range(120)]
+    rights = [(rng.randrange(4), rng.randrange(30), 2000 + i) for i in range(120)]
+    ldf = spark.createDataFrame(lefts, "k long, l_ts long, l_id long")
+    rdf = spark.createDataFrame(rights, "k long, r_ts long, r_id long")
+    got = {
+        r.l_id: r.r_id
+        for r in asof_join(ldf, rdf, "k", "l_ts", "r_ts", "l_id", "r_id").collect()
+    }
+    for k, l_ts, l_id in lefts:
+        cands = [(r_ts, r_id) for rk, r_ts, r_id in rights if rk == k and r_ts <= l_ts]
+        want = max(cands)[1] if cands else None
+        assert got[l_id] == want, (l_id, got[l_id], want)
+
+
+def test_triangle_stats_on_known_graph(spark):
+    from fitness_data_ingest_spark.ops.graph import triangle_stats
+
+    # K3 (1,2,3) plus a pendant 4-1 and an open wedge 4-5 via 1
+    und = [(1, 2), (1, 3), (2, 3), (1, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    rows = {r.node: (r.deg, r.n_tri, r.cc4) for r in triangle_stats(edges).collect()}
+    assert rows[2] == (2, 1, 1.0) and rows[3] == (2, 1, 1.0)
+    assert rows[1] == (3, 1, 0.3333)
+    assert 4 not in rows  # degree 1 < min_degree
