@@ -378,3 +378,37 @@ def test_new_audit_ops_plan_shapes(spark, sf_dir):
             assert n_win <= want["max_windows"], (
                 f"{name}: unexpected window\n{plan[:900]}"
             )
+
+
+def test_r3_no_cartesian_or_nested_loop(spark, sf_dir):
+    """Round-3 family: no operator may degrade to a cartesian product.
+    Sanctioned bounded-build broadcasts: ann_sq8_topk (the 1-row
+    per-dim bounds pair and the small query-code set both ride in as
+    broadcasts — constant/bounded build side at any data scale)."""
+    from fitness_data_ingest_spark.registry_r3 import R3_QUERIES
+
+    bounded_bcast_ok = {"ann_sq8_topk"}
+    for name, q in R3_QUERIES.items():
+        plan = plan_of(q.spark(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+        if name not in bounded_bcast_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    """The union-merge as-of join must plan as ONE hash-partition
+    exchange + one window — zero Join nodes, zero pair
+    materialization (the rejected formulation planned an equi-join
+    whose candidate set is O(n²) per key on long histories)."""
+    plan = plan_of(QUERIES["join_asof"].spark(spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
+
+
+def test_chunk_overlap_is_shuffle_free(spark, sf_dir):
+    """Chunking is a generate inside the scan projection — the plan
+    must contain no Exchange at all."""
+    plan = plan_of(QUERIES["corpus_chunk_overlap"].spark(spark, sf_dir), "simple")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan
