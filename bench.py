@@ -108,6 +108,7 @@ HEADLINE = [
     "corpus_chunk_overlap",
     "multimodal_frame_sample",
     "graph_triangles",
+    "text_rarity_score",
 ]
 
 

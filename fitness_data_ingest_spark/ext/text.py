@@ -277,3 +277,28 @@ def benchmark_overlap(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+def rarity_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Integer IDF-proxy rarity score per document: each DISTINCT token
+    contributes ``1e6 div df(token)`` (document frequency over the
+    corpus), summed as int64 — documents full of corpus-rare tokens
+    score high. The integer-rational form sidesteps cross-engine
+    ``log()`` drift that a true IDF would introduce into the value
+    hash; the ordering it induces is the same.
+
+    Shape: one distinct (doc, token) projection, one groupBy on token
+    for df (vocabulary-grain, small), one equi-join back (broadcastable
+    vocabulary at any realistic token count), one per-doc sum.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).distinct()
+    df_tbl = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = toks.join(df_tbl, "term").select(
+        id_col, F.expr("1000000L div df").alias("c")
+    )
+    return contrib.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_distinct_tok"),
+        F.sum("c").alias("rarity"),
+    )

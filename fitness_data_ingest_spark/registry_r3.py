@@ -16,6 +16,7 @@ from .ext import dedup as D
 from .ext import corpus as C2
 from .ext import multimodal as MM
 from .ext import similarity as S
+from .ext import text as TX
 from .ops import graph as G
 from .ops import incremental as INC
 from .registry_util import QueryDef, round2, t
@@ -217,6 +218,26 @@ SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
 FROM c
 """
 
+# ------------------------------------------------------ RARITY SCORE
+
+
+def _text_rarity_score(spark, sf_dir):
+    """Integer IDF-proxy rarity per document: each distinct token adds
+    1e6 div df(token); log-free so the value hash is engine-stable."""
+    return TX.rarity_score(t(spark, sf_dir, "documents"))
+
+
+_RARITY_SQL = """
+WITH toks AS (SELECT DISTINCT doc_id,
+                     unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+              FROM documents),
+d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_tok,
+       CAST(sum(1000000 // df) AS BIGINT) AS rarity
+FROM toks JOIN d USING (term)
+GROUP BY doc_id
+"""
+
 # ------------------------------------------------------------ PAGERANK
 
 _PR_ITERS = 6
@@ -296,5 +317,6 @@ R3_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef("graph_pagerank", _graph_pagerank, _PR_SQL, ("graph",)),
         QueryDef("graph_triangles", _graph_triangles, _TRI_SQL, ("graph",)),
+        QueryDef("text_rarity_score", _text_rarity_score, _RARITY_SQL, ("ext",)),
     )
 }
