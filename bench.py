@@ -109,6 +109,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "graph_triangles",
     "text_rarity_score",
+    "ts_downsample_maxarea",
 ]
 
 

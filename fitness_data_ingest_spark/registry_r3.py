@@ -18,6 +18,7 @@ from .ext import multimodal as MM
 from .ext import similarity as S
 from .ext import text as TX
 from .ops import graph as G
+from .ops import timeseries as TS
 from .ops import incremental as INC
 from .registry_util import QueryDef, round2, t
 
@@ -238,6 +239,44 @@ FROM toks JOIN d USING (term)
 GROUP BY doc_id
 """
 
+# ------------------------------------------------ MAX-AREA DOWNSAMPLE
+
+
+def _ts_downsample_maxarea(spark, sf_dir):
+    """LTTB-family visual decimation: per (user, 6h bucket) keep the
+    point subtending the largest triangle vs neighbor-bucket centroids;
+    integer cross-products (scaled by n0^2*n2) keep the argmax and the
+    value hash engine-exact."""
+    return TS.downsample_maxarea(t(spark, sf_dir, "events"))
+
+
+_DOWNSAMPLE_SQL = """
+WITH pts AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) // 1000000 AS es,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc,
+         (epoch_us(ts) // 1000000) // 21600 AS b
+  FROM events),
+agg AS (SELECT user_id, b, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(es - b*21600) AS BIGINT) AS sx,
+               CAST(sum(yc) AS BIGINT) AS sy
+        FROM pts GROUP BY 1, 2),
+cand AS (
+  SELECT p.user_id, p.b, p.event_id,
+         abs( ( (p.es - (p.b-1)*21600) * a0.n - (a0.sx + a0.n*21600) )
+              * ( a2.sy * a0.n - a0.sy * a2.n )
+            - ( (a2.sx + a2.n*3*21600) * a0.n - (a0.sx + a0.n*21600) * a2.n )
+              * ( p.yc * a0.n - a0.sy ) ) AS area
+  FROM pts p
+  JOIN agg a0 ON a0.user_id = p.user_id AND a0.b = p.b - 1
+  JOIN agg a2 ON a2.user_id = p.user_id AND a2.b = p.b + 1)
+SELECT user_id, b, rep_id, area_scaled FROM (
+  SELECT user_id, b, event_id AS rep_id, CAST(area AS BIGINT) AS area_scaled,
+         row_number() OVER (PARTITION BY user_id, b
+                            ORDER BY area DESC, event_id ASC) AS rn
+  FROM cand) WHERE rn = 1
+"""
+
 # ------------------------------------------------------------ PAGERANK
 
 _PR_ITERS = 6
@@ -318,5 +357,8 @@ R3_QUERIES: dict[str, QueryDef] = {
         QueryDef("graph_pagerank", _graph_pagerank, _PR_SQL, ("graph",)),
         QueryDef("graph_triangles", _graph_triangles, _TRI_SQL, ("graph",)),
         QueryDef("text_rarity_score", _text_rarity_score, _RARITY_SQL, ("ext",)),
+        QueryDef(
+            "ts_downsample_maxarea", _ts_downsample_maxarea, _DOWNSAMPLE_SQL, ("ts",)
+        ),
     )
 }

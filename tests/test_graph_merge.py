@@ -155,3 +155,23 @@ def test_triangle_stats_on_known_graph(spark):
     assert rows[2] == (2, 1, 1.0) and rows[3] == (2, 1, 1.0)
     assert rows[1] == (3, 1, 0.3333)
     assert 4 not in rows  # degree 1 < min_degree
+
+
+def test_downsample_maxarea_keeps_the_spike(spark):
+    from fitness_data_ingest_spark.ops.timeseries import downsample_maxarea
+
+    # three buckets of flat signal, with one spike mid-middle-bucket:
+    # the representative of the middle bucket must be the spike point
+    rows = []
+    eid = 0
+    for b in range(3):
+        for i in range(10):
+            ts = b * 60 + i * 6
+            v = 100.0 if (b == 1 and i == 5) else 1.0
+            rows.append((7, eid, ts, v))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, event_id long, sec long, value double")
+    ev = df.selectExpr("user_id", "event_id", "timestamp_seconds(sec) AS ts", "value")
+    out = downsample_maxarea(ev, bucket_s=60).collect()
+    assert len(out) == 1  # only the middle bucket has both neighbors
+    assert out[0].rep_id == 15  # the spike (b=1, i=5)
