@@ -110,6 +110,13 @@ HEADLINE = [
     "graph_triangles",
     "text_rarity_score",
     "ts_downsample_maxarea",
+    "events_sessionize",
+    "ts_ewma",
+    "range_join_events",
+    "orders_pareto",
+    "corpus_domain_cap",
+    "embed_corr_matrix",
+    "table_diff_snapshot",
 ]
 
 

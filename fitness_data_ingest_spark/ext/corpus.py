@@ -500,3 +500,34 @@ def chunk_overlap_udtf_class(chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRI
                 yield doc_id, ci, len(window), " ".join(window)
 
     return ChunkDoc
+
+
+DOMAIN_CAP_K = 10
+
+
+def domain_cap(docs: DataFrame, k: int = DOMAIN_CAP_K) -> DataFrame:
+    """Per-source document cap — the anti-domination sampler every
+    web-scale corpus applies (CommonCrawl-style pipelines cap pages
+    per host so one mirror farm can't own the training mix). Keeps a
+    deterministic uniform sample of at most ``k`` docs per source:
+    rank by (md5(doc_id), doc_id) — a fixed pseudo-random total order
+    both engines compute identically — and keep rank <= k.
+
+    Scale shape: :func:`~fitness_data_ingest_spark.ops.scale.grouped_topk`
+    (salted two-level top-k), so a whale domain never funnels through
+    one reducer — the naive per-domain window is exactly where a 10%%
+    hot host stalls the stage at 100 TB.
+
+    Output: the surviving doc rows (doc_id, source, n_chars, pick).
+    """
+    from ..ops.scale import grouped_topk
+
+    staged = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("pick"),
+    )
+    return grouped_topk(
+        staged, "source", [("pick", "asc"), ("doc_id", "asc")], k
+    )

@@ -587,3 +587,74 @@ def sq8_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "cand_id", F.col("rnk").cast("long").alias("rnk"), "dist2")
     )
+
+
+def corr_matrix_int(
+    emb: DataFrame, dims: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact Pearson correlation matrix over the first ``dims``
+    embedding dimensions — the feature-audit companion to
+    :func:`~fitness_data_ingest_spark.ext.corpus.embedding_dim_stats`
+    (redundant / degenerate dimensions show up as |corr| ≈ 1 rows).
+
+    Determinism: components are micro-scaled int64 (floor(x·1e6+0.5))
+    so every per-pair moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact
+    integer sum — order-independent under any partitioning — and the
+    final Pearson expression runs on doubles CONVERTED from those
+    exact integers with one fixed IEEE expression tree, identical in
+    DuckDB. Overflow bound: |x|≤2²⁰ micro-units ⇒ Σxy < 2⁴⁰·n — safe
+    to n ≈ 2²³ rows per aggregate; beyond that, scale to 1e3 units
+    (documented, not needed at fixture SF).
+
+    Shape: per-row pair explosion (dims·(dims-1)/2 structs) feeding ONE
+    partial-agg groupBy on (i, j) — map-side combine collapses the
+    blowup before the shuffle, which carries just
+    ``dims²/2 × n_partitions`` partial rows. No window, no collect.
+
+    Output: i, j (0-based, i<j), n, corr4.
+    """
+    m = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.floor(x * 1_000_000 + F.lit(0.5)).cast("long"),
+    )
+    staged = emb.select(F.slice(m, 1, dims).alias("m"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                F.col("m")[i].alias("a"),
+                F.col("m")[j].alias("b"),
+            )
+            for i in range(dims)
+            for j in range(i + 1, dims)
+        ]
+    )
+    x = staged.select(F.explode(pairs).alias("p")).select(
+        "p.i", "p.j", "p.a", "p.b"
+    )
+    s = x.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("sx"),
+        F.sum("b").alias("sy"),
+        F.sum(F.col("a") * F.col("b")).alias("sxy"),
+        F.sum(F.col("a") * F.col("a")).alias("sxx"),
+        F.sum(F.col("b") * F.col("b")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    corr = cov / (F.sqrt(vx) * F.sqrt(vy))
+    return s.select(
+        "i",
+        "j",
+        "n",
+        (F.floor(corr * 1e4 + F.lit(0.5)) / 1e4).alias("corr4"),
+    )

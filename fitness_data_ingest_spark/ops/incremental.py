@@ -130,3 +130,50 @@ def merge_upsert(
         for c in cols
     ]
     return merged.select(*picked)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: "list[str]",
+) -> DataFrame:
+    """Row-level diff of two snapshot versions of the same table: one
+    FULL OUTER equi-join on the key, classifying each key as
+
+    - ``A`` added   (key only in ``new``),
+    - ``R`` removed (key only in ``old``),
+    - ``C`` changed (present in both, any ``compare_cols`` differs —
+      null-safe comparison via ``<=>``),
+    - ``U`` unchanged.
+
+    The reconciliation primitive behind table regression checks and
+    CDC backfills (the inverse of :func:`merge_upsert` — diff two
+    states to recover the changeset). Shape: a single key shuffle; at
+    scale both snapshots bucketed by the key make it exchange-free,
+    and AQE handles whale keys. Output: key, diff_class, plus
+    ``old_<c>`` / ``new_<c>`` for each compared column.
+    """
+    o = old.select(
+        F.col(key).alias("_ok"), *[F.col(c).alias(f"old_{c}") for c in compare_cols]
+    )
+    n = new.select(
+        F.col(key).alias("_nk"), *[F.col(c).alias(f"new_{c}") for c in compare_cols]
+    )
+    j = o.join(n, F.col("_ok") == F.col("_nk"), "full_outer")
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    cls = (
+        F.when(F.col("_ok").isNull(), "A")
+        .when(F.col("_nk").isNull(), "R")
+        .when(changed, "C")
+        .otherwise("U")
+    )
+    return j.select(
+        F.coalesce(F.col("_ok"), F.col("_nk")).alias(key),
+        cls.alias("diff_class"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )

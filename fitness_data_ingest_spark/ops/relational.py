@@ -257,3 +257,55 @@ def scd2_changes(
             "new_val",
         )
     )
+
+
+def range_join_bucketed(
+    intervals: DataFrame,
+    points: DataFrame,
+    key: str,
+    bucket_s: int,
+    start_col: str = "s0",
+    end_col: str = "s1",
+    point_ts_col: str = "es",
+) -> DataFrame:
+    """Interval × point range join as PURE EQUI-JOIN: match every point
+    row to every interval of the same ``key`` with
+    ``start <= point_ts < end`` (end-exclusive).
+
+    A naive ``ON p.ts BETWEEN iv.s0 AND iv.s1`` has no equi-key, so
+    Spark plans a BroadcastNestedLoopJoin — the classic 100 TB
+    scale-killer. The bucketed form is the standard fix: each interval
+    explodes to the ``bucket_s``-grain buckets it covers (an interval
+    of width w emits ceil(w/bucket_s)+1 <= small rows when bucket_s is
+    chosen near the typical width), each point owns exactly ONE bucket,
+    and the join is equi on (key, bucket) + a residual range filter.
+    No candidate dedup is needed — a (interval, point) pair meets in
+    precisely the point's own bucket. Plan-gated: hash/sort-merge join
+    only.
+
+    ``intervals``: key, start_col, end_col (int64 epoch seconds) +
+    payload. ``points``: key, point_ts_col (int64) + payload.
+    Output: every intervals column + every points column (caller
+    disambiguates names beforehand).
+    """
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} div {bucket_s}"),
+                F.expr(f"({end_col} - 1) div {bucket_s}"),
+            )
+        ),
+    )
+    pt = points.withColumn("_pbkt", F.expr(f"{point_ts_col} div {bucket_s}"))
+    joined = iv.join(
+        pt,
+        (iv[key] == pt[key]) & (F.col("_bkt") == F.col("_pbkt")),
+    ).drop(iv[key])
+    return (
+        joined.filter(
+            (F.col(point_ts_col) >= F.col(start_col))
+            & (F.col(point_ts_col) < F.col(end_col))
+        )
+        .drop("_bkt", "_pbkt")
+    )

@@ -214,3 +214,99 @@ def ranked_topk(
     else:
         rank = (F.col("_pos") + 1).cast("int")
     return exploded.select(rank.alias(rank_name), "_s._row.*")
+
+
+def grouped_topk(
+    df: DataFrame,
+    group: str,
+    order: Sequence[tuple[str, str]],
+    k: int,
+    salt_n: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Exact per-group top-``k`` without a whale-group scale cliff.
+
+    The naive ``row_number() OVER (PARTITION BY group)`` funnels every
+    row of a hot group through one reducer — at 100 TB a whale domain
+    (one web host owning 10% of the corpus) is a guaranteed straggler.
+    Two-level refinement keeps it exact AND bounded:
+
+    1. rank within ``(group, salt)`` where salt = hash(all order cols)
+       mod ``salt_n`` — each reducer sees ~1/salt_n of the whale — and
+       keep the per-salt local top-k;
+    2. rank the <= ``salt_n * k`` survivors per group (constant-bounded
+       partition) and keep the global top-k.
+
+    Any row in the true top-k is in its salt-bucket's top-k, so stage 2
+    sees every candidate — the result is identical to the naive window
+    for any salt assignment. ``order`` is ``[(col, "asc"|"desc"), ...]``.
+    """
+    sort_cols = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order
+    ]
+    salt = F.pmod(F.hash(*[F.col(c) for c, _ in order]), F.lit(salt_n))
+    w1 = Window.partitionBy(F.col(group), salt).orderBy(*sort_cols)
+    local = (
+        df.withColumn("_lrn", F.row_number().over(w1))
+        .filter(F.col("_lrn") <= k)
+        .drop("_lrn")
+    )
+    w2 = Window.partitionBy(group).orderBy(*sort_cols)
+    return (
+        local.withColumn("_grn", F.row_number().over(w2))
+        .filter(F.col("_grn") <= k)
+        .drop("_grn")
+    )
+
+
+def distributed_rank(
+    df: DataFrame,
+    order: Sequence[tuple[str, str]],
+    bucket_col: str,
+    n_buckets: int = 256,
+    rank_name: str = "rnk",
+) -> DataFrame:
+    """Exact GLOBAL 1-based row_number over ``order`` with no
+    partition-less window (the single-reducer scale cliff).
+
+    Range-partitioned ranking: ``bucket_col`` must be an integer column
+    in ``[0, n_buckets)`` MONOTONE in the ranking order (ascending
+    bucket => earlier rank) — the caller derives it from the leading
+    order key (e.g. negated revenue cents div width). Then
+
+    1. per-bucket row counts (one partial-agg shuffle, <= ``n_buckets``
+       rows),
+    2. exclusive prefix counts: each bucket's count explodes to every
+       HIGHER bucket id and re-aggregates — O(n_buckets²) tiny rows,
+       pure equi-shapes, so no window and no nested-loop join appears,
+    3. within-bucket ``row_number`` partitioned BY BUCKET — partitions
+       are 1/n_buckets of the data, never the whole set;
+    global rank = prefix + local rank. Bit-identical to
+    ``row_number() OVER (ORDER BY ...)`` because the bucket key is
+    monotone in the same order.
+    """
+    sort_cols = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order
+    ]
+    counts = df.groupBy(F.col(bucket_col).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    b_long = F.col("_b").cast("long")
+    higher = F.when(
+        b_long + 1 <= n_buckets - 1,
+        F.sequence(b_long + 1, F.lit(n_buckets - 1).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    lower = (
+        counts.select(F.explode(higher).alias("_tgt"), "_n")
+        .groupBy(F.col("_tgt").alias("_b"))
+        .agg(F.sum("_n").alias("_below"))
+    )
+    w = Window.partitionBy(bucket_col).orderBy(*sort_cols)
+    return (
+        df.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(lower), F.col(bucket_col) == F.col("_b"), "left")
+        .withColumn(
+            rank_name,
+            (F.coalesce(F.col("_below"), F.lit(0)) + F.col("_lrn")).cast("long"),
+        )
+        .drop("_b", "_n", "_below", "_lrn")
+    )

@@ -181,3 +181,106 @@ def downsample_maxarea(
         F.col("top.event_id").alias("rep_id"),
         (-F.col("top.na")).cast("long").alias("area_scaled"),
     )
+
+
+SESSION_GAP_S = 1_800
+
+
+def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Batch sessionization: assign each event a per-user session id
+    (a new session starts when the gap to the previous event exceeds
+    ``gap_s``), then aggregate per-session stats.
+
+    The batch twin of the streaming span-merge sessionizer
+    (stream/stateful.py): one shuffle on user_id, a lag + running-sum
+    window per user, one groupBy. All arithmetic is int64 epoch
+    seconds with (es, event_id) total order, so session boundaries are
+    engine-exact. At 100 TB a whale user's history exceeding one
+    partition is handled the same way the streaming twin documents:
+    salt the user key by coarse time range and merge the (rare)
+    boundary-crossing sessions in a second tiny pass over per-range
+    head/tail spans.
+
+    Output: user_id, sess_id (0-based per user), n_events, dur_s,
+    sum_cents.
+    """
+    staged = events.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts) div 1000000").alias("es"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    brk = (
+        F.when(
+            F.lag("es").over(w).isNull()
+            | (F.col("es") - F.lag("es").over(w) > gap_s),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk")
+    )
+    run = Window.partitionBy("user_id").orderBy("es", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = staged.select("user_id", "event_id", "es", "c", brk).withColumn(
+        "sess_id", (F.sum("brk").over(run) - 1).cast("long")
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("es") - F.min("es")).alias("dur_s"),
+        F.sum("c").alias("sum_cents"),
+    )
+
+
+# Truncated-EWMA weights: alpha * (1-alpha)^k scaled to 2^20 integer
+# units, k = 0..15. With alpha = 1/4 the dropped tail mass is
+# 0.75^16 ≈ 1%. Integer weights make the weighted sum exact int64 in
+# both engines — no float pow() divergence can flip the value hash.
+EWMA_DEPTH = 16
+EWMA_WEIGHTS = [round((1 / 4) * (3 / 4) ** k * (1 << 20)) for k in range(EWMA_DEPTH)]
+
+
+def ewma_trunc(events: DataFrame, weights: list[int] | None = None) -> DataFrame:
+    """Per-event truncated exponentially-weighted moving average of
+    ``value`` over the user's previous ``len(weights)`` events.
+
+    Exact-EWMA is a sequential fold (each state depends on the whole
+    prefix) — at scale that is either a per-key applyInPandas pass or
+    this truncation: geometric decay means weights beyond depth d
+    carry (1-alpha)^d of the mass (~1% at d=16), so the fixed-depth
+    form is the shuffle-friendly streaming-safe evaluation: d ``lag``
+    reads inside ONE window partitioning (one shuffle on user_id),
+    integer-weight arithmetic, renormalized over the terms actually
+    present so the series head is unbiased.
+
+    Output: event_id, user_id, n_terms, ewma4.
+    """
+    ws = list(EWMA_WEIGHTS if weights is None else weights)
+    staged = events.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("es"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    lags = [F.col("c")] + [F.lag("c", k).over(w) for k in range(1, len(ws))]
+    num = sum(
+        (F.when(lg.isNotNull(), lg * F.lit(wt)).otherwise(F.lit(0)) for lg, wt in zip(lags, ws)),
+        start=F.lit(0).cast("long"),
+    )
+    den = sum(
+        (F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0)) for lg, wt in zip(lags, ws)),
+        start=F.lit(0).cast("long"),
+    )
+    n_terms = sum(
+        (F.when(lg.isNotNull(), 1).otherwise(0) for lg in lags),
+        start=F.lit(0),
+    )
+    ew = num.cast("double") / den.cast("double") / 100.0
+    return staged.select(
+        "event_id",
+        "user_id",
+        n_terms.cast("long").alias("n_terms"),
+        (F.floor(ew * 1e4 + F.lit(0.5)) / 1e4).alias("ewma4"),
+    )

@@ -412,3 +412,57 @@ def test_chunk_overlap_is_shuffle_free(spark, sf_dir):
     plan = plan_of(QUERIES["corpus_chunk_overlap"].spark(spark, sf_dir), "simple")
     assert "Exchange" not in plan, plan
     assert "Generate" in plan
+
+
+def test_r3b_no_cartesian_or_nested_loop(spark, sf_dir):
+    """Round-3b family: no cartesian products; the only sanctioned
+    nested-loop is orders_pareto's 1-row totals broadcast (count/sum/
+    min/max of the customer-grain table ride in as a single-row
+    crossJoin — constant build side at any data scale, the tfidf/q11
+    pattern)."""
+    from fitness_data_ingest_spark.registry_r3b import R3B_QUERIES
+
+    bounded_bcast_ok = {"orders_pareto"}
+    for name, q in R3B_QUERIES.items():
+        plan = plan_of(q.spark(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+        if name not in bounded_bcast_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_range_join_is_bucketed_equi_join(spark, sf_dir):
+    """The interval×point range join must plan as an EQUI join (hash or
+    sort-merge on (key, bucket)) with the range residual as a post-join
+    filter — never the BroadcastNestedLoopJoin Spark gives a bare
+    BETWEEN predicate."""
+    plan = plan_of(QUERIES["range_join_events"].spark(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan[:800]
+
+
+def test_pareto_rank_windows_are_bucket_partitioned(spark, sf_dir):
+    """distributed_rank must never emit a partition-less window (the
+    single-reducer global sort cliff): every window spec in the pareto
+    plan partitions by the range bucket."""
+    plan = plan_of(QUERIES["orders_pareto"].spark(spark, sf_dir), "formatted")
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert specs, "expected a per-bucket ranking window"
+    for ln in specs:
+        assert "bkt" in ln, f"window not partitioned by bucket: {ln}"
+
+
+def test_domain_cap_windows_are_salted_then_grouped(spark, sf_dir):
+    """grouped_topk's two-level shape: stage-1 windows partition by
+    (source, salt) — the whale-domain guard — and only the bounded
+    survivor pass partitions by source alone."""
+    plan = plan_of(QUERIES["corpus_domain_cap"].spark(spark, sf_dir), "formatted")
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert len(specs) == 2, "\n".join(specs)
+    # stage 1 partitions by (source, salt-projection) — two partition
+    # keys; stage 2 by source alone. The salt itself is a pmod(hash(...))
+    # computed in the upstream Project.
+    assert "[source" in specs[0] and "_w0" in specs[0], specs[0]
+    assert "_w0" not in specs[1], specs[1]
+    assert "pmod" in plan and "hash" in plan, "salt projection missing"

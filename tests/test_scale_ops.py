@@ -468,3 +468,186 @@ def test_versioned_store_time_travel(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError):
         read_versioned(spark, base, 7)
+
+
+# ---------------------------------------------------------------- r3b ops
+
+
+def test_grouped_topk_matches_naive_window(spark, sf_dir):
+    """The salted two-level top-k must be row-identical to the naive
+    per-group row_number window, for any salt count."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("pick")
+    )
+    w = Window.partitionBy("source").orderBy("pick", "doc_id")
+    naive = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .drop("rn")
+    )
+    for salt_n in (1, 3, 16):
+        two = SK.grouped_topk(
+            docs, "source", [("pick", "asc"), ("doc_id", "asc")], 7, salt_n=salt_n
+        )
+        assert sorted(map(tuple, two.collect())) == sorted(
+            map(tuple, naive.collect())
+        ), salt_n
+
+
+def test_distributed_rank_matches_global_row_number(spark, sf_dir):
+    """Range-partitioned ranking == row_number() OVER (ORDER BY ...) for
+    every row, including duplicate order keys."""
+    orders = t(spark, sf_dir, "orders")
+    rc = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "rev_c"
+        )
+    )
+    mm = rc.agg(
+        F.max("rev_c").alias("max_c"), F.min("rev_c").alias("min_c")
+    )
+    staged = rc.crossJoin(F.broadcast(mm)).withColumn(
+        "bkt", F.expr("(max_c - rev_c) div ((max_c - min_c) div 64 + 1)").cast("int")
+    )
+    ranked = SK.distributed_rank(
+        staged, [("rev_c", "desc"), ("o_custkey", "asc")], "bkt", n_buckets=64
+    )
+    got = {
+        r["o_custkey"]: r["rnk"]
+        for r in ranked.select("o_custkey", "rnk").collect()
+    }
+    rows = sorted(
+        rc.collect(), key=lambda r: (-r["rev_c"], r["o_custkey"])
+    )
+    want = {r["o_custkey"]: i + 1 for i, r in enumerate(rows)}
+    assert got == want
+
+
+def test_ewma_trunc_matches_python_reference(spark, sf_dir):
+    """Integer-weight truncated EWMA must equal the straightforward
+    Python fold over each user's ordered series."""
+    from fitness_data_ingest_spark.ops import timeseries as TS
+
+    events = t(spark, sf_dir, "events")
+    got = {
+        r["event_id"]: (r["n_terms"], r["ewma4"])
+        for r in TS.ewma_trunc(events).collect()
+    }
+    rows = events.select("event_id", "user_id", "ts", "value").collect()
+    import collections
+    import math
+
+    series = collections.defaultdict(list)
+    for r in rows:
+        es = int(r["ts"].timestamp())
+        c = math.floor(r["value"] * 100 + 0.5)
+        series[r["user_id"]].append((es, r["event_id"], c))
+    ws = TS.EWMA_WEIGHTS
+    for hist in series.values():
+        hist.sort()
+        for idx, (_, eid, _c) in enumerate(hist):
+            terms = [
+                (hist[idx - k][2], ws[k])
+                for k in range(len(ws))
+                if idx - k >= 0
+            ]
+            num = sum(c * w for c, w in terms)
+            den = sum(w for _, w in terms)
+            ew = num / den / 100.0
+            want = math.floor(ew * 1e4 + 0.5) / 1e4
+            assert got[eid] == (len(terms), want), eid
+
+
+def test_sessionize_gap_invariants(spark, sf_dir):
+    """Within a session every inter-event gap <= gap_s; between
+    consecutive sessions of one user the gap > gap_s; every event is in
+    exactly one session."""
+    from fitness_data_ingest_spark.ops import timeseries as TS
+
+    events = t(spark, sf_dir, "events")
+    sess = TS.sessionize(events, gap_s=900).collect()
+    n_total = events.count()
+    assert sum(r["n_events"] for r in sess) == n_total
+    rows = events.select("user_id", "ts").collect()
+    import collections
+
+    per_user = collections.defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(int(r["ts"].timestamp()))
+    for u, ts_list in per_user.items():
+        ts_list.sort()
+        breaks = 1 + sum(
+            1 for a, b in zip(ts_list, ts_list[1:]) if b - a > 900
+        )
+        got_sessions = [r for r in sess if r["user_id"] == u]
+        assert len(got_sessions) == breaks, u
+        assert sorted(r["sess_id"] for r in got_sessions) == list(range(breaks))
+
+
+def test_range_join_bucketed_matches_naive(spark, sf_dir):
+    """The bucketed equi-form must produce exactly the naive inequality
+    join's pairs, for bucket widths smaller, equal and larger than the
+    interval width."""
+    from fitness_data_ingest_spark.ops import relational as R
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.expr("unix_micros(ts) div 1000000").alias("es"),
+        "event_type",
+    )
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("pid").alias("iv_id"),
+        F.col("es").alias("s0"),
+        (F.col("es") + 1800).alias("s1"),
+    )
+    pts = ev.select("user_id", "pid", "es")
+    naive = (
+        iv.alias("iv")
+        .join(
+            pts.alias("p"),
+            (F.col("p.user_id") == F.col("iv.user_id"))
+            & (F.col("p.es") >= F.col("iv.s0"))
+            & (F.col("p.es") < F.col("iv.s1")),
+        )
+        .select("iv.iv_id", "p.pid")
+    )
+    want = sorted(map(tuple, naive.collect()))
+    for bucket_s in (600, 1800, 7200):
+        got = R.range_join_bucketed(iv, pts, "user_id", bucket_s).select(
+            "iv_id", "pid"
+        )
+        assert sorted(map(tuple, got.collect())) == want, bucket_s
+
+
+def test_snapshot_diff_classes_reconcile(spark, sf_dir):
+    """A + U + C == |new ∩ old classes|: every old key is R/C/U, every
+    new key is A/C/U, and C rows actually differ."""
+    from fitness_data_ingest_spark.ops import incremental as INC
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    d = INC.snapshot_diff(
+        orders, new, "o_orderkey", ["o_orderstatus", "o_totalprice"]
+    )
+    counts = {r["diff_class"]: r["n"] for r in d.groupBy("diff_class").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()}
+    n_old = orders.count()
+    n_new = new.count()
+    assert counts.get("A", 0) == 0
+    assert counts["R"] == n_old - n_new
+    assert counts["C"] == new.filter(
+        (F.col("o_orderkey") % 5 == 0)
+    ).count()
+    assert counts.get("A", 0) + counts["C"] + counts.get("U", 0) == n_new
