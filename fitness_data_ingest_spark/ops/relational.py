@@ -288,7 +288,10 @@ def range_join_bucketed(
     Output: every intervals column + every points column (caller
     disambiguates names beforehand).
     """
-    iv = intervals.withColumn(
+    # rename the interval-side key: intervals and points routinely share
+    # lineage (both derived from one events scan), and a same-attribute
+    # join condition would resolve trivially-true on a self-join
+    iv = intervals.withColumnRenamed(key, "_ivkey").withColumn(
         "_bkt",
         F.explode(
             F.sequence(
@@ -300,8 +303,8 @@ def range_join_bucketed(
     pt = points.withColumn("_pbkt", F.expr(f"{point_ts_col} div {bucket_s}"))
     joined = iv.join(
         pt,
-        (iv[key] == pt[key]) & (F.col("_bkt") == F.col("_pbkt")),
-    ).drop(iv[key])
+        (F.col("_ivkey") == pt[key]) & (F.col("_bkt") == F.col("_pbkt")),
+    ).drop("_ivkey")
     return (
         joined.filter(
             (F.col(point_ts_col) >= F.col(start_col))
