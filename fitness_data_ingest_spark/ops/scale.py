@@ -115,20 +115,66 @@ def exact_quantiles(
     ObjectHashAggregate that holds every group's values in executor
     memory — fine at test SF, an OOM at 100 TB with heavy groups).
 
-    One sort shuffle: rank rows per group, then for each requested q
-    pick the two neighbor ranks around ``q*(n-1)`` and interpolate —
-    constant memory per task, identical values to ``quantile_cont``.
-    Output: group_col, q, quantile.
+    One shuffle to rank, then for each requested q pick the two
+    neighbor ranks around ``q*(n-1)`` and interpolate — identical
+    values to ``quantile_cont``.
+
+    Ranking is RANGE-BUCKETED, not a bare per-group window: a window
+    partitioned only by the group funnels a whale group through one
+    reducer (with few groups — returnflag has 3 — the whole fact sorts
+    into 3 tasks). Instead each row buckets by value position within
+    its group's [min, max] span; ranks compose from per-(group, bucket)
+    windows plus exclusive prefix counts over the tiny (group × 256)
+    count table — the same shape as :func:`distributed_rank`, ~256×
+    the sort parallelism per group, exact for ties because bucketing
+    is monotone in the value. Output: group_col, q, quantile.
     """
     import operator
     from functools import reduce
 
-    w = Window.partitionBy(group_col).orderBy(value_col)
-    ranked = df.select(
-        group_col,
-        F.col(value_col).alias("v"),
-        (F.row_number().over(w) - 1).alias("rn"),  # 0-based
-        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("n"),
+    B = 256
+    stats = df.groupBy(group_col).agg(
+        F.min(value_col).alias("_mn"),
+        F.max(value_col).alias("_mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    staged = df.select(group_col, F.col(value_col).alias("v")).join(
+        F.broadcast(stats), group_col
+    )
+    span = F.col("_mx") - F.col("_mn")
+    staged = staged.withColumn(
+        "_bkt",
+        F.when(span <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("v") - F.col("_mn")) / (span / B)),
+                F.lit(B - 1),
+            )
+        )
+        .cast("int"),
+    )
+    counts = staged.groupBy(group_col, "_bkt").agg(F.count(F.lit(1)).alias("_bn"))
+    b_long = F.col("_bkt").cast("long")
+    higher = F.when(
+        b_long + 1 <= B - 1, F.sequence(b_long + 1, F.lit(B - 1).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    prefix = (
+        counts.select(group_col, F.explode(higher).alias("_tgt"), "_bn")
+        .groupBy(group_col, F.col("_tgt").cast("int").alias("_bkt"))
+        .agg(F.sum("_bn").alias("_below"))
+    )
+    wb = Window.partitionBy(group_col, "_bkt").orderBy("v")
+    ranked = (
+        staged.join(F.broadcast(prefix), [group_col, "_bkt"], "left")
+        .withColumn(
+            "rn",
+            (
+                F.coalesce(F.col("_below"), F.lit(0))
+                + F.row_number().over(wb)
+                - 1
+            ).cast("long"),
+        )
+        .select(group_col, "v", "rn", "n")
     )
     # single pass: keep any row that is a lo/hi neighbor of ANY q, pull
     # all neighbor values into one aggregate row per group, interpolate
