@@ -117,6 +117,9 @@ HEADLINE = [
     "corpus_domain_cap",
     "embed_corr_matrix",
     "table_diff_snapshot",
+    "dedup_simhash_pairs",
+    "ann_recall_eval",
+    "events_rfm_segment",
 ]
 
 

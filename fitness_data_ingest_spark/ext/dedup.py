@@ -447,3 +447,65 @@ def edit_distance_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def simhash_near_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash signatures WITHOUT an all-pairs
+    pass: band the ``bits``-wide signature into ``max_hamming + 1``
+    equal slices — by pigeonhole, any pair within ``max_hamming`` bit
+    flips agrees EXACTLY on at least one slice — so candidates come
+    from an equi-self-join on (band_idx, band_value) and only
+    candidates pay the bit_count(xor) verify. The standard Manku/
+    Jarvelin web-dedup blocking; at production bit widths (64-bit
+    sigs, 16-bit bands) band-collision rates stay low at corpus scale.
+
+    Output: doc_a, doc_b, hamming (<= max_hamming).
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col(sig_col), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("_id", "_sh", "bd.band_idx", "bd.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.col("a._sh").alias("sa"),
+            F.col("b._sh").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -377,3 +377,232 @@ R3B_QUERIES: dict[str, QueryDef] = {
         QueryDef("table_diff_snapshot", _table_diff_snapshot, _DIFF_SQL, ("incremental",)),
     )
 }
+
+
+# -------------------------------------------------------- SIMHASH PAIRS
+
+
+def _dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pair detection (hamming <= 3) — completes the
+    simhash path from signatures (dedup_simhash) to detected
+    duplicates via pigeonhole banding: 4 bands of 8 bits,
+    equi-self-join on the band, bit_count(xor) verify on candidates
+    only — never all-pairs. The word-soup fixture clusters signatures
+    hard (pair volume grows quadratically with SF), so the registered
+    result is the per-distance pair HISTOGRAM plus each distance's
+    minimum pair (driver-bounded, 4 rows) over the deterministic
+    doc_id %% 5 sub-sample (the dedup_embedding_cosine precedent — the
+    word-soup clustering is a fixture artifact, not an operator
+    property); the pair-level operator is
+    :func:`~fitness_data_ingest_spark.ext.dedup.simhash_near_pairs`."""
+    from .ext import dedup as D
+    from .ext import text as TX
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    th = TX.token_hashes(F.array_distinct(TX.tokens(F.col("text"))))
+    sigs = docs.select("doc_id", D.simhash(th).alias("simhash"))
+    pairs = D.simhash_near_pairs(sigs)
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("doc_a").alias("min_doc_a"),
+        F.min("doc_b").alias("min_doc_b"),
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    from .ext.dedup import SIMHASH_BITS
+    from .registry_ext import _sql_simhash
+
+    n_bands, band_bits = 4, SIMHASH_BITS // 4
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH sig0 AS ({_sql_simhash()}),
+sig AS (SELECT * FROM sig0 WHERE doc_id % 5 = 0),
+b AS (SELECT doc_id, simhash, t.range AS band_idx,
+             (simhash >> (t.range * {band_bits})) & {mask} AS band_val
+      FROM sig, range({n_bands}) t),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                a.simhash AS sa, b2.simhash AS sb
+         FROM b a JOIN b b2
+           ON a.band_idx = b2.band_idx AND a.band_val = b2.band_val
+          AND a.doc_id < b2.doc_id)
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+       min(doc_a) AS min_doc_a, min(doc_b) AS min_doc_b
+FROM (SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 3)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------- RECALL EVAL
+
+
+def _ann_recall_eval(spark, sf_dir):
+    """ANN quality evaluation: recall@5 of the LSH-bucketed search
+    against the brute-force exact top-5, per query — the measurement
+    loop any production ANN deployment runs before trading recall for
+    candidate-set size. Pure counting over two deterministic top-k
+    results; at scale the brute-force side runs on a sampled query
+    panel (here the full 10-query set)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    from .ext import similarity as S2
+
+    brute = S2.cosine_topk(q, c).select("query_id", "cand_id")
+    lsh = S2.lsh_bucketed_topk(q, c).select("query_id", "cand_id")
+    hits = (
+        brute.join(lsh, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    k_eff = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_eff"))
+    return k_eff.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.floor(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("k_eff").cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("recall4"),
+    )
+
+
+def _recall_sql() -> str:
+    from .registry_ext import _EMB_D, _sql_lsh_bucket
+
+    return f"""
+WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
+n AS (SELECT * FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                            CAST({_sql_lsh_bucket()} AS BIGINT) AS bucket FROM e)
+      WHERE nrm > 0),
+bs AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       FROM (SELECT * FROM n WHERE vec_id < 10) q,
+            (SELECT * FROM n WHERE vec_id >= 10) c),
+brute AS (SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, cand_id ASC) AS rnk
+            FROM bs) WHERE rnk <= 5),
+ls AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+       FROM (SELECT * FROM n WHERE vec_id < 10) q
+       JOIN (SELECT * FROM n WHERE vec_id >= 10) c USING (bucket)),
+lsh AS (SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, cand_id ASC) AS rnk
+          FROM ls) WHERE rnk <= 5),
+hits AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         FROM brute b JOIN lsh l
+           ON b.query_id = l.query_id AND b.cand_id = l.cand_id
+         GROUP BY 1),
+k AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k_eff
+      FROM brute GROUP BY 1)
+SELECT k.query_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       floor(CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(k_eff AS DOUBLE)
+             * 10000 + 0.5) / 10000.0 AS recall4
+FROM k LEFT JOIN hits ON k.query_id = hits.query_id
+"""
+
+
+# ------------------------------------------------------------------ RFM
+
+
+def _events_rfm_segment(spark, sf_dir):
+    """RFM segmentation: per-user recency/frequency/monetary metrics,
+    each quintiled by exact rank (distributed_rank — range-partitioned,
+    no partition-less window), segment occupancy counts. The reference
+    epoch is the corpus max event time, so the query is deterministic
+    and re-runnable."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("es"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    u0 = ev.groupBy("user_id").agg(
+        F.max("es").alias("last_es"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("c").alias("mon_c"),
+    )
+    ref = u0.agg(F.max("last_es").alias("ref_es"))
+    u = u0.crossJoin(F.broadcast(ref)).withColumn(
+        "r_days", F.expr("(ref_es - last_es) div 86400")
+    )
+    stats = u.agg(
+        F.min("r_days").alias("r_mn"),
+        F.max("r_days").alias("r_mx"),
+        F.min("freq").alias("f_mn"),
+        F.max("freq").alias("f_mx"),
+        F.min("mon_c").alias("m_mn"),
+        F.max("mon_c").alias("m_mx"),
+        F.count(F.lit(1)).alias("nu"),
+    )
+    B = 64
+    staged = u.crossJoin(F.broadcast(stats))
+    for pre, col in (("r", "r_days"), ("f", "freq"), ("m", "mon_c")):
+        staged = staged.withColumn(
+            f"{pre}_bkt",
+            F.expr(
+                f"({col} - {pre}_mn) div (({pre}_mx - {pre}_mn) div {B} + 1)"
+            ).cast("int"),
+        )
+    ranked = staged
+    for pre, col in (("r", "r_days"), ("f", "freq"), ("m", "mon_c")):
+        ranked = SC.distributed_rank(
+            ranked,
+            [(col, "asc"), ("user_id", "asc")],
+            f"{pre}_bkt",
+            n_buckets=B,
+            rank_name=f"{pre}_rnk",
+        )
+    seg = ranked.select(
+        F.expr("((r_rnk - 1) * 5) div nu").alias("r_seg"),
+        F.expr("((f_rnk - 1) * 5) div nu").alias("f_seg"),
+        F.expr("((m_rnk - 1) * 5) div nu").alias("m_seg"),
+    )
+    return seg.groupBy("r_seg", "f_seg", "m_seg").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+_RFM_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS es,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+u0 AS (SELECT user_id, max(es) AS last_es,
+              CAST(count(*) AS BIGINT) AS freq,
+              CAST(sum(c) AS BIGINT) AS mon_c
+       FROM e GROUP BY 1),
+ref AS (SELECT max(last_es) AS ref_es FROM u0),
+u AS (SELECT user_id, CAST((ref_es - last_es) // 86400 AS BIGINT) AS r_days,
+             freq, mon_c
+      FROM u0, ref),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM u),
+rk AS (SELECT user_id, r_days, freq, mon_c,
+              row_number() OVER (ORDER BY r_days ASC, user_id) AS rr,
+              row_number() OVER (ORDER BY freq ASC, user_id) AS fr,
+              row_number() OVER (ORDER BY mon_c ASC, user_id) AS mr
+       FROM u)
+SELECT CAST(((rr - 1) * 5) // nu AS BIGINT) AS r_seg,
+       CAST(((fr - 1) * 5) // nu AS BIGINT) AS f_seg,
+       CAST(((mr - 1) * 5) // nu AS BIGINT) AS m_seg,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM rk, n GROUP BY 1, 2, 3
+"""
+
+
+for _q in (
+    QueryDef(
+        "dedup_simhash_pairs", _dedup_simhash_pairs, _simhash_pairs_sql(), ("ext",)
+    ),
+    QueryDef("ann_recall_eval", _ann_recall_eval, _recall_sql(), ("ext",)),
+    QueryDef("events_rfm_segment", _events_rfm_segment, _RFM_SQL, ("pipeline",)),
+):
+    R3B_QUERIES[_q.name] = _q

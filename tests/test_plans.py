@@ -416,13 +416,14 @@ def test_chunk_overlap_is_shuffle_free(spark, sf_dir):
 
 def test_r3b_no_cartesian_or_nested_loop(spark, sf_dir):
     """Round-3b family: no cartesian products; the only sanctioned
-    nested-loop is orders_pareto's 1-row totals broadcast (count/sum/
-    min/max of the customer-grain table ride in as a single-row
-    crossJoin — constant build side at any data scale, the tfidf/q11
-    pattern)."""
+    nested-loops are 1-row/bounded broadcasts (the tfidf/q11 pattern —
+    constant build side at any data scale): orders_pareto and
+    events_rfm_segment cross-join single-row stats tables;
+    ann_recall_eval's brute-force arm broadcasts the 10-query panel
+    (the deliberate exact baseline it measures LSH against)."""
     from fitness_data_ingest_spark.registry_r3b import R3B_QUERIES
 
-    bounded_bcast_ok = {"orders_pareto"}
+    bounded_bcast_ok = {"orders_pareto", "events_rfm_segment", "ann_recall_eval"}
     for name, q in R3B_QUERIES.items():
         plan = plan_of(q.spark(spark, sf_dir), "simple")
         assert "CartesianProduct" not in plan, name

@@ -651,3 +651,57 @@ def test_snapshot_diff_classes_reconcile(spark, sf_dir):
         (F.col("o_orderkey") % 5 == 0)
     ).count()
     assert counts.get("A", 0) + counts["C"] + counts.get("U", 0) == n_new
+
+
+def test_simhash_near_pairs_matches_bruteforce(spark, sf_dir):
+    """Pigeonhole banding must find EXACTLY the pairs an all-pairs
+    bit_count scan finds at hamming <= 3 (the banding can only ever
+    miss, never invent — this proves it misses nothing)."""
+    from fitness_data_ingest_spark.ext import dedup as D
+    from fitness_data_ingest_spark.ext import text as TX
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    th = TX.token_hashes(F.array_distinct(TX.tokens(F.col("text"))))
+    sigs = docs.select("doc_id", D.simhash(th).alias("simhash"))
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_near_pairs(sigs).collect()
+    )
+    local = sorted((r["doc_id"], r["simhash"]) for r in sigs.collect())
+    want = []
+    for i, (ida, sa) in enumerate(local):
+        for idb, sb in local[i + 1 :]:
+            h = bin(sa ^ sb).count("1")
+            if h <= 3:
+                want.append((ida, idb, h))
+    assert got == sorted(want)
+
+
+def test_rfm_segments_partition_users(spark, sf_dir):
+    """Every user lands in exactly one (r,f,m) cell, and each metric's
+    marginal quintile occupancy is the balanced rank split."""
+    from fitness_data_ingest_spark.registry import all_queries
+
+    rows = all_queries()["events_rfm_segment"].spark(spark, sf_dir).collect()
+    ev = t(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    for col in ("r_seg", "f_seg", "m_seg"):
+        marginal = {}
+        for r in rows:
+            marginal[r[col]] = marginal.get(r[col], 0) + r["n_users"]
+        # balanced split: floor/ceil of n/5 per quintile
+        lo, hi = n_users // 5, -(-n_users // 5)
+        assert all(lo <= v <= hi for v in marginal.values()), (col, marginal)
+
+
+def test_ann_recall_eval_bounds(spark, sf_dir):
+    """recall4 ∈ [0,1], n_hits <= k, and the brute-force query panel is
+    fully represented."""
+    from fitness_data_ingest_spark.registry import all_queries
+
+    rows = all_queries()["ann_recall_eval"].spark(spark, sf_dir).collect()
+    assert rows, "expected a non-empty query panel"
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5
+        assert 0.0 <= r["recall4"] <= 1.0
