@@ -35,6 +35,7 @@ def pagerank_int(
     edges: DataFrame,
     iters: int = 6,
     damp_pct: int = DAMP_PCT,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank over a directed edge list (``src``,
     ``dst``), uniform initial rank of ``RANK_UNIT`` per node.
@@ -53,18 +54,31 @@ def pagerank_int(
     # every iteration scans ed; without the persist each of the
     # ``iters`` references re-derives the degree join from the raw
     # edge list — O(iters) redundant passes over the big table
-    ed = edges.join(deg, "src").persist()
+    ed = edges.join(deg, "src")
+    if symmetric:
+        # pre-partition the cached edges by dst ONCE: the per-round
+        # broadcast join preserves the stream side's partitioning, so
+        # every round's groupBy(dst) satisfies its distribution with
+        # ZERO exchange — the 6 per-round shuffles collapse into this
+        # single up-front one
+        ed = ed.repartition("dst")
+    ed = ed.persist()
     # zero-contribution seed rows: one per node, riding the SAME
     # groupBy shuffle as the edge contributions, so every node appears
     # in the aggregate output and no second join (a broadcast barrier
     # per iteration — half the iteration's stage overhead) is needed
-    # to re-attach nodes with no in-edges
+    # to re-attach nodes with no in-edges. A SYMMETRIC graph needs no
+    # seeds at all — every node with an out-edge has an in-edge — and
+    # skipping the union keeps the round exchange-free (a Union node
+    # erases the children's reported partitioning).
     zeros = deg.select(
         F.col("src").alias("dst"), F.lit(0).cast("long").alias("c")
-    ).persist()
+    )
+    if not symmetric:
+        zeros = zeros.persist()
     base = (100 - damp_pct) * RANK_UNIT // 100
-    ranks = zeros.select(
-        F.col("dst").alias("node"),
+    ranks = deg.select(
+        F.col("src").alias("node"),
         F.lit(RANK_UNIT).cast("long").alias("rank_micro"),
     )
     for _ in range(iters):
@@ -72,22 +86,26 @@ def pagerank_int(
         # (the big side, cached) never re-shuffles; without the hint the
         # nested iteration lineage defeats AQE's size estimation and
         # every round pays a full sort-merge shuffle of the edges
-        contrib = (
-            ed.join(F.broadcast(ranks), ed.src == ranks.node)
-            .select(
-                F.col("dst"),
-                F.expr("rank_micro div outdeg").alias("c"),
-            )
-            .unionByName(zeros)
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+        contrib = ed.join(F.broadcast(ranks), ed.src == ranks.node).select(
+            F.col("dst"),
+            F.expr("rank_micro div outdeg").alias("c"),
         )
+        if not symmetric:
+            contrib = contrib.unionByName(zeros)
+        contrib = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = contrib.select(
             F.col("dst").alias("node"),
             (
                 F.lit(base) + F.expr(f"s * {damp_pct} div 100")
             ).cast("long").alias("rank_micro"),
         )
+        # truncate lineage each round (same discipline as the CC loop):
+        # without this, round k's plan nests all k-1 prior broadcast
+        # subtrees and Catalyst re-optimizes a plan that doubles per
+        # iteration — at bench scale plan compilation dominated the
+        # actual 7k-edge compute. Values are untouched (exact integer
+        # recurrence), so the unrolled SQL oracle still matches.
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

@@ -292,7 +292,7 @@ def _graph_pagerank(spark, sf_dir):
     edges = G.cooccurrence_edges(
         li, "l_orderkey", "l_partkey", min_groups=2
     ).cache()
-    return G.pagerank_int(edges, iters=_PR_ITERS)
+    return G.pagerank_int(edges, iters=_PR_ITERS, symmetric=True)
 
 
 _PR_EDGES_CTE = """

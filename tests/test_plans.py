@@ -467,3 +467,13 @@ def test_domain_cap_windows_are_salted_then_grouped(spark, sf_dir):
     assert "[source" in specs[0] and "_w0" in specs[0], specs[0]
     assert "_w0" not in specs[1], specs[1]
     assert "pmod" in plan and "hash" in plan, "salt projection missing"
+
+
+def test_pagerank_round_is_exchange_free(spark, sf_dir):
+    """Symmetric-mode PageRank pays its dst-hash shuffle ONCE up front:
+    the cached edge table is pre-partitioned by dst, the per-round
+    broadcast join preserves that partitioning, and no zeros-union
+    erases it — so the final round's plan (everything after the last
+    lineage checkpoint) must contain NO Exchange at all."""
+    plan = plan_of(QUERIES["graph_pagerank"].spark(spark, sf_dir), "simple")
+    assert "Exchange" not in plan, plan[:800]
