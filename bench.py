@@ -120,6 +120,9 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "ann_recall_eval",
     "events_rfm_segment",
+    "affinity_lift_topk",
+    "corpus_dedup_rate_by_source",
+    "events_streak_islands",
 ]
 
 

@@ -531,3 +531,70 @@ def domain_cap(docs: DataFrame, k: int = DOMAIN_CAP_K) -> DataFrame:
     return grouped_topk(
         staged, "source", [("pick", "asc"), ("doc_id", "asc")], k
     )
+
+
+def cooccurrence_lift_topk(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 25,
+    min_pair: int = 2,
+) -> DataFrame:
+    """Association-rule LIFT over within-group co-occurrence —
+    lift(a,b) = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b) — the
+    market-basket strength metric that corrects raw pair counts for
+    item popularity (the completion of :func:`cooccurrence_topk`,
+    which ranks by raw support).
+
+    Shape: the pair table reuses the single collect_set shuffle + HOF
+    in-place expansion; item supports are one distinct + groupBy on
+    (item); N rides in as a 1-row broadcast. Supports join onto the
+    pair aggregate by equi key (item-grain — shuffle join at scale,
+    broadcast when it fits). Exact integer counts; lift evaluated in
+    one fixed double expression. Output: top-``k`` by (lift desc,
+    item_a, item_b) among pairs with support >= ``min_pair``.
+    """
+    from ..ops.scale import ranked_topk
+
+    g = F.col(group_col).alias("g")
+    it = F.col(item_col).alias("i")
+    gi = df.select(g, it).distinct()
+    baskets = gi.groupBy("g").agg(F.collect_set("i").alias("items"))
+    pair_expr = F.expr(
+        "flatten(transform(items, x -> transform("
+        "filter(items, y -> y > x), y -> struct(x AS item_a, y AS item_b))))"
+    )
+    pairs = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair)
+    )
+    support = gi.groupBy(F.col("i")).agg(F.count(F.lit(1)).alias("n_i"))
+    n_groups = gi.select("g").distinct().agg(F.count(F.lit(1)).alias("n_g"))
+    lifted = (
+        pairs.join(
+            support.select(F.col("i").alias("item_a"), F.col("n_i").alias("n_a")),
+            "item_a",
+        )
+        .join(
+            support.select(F.col("i").alias("item_b"), F.col("n_i").alias("n_b")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_groups))
+    )
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n_g").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    scored = lifted.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        (F.floor(lift * 10000 + F.lit(0.5)) / 10000.0).alias("lift4"),
+    )
+    return ranked_topk(
+        scored, [("lift4", "desc"), ("item_a", "asc"), ("item_b", "asc")], k
+    )

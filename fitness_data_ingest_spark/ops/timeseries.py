@@ -284,3 +284,37 @@ def ewma_trunc(events: DataFrame, weights: list[int] | None = None) -> DataFrame
         n_terms.cast("long").alias("n_terms"),
         (F.floor(ew * 1e4 + F.lit(0.5)) / 1e4).alias("ewma4"),
     )
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands: per user, consecutive-active-day streaks via
+    the classic (day_number - row_number) island key — two per-user
+    windows over the DISTINCT (user, day) table (day-grain, ~1/1000th
+    of the event volume, so the window partitions stay tiny even for
+    whale users). Output per user: active-day count, island count, the
+    longest streak's length and its start day (earliest on ties).
+    """
+    days = events.select(
+        "user_id",
+        F.expr("(unix_micros(ts) div 1000000) div 86400").alias("dnum"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("dnum")
+    isl = days.withColumn(
+        "island", F.col("dnum") - F.row_number().over(w)
+    )
+    islands = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("dnum").alias("start_day"),
+    )
+    best = F.min(F.struct((-F.col("len")).alias("nl"), F.col("start_day").alias("sd")))
+    return islands.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_islands"),
+        best.alias("_b"),
+    ).select(
+        "user_id",
+        "n_active_days",
+        "n_islands",
+        (-F.col("_b.nl")).cast("long").alias("best_len"),
+        F.col("_b.sd").alias("best_start"),
+    )

@@ -606,3 +606,129 @@ for _q in (
     QueryDef("events_rfm_segment", _events_rfm_segment, _RFM_SQL, ("pipeline",)),
 ):
     R3B_QUERIES[_q.name] = _q
+
+
+# ------------------------------------------------------------------ LIFT
+
+
+def _affinity_lift_topk(spark, sf_dir):
+    """Top-25 part pairs by association LIFT (popularity-corrected
+    co-occurrence) over order baskets."""
+    return C2.cooccurrence_lift_topk(
+        t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    )
+
+
+_LIFT_SQL = """
+WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+sup AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM gi GROUP BY 1),
+ng AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_g FROM gi),
+scored AS (
+  SELECT item_a, item_b, n_ab,
+         floor(CAST(n_ab AS DOUBLE) * CAST(n_g AS DOUBLE)
+               / (CAST(sa.n_i AS DOUBLE) * CAST(sb.n_i AS DOUBLE))
+               * 10000 + 0.5) / 10000.0 AS lift4
+  FROM pairs JOIN sup sa ON sa.i = pairs.item_a
+             JOIN sup sb ON sb.i = pairs.item_b, ng)
+SELECT CAST(row_number() OVER (ORDER BY lift4 DESC, item_a, item_b) AS INT)
+         AS rnk,
+       item_a, item_b, n_ab, lift4
+FROM scored
+ORDER BY lift4 DESC, item_a, item_b LIMIT 25
+"""
+
+# ------------------------------------------------------ DEDUP BY SOURCE
+
+
+def _corpus_dedup_rate_by_source(spark, sf_dir):
+    """Cross-source near-duplicate contamination matrix: MinHash+LSH
+    near-dup pairs rolled up to (source, source) — which sources
+    duplicate each other (mirror detection / mixture-weight hygiene).
+    Reuses the banded-LSH pair path end-to-end; sources attach by
+    doc-grain equi-join and the pair endpoint sources normalize with
+    least/greatest so the matrix is upper-triangular."""
+    from .ext import dedup as D
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(docs, "doc_id", "text", 0.5)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+    )
+    return j.select(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).groupBy("source_a", "source_b").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def _dedup_rate_sql() -> str:
+    from .registry_ext import _MINHASH_SQL
+
+    return f"""
+WITH pairs AS ({_MINHASH_SQL}),
+src AS (SELECT doc_id, source FROM documents),
+j AS (SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b
+      FROM pairs JOIN src a ON a.doc_id = pairs.doc_a
+                 JOIN src b ON b.doc_id = pairs.doc_b)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------- STREAKS
+
+
+def _events_streak_islands(spark, sf_dir):
+    """Per-user consecutive-active-day streaks (gaps and islands)."""
+    return TS.activity_streaks(t(spark, sf_dir, "events"))
+
+
+_STREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // 1000000) // 86400 AS dnum
+  FROM events),
+isl AS (
+  SELECT user_id, dnum,
+         dnum - row_number() OVER (PARTITION BY user_id ORDER BY dnum)
+           AS island
+  FROM days),
+islands AS (
+  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len,
+         min(dnum) AS start_day
+  FROM isl GROUP BY 1, 2)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(max(len) AS BIGINT) AS best_len,
+       CAST(min(CASE WHEN len = ml THEN start_day END) AS BIGINT)
+         AS best_start
+FROM (SELECT *, max(len) OVER (PARTITION BY user_id) AS ml FROM islands)
+GROUP BY 1
+"""
+
+
+for _q in (
+    QueryDef("affinity_lift_topk", _affinity_lift_topk, _LIFT_SQL, ("corpus",)),
+    QueryDef(
+        "corpus_dedup_rate_by_source",
+        _corpus_dedup_rate_by_source,
+        _dedup_rate_sql(),
+        ("corpus",),
+    ),
+    QueryDef(
+        "events_streak_islands", _events_streak_islands, _STREAK_SQL, ("ts",)
+    ),
+):
+    R3B_QUERIES[_q.name] = _q

@@ -420,10 +420,14 @@ def test_r3b_no_cartesian_or_nested_loop(spark, sf_dir):
     constant build side at any data scale): orders_pareto and
     events_rfm_segment cross-join single-row stats tables;
     ann_recall_eval's brute-force arm broadcasts the 10-query panel
-    (the deliberate exact baseline it measures LSH against)."""
+    (the deliberate exact baseline it measures LSH against);
+    affinity_lift_topk joins the 1-row basket-count scalar."""
     from fitness_data_ingest_spark.registry_r3b import R3B_QUERIES
 
-    bounded_bcast_ok = {"orders_pareto", "events_rfm_segment", "ann_recall_eval"}
+    bounded_bcast_ok = {
+        "orders_pareto", "events_rfm_segment", "ann_recall_eval",
+        "affinity_lift_topk",
+    }
     for name, q in R3B_QUERIES.items():
         plan = plan_of(q.spark(spark, sf_dir), "simple")
         assert "CartesianProduct" not in plan, name

@@ -705,3 +705,36 @@ def test_ann_recall_eval_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_hits"] <= 5
         assert 0.0 <= r["recall4"] <= 1.0
+
+
+def test_activity_streaks_match_python_reference(spark, sf_dir):
+    """Gaps-and-islands output must equal the straightforward Python
+    scan over each user's sorted distinct active days."""
+    from fitness_data_ingest_spark.ops import timeseries as TS
+
+    events = t(spark, sf_dir, "events")
+    got = {
+        r["user_id"]: (
+            r["n_active_days"], r["n_islands"], r["best_len"], r["best_start"]
+        )
+        for r in TS.activity_streaks(events).collect()
+    }
+    rows = events.select("user_id", "ts").collect()
+    import collections
+
+    per_user = collections.defaultdict(set)
+    for r in rows:
+        per_user[r["user_id"]].add(int(r["ts"].timestamp()) // 86400)
+    for u, dayset in per_user.items():
+        days = sorted(dayset)
+        islands = []
+        start = prev = days[0]
+        for d in days[1:]:
+            if d == prev + 1:
+                prev = d
+            else:
+                islands.append((prev - start + 1, start))
+                start = prev = d
+        islands.append((prev - start + 1, start))
+        best = max(islands, key=lambda x: (x[0], -x[1]))
+        assert got[u] == (len(days), len(islands), best[0], best[1]), u
