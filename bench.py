@@ -123,6 +123,7 @@ HEADLINE = [
     "affinity_lift_topk",
     "corpus_dedup_rate_by_source",
     "events_streak_islands",
+    "ivm_join_delta",
 ]
 
 

@@ -732,3 +732,56 @@ for _q in (
     ),
 ):
     R3B_QUERIES[_q.name] = _q
+
+
+# -------------------------------------------------------------- JOIN IVM
+
+
+def _ivm_join_delta(spark, sf_dir):
+    """Join-view incremental maintenance: treat %17 orders and %23
+    lineitems as today's inserts; compute the materialized
+    orders⋈lineitem view's DELTA via the three-term propagation rule
+    (never re-joining base⋈base), summarized per order status."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+    )
+    old_o = orders.filter(F.col("o_orderkey") % 17 != 0)
+    d_o = orders.filter(F.col("o_orderkey") % 17 == 0)
+    old_l = li.filter(F.col("o_orderkey") % 23 != 0)
+    d_l = li.filter(F.col("o_orderkey") % 23 == 0)
+    delta = INC.join_delta(old_o, d_o, old_l, d_l, "o_orderkey")
+    return delta.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price_c").alias("sum_cents"),
+    )
+
+
+_IVM_SQL = """
+WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders),
+l AS (SELECT l_orderkey AS o_orderkey,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM lineitem),
+oo AS (SELECT * FROM o WHERE o_orderkey % 17 <> 0),
+do_ AS (SELECT * FROM o WHERE o_orderkey % 17 = 0),
+ol AS (SELECT * FROM l WHERE o_orderkey % 23 <> 0),
+dl AS (SELECT * FROM l WHERE o_orderkey % 23 = 0),
+delta AS (
+  SELECT do_.o_orderstatus, ol.price_c FROM do_ JOIN ol USING (o_orderkey)
+  UNION ALL
+  SELECT oo.o_orderstatus, dl.price_c FROM oo JOIN dl USING (o_orderkey)
+  UNION ALL
+  SELECT do_.o_orderstatus, dl.price_c FROM do_ JOIN dl USING (o_orderkey))
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price_c) AS BIGINT) AS sum_cents
+FROM delta GROUP BY 1
+"""
+
+R3B_QUERIES["ivm_join_delta"] = QueryDef(
+    "ivm_join_delta", _ivm_join_delta, _IVM_SQL, ("incremental",)
+)

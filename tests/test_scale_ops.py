@@ -738,3 +738,25 @@ def test_activity_streaks_match_python_reference(spark, sf_dir):
         islands.append((prev - start + 1, start))
         best = max(islands, key=lambda x: (x[0], -x[1]))
         assert got[u] == (len(days), len(islands), best[0], best[1]), u
+
+
+def test_join_delta_equals_full_rejoin_difference(spark, sf_dir):
+    """IVM invariant: ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB == (A∪ΔA)⋈(B∪ΔB) EXCEPT ALL
+    A⋈B, as multisets."""
+    from fitness_data_ingest_spark.ops import incremental as INC
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    old_o = orders.filter(F.col("o_orderkey") % 17 != 0)
+    d_o = orders.filter(F.col("o_orderkey") % 17 == 0)
+    old_l = li.filter(F.col("o_orderkey") % 23 != 0)
+    d_l = li.filter(F.col("o_orderkey") % 23 == 0)
+    delta = INC.join_delta(old_o, d_o, old_l, d_l, "o_orderkey")
+    full_new = orders.join(li, "o_orderkey")
+    full_old = old_o.join(old_l, "o_orderkey")
+    want = full_new.exceptAll(full_old)
+    assert sorted(map(tuple, delta.collect())) == sorted(
+        map(tuple, want.collect())
+    )
