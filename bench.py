@@ -124,6 +124,7 @@ HEADLINE = [
     "corpus_dedup_rate_by_source",
     "events_streak_islands",
     "ivm_join_delta",
+    "corpus_mixture_plan",
 ]
 
 

@@ -598,3 +598,54 @@ def cooccurrence_lift_topk(
     return ranked_topk(
         scored, [("lift4", "desc"), ("item_a", "asc"), ("item_b", "asc")], k
     )
+
+
+MIX_TAU_BUDGET_PCT = 50
+
+
+def mixture_plan(
+    docs: DataFrame, budget_pct: int = MIX_TAU_BUDGET_PCT
+) -> DataFrame:
+    """Temperature-scaled source mixture planning (τ = 0.5) — the data
+    recipe step of LLM corpus curation: upweight small sources and
+    downweight dominant ones by giving source i the target share
+    avail_i^τ / Σ_j avail_j^τ of a global token budget, then clamp each
+    source's sampling rate at 1 (can't sample more than exists).
+
+    The τ=0.5 form is the sqrt reweighting used in multilingual /
+    multi-corpus training mixes. Weights are FLOOR(sqrt(chars)) — an
+    integer per source — so the normalizing total is an exact int64
+    sum (a float sum of sqrts would be partition-order-dependent and
+    could flip a rounding tie between engines); the budget is an
+    integer percentage of total chars.
+
+    Shape: one per-source aggregate (source-grain, tiny) + a 1-row
+    total broadcast — the plan costs one scan regardless of corpus
+    size. Output per source: avail_chars, share4, target_chars,
+    rate4.
+    """
+    per = docs.groupBy("source").agg(
+        F.sum(F.col("n_chars").cast("long")).alias("avail_chars")
+    )
+    per = per.withColumn(
+        "sq_w", F.floor(F.sqrt(F.col("avail_chars").cast("double"))).cast("long")
+    )
+    tot = per.agg(
+        F.sum("sq_w").alias("sq_tot"),
+        F.sum("avail_chars").alias("chars_tot"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    share = F.col("sq_w").cast("double") / F.col("sq_tot").cast("double")
+    budget = (F.col("chars_tot") * budget_pct).cast("double") / 100.0
+    target = F.floor(budget * share).cast("long")
+    rate = F.least(
+        F.lit(1.0),
+        target.cast("double") / F.col("avail_chars").cast("double"),
+    )
+    return j.select(
+        "source",
+        "avail_chars",
+        (F.floor(share * 10000 + F.lit(0.5)) / 10000.0).alias("share4"),
+        target.alias("target_chars"),
+        (F.floor(rate * 10000 + F.lit(0.5)) / 10000.0).alias("rate4"),
+    )

@@ -785,3 +785,41 @@ FROM delta GROUP BY 1
 R3B_QUERIES["ivm_join_delta"] = QueryDef(
     "ivm_join_delta", _ivm_join_delta, _IVM_SQL, ("incremental",)
 )
+
+
+# ----------------------------------------------------------- MIXTURE PLAN
+
+
+def _corpus_mixture_plan(spark, sf_dir):
+    """Temperature-scaled (τ=0.5) source mixture plan under a 50%%
+    global token budget."""
+    return C2.mixture_plan(t(spark, sf_dir, "documents"))
+
+
+_MIX_PLAN_SQL = """
+WITH per AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail_chars,
+         CAST(floor(sqrt(CAST(sum(n_chars) AS DOUBLE))) AS BIGINT) AS sq_w
+  FROM documents GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(sq_w) AS BIGINT) AS sq_tot,
+         CAST(sum(avail_chars) AS BIGINT) AS chars_tot
+  FROM per)
+SELECT source, avail_chars,
+       floor(CAST(sq_w AS DOUBLE) / CAST(sq_tot AS DOUBLE) * 10000 + 0.5)
+         / 10000.0 AS share4,
+       CAST(floor(CAST(chars_tot * 50 AS DOUBLE) / 100.0
+                  * (CAST(sq_w AS DOUBLE) / CAST(sq_tot AS DOUBLE)))
+            AS BIGINT) AS target_chars,
+       floor(least(1.0,
+                   CAST(CAST(floor(CAST(chars_tot * 50 AS DOUBLE) / 100.0
+                              * (CAST(sq_w AS DOUBLE) / CAST(sq_tot AS DOUBLE)))
+                        AS BIGINT) AS DOUBLE)
+                   / CAST(avail_chars AS DOUBLE)) * 10000 + 0.5) / 10000.0
+         AS rate4
+FROM per, tot
+"""
+
+R3B_QUERIES["corpus_mixture_plan"] = QueryDef(
+    "corpus_mixture_plan", _corpus_mixture_plan, _MIX_PLAN_SQL, ("corpus",)
+)

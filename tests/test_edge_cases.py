@@ -96,3 +96,69 @@ def test_new_ops_survive_empty_inputs(spark):
     # compaction plan over an empty manifest -> empty plan
     empty_manifest = spark.createDataFrame([], "grp string, unit string, w long")
     assert compaction_plan(empty_manifest, "grp", "unit", "w", 10).count() == 0
+
+
+def _events_empty(spark):
+    return spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def test_sessionize_empty_and_single(spark):
+    from fitness_data_ingest_spark.ops import timeseries as TS
+    import datetime
+
+    assert TS.sessionize(_events_empty(spark)).count() == 0
+    one = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 7, 5.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    rows = TS.sessionize(one).collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 1 and rows[0]["dur_s"] == 0
+
+
+def test_ewma_empty_and_single(spark):
+    from fitness_data_ingest_spark.ops import timeseries as TS
+    import datetime
+
+    assert TS.ewma_trunc(_events_empty(spark)).count() == 0
+    one = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 7, 5.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    rows = TS.ewma_trunc(one).collect()
+    assert rows[0]["n_terms"] == 1 and rows[0]["ewma4"] == 5.0
+
+
+def test_streaks_empty(spark):
+    from fitness_data_ingest_spark.ops import timeseries as TS
+
+    assert TS.activity_streaks(_events_empty(spark)).count() == 0
+
+
+def test_grouped_topk_empty(spark):
+    docs = spark.createDataFrame([], "doc_id long, source string")
+    out = SK.grouped_topk(docs, "source", [("doc_id", "asc")], 5)
+    assert out.count() == 0
+
+
+def test_distributed_rank_single_bucket_and_empty(spark):
+    empty = spark.createDataFrame([], "v long, bkt int")
+    assert SK.distributed_rank(empty, [("v", "asc")], "bkt", 8).count() == 0
+    one_bucket = spark.createDataFrame(
+        [(10, 0), (5, 0), (7, 0)], "v long, bkt int"
+    )
+    got = {
+        r["v"]: r["rnk"]
+        for r in SK.distributed_rank(one_bucket, [("v", "asc")], "bkt", 8).collect()
+    }
+    assert got == {5: 1, 7: 2, 10: 3}
+
+
+def test_snapshot_diff_empty_new(spark):
+    from fitness_data_ingest_spark.ops import incremental as INC
+
+    old = spark.createDataFrame([(1, "a")], "k long, v string")
+    new = spark.createDataFrame([], "k long, v string")
+    rows = INC.snapshot_diff(old, new, "k", ["v"]).collect()
+    assert [(r["k"], r["diff_class"]) for r in rows] == [(1, "R")]
