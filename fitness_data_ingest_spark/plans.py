@@ -1,0 +1,145 @@
+"""Physical-plan linting: the 100 TB anti-pattern checks this repo
+enforces on its own registry (tests/test_plans.py), packaged as a
+user-facing API so any pipeline built on the engine can gate its own
+plans the same way.
+
+Rules (each finding: rule, severity, detail):
+
+- ``global-window``     high  — a Window with NO partition keys funnels
+  the whole input through one reducer (the classic scale cliff; see
+  ops/scale.ranked_topk / distributed_rank for window-free rewrites).
+- ``nested-loop-join``  high  — BroadcastNestedLoopJoin / Cartesian
+  product: O(|L|·|R|) pair work. Legitimate only for bounded builds
+  (1-row scalar broadcasts, constant panels) — pass those via
+  ``allow_nested_loop``.
+- ``python-row-boundary`` high — BatchEvalPython (row-at-a-time Python
+  UDF) in the plan; 10-100× slower than JVM expressions. Arrow-batched
+  (ArrowEvalPython / mapInPandas) boundaries report as ``medium``.
+- ``scan-no-pushdown``  medium — a parquet scan with an empty
+  PushedFilters list while the query filters: the predicate did not
+  reach the scan.
+- ``exchange-count``    info — number of shuffle exchanges (not wrong,
+  but the first thing to minimize; bucketing/broadcast/pre-partition
+  remove them).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+def _explain(df: DataFrame, mode: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def lint_plan(
+    df: DataFrame,
+    allow_nested_loop: bool = False,
+) -> list[dict[str, Any]]:
+    """Lint a DataFrame's physical plan for scale anti-patterns.
+
+    Returns findings sorted most-severe first; an empty list is the
+    plan you want at 100 TB. Purely static — the query is not run.
+    """
+    formatted = _explain(df, "formatted")
+    simple = _explain(df, "simple")
+    findings: list[dict[str, Any]] = []
+
+    # --- global (partition-less) windows.  In formatted explain, the
+    # Window node's Arguments render as
+    #   [exprs], [partition-cols], [order-cols]
+    # — an empty second list is a single-reducer window.
+    for m in re.finditer(
+        r"windowspecdefinition\(([^)]*)\)", formatted
+    ):
+        spec = m.group(0)
+        # spec lists partition cols first, then "<col> ASC/DESC" order
+        # entries, then the frame. No token before the first ordered
+        # column => no partition keys.
+        inner = m.group(1)
+        first = inner.split(",")[0].strip()
+        if (
+            " ASC" in first
+            or " DESC" in first
+            or first.startswith("specifiedwindowframe")
+        ):
+            findings.append(
+                {
+                    "rule": "global-window",
+                    "severity": "high",
+                    "detail": spec[:160],
+                }
+            )
+            break
+
+    if not allow_nested_loop:
+        for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            if node in simple:
+                findings.append(
+                    {
+                        "rule": "nested-loop-join",
+                        "severity": "high",
+                        "detail": node,
+                    }
+                )
+
+    if "BatchEvalPython" in simple:
+        findings.append(
+            {
+                "rule": "python-row-boundary",
+                "severity": "high",
+                "detail": "BatchEvalPython (row-at-a-time Python UDF)",
+            }
+        )
+    elif "ArrowEvalPython" in simple:
+        findings.append(
+            {
+                "rule": "python-row-boundary",
+                "severity": "medium",
+                "detail": "ArrowEvalPython (Arrow-batched Python)",
+            }
+        )
+
+    has_filter = "Filter" in simple or "PushedFilters" in formatted
+    for ln in formatted.splitlines():
+        if "PushedFilters" in ln and "PushedFilters: []" in ln and has_filter:
+            if re.search(r"\bFilter\b", simple):
+                findings.append(
+                    {
+                        "rule": "scan-no-pushdown",
+                        "severity": "medium",
+                        "detail": ln.strip()[:160],
+                    }
+                )
+                break
+
+    n_exchanges = len(re.findall(r"\bExchange\b", simple))
+    findings.append(
+        {
+            "rule": "exchange-count",
+            "severity": "info",
+            "detail": str(n_exchanges),
+        }
+    )
+    order = {"high": 0, "medium": 1, "info": 2}
+    findings.sort(key=lambda f: order[f["severity"]])
+    return findings
+
+
+def assert_plan_clean(df: DataFrame, allow_nested_loop: bool = False) -> None:
+    """Raise ``AssertionError`` listing every high-severity finding —
+    the CI-gate form of :func:`lint_plan`."""
+    bad = [
+        f
+        for f in lint_plan(df, allow_nested_loop=allow_nested_loop)
+        if f["severity"] == "high"
+    ]
+    assert not bad, f"plan anti-patterns: {bad}"

@@ -8,6 +8,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from fitness_data_ingest_spark.registry import all_queries
 
@@ -481,3 +482,65 @@ def test_pagerank_round_is_exchange_free(spark, sf_dir):
     lineage checkpoint) must contain NO Exchange at all."""
     plan = plan_of(QUERIES["graph_pagerank"].spark(spark, sf_dir), "simple")
     assert "Exchange" not in plan, plan[:800]
+
+
+# -------------------------------------------------------- plan linter API
+
+
+def test_lint_flags_global_window(spark, sf_dir):
+    from pyspark.sql import Window
+    from fitness_data_ingest_spark.plans import lint_plan
+    from fitness_data_ingest_spark.registry_util import t
+
+    ev = t(spark, sf_dir, "events")
+    bad = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("event_id"))
+    )
+    rules = {f["rule"] for f in lint_plan(bad)}
+    assert "global-window" in rules
+    good = ev.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("event_id")),
+    )
+    assert "global-window" not in {f["rule"] for f in lint_plan(good)}
+
+
+def test_lint_flags_nested_loop_and_allows_sanctioned(spark, sf_dir):
+    from fitness_data_ingest_spark.plans import lint_plan
+    from fitness_data_ingest_spark.registry_util import t
+
+    ev = t(spark, sf_dir, "events").limit(10)
+    cross = ev.crossJoin(ev.select(F.col("event_id").alias("e2")))
+    rules = {f["rule"] for f in lint_plan(cross)}
+    assert "nested-loop-join" in rules
+    assert "nested-loop-join" not in {
+        f["rule"] for f in lint_plan(cross, allow_nested_loop=True)
+    }
+
+
+def test_lint_flags_python_udf(spark, sf_dir):
+    from pyspark.sql.functions import udf
+    from fitness_data_ingest_spark.plans import lint_plan
+    from fitness_data_ingest_spark.registry_util import t
+
+    slow = udf(lambda x: x + 1, "long")
+    df = t(spark, sf_dir, "events").select(slow(F.col("user_id")))
+    assert any(
+        f["rule"] == "python-row-boundary" and f["severity"] == "high"
+        for f in lint_plan(df)
+    )
+
+
+def test_flagship_and_new_family_lint_clean(spark, sf_dir):
+    from fitness_data_ingest_spark.plans import assert_plan_clean
+    from fitness_data_ingest_spark.registry_r3b import R3B_QUERIES
+
+    sanctioned = {
+        "orders_pareto", "events_rfm_segment", "ann_recall_eval",
+        "affinity_lift_topk", "corpus_mixture_plan",
+    }
+    assert_plan_clean(QUERIES["flagship_pipeline"].spark(spark, sf_dir))
+    for name, q in R3B_QUERIES.items():
+        assert_plan_clean(
+            q.spark(spark, sf_dir), allow_nested_loop=name in sanctioned
+        )
