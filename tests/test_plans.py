@@ -427,7 +427,7 @@ def test_r3b_no_cartesian_or_nested_loop(spark, sf_dir):
 
     bounded_bcast_ok = {
         "orders_pareto", "events_rfm_segment", "ann_recall_eval",
-        "affinity_lift_topk",
+        "affinity_lift_topk", "corpus_mixture_plan",
     }
     for name, q in R3B_QUERIES.items():
         plan = plan_of(q.spark(spark, sf_dir), "simple")
