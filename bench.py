@@ -125,6 +125,9 @@ HEADLINE = [
     "events_streak_islands",
     "ivm_join_delta",
     "corpus_mixture_plan",
+    "json_variant_extract",
+    "sql_recursive_reach",
+    "sql_lateral_topn",
 ]
 
 

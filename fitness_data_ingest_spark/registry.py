@@ -22,6 +22,7 @@ from .registry_ext import EXT_QUERIES
 from .registry_pipeline import PIPELINE_QUERIES
 from .registry_r3 import R3_QUERIES
 from .registry_r3b import R3B_QUERIES
+from .registry_sql4 import SQL4_QUERIES
 from .registry_stream import STREAM_QUERIES
 from .registry_tpch2 import TPCH2_QUERIES
 from .registry_util import QueryDef
@@ -195,6 +196,7 @@ def all_queries() -> dict[str, QueryDef]:
         PIPELINE_QUERIES,
         R3_QUERIES,
         R3B_QUERIES,
+        SQL4_QUERIES,
     ):
         merged.update(family)
     verified = _driver_verified()

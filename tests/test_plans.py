@@ -544,3 +544,20 @@ def test_flagship_and_new_family_lint_clean(spark, sf_dir):
         assert_plan_clean(
             q.spark(spark, sf_dir), allow_nested_loop=name in sanctioned
         )
+
+
+def test_sql4_family_plans(spark, sf_dir):
+    """Spark-4 SQL-surface keys: the LATERAL top-n must decorrelate to
+    an equi-join + per-key window (never a per-row nested loop); the
+    variant extraction stays a single-scan aggregate."""
+    from fitness_data_ingest_spark.registry_sql4 import SQL4_QUERIES
+
+    lat = plan_of(SQL4_QUERIES["sql_lateral_topn"].spark(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in lat and "CartesianProduct" not in lat
+    assert ("BroadcastHashJoin" in lat) or ("SortMergeJoin" in lat), lat[:600]
+    assert "Window" in lat
+    var = plan_of(
+        SQL4_QUERIES["json_variant_extract"].spark(spark, sf_dir), "simple"
+    )
+    assert "Join" not in var
+    assert var.count("events.parquet") == 1
