@@ -314,3 +314,105 @@ def test_zorder_key_int32_inputs_bits16_no_sign_extension(spark):
     for x, y in pts:
         assert got[(x, y)] == ref_morton(x, y), (x, y, got[(x, y)])
         assert got[(x, y)] >= 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # value
+            st.integers(min_value=0, max_value=3),  # group
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@PROP_SETTINGS
+def test_distributed_rank_equals_row_number_random(spark, rows):
+    """Range-partitioned global ranking == row_number() for arbitrary
+    values incl. heavy duplicates, for any bucket assignment that is
+    monotone in the order key."""
+    df = spark.createDataFrame(
+        [(i, int(v)) for i, (v, _) in enumerate(rows)], "rid long, v long"
+    )
+    lo = min(v for v, _ in rows)
+    hi = max(v for v, _ in rows)
+    width = (hi - lo) // 8 + 1
+    staged = df.withColumn(
+        "bkt", ((F.col("v") - lo) / width).cast("int")
+    )
+    ranked = SK.distributed_rank(
+        staged, [("v", "asc"), ("rid", "asc")], "bkt", n_buckets=8
+    )
+    got = {r["rid"]: r["rnk"] for r in ranked.collect()}
+    want = {
+        rid: i + 1
+        for i, (rid, _) in enumerate(
+            sorted(((i, int(v)) for i, (v, _) in enumerate(rows)), key=lambda x: (x[1], x[0]))
+        )
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # group
+            st.integers(min_value=0, max_value=50),  # order key
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+    salt_n=st.integers(min_value=1, max_value=7),
+)
+@PROP_SETTINGS
+def test_grouped_topk_random(spark, rows, k, salt_n):
+    """Salted two-level per-group top-k == per-group sorted prefix for
+    random groups/orders/salts (rid tiebreak makes the order total)."""
+    df = spark.createDataFrame(
+        [(i, int(g), int(o)) for i, (g, o) in enumerate(rows)],
+        "rid long, g long, o long",
+    )
+    got = sorted(
+        (r["g"], r["o"], r["rid"])
+        for r in SK.grouped_topk(
+            df, "g", [("o", "asc"), ("rid", "asc")], k, salt_n=salt_n
+        ).collect()
+    )
+    import collections
+
+    per = collections.defaultdict(list)
+    for i, (g, o) in enumerate(rows):
+        per[g].append((o, i))
+    want = sorted(
+        (g, o, rid)
+        for g, lst in per.items()
+        for o, rid in sorted(lst)[:k]
+    )
+    assert got == want
+
+
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=4000), min_size=1, max_size=25),
+    gap_s=st.sampled_from([600, 1800]),
+)
+@PROP_SETTINGS
+def test_sessionize_break_count_random(spark, gaps, gap_s):
+    """Session count == 1 + number of inter-event gaps > gap_s, for an
+    arbitrary single-user gap sequence."""
+    import datetime
+
+    from fitness_data_ingest_spark.ops import timeseries as TS
+
+    base = datetime.datetime(2024, 1, 1)
+    ts_list, acc = [], 0
+    for g in gaps:
+        acc += g
+        ts_list.append(base + datetime.timedelta(seconds=acc))
+    df = spark.createDataFrame(
+        [(i, t_, 1, 1.0) for i, t_ in enumerate(ts_list)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    n_sessions = TS.sessionize(df, gap_s=gap_s).count()
+    want = 1 + sum(1 for g in gaps[1:] if g > gap_s)
+    assert n_sessions == want
