@@ -145,6 +145,9 @@ _FORCE_REVERIFY: dict[str, int] = {
     # round 3: asof rewritten from equi-join + window-argmax (O(n²)
     # candidate pairs per key) to the union-merge single-sort form
     "join_asof": 2,
+    # round 3: simhash signature rewritten from 32 per-bit folds to a
+    # single array-accumulator fold (5x, bit-identical values)
+    "dedup_simhash": 2,
 }
 
 
