@@ -148,6 +148,11 @@ _FORCE_REVERIFY: dict[str, int] = {
     # round 3: simhash signature rewritten from 32 per-bit folds to a
     # single array-accumulator fold (5x, bit-identical values)
     "dedup_simhash": 2,
+    # round 3: minhash signature rewritten from 32 array_min(transform)
+    # scans to one running-min fold (1.5x signature CPU, bit-identical);
+    # both green keys consuming it re-enter the window
+    "dedup_minhash_lsh": 2,
+    "dedup_clusters": 2,
 }
 
 
