@@ -78,6 +78,31 @@ def _emit(user_id: int, s: tuple[int, int, int, int], gap_us: int) -> dict[str, 
     }
 
 
+def _fold_spans(
+    items: list[tuple[int, int, int, int]], gap_us: int
+) -> tuple[list[tuple[int, int, int, int]], tuple[int, int, int, int]]:
+    """Start-ordered span merge: union spans whose gap <= gap_us, close
+    the earlier span otherwise. Returns (closed spans, open span). The
+    single merge rule both stateful sessionizers share — an event is a
+    width-zero span, the stored open session a wide one, so late and
+    out-of-order arrivals need no special cases."""
+    items = sorted(items, key=lambda it: (it[0], it[1]))
+    closed: list[tuple[int, int, int, int]] = []
+    open_s = items[0]
+    for it in items[1:]:
+        if it[0] - open_s[1] > gap_us:
+            closed.append(open_s)
+            open_s = it
+        else:
+            open_s = (
+                open_s[0],
+                max(open_s[1], it[1]),
+                open_s[2] + it[2],
+                open_s[3] + it[3],
+            )
+    return closed, open_s
+
+
 def _sessionize_key(
     key: tuple,
     pdfs: Iterable[pd.DataFrame],
@@ -119,21 +144,9 @@ def _sessionize_key(
     if state.exists:
         s = tuple(state.get)
         items.append((int(s[0]), int(s[1]), int(s[2]), int(s[3])))
-    items.sort(key=lambda it: (it[0], it[1]))
 
-    closed: list[dict[str, Any]] = []
-    open_s = items[0]
-    for it in items[1:]:
-        if it[0] - open_s[1] > gap_us:
-            closed.append(_emit(user_id, open_s, gap_us))
-            open_s = it
-        else:
-            open_s = (
-                open_s[0],
-                max(open_s[1], it[1]),
-                open_s[2] + it[2],
-                open_s[3] + it[3],
-            )
+    closed_spans, open_s = _fold_spans(items, gap_us)
+    closed = [_emit(user_id, sp, gap_us) for sp in closed_spans]
 
     state.update(open_s)
     # fire when the watermark proves no event can extend the session
@@ -162,4 +175,97 @@ def stateful_sessionize(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# --------------------------------------------------------------------
+# Spark 4 transformWithState twin: the same span-merge sessionizer on
+# the NEW arbitrary-state API (StatefulProcessor + explicit timers).
+# applyInPandasWithState couples state, timeout, and input handling in
+# one callback; transformWithState separates them (handleInputRows /
+# handleExpiredTimer) and supports multiple typed state variables and
+# timers per key — the forward-looking surface for custom operators.
+# Output contract is identical to stateful_sessionize, parity-tested.
+
+# open-session state + the armed timer (ms) so a re-armed session can
+# delete its stale timer instead of double-firing
+_TWS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+        T.StructField("timer_ms", T.LongType()),
+    ]
+)
+
+
+def tws_sessionize(ev: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
+    """Sessionize a watermarked event stream via Spark 4's
+    ``transformWithStateInPandas`` (timeMode=eventTime). Same output and
+    span-merge semantics as :func:`stateful_sessionize`."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_minutes * 60 * _US
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._open = handle.getValueState("open_session", _TWS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            pdfs = list(rows)
+            if not pdfs:
+                return
+            batch = pd.concat(pdfs, ignore_index=True).sort_values(
+                "ts", kind="stable"
+            )
+            ts_us = (
+                batch["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            )
+            cents = np.floor(
+                batch["value"].to_numpy() * 100 + 0.5
+            ).astype("int64")
+            items = [
+                (int(t), int(t), 1, int(c)) for t, c in zip(ts_us, cents)
+            ]
+            old_timer = None
+            if self._open.exists():
+                s = tuple(self._open.get())
+                items.append((int(s[0]), int(s[1]), int(s[2]), int(s[3])))
+                old_timer = int(s[4])
+            closed_spans, open_s = _fold_spans(items, gap_us)
+            timer_ms = (open_s[1] + gap_us) // 1000
+            self._open.update(open_s + (timer_ms,))
+            if old_timer is not None and old_timer != timer_ms:
+                self._handle.deleteTimer(old_timer)
+            if old_timer != timer_ms:
+                self._handle.registerTimer(timer_ms)
+            if closed_spans:
+                yield pd.DataFrame(
+                    [_emit(user_id, sp, gap_us) for sp in closed_spans]
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if not self._open.exists():
+                return
+            s = tuple(self._open.get())
+            if int(s[4]) != expiredTimerInfo.getExpiryTimeInMs():
+                return  # stale timer of a since-extended session
+            self._open.clear()
+            yield pd.DataFrame([_emit(user_id, tuple(s[:4]), gap_us)])
+
+        def close(self) -> None:
+            pass
+
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
     )

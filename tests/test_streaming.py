@@ -573,3 +573,90 @@ def test_streaming_cdc_merge_into_versioned_store(spark, sf_dir, tmp_path):
     # history preserved: version 1 still has the pre-delete state
     v1 = {r.k for r in read_versioned(spark, base, 1).collect()}
     assert 3 in v1
+
+
+def test_tws_sessionize_matches_applyinpandas_twin(spark, sf_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas sessionizer == the
+    applyInPandasWithState sessionizer == the built-in session_window
+    batch result, on the full fixture plus a watermark-advancing
+    sentinel that flushes every open session.
+
+    transformWithState's state server speaks protobuf; skip where
+    google.protobuf is absent/broken (this container ships no usable
+    protobuf — the operator itself is pure public PySpark API)."""
+    import datetime
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState "
+                    "state server cannot start in this environment")
+
+    from fitness_data_ingest_spark.stream import stateful as S
+    from fitness_data_ingest_spark.stream import windows as W
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    stream_dir = tmp_path / "events_tws"
+    stream_dir.mkdir()
+    ev.coalesce(1).write.mode("overwrite").parquet(str(stream_dir / "batch1"))
+    far = ev.sparkSession.createDataFrame(
+        [(999_999, datetime.datetime(2030, 1, 1), 0.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    far.coalesce(1).write.mode("overwrite").parquet(str(stream_dir / "batch2"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(stream_dir) + "/*")
+        .withWatermark("ts", "1 minute")
+    )
+    out = S.tws_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tws_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        tuple(r)
+        for r in spark.table("tws_sessions").collect()
+        if r["user_id"] != 999_999
+    }
+    want = {
+        tuple(r)
+        for r in W.session_stats(ev, gap="30 minutes").collect()
+    }
+    assert got == want
+
+
+def test_fold_spans_pure_unit():
+    """The shared span-merge core both stateful sessionizers fold with:
+    width-zero events, a wide stored span, out-of-order arrivals."""
+    from fitness_data_ingest_spark.stream.stateful import _fold_spans
+
+    GAP = 100
+    # one chain: 0..50 merged, then 200 opens a new span
+    closed, open_s = _fold_spans(
+        [(0, 0, 1, 10), (50, 50, 1, 5), (200, 200, 1, 1)], GAP
+    )
+    assert closed == [(0, 50, 2, 15)] and open_s == (200, 200, 1, 1)
+    # a wide stored span swallows a late event inside it
+    closed, open_s = _fold_spans(
+        [(0, 300, 4, 40), (150, 150, 1, 2)], GAP
+    )
+    assert closed == [] and open_s == (0, 300, 5, 42)
+    # late event BEFORE the stored span's start, within gap: extends start
+    closed, open_s = _fold_spans(
+        [(500, 700, 3, 30), (450, 450, 1, 1)], GAP
+    )
+    assert closed == [] and open_s == (450, 700, 4, 31)
+    # late event far before: closes as its own earlier session
+    closed, open_s = _fold_spans(
+        [(500, 700, 3, 30), (100, 100, 1, 1)], GAP
+    )
+    assert closed == [(100, 100, 1, 1)] and open_s == (500, 700, 3, 30)
