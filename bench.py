@@ -128,6 +128,7 @@ HEADLINE = [
     "json_variant_extract",
     "sql_recursive_reach",
     "sql_lateral_topn",
+    "corpus_cdc_chunks",
 ]
 
 

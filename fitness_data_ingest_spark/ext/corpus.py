@@ -649,3 +649,79 @@ def mixture_plan(
         target.alias("target_chars"),
         (F.floor(rate * 10000 + F.lit(0.5)) / 10000.0).alias("rate4"),
     )
+
+
+CDC_MASK = 16
+
+
+def cdc_chunk_stats(docs: DataFrame, mask: int = CDC_MASK) -> DataFrame:
+    """Content-defined chunking (Rabin-style): a chunk boundary opens
+    wherever the token's content hash ≡ 0 (mod ``mask``) — so chunk
+    boundaries move WITH the content, and an insertion near a document's
+    head re-chunks only its neighborhood instead of shifting every
+    fixed-stride chunk downstream. The sub-document dedup primitive:
+    boilerplate shared across documents lands in identical chunks with
+    identical hashes no matter where it sits in each document.
+
+    The chunking runs ENTIRELY inside array expressions per row
+    (boundary positions → zip with successor → slice+join), so the
+    first shuffle is at chunk grain — no token-grain explode, no
+    per-document window. Expected chunk length is ``mask`` tokens.
+
+    Output per source: n_chunks, n_dup_chunks (chunk content seen >1
+    time corpus-wide), sum_tok, dup_tok, dup_rate4.
+    """
+    from .text import token_hashes, tokens
+
+    # md5-per-token is CPU-heavy per row and the fixture is one parquet
+    # file — spread the chunking across the cluster BEFORE the
+    # projection (the with_minhash discipline); at real scale the scan
+    # already has many splits and AQE coalesces.
+    spark = docs.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    docs = docs.repartition(n_parts, F.col("doc_id"))
+    toks = tokens(F.col("text"))
+    staged = docs.select("doc_id", "source", toks.alias("toks")).withColumn(
+        "hs", token_hashes(F.col("toks"))
+    )
+    n = F.size("toks")
+    idx = F.sequence(F.lit(0), n - 1)
+    bp = F.filter(
+        idx,
+        lambda j: (j == 0)
+        | (F.element_at(F.col("hs"), (j + 1).cast("int")) % mask == 0),
+    )
+    staged = staged.withColumn("bp", bp).withColumn(
+        "ends",
+        F.concat(F.slice(F.col("bp"), 2, F.size("bp") - 1), F.array(n)),
+    )
+    chunk_structs = F.zip_with(
+        F.col("bp"),
+        F.col("ends"),
+        lambda s, e: F.struct(
+            F.array_join(F.slice(F.col("toks"), s + 1, e - s), " ").alias("txt"),
+            (e - s).cast("long").alias("n_tok"),
+        ),
+    )
+    chunks = staged.select(
+        "doc_id", "source", F.explode(chunk_structs).alias("c")
+    ).select("doc_id", "source", F.md5("c.txt").alias("chunk_hash"), "c.n_tok")
+    counts = chunks.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("cnt"))
+    j = chunks.join(counts, "chunk_hash")
+    dup = F.when(F.col("cnt") > 1, 1).otherwise(0)
+    dup_tok = F.when(F.col("cnt") > 1, F.col("n_tok")).otherwise(F.lit(0))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(dup).cast("long").alias("n_dup_chunks"),
+        F.sum("n_tok").alias("sum_tok"),
+        F.sum(dup_tok).alias("dup_tok"),
+        (
+            F.floor(
+                F.sum(dup_tok).cast("double")
+                / F.sum("n_tok").cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("dup_rate4"),
+    )

@@ -823,3 +823,52 @@ FROM per, tot
 R3B_QUERIES["corpus_mixture_plan"] = QueryDef(
     "corpus_mixture_plan", _corpus_mixture_plan, _MIX_PLAN_SQL, ("corpus",)
 )
+
+
+# ------------------------------------------------------------- CDC CHUNKS
+
+
+def _corpus_cdc_chunks(spark, sf_dir):
+    """Content-defined (Rabin-boundary) chunking + corpus-wide
+    duplicate-chunk rate per source."""
+    return C2.cdc_chunk_stats(t(spark, sf_dir, "documents"))
+
+
+_CDC_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+b AS (
+  SELECT doc_id, source, toks,
+         list_filter(range(0, len(toks)),
+                     j -> j = 0 OR
+                          ('0x' || substr(md5(toks[j + 1]), 1, 8))::BIGINT
+                          % {C2.CDC_MASK} = 0) AS bp
+  FROM staged),
+e AS (
+  SELECT doc_id, source, toks, bp,
+         list_concat(bp[2:], [len(toks)]) AS ends
+  FROM b),
+ch AS (
+  SELECT doc_id, source,
+         md5(array_to_string(toks[z[1] + 1 : z[2]], ' '))
+           AS chunk_hash,
+         CAST(z[2] - z[1] AS BIGINT) AS n_tok
+  FROM e, LATERAL unnest(list_zip(bp, ends)) AS u(z)),
+hc AS (SELECT chunk_hash, count(*) AS cnt FROM ch GROUP BY 1)
+SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       CAST(sum(CASE WHEN cnt > 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS dup_tok,
+       floor(CAST(sum(CASE WHEN cnt > 1 THEN n_tok ELSE 0 END) AS DOUBLE)
+             / CAST(sum(n_tok) AS DOUBLE) * 10000 + 0.5) / 10000.0
+         AS dup_rate4
+FROM ch JOIN hc USING (chunk_hash) GROUP BY 1
+"""
+
+R3B_QUERIES["corpus_cdc_chunks"] = QueryDef(
+    "corpus_cdc_chunks", _corpus_cdc_chunks, _CDC_SQL, ("corpus",)
+)

@@ -186,3 +186,36 @@ def test_chunk_overlap_udtf_matches_jvm_operator(spark, sf_dir):
         ).collect()
     }
     assert py == jvm and len(jvm) > 0
+
+
+def test_cdc_chunks_shift_invariance(spark):
+    """The CDC property fixed-stride chunking lacks: inserting tokens at
+    a document's head re-chunks only the neighborhood — chunks after
+    the first post-insertion boundary are identical."""
+    from fitness_data_ingest_spark.ext.corpus import CDC_MASK
+    from fitness_data_ingest_spark.ext.text import token_hash
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    shifted = "INSERTED PREFIX " + base
+    docs = spark.createDataFrame(
+        [(1, base.strip(), "s"), (2, shifted.strip(), "s")],
+        "doc_id long, text string, source string",
+    )
+    # reproduce the chunk split locally with the same hash rule
+    rows = docs.select(
+        "doc_id",
+        F.transform(
+            F.filter(F.split("text", " "), lambda x: x != ""),
+            lambda x: F.struct(x.alias("t"), token_hash(x).alias("h")),
+        ).alias("th"),
+    ).collect()
+    def chunk_set(th):
+        toks = [r["t"] for r in th]
+        bps = [0] + [i for i, r in enumerate(th) if i > 0 and r["h"] % CDC_MASK == 0]
+        bps2 = bps + [len(toks)]
+        return {" ".join(toks[a:b]) for a, b in zip(bps2, bps2[1:])}
+    sets = {r["doc_id"]: chunk_set(r["th"]) for r in rows}
+    shared = sets[1] & sets[2]
+    # the repeated body must re-align: most chunks survive the insertion
+    assert len(shared) >= max(1, len(sets[1]) - 2), (sets[1], sets[2])
