@@ -129,6 +129,8 @@ HEADLINE = [
     "sql_recursive_reach",
     "sql_lateral_topn",
     "corpus_cdc_chunks",
+    "events_cusum_alerts",
+    "multimodal_audio_features",
 ]
 
 

@@ -391,3 +391,68 @@ def resize_stub(media_df: DataFrame, width: int, height: int) -> DataFrame:
     return media_df.mapInPandas(
         _resize, schema="media_id long, payload binary, width int, height int"
     )
+
+
+def _wav_pcm16_rms_peak(b: bytes) -> tuple[int, int] | None:
+    """Exact integer (sum of squared samples, peak |sample|) for a
+    16-bit PCM WAV payload; None for anything else."""
+    import struct
+
+    meta = parse_wav(b)
+    if meta is None or meta["bits"] != 16:
+        return None
+    # find the data chunk again (parse_wav validated structure)
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        if cid == b"data":
+            size = min(size, len(b) - pos - 8)
+            raw = b[pos + 8 : pos + 8 + size - (size % 2)]
+            n = len(raw) // 2
+            if n == 0:
+                return (0, 0)
+            samples = struct.unpack(f"<{n}h", raw)
+            return (sum(s * s for s in samples), max(abs(s) for s in samples))
+        pos += 8 + size + (size & 1)
+    return None
+
+
+def audio_features(media_df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over the decoded-WAV path: exact
+    integer sum-of-squares and peak per payload via ``mapInPandas``
+    (Arrow batches, zero shuffle), RMS derived as
+    floor(sqrt(ssq/n)·100+0.5)/100 — deterministic because every input
+    to the one double expression is an exact integer. Non-WAV /
+    non-16-bit payloads emit nulls (poison-payload tolerance, same
+    contract as decode_media)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                r = _wav_pcm16_rms_peak(b)
+                if r is None:
+                    rows.append((mid, None, None, None))
+                else:
+                    ssq, peak = r
+                    meta = parse_wav(b)
+                    n = max(meta["n_samples"] * meta["n_channels"], 1)
+                    rms2 = math.floor(math.sqrt(ssq / n) * 100 + 0.5) / 100.0
+                    rows.append((mid, n, rms2, peak))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_values", "rms2", "peak"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_values", T.LongType()),
+            T.StructField("rms2", T.DoubleType()),
+            T.StructField("peak", T.LongType()),
+        ]
+    )
+    return media_df.mapInPandas(_extract, schema=schema)

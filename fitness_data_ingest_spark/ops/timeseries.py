@@ -318,3 +318,54 @@ def activity_streaks(events: DataFrame) -> DataFrame:
         (-F.col("_b.nl")).cast("long").alias("best_len"),
         F.col("_b.sd").alias("best_start"),
     )
+
+
+CUSUM_H_CENTS = 20_000  # alert threshold: 200.00 in value units
+
+
+def cusum_alerts(events: DataFrame, h_cents: int = CUSUM_H_CENTS) -> DataFrame:
+    """Per-user one-sided CUSUM changepoint detection — the classic
+    drift alarm: S_i = max(0, S_{i-1} + (x_i - k)) with k = the user's
+    own mean, alert when S crosses ``h_cents``.
+
+    The recurrence LOOKS sequential (each S depends on the previous),
+    but has an exact closed form: with P_i = Σ_{j<=i}(x_j - k) the
+    prefix sum, S_i = P_i - min(0, min_{j<=i} P_j) — so the whole
+    detector is two cumulative windows per user (prefix sum, running
+    min), no fold, no state, bit-exact in integer cents under any
+    partitioning. k is the floor of the user's mean cents, so k and
+    every P are integers.
+
+    Output per user: n_events, n_alerts (events with S > h while the
+    previous S <= h — crossings, not high-plateau rows), max_s.
+    """
+    staged = events.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts) div 1000000").alias("es"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    mean = staged.groupBy("user_id").agg(
+        F.expr("sum(c) div count(*)").alias("k")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = staged.join(mean, "user_id").withColumn(
+        "pfx", F.sum(F.col("c") - F.col("k")).over(w)
+    )
+    s_col = F.col("pfx") - F.least(F.lit(0).cast("long"), F.min("pfx").over(w))
+    scored = p.withColumn("s", s_col)
+    wlag = Window.partitionBy("user_id").orderBy("es", "event_id")
+    prev_s = F.lag("s").over(wlag)
+    scored = scored.withColumn(
+        "crossing",
+        (
+            (F.col("s") > h_cents) & (prev_s.isNull() | (prev_s <= h_cents))
+        ).cast("long"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("crossing").alias("n_alerts"),
+        F.max("s").alias("max_s"),
+    )

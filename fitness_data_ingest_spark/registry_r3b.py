@@ -872,3 +872,71 @@ FROM ch JOIN hc USING (chunk_hash) GROUP BY 1
 R3B_QUERIES["corpus_cdc_chunks"] = QueryDef(
     "corpus_cdc_chunks", _corpus_cdc_chunks, _CDC_SQL, ("corpus",)
 )
+
+
+# ------------------------------------------------------------------ CUSUM
+
+
+def _events_cusum_alerts(spark, sf_dir):
+    """Per-user CUSUM drift alarms via the exact two-window closed form
+    of the reset recurrence."""
+    return TS.cusum_alerts(t(spark, sf_dir, "events"))
+
+
+_CUSUM_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS es,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+m AS (SELECT user_id, CAST(sum(c) // count(*) AS BIGINT) AS k
+      FROM e GROUP BY 1),
+p AS (
+  SELECT e.user_id, e.event_id, e.es, e.c,
+         CAST(sum(e.c - m.k) OVER (PARTITION BY e.user_id
+                                   ORDER BY e.es, e.event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS pfx
+  FROM e JOIN m ON m.user_id = e.user_id),
+s AS (
+  SELECT user_id, event_id, es,
+         pfx - least(CAST(0 AS BIGINT),
+                     min(pfx) OVER (PARTITION BY user_id
+                                    ORDER BY es, event_id
+                                    ROWS UNBOUNDED PRECEDING)) AS sv
+  FROM p),
+x AS (
+  SELECT user_id, sv,
+         lag(sv) OVER (PARTITION BY user_id ORDER BY es, event_id) AS psv
+  FROM s)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN sv > {TS.CUSUM_H_CENTS}
+                      AND (psv IS NULL OR psv <= {TS.CUSUM_H_CENTS})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts,
+       CAST(max(sv) AS BIGINT) AS max_s
+FROM x GROUP BY 1
+"""
+
+R3B_QUERIES["events_cusum_alerts"] = QueryDef(
+    "events_cusum_alerts", _events_cusum_alerts, _CUSUM_SQL, ("ts",)
+)
+
+
+# ------------------------------------------------------------- AUDIO RMS
+
+
+def _multimodal_audio_features(spark, sf_dir):
+    """Real audio feature extraction (integer RMS + peak) over the
+    synthesized-WAV payloads — byte-level decode through mapInPandas.
+    Non-SQL-expressible (the oracle cannot replay the payload LCG);
+    driver records rows-only, the numpy re-decode parity lives in
+    tests/test_multimodal.py."""
+    from .ext import multimodal as MM
+
+    docs = t(spark, sf_dir, "documents")
+    media = MM.synthesize_media(docs)
+    return MM.audio_features(media)
+
+
+R3B_QUERIES["multimodal_audio_features"] = QueryDef(
+    "multimodal_audio_features", _multimodal_audio_features, None, ("multimodal",)
+)

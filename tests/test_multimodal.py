@@ -177,3 +177,38 @@ def test_synthesize_then_decode_matches_arithmetic(spark, sf_dir):
             assert row["kind"] == "image"
             assert row["width"] == n % 32 + 1
             assert row["height"] == (mid // 2) % 16 + 1
+
+
+def test_audio_features_match_numpy_reference(spark, sf_dir):
+    """audio_features' integer RMS/peak over synthesized WAV payloads
+    must equal a numpy re-decode of the same bytes; PPM payloads (odd
+    ids) emit nulls by the poison-tolerance contract."""
+    import math
+
+    import numpy as np
+
+    from fitness_data_ingest_spark.registry_util import t
+
+    docs = t(spark, sf_dir, "documents").limit(40)
+    media = MM.synthesize_media(docs)
+    feats = {r["media_id"]: r for r in MM.audio_features(media).collect()}
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    n_wav = 0
+    for mid, b in payloads.items():
+        r = feats[mid]
+        if mid % 2 == 1:  # PPM
+            assert r["rms2"] is None and r["peak"] is None
+            continue
+        n_wav += 1
+        meta = MM.parse_wav(b)
+        assert meta is not None
+        idx = b.find(b"data")
+        size = int.from_bytes(b[idx + 4 : idx + 8], "little")
+        raw = np.frombuffer(b[idx + 8 : idx + 8 + size], dtype="<i2")
+        want_rms = math.floor(
+            math.sqrt(float((raw.astype("i8") ** 2).sum()) / len(raw)) * 100 + 0.5
+        ) / 100.0
+        assert r["n_values"] == len(raw)
+        assert r["rms2"] == want_rms
+        assert r["peak"] == int(np.abs(raw.astype("i8")).max())
+    assert n_wav > 0

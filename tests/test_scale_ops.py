@@ -760,3 +760,41 @@ def test_join_delta_equals_full_rejoin_difference(spark, sf_dir):
     assert sorted(map(tuple, delta.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_cusum_closed_form_matches_sequential_fold(spark, sf_dir):
+    """S = P - min(0, running-min P) must equal the literal
+    S_i = max(0, S_{i-1} + (x_i - k)) fold, per user, including alert
+    crossings."""
+    from fitness_data_ingest_spark.ops import timeseries as TS
+
+    events = t(spark, sf_dir, "events")
+    got = {
+        r["user_id"]: (r["n_events"], r["n_alerts"], r["max_s"])
+        for r in TS.cusum_alerts(events, h_cents=5_000).collect()
+    }
+    rows = events.select("user_id", "ts", "event_id", "value").collect()
+    import collections
+    import math
+
+    series = collections.defaultdict(list)
+    for r in rows:
+        series[r["user_id"]].append(
+            (int(r["ts"].timestamp()), r["event_id"],
+             math.floor(r["value"] * 100 + 0.5))
+        )
+    for u, hist in series.items():
+        hist.sort()
+        k = sum(c for _, _, c in hist) // len(hist)
+        s = 0
+        n_alerts = 0
+        max_s = 0
+        prev_above = False
+        for _, _, c in hist:
+            s = max(0, s + (c - k))
+            above = s > 5_000
+            if above and not prev_above:
+                n_alerts += 1
+            prev_above = above
+            max_s = max(max_s, s)
+        assert got[u] == (len(hist), n_alerts, max_s), u
