@@ -131,6 +131,8 @@ HEADLINE = [
     "corpus_cdc_chunks",
     "events_cusum_alerts",
     "multimodal_audio_features",
+    "dedup_containment_pairs",
+    "events_forecast_backtest",
 ]
 
 

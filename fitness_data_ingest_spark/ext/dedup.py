@@ -542,3 +542,65 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def containment_pairs(
+    docs: DataFrame, id_col: str, text_col: str,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_df: int = NGRAM_MAX_DF,
+) -> DataFrame:
+    """Shingle-CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|) — the
+    asymmetric cousin of Jaccard that catches a SMALL document living
+    inside a much larger one (quotes, boilerplate inclusion, partial
+    copies), where Jaccard stays low because the union is dominated by
+    the big side. Same candidate machinery as
+    :func:`ngram_jaccard_pairs` (shared-shingle equi-join, hot-shingle
+    anti-join guard), different verify metric."""
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
+    sh_df = (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(
+                token_hashes(shingles(tokens(F.col(text_col))))
+            ).alias("sh"),
+        )
+        .persist()
+    )
+    exploded_all = sh_df.select("doc", F.explode("sh").alias("s"))
+    hot = (
+        exploded_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .filter(F.col("sdf") > max_df)
+        .select("s")
+    )
+    exploded = exploded_all.join(F.broadcast(hot), "s", "left_anti")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    j = (
+        cands.join(
+            sh_df.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh_df.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "cont",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.least(F.size("sh_a"), F.size("sh_b")).cast("double"),
+        )
+    )
+    return j.filter(F.col("cont") >= threshold).select(
+        "doc_a",
+        "doc_b",
+        (F.floor(F.col("cont") * 10000 + 0.5) / 10000.0).alias("cont4"),
+    )

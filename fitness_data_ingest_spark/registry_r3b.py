@@ -940,3 +940,127 @@ def _multimodal_audio_features(spark, sf_dir):
 R3B_QUERIES["multimodal_audio_features"] = QueryDef(
     "multimodal_audio_features", _multimodal_audio_features, None, ("multimodal",)
 )
+
+
+# -------------------------------------------------------- CONTAINMENT
+
+
+def _dedup_containment_pairs(spark, sf_dir):
+    """Shingle-containment near-dup pairs (|A∩B| / min(|A|,|B|) >= 0.6)
+    — catches small-doc-inside-big-doc inclusions Jaccard under-scores."""
+    from .ext import dedup as D
+
+    return D.containment_pairs(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _containment_sql() -> str:
+    from .ext.dedup import CONTAINMENT_THRESHOLD, NGRAM_MAX_DF
+    from .registry_ext import _SQL_DOC_SHINGLES
+
+    return f"""
+WITH {_SQL_DOC_SHINGLES},
+ex AS (SELECT doc_id, unnest(shd) AS s FROM sh),
+hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > {NGRAM_MAX_DF}),
+exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(x.shd, y.shd))::DOUBLE
+           / least(len(x.shd), len(y.shd))::DOUBLE AS c
+  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
+            JOIN sh y ON y.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, floor(c * 10000 + 0.5) / 10000.0 AS cont4
+FROM pairs WHERE c >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+# ------------------------------------------------------ FORECAST BACKTEST
+
+
+def _events_forecast_backtest(spark, sf_dir):
+    """Seasonal-profile forecast backtest: train on the first 3/4 of
+    the time span, predict each test event's value from the user's
+    hour-of-day train profile (integer-cents mean; fallbacks: user
+    mean, then global mean), report per-user MAE — the evaluation loop
+    of any demand/load forecaster, on exact integers."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.hour("ts").alias("hod"),
+        F.expr("unix_micros(ts) div 1000000").alias("es"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    bounds = ev.agg(
+        F.min("es").alias("mn"), F.max("es").alias("mx")
+    ).select(
+        (F.col("mn") + F.expr("(mx - mn) * 3 div 4")).alias("cutoff")
+    )
+    e = ev.crossJoin(F.broadcast(bounds))
+    train = e.filter(F.col("es") < F.col("cutoff"))
+    test = e.filter(F.col("es") >= F.col("cutoff"))
+    prof = train.groupBy("user_id", "hod").agg(
+        F.expr("sum(c) div count(*)").alias("p_uh")
+    )
+    umean = train.groupBy("user_id").agg(
+        F.expr("sum(c) div count(*)").alias("p_u")
+    )
+    gmean = train.agg(F.expr("sum(c) div count(*)").alias("p_g"))
+    scored = (
+        test.join(prof, ["user_id", "hod"], "left")
+        .join(umean, "user_id", "left")
+        .crossJoin(F.broadcast(gmean))
+        .withColumn(
+            "err",
+            F.abs(
+                F.col("c")
+                - F.coalesce(F.col("p_uh"), F.col("p_u"), F.col("p_g"))
+            ),
+        )
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum("err").alias("sum_abs_err"),
+        (
+            F.floor(
+                F.sum("err").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("mae_cents"),
+    )
+
+
+_FORECAST_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(hour(ts) AS INT) AS hod,
+         epoch_us(ts) // 1000000 AS es,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+b AS (SELECT min(es) + ((max(es) - min(es)) * 3) // 4 AS cutoff FROM ev),
+train AS (SELECT ev.* FROM ev, b WHERE es < cutoff),
+test AS (SELECT ev.* FROM ev, b WHERE es >= cutoff),
+prof AS (SELECT user_id, hod, CAST(sum(c) // count(*) AS BIGINT) AS p_uh
+         FROM train GROUP BY 1, 2),
+um AS (SELECT user_id, CAST(sum(c) // count(*) AS BIGINT) AS p_u
+       FROM train GROUP BY 1),
+gm AS (SELECT CAST(sum(c) // count(*) AS BIGINT) AS p_g FROM train),
+scored AS (
+  SELECT t.user_id,
+         abs(t.c - COALESCE(p.p_uh, u.p_u, g.p_g)) AS err
+  FROM test t
+  LEFT JOIN prof p ON p.user_id = t.user_id AND p.hod = t.hod
+  LEFT JOIN um u ON u.user_id = t.user_id
+  CROSS JOIN gm g)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(err) AS BIGINT) AS sum_abs_err,
+       CAST(floor(CAST(sum(err) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5)
+            AS BIGINT) AS mae_cents
+FROM scored GROUP BY 1
+"""
+
+R3B_QUERIES["dedup_containment_pairs"] = QueryDef(
+    "dedup_containment_pairs", _dedup_containment_pairs, _containment_sql(), ("ext",)
+)
+R3B_QUERIES["events_forecast_backtest"] = QueryDef(
+    "events_forecast_backtest", _events_forecast_backtest, _FORECAST_SQL, ("ts",)
+)
