@@ -133,6 +133,8 @@ HEADLINE = [
     "multimodal_audio_features",
     "dedup_containment_pairs",
     "events_forecast_backtest",
+    "events_ab_test",
+    "orders_cohort_ltv",
 ]
 
 

@@ -1064,3 +1064,174 @@ R3B_QUERIES["dedup_containment_pairs"] = QueryDef(
 R3B_QUERIES["events_forecast_backtest"] = QueryDef(
     "events_forecast_backtest", _events_forecast_backtest, _FORECAST_SQL, ("ts",)
 )
+
+
+# ---------------------------------------------------------------- A/B TEST
+
+
+def _events_ab_test(spark, sf_dir):
+    """Deterministic A/B experiment readout: users split into variants
+    by md5 parity (the engine-portable bucketing every experiment
+    platform uses), per-variant event/purchase/conversion stats
+    pivoted to ONE row with conversion lift and the two-proportion
+    z-score — all from exact integer counts through one fixed IEEE
+    expression tree."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    variant = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 2
+    )
+    staged = ev.withColumn("v", variant).withColumn(
+        "is_p", (F.col("event_type") == "purchase").cast("long")
+    )
+    per = staged.groupBy("v").agg(
+        F.countDistinct("user_id").alias("nu"),
+        F.count(F.lit(1)).alias("ne"),
+        F.sum("is_p").alias("np"),
+        F.sum(F.when(F.col("is_p") == 1, F.col("c")).otherwise(0)).alias("pc"),
+    )
+    one = per.groupBy().agg(
+        F.sum(F.when(F.col("v") == 0, F.col("nu"))).alias("users_a"),
+        F.sum(F.when(F.col("v") == 1, F.col("nu"))).alias("users_b"),
+        F.sum(F.when(F.col("v") == 0, F.col("ne"))).alias("events_a"),
+        F.sum(F.when(F.col("v") == 1, F.col("ne"))).alias("events_b"),
+        F.sum(F.when(F.col("v") == 0, F.col("np"))).alias("purch_a"),
+        F.sum(F.when(F.col("v") == 1, F.col("np"))).alias("purch_b"),
+        F.sum(F.when(F.col("v") == 0, F.col("pc"))).alias("cents_a"),
+        F.sum(F.when(F.col("v") == 1, F.col("pc"))).alias("cents_b"),
+    )
+    ra = F.col("purch_a").cast("double") / F.col("events_a").cast("double")
+    rb = F.col("purch_b").cast("double") / F.col("events_b").cast("double")
+    p = (F.col("purch_a") + F.col("purch_b")).cast("double") / (
+        F.col("events_a") + F.col("events_b")
+    ).cast("double")
+    z = (ra - rb) / F.sqrt(
+        p
+        * (1 - p)
+        * (
+            1 / F.col("events_a").cast("double")
+            + 1 / F.col("events_b").cast("double")
+        )
+    )
+    r4 = lambda col: F.floor(col * 10000 + F.lit(0.5)) / 10000.0  # noqa: E731
+    return one.select(
+        "users_a",
+        "users_b",
+        "purch_a",
+        "purch_b",
+        "cents_a",
+        "cents_b",
+        r4(ra).alias("rate_a4"),
+        r4(rb).alias("rate_b4"),
+        r4(ra / rb).alias("lift4"),
+        r4(z).alias("z4"),
+    )
+
+
+_AB_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % 2 AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events),
+per AS (
+  SELECT v, CAST(count(DISTINCT user_id) AS BIGINT) AS nu,
+         CAST(count(*) AS BIGINT) AS ne,
+         CAST(sum(is_p) AS BIGINT) AS np,
+         CAST(sum(CASE WHEN is_p = 1 THEN c ELSE 0 END) AS BIGINT) AS pc
+  FROM e GROUP BY 1),
+one AS (
+  SELECT CAST(sum(CASE WHEN v = 0 THEN nu END) AS BIGINT) AS users_a,
+         CAST(sum(CASE WHEN v = 1 THEN nu END) AS BIGINT) AS users_b,
+         CAST(sum(CASE WHEN v = 0 THEN ne END) AS BIGINT) AS events_a,
+         CAST(sum(CASE WHEN v = 1 THEN ne END) AS BIGINT) AS events_b,
+         CAST(sum(CASE WHEN v = 0 THEN np END) AS BIGINT) AS purch_a,
+         CAST(sum(CASE WHEN v = 1 THEN np END) AS BIGINT) AS purch_b,
+         CAST(sum(CASE WHEN v = 0 THEN pc END) AS BIGINT) AS cents_a,
+         CAST(sum(CASE WHEN v = 1 THEN pc END) AS BIGINT) AS cents_b
+  FROM per)
+SELECT users_a, users_b, purch_a, purch_b, cents_a, cents_b,
+       floor(CAST(purch_a AS DOUBLE) / CAST(events_a AS DOUBLE) * 10000 + 0.5)
+         / 10000.0 AS rate_a4,
+       floor(CAST(purch_b AS DOUBLE) / CAST(events_b AS DOUBLE) * 10000 + 0.5)
+         / 10000.0 AS rate_b4,
+       floor(CAST(purch_a AS DOUBLE) / CAST(events_a AS DOUBLE)
+             / (CAST(purch_b AS DOUBLE) / CAST(events_b AS DOUBLE))
+             * 10000 + 0.5) / 10000.0 AS lift4,
+       floor((CAST(purch_a AS DOUBLE) / CAST(events_a AS DOUBLE)
+              - CAST(purch_b AS DOUBLE) / CAST(events_b AS DOUBLE))
+             / sqrt((CAST(purch_a + purch_b AS DOUBLE)
+                     / CAST(events_a + events_b AS DOUBLE))
+                    * (1 - CAST(purch_a + purch_b AS DOUBLE)
+                           / CAST(events_a + events_b AS DOUBLE))
+                    * (1 / CAST(events_a AS DOUBLE)
+                       + 1 / CAST(events_b AS DOUBLE)))
+             * 10000 + 0.5) / 10000.0 AS z4
+FROM one
+"""
+
+R3B_QUERIES["events_ab_test"] = QueryDef(
+    "events_ab_test", _events_ab_test, _AB_SQL, ("pipeline",)
+)
+
+
+# --------------------------------------------------------------- COHORT LTV
+
+
+def _orders_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, cumulative revenue (exact cents) by month-age — the money
+    companion of the retention cohort."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    j = orders.join(first, "o_custkey").withColumn("age_m", F.col("m") - F.col("m0"))
+    per = j.groupBy("m0", "age_m").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("c").alias("cents"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("m0").orderBy("age_m").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return per.select(
+        F.col("m0").alias("cohort_m"),
+        "age_m",
+        "n_active",
+        F.sum("cents").over(w).alias("cum_cents"),
+    )
+
+
+_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders),
+f AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
+j AS (SELECT o.o_custkey, f.m0, o.m - f.m0 AS age_m, o.c
+      FROM o JOIN f ON f.o_custkey = o.o_custkey),
+per AS (SELECT m0, age_m, CAST(count(DISTINCT o_custkey) AS BIGINT)
+               AS n_active,
+               CAST(sum(c) AS BIGINT) AS cents
+        FROM j GROUP BY 1, 2)
+SELECT m0 AS cohort_m, age_m, n_active,
+       CAST(sum(cents) OVER (PARTITION BY m0 ORDER BY age_m
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_cents
+FROM per
+"""
+
+R3B_QUERIES["orders_cohort_ltv"] = QueryDef(
+    "orders_cohort_ltv", _orders_cohort_ltv, _LTV_SQL, ("pipeline",)
+)
