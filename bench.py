@@ -135,6 +135,7 @@ HEADLINE = [
     "events_forecast_backtest",
     "events_ab_test",
     "orders_cohort_ltv",
+    "events_active_users",
 ]
 
 

@@ -1235,3 +1235,69 @@ FROM per
 R3B_QUERIES["orders_cohort_ltv"] = QueryDef(
     "orders_cohort_ltv", _orders_cohort_ltv, _LTV_SQL, ("pipeline",)
 )
+
+
+# ------------------------------------------------------------- DAU/WAU/MAU
+
+
+def _events_active_users(spark, sf_dir):
+    """Exact DAU / WAU / MAU per day. Sliding COUNT(DISTINCT) windows
+    don't decompose (a user active twice in a week must count once),
+    so each (user, day) activity row FANS OUT to the 7 / 30 future
+    days it keeps the user active for, then a distinct + count per
+    target day — bounded fan-out on the DAY-USER grain (~1/1000th of
+    event volume), pure equi-shapes, no window over raw events.
+    Trailing days beyond the observed span drop via the equi-join back
+    to the real day list."""
+    days = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("(unix_micros(ts) div 1000000) div 86400").alias("dnum"),
+        )
+        .distinct()
+    )
+    day_list = days.select("dnum").distinct()
+    dau = days.groupBy("dnum").agg(F.count(F.lit(1)).alias("dau"))
+
+    def rolling(n: int, name: str):
+        fan = days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("dnum"), F.col("dnum") + (n - 1))
+            ).alias("tgt"),
+        ).distinct()
+        return (
+            fan.join(day_list, fan.tgt == day_list.dnum)
+            .groupBy("dnum")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    return (
+        dau.join(rolling(7, "wau"), "dnum")
+        .join(rolling(30, "mau"), "dnum")
+        .select("dnum", "dau", "wau", "mau")
+    )
+
+
+_ACTIVE_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // 1000000) // 86400 AS dnum
+  FROM events),
+dl AS (SELECT DISTINCT dnum FROM days)
+SELECT dl.dnum,
+       CAST((SELECT count(*) FROM days d WHERE d.dnum = dl.dnum) AS BIGINT)
+         AS dau,
+       CAST((SELECT count(DISTINCT d.user_id) FROM days d
+             WHERE d.dnum BETWEEN dl.dnum - 6 AND dl.dnum) AS BIGINT)
+         AS wau,
+       CAST((SELECT count(DISTINCT d.user_id) FROM days d
+             WHERE d.dnum BETWEEN dl.dnum - 29 AND dl.dnum) AS BIGINT)
+         AS mau
+FROM dl
+"""
+
+R3B_QUERIES["events_active_users"] = QueryDef(
+    "events_active_users", _events_active_users, _ACTIVE_SQL, ("pipeline",)
+)
