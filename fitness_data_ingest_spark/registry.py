@@ -130,6 +130,35 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "events_hour_heatmap",
     "set_ops_all",
     "window_value_functions",
+    # round-3 additions, in build order — they queue behind the round-2
+    # backlog (everything above that is still unverified rotates first)
+    # and lead round 4's window once the backlog clears
+    "events_sessionize",
+    "ts_ewma",
+    "range_join_events",
+    "orders_pareto",
+    "corpus_domain_cap",
+    "embed_corr_matrix",
+    "table_diff_snapshot",
+    "dedup_simhash_pairs",
+    "ann_recall_eval",
+    "events_rfm_segment",
+    "affinity_lift_topk",
+    "corpus_dedup_rate_by_source",
+    "events_streak_islands",
+    "ivm_join_delta",
+    "corpus_mixture_plan",
+    "json_variant_extract",
+    "sql_recursive_reach",
+    "sql_lateral_topn",
+    "corpus_cdc_chunks",
+    "events_cusum_alerts",
+    "multimodal_audio_features",
+    "dedup_containment_pairs",
+    "events_forecast_backtest",
+    "events_ab_test",
+    "orders_cohort_ltv",
+    "events_active_users",
 )
 
 
