@@ -136,6 +136,7 @@ HEADLINE = [
     "events_ab_test",
     "orders_cohort_ltv",
     "events_active_users",
+    "events_path_topk",
 ]
 
 

@@ -159,6 +159,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "events_ab_test",
     "orders_cohort_ltv",
     "events_active_users",
+    "events_path_topk",
 )
 
 

@@ -1301,3 +1301,96 @@ FROM dl
 R3B_QUERIES["events_active_users"] = QueryDef(
     "events_active_users", _events_active_users, _ACTIVE_SQL, ("pipeline",)
 )
+
+
+# ------------------------------------------------------------ PATH ANALYSIS
+
+
+def _events_path_topk(spark, sf_dir):
+    """Top-20 3-step event-type paths within sessions (the product-
+    analytics 'how do users reach purchase' query): sessionize, fold
+    each session's ordered type sequence into an array, expand 3-grams
+    IN PLACE with array HOFs (no per-step self-join), count, and rank
+    with the window-free limit-then-rank top-k."""
+    from pyspark.sql import Window as W
+
+    from .ops.scale import ranked_topk
+    from .ops.timeseries import SESSION_GAP_S
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("es"),
+    )
+    w = W.partitionBy("user_id").orderBy("es", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    brk = (
+        F.when(
+            F.lag("es").over(w).isNull()
+            | (F.col("es") - F.lag("es").over(w) > SESSION_GAP_S),
+            1,
+        )
+        .otherwise(0)
+    )
+    sess = ev.withColumn("sess_id", F.sum(brk).over(run))
+    seqs = sess.groupBy("user_id", "sess_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("es", "event_id", "event_type"))
+            ),
+            lambda s: s.event_type,
+        ).alias("types")
+    )
+    n = F.size("types")
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                ">",
+                F.element_at(F.col("types"), (i + 1).cast("int")),
+                F.element_at(F.col("types"), (i + 2).cast("int")),
+                F.element_at(F.col("types"), (i + 3).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        seqs.select(F.explode(grams).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return ranked_topk(counts, [("n", "desc"), ("path", "asc")], 20)
+
+
+_PATH_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) // 1000000 AS es
+  FROM events),
+l AS (SELECT *, lag(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+             AS pes FROM e),
+s AS (SELECT user_id, event_id, event_type, es,
+             sum(CASE WHEN pes IS NULL OR es - pes > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY es, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM l),
+seqs AS (SELECT user_id, sess_id,
+                list(event_type ORDER BY es, event_id) AS types
+         FROM s GROUP BY 1, 2),
+grams AS (
+  SELECT unnest(CASE WHEN len(types) >= 3
+                     THEN list_transform(range(0, len(types) - 2),
+                          i -> types[i + 1] || '>' || types[i + 2]
+                               || '>' || types[i + 3])
+                     ELSE [] END) AS path
+  FROM seqs),
+counts AS (SELECT path, CAST(count(*) AS BIGINT) AS n
+           FROM grams GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rnk,
+       path, n
+FROM counts ORDER BY n DESC, path LIMIT 20
+"""
+
+R3B_QUERIES["events_path_topk"] = QueryDef(
+    "events_path_topk", _events_path_topk, _PATH_SQL, ("pipeline",)
+)
