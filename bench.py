@@ -137,6 +137,7 @@ HEADLINE = [
     "orders_cohort_ltv",
     "events_active_users",
     "events_path_topk",
+    "events_anomaly_mad",
 ]
 
 

@@ -160,6 +160,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "orders_cohort_ltv",
     "events_active_users",
     "events_path_topk",
+    "events_anomaly_mad",
 )
 
 

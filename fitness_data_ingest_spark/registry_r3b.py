@@ -1394,3 +1394,66 @@ FROM counts ORDER BY n DESC, path LIMIT 20
 R3B_QUERIES["events_path_topk"] = QueryDef(
     "events_path_topk", _events_path_topk, _PATH_SQL, ("pipeline",)
 )
+
+
+# ----------------------------------------------------------- MAD ANOMALY
+
+_MAD_K = 4.4478  # 3 sigma-equivalents x 1.4826 (normal-consistency)
+
+
+def _events_anomaly_mad(spark, sf_dir):
+    """Robust per-user anomaly detection: |x - median| > 3σ-equivalent
+    of the Median Absolute Deviation — the outlier-resistant twin of
+    events_anomaly_zscore (one wild event shifts a mean/std envelope,
+    not a median/MAD one). Two passes of the range-bucketed exact
+    quantile machinery (ops/scale.exact_quantiles — interpolation
+    identical to quantile_cont), everything downstream one fixed IEEE
+    expression over exact inputs."""
+    from .ops.scale import exact_quantiles
+
+    staged = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    med = (
+        exact_quantiles(staged, "user_id", "c", [0.5])
+        .select("user_id", F.col("quantile").alias("med"))
+    )
+    d = staged.join(med, "user_id").withColumn(
+        "dv", F.abs(F.col("c").cast("double") - F.col("med"))
+    )
+    mad = (
+        exact_quantiles(d, "user_id", "dv", [0.5])
+        .select("user_id", F.col("quantile").alias("mad"))
+    )
+    scored = d.join(mad, "user_id")
+    anom = (F.col("dv") > F.col("mad") * _MAD_K).cast("long")
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(anom).alias("n_anomalies"),
+        (F.floor(F.max("med") * 100 + F.lit(0.5)) / 100.0).alias("med2"),
+        (F.floor(F.max("mad") * 100 + F.lit(0.5)) / 100.0).alias("mad2"),
+    )
+
+
+_MAD_SQL = f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+med AS (SELECT user_id, quantile_cont(c, 0.5) AS med FROM e GROUP BY 1),
+d AS (SELECT e.user_id, e.c, med.med,
+             abs(CAST(e.c AS DOUBLE) - med.med) AS dv
+      FROM e JOIN med ON med.user_id = e.user_id),
+mad AS (SELECT user_id, quantile_cont(dv, 0.5) AS mad FROM d GROUP BY 1)
+SELECT d.user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN dv > mad.mad * {_MAD_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies,
+       floor(max(d.med) * 100 + 0.5) / 100.0 AS med2,
+       floor(max(mad.mad) * 100 + 0.5) / 100.0 AS mad2
+FROM d JOIN mad ON mad.user_id = d.user_id
+GROUP BY 1
+"""
+
+R3B_QUERIES["events_anomaly_mad"] = QueryDef(
+    "events_anomaly_mad", _events_anomaly_mad, _MAD_SQL, ("pipeline",)
+)
