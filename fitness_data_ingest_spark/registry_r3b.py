@@ -1401,31 +1401,53 @@ R3B_QUERIES["events_path_topk"] = QueryDef(
 _MAD_K = 4.4478  # 3 sigma-equivalents x 1.4826 (normal-consistency)
 
 
+def _per_user_median(df, val: str, out: str):
+    """Exact per-user interpolated median for HIGH-CARDINALITY groups:
+    one window shuffle on user_id (the groups themselves are the
+    parallelism — the range-bucketed exact_quantiles exists for the
+    opposite regime, few/whale groups, and costs several stages per
+    pass). Interpolation expression shape identical to quantile_cont
+    (v_lo + (v_hi - v_lo)·frac), so it stays oracle-exact."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(val)
+    r = df.withColumn("rn", F.row_number().over(w) - 1).withColumn(
+        "nn", F.count(F.lit(1)).over(W.partitionBy("user_id"))
+    )
+    idx = F.lit(0.5) * (F.col("nn") - 1)
+    lo, hi = F.floor(idx), F.ceil(idx)
+    picked = r.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+    agg = picked.groupBy("user_id").agg(
+        F.min(F.when(F.col("rn") == F.floor(F.lit(0.5) * (F.col("nn") - 1)),
+                     F.col(val))).alias("_vlo"),
+        F.min(F.when(F.col("rn") == F.ceil(F.lit(0.5) * (F.col("nn") - 1)),
+                     F.col(val))).alias("_vhi"),
+        F.min(F.lit(0.5) * (F.col("nn") - 1) - F.floor(
+            F.lit(0.5) * (F.col("nn") - 1))).alias("_fr"),
+    )
+    return agg.select(
+        "user_id",
+        (F.col("_vlo") + (F.col("_vhi") - F.col("_vlo")) * F.col("_fr")
+         ).alias(out),
+    )
+
+
 def _events_anomaly_mad(spark, sf_dir):
     """Robust per-user anomaly detection: |x - median| > 3σ-equivalent
     of the Median Absolute Deviation — the outlier-resistant twin of
     events_anomaly_zscore (one wild event shifts a mean/std envelope,
-    not a median/MAD one). Two passes of the range-bucketed exact
-    quantile machinery (ops/scale.exact_quantiles — interpolation
-    identical to quantile_cont), everything downstream one fixed IEEE
-    expression over exact inputs."""
-    from .ops.scale import exact_quantiles
-
+    not a median/MAD one). Exact interpolated medians via per-user
+    windows (see _per_user_median), everything downstream one fixed
+    IEEE expression over exact inputs."""
     staged = t(spark, sf_dir, "events").select(
         "user_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
     )
-    med = (
-        exact_quantiles(staged, "user_id", "c", [0.5])
-        .select("user_id", F.col("quantile").alias("med"))
-    )
+    med = _per_user_median(staged, "c", "med")
     d = staged.join(med, "user_id").withColumn(
         "dv", F.abs(F.col("c").cast("double") - F.col("med"))
     )
-    mad = (
-        exact_quantiles(d, "user_id", "dv", [0.5])
-        .select("user_id", F.col("quantile").alias("mad"))
-    )
+    mad = _per_user_median(d.select("user_id", "dv"), "dv", "mad")
     scored = d.join(mad, "user_id")
     anom = (F.col("dv") > F.col("mad") * _MAD_K).cast("long")
     return scored.groupBy("user_id").agg(
