@@ -288,6 +288,11 @@ def range_join_bucketed(
     Output: every intervals column + every points column (caller
     disambiguates names beforehand).
     """
+    # degenerate guard: an empty interval (end <= start) covers no
+    # points under end-exclusive semantics — and must be dropped BEFORE
+    # the sequence(), which would otherwise auto-step DOWNWARD for
+    # start_bucket > end_bucket and fabricate wrong buckets
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     # rename the interval-side key: intervals and points routinely share
     # lineage (both derived from one events scan), and a same-attribute
     # join condition would resolve trivially-true on a self-join

@@ -798,3 +798,22 @@ def test_cusum_closed_form_matches_sequential_fold(spark, sf_dir):
             prev_above = above
             max_s = max(max_s, s)
         assert got[u] == (len(hist), n_alerts, max_s), u
+
+
+def test_range_join_bucketed_drops_empty_intervals(spark):
+    """end <= start intervals match nothing (end-exclusive) — and must
+    not trip Spark's descending-sequence fabrication."""
+    from fitness_data_ingest_spark.ops import relational as R
+
+    iv = spark.createDataFrame(
+        [(1, 10, 1000, 1000), (1, 11, 1000, 900), (1, 12, 1000, 1010)],
+        "user_id long, iv_id long, s0 long, s1 long",
+    )
+    pts = spark.createDataFrame(
+        [(1, 100, 1000), (1, 101, 1005)], "user_id long, pid long, es long"
+    )
+    got = sorted(
+        (r["iv_id"], r["pid"])
+        for r in R.range_join_bucketed(iv, pts, "user_id", 600).collect()
+    )
+    assert got == [(12, 100), (12, 101)]
