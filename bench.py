@@ -138,6 +138,7 @@ HEADLINE = [
     "events_active_users",
     "events_path_topk",
     "events_anomaly_mad",
+    "join_asof_nearest",
 ]
 
 

@@ -317,3 +317,62 @@ def range_join_bucketed(
         )
         .drop("_bkt", "_pbkt")
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof
+    direction='nearest'``): for each left row, the right row of the
+    same key minimizing |right_ts - left_ts|; exact ties prefer the
+    BACKWARD (earlier) match, and equal-timestamp right rows break by
+    ``right_id`` desc — the same contract as :func:`asof_join`.
+
+    Composition, not a new algorithm: one backward union-merge pass
+    plus one backward pass over NEGATED timestamps (which is exactly a
+    forward as-of), then a per-left-row pick. The scale shape stays
+    two single-shuffle merges — candidate pairs are never
+    materialized. Output: every left column + nearest_rid,
+    nearest_ts, dist (absolute gap, left-ts units; nulls when the key
+    has no right rows at all).
+    """
+    r2 = right.select(key, right_ts, right_id)
+    b = asof_join(
+        left.select(key, left_ts, left_id), r2, key, left_ts, right_ts,
+        left_id, right_id,
+    ).select(
+        left_id,
+        F.col(right_id).alias("_b_rid"),
+        F.col(right_ts).alias("_b_ts"),
+    )
+    lneg = left.select(key, (-F.col(left_ts)).alias(left_ts), left_id)
+    rneg = right.select(key, (-F.col(right_ts)).alias(right_ts), right_id)
+    f = asof_join(
+        lneg, rneg, key, left_ts, right_ts, left_id, right_id
+    ).select(
+        left_id,
+        F.col(right_id).alias("_f_rid"),
+        (-F.col(right_ts)).alias("_f_ts"),
+    )
+    out = left.join(b, left_id, "left").join(f, left_id, "left")
+    db = F.col(left_ts) - F.col("_b_ts")
+    df_ = F.col("_f_ts") - F.col(left_ts)
+    prefer_b = F.col("_b_rid").isNotNull() & (
+        F.col("_f_rid").isNull() | (db <= df_)
+    )
+    return out.select(
+        *left.columns,
+        F.when(prefer_b, F.col("_b_rid")).otherwise(F.col("_f_rid")).alias(
+            "nearest_rid"
+        ),
+        F.when(prefer_b, F.col("_b_ts")).otherwise(F.col("_f_ts")).alias(
+            "nearest_ts"
+        ),
+        F.when(prefer_b, db).otherwise(df_).alias("dist"),
+    )

@@ -161,6 +161,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "events_active_users",
     "events_path_topk",
     "events_anomaly_mad",
+    "join_asof_nearest",
 )
 
 

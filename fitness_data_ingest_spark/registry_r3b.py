@@ -1479,3 +1479,52 @@ GROUP BY 1
 R3B_QUERIES["events_anomaly_mad"] = QueryDef(
     "events_anomaly_mad", _events_anomaly_mad, _MAD_SQL, ("pipeline",)
 )
+
+
+# ---------------------------------------------------------- ASOF NEAREST
+
+
+def _join_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of: each purchase matched to the CLOSEST
+    click (either direction) of the same user — completing the as-of
+    family (backward = join_asof; nearest = two union-merge passes,
+    forward realized as backward over negated timestamps)."""
+    from .ops.relational import asof_join_nearest
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("es"),
+    )
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("es").alias("p_es"), F.col("event_id").alias("p_id")
+    )
+    r = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("es").alias("c_es"), F.col("event_id").alias("c_id")
+    )
+    return asof_join_nearest(l, r, "user_id", "p_es", "c_es", "p_id", "c_id")
+
+
+_ASOF_NEAREST_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) // 1000000 AS es
+  FROM events),
+l AS (SELECT user_id, es AS p_es, event_id AS p_id
+      FROM e WHERE event_type = 'purchase'),
+r AS (SELECT user_id, es AS c_es, event_id AS c_id
+      FROM e WHERE event_type = 'click'),
+j AS (SELECT l.user_id, l.p_es, l.p_id, r.c_id, r.c_es
+      FROM l LEFT JOIN r ON r.user_id = l.user_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY p_id
+                                    ORDER BY abs(c_es - p_es), c_es,
+                                             c_id DESC) AS rn
+       FROM j)
+SELECT user_id, p_es, p_id, c_id AS nearest_rid, c_es AS nearest_ts,
+       abs(c_es - p_es) AS dist
+FROM rk WHERE rn = 1
+"""
+
+R3B_QUERIES["join_asof_nearest"] = QueryDef(
+    "join_asof_nearest", _join_asof_nearest, _ASOF_NEAREST_SQL, ("join",)
+)

@@ -817,3 +817,42 @@ def test_range_join_bucketed_drops_empty_intervals(spark):
         for r in R.range_join_bucketed(iv, pts, "user_id", 600).collect()
     )
     assert got == [(12, 100), (12, 101)]
+
+
+def test_asof_nearest_matches_bruteforce(spark, sf_dir):
+    """Nearest-direction as-of == brute-force per-left argmin over
+    (|Δt|, right_ts, -right_id)."""
+    from fitness_data_ingest_spark.ops.relational import asof_join_nearest
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("es"),
+    )
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("es").alias("p_es"), F.col("event_id").alias("p_id")
+    )
+    r = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("es").alias("c_es"), F.col("event_id").alias("c_id")
+    )
+    got = {
+        row["p_id"]: (row["nearest_rid"], row["nearest_ts"], row["dist"])
+        for row in asof_join_nearest(
+            l, r, "user_id", "p_es", "c_es", "p_id", "c_id"
+        ).collect()
+    }
+    import collections
+
+    clicks = collections.defaultdict(list)
+    for row in r.collect():
+        clicks[row["user_id"]].append((row["c_es"], row["c_id"]))
+    for row in l.collect():
+        cands = clicks.get(row["user_id"], [])
+        if not cands:
+            assert got[row["p_id"]] == (None, None, None)
+            continue
+        best = min(cands, key=lambda c: (abs(c[0] - row["p_es"]), c[0], -c[1]))
+        assert got[row["p_id"]] == (
+            best[1], best[0], abs(best[0] - row["p_es"])
+        ), row["p_id"]
