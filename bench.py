@@ -139,6 +139,8 @@ HEADLINE = [
     "events_path_topk",
     "events_anomaly_mad",
     "join_asof_nearest",
+    "join_asof_forward",
+    "corpus_vocab_drift",
 ]
 
 

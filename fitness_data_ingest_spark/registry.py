@@ -162,6 +162,8 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "events_path_topk",
     "events_anomaly_mad",
     "join_asof_nearest",
+    "join_asof_forward",
+    "corpus_vocab_drift",
 )
 
 

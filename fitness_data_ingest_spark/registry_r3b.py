@@ -1528,3 +1528,151 @@ FROM rk WHERE rn = 1
 R3B_QUERIES["join_asof_nearest"] = QueryDef(
     "join_asof_nearest", _join_asof_nearest, _ASOF_NEAREST_SQL, ("join",)
 )
+
+
+# ----------------------------------------------------------- ASOF FORWARD
+
+
+def _join_asof_forward(spark, sf_dir):
+    """Forward as-of: each purchase matched to the EARLIEST click at or
+    after it (same user) — realized as the backward union-merge over
+    negated timestamps; completes the backward/forward/nearest as-of
+    family."""
+    from .ops.relational import asof_join
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("es"),
+    )
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (-F.col("es")).alias("p_neg"),
+        F.col("event_id").alias("p_id"),
+        F.col("es").alias("p_es"),
+    )
+    r = ev.filter(F.col("event_type") == "click").select(
+        "user_id", (-F.col("es")).alias("c_neg"), F.col("event_id").alias("c_id")
+    )
+    out = asof_join(l, r, "user_id", "p_neg", "c_neg", "p_id", "c_id")
+    return out.select(
+        "user_id",
+        "p_id",
+        "p_es",
+        F.col("c_id").alias("next_cid"),
+        (-F.col("c_neg")).alias("next_es"),
+    )
+
+
+_ASOF_FWD_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) // 1000000 AS es
+  FROM events),
+l AS (SELECT user_id, es AS p_es, event_id AS p_id
+      FROM e WHERE event_type = 'purchase'),
+r AS (SELECT user_id, es AS c_es, event_id AS c_id
+      FROM e WHERE event_type = 'click'),
+j AS (SELECT l.user_id, l.p_id, l.p_es, r.c_id, r.c_es
+      FROM l LEFT JOIN r
+        ON r.user_id = l.user_id AND r.c_es >= l.p_es),
+rk AS (SELECT *, row_number() OVER (PARTITION BY p_id
+                                    ORDER BY c_es, c_id DESC) AS rn
+       FROM j)
+SELECT user_id, p_id, p_es, c_id AS next_cid, c_es AS next_es
+FROM rk WHERE rn = 1
+"""
+
+R3B_QUERIES["join_asof_forward"] = QueryDef(
+    "join_asof_forward", _join_asof_forward, _ASOF_FWD_SQL, ("join",)
+)
+
+
+# ------------------------------------------------------------ VOCAB DRIFT
+
+_DRIFT_VOCAB_K = 50
+
+
+def _corpus_vocab_drift(spark, sf_dir):
+    """Per-source vocabulary drift against the corpus: χ² statistic of
+    each source's top-vocab term counts vs the corpus-wide expectation
+    — the log-free distribution-shift detector (a KL/perplexity drift
+    score needs log(), whose last-ulp differs across libm builds and
+    can flip a value hash; χ² is plain arithmetic over exact
+    integers)."""
+    from .ops.scale import ranked_topk
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab_counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    vocab = ranked_topk(
+        vocab_counts, [("ctf", "desc"), ("term", "asc")], _DRIFT_VOCAB_K
+    ).select("term", "ctf")
+    in_vocab = tok.join(F.broadcast(vocab), "term")
+    per = in_vocab.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c_st"),
+        F.max("ctf").alias("ctf"),
+    )
+    tot = vocab.agg(F.sum("ctf").alias("ctot"))
+    src_tot = per.groupBy("source").agg(F.sum("c_st").alias("ts"))
+    j = per.join(src_tot, "source").crossJoin(F.broadcast(tot))
+    e = (
+        F.col("ts").cast("double")
+        * F.col("ctf").cast("double")
+        / F.col("ctot").cast("double")
+    )
+    chi_term = (F.col("c_st").cast("double") - e) * (
+        F.col("c_st").cast("double") - e
+    ) / e
+    # each term's contribution rounds to integer micro-units BEFORE the
+    # sum: a raw double sum is partition-order-dependent (the
+    # nondeterminism class this repo bans from oracle columns); the
+    # per-term expression is one fixed IEEE tree, and integer sums
+    # commute
+    chi_micro = F.floor(chi_term * 1_000_000 + F.lit(0.5)).cast("long")
+    return j.groupBy("source").agg(
+        F.max("ts").alias("n_vocab_tokens"),
+        (
+            F.floor(
+                F.sum(chi_micro).cast("double") / 1_000_000 * 100 + F.lit(0.5)
+            )
+            / 100.0
+        ).alias("chi2_2"),
+    )
+
+
+_DRIFT_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS term
+  FROM documents),
+vc AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf FROM tok GROUP BY 1),
+vocab AS (SELECT term, ctf FROM vc
+          ORDER BY ctf DESC, term LIMIT {_DRIFT_VOCAB_K}),
+iv AS (SELECT t.source, t.term, v.ctf FROM tok t JOIN vocab v USING (term)),
+per AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c_st,
+               CAST(max(ctf) AS BIGINT) AS ctf
+        FROM iv GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS ctot FROM vocab),
+st AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS ts FROM per GROUP BY 1)
+SELECT per.source, CAST(max(st.ts) AS BIGINT) AS n_vocab_tokens,
+       floor(CAST(sum(CAST(floor(
+                 (CAST(c_st AS DOUBLE)
+                  - CAST(st.ts AS DOUBLE) * CAST(per.ctf AS DOUBLE)
+                    / CAST(tot.ctot AS DOUBLE))
+                 * (CAST(c_st AS DOUBLE)
+                    - CAST(st.ts AS DOUBLE) * CAST(per.ctf AS DOUBLE)
+                      / CAST(tot.ctot AS DOUBLE))
+                 / (CAST(st.ts AS DOUBLE) * CAST(per.ctf AS DOUBLE)
+                    / CAST(tot.ctot AS DOUBLE))
+                 * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 * 100 + 0.5) / 100.0 AS chi2_2
+FROM per JOIN st ON st.source = per.source, tot
+GROUP BY 1
+"""
+
+R3B_QUERIES["corpus_vocab_drift"] = QueryDef(
+    "corpus_vocab_drift", _corpus_vocab_drift, _DRIFT_SQL, ("corpus",)
+)
