@@ -430,6 +430,8 @@ def test_r3b_no_cartesian_or_nested_loop(spark, sf_dir):
         "affinity_lift_topk", "corpus_mixture_plan",
         # 1-row time-cutoff + global-mean scalars ride in as broadcasts
         "events_forecast_backtest",
+        # 1-row vocab-total scalar
+        "corpus_vocab_drift",
     }
     for name, q in R3B_QUERIES.items():
         plan = plan_of(q.spark(spark, sf_dir), "simple")
@@ -540,7 +542,7 @@ def test_flagship_and_new_family_lint_clean(spark, sf_dir):
     sanctioned = {
         "orders_pareto", "events_rfm_segment", "ann_recall_eval",
         "affinity_lift_topk", "corpus_mixture_plan",
-        "events_forecast_backtest",
+        "events_forecast_backtest", "corpus_vocab_drift",
     }
     assert_plan_clean(QUERIES["flagship_pipeline"].spark(spark, sf_dir))
     for name, q in R3B_QUERIES.items():
