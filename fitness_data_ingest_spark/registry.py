@@ -130,6 +130,29 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "events_hour_heatmap",
     "set_ops_all",
     "window_value_functions",
+    # the scalar-tail keys the round-2 verdict asks to see individually
+    # green (they previously rode behind this list in dict order; the
+    # round-3 block below must NOT displace them out of the window)
+    "agg_approx_sketch",
+    "date_add_window",
+    "epoch_convert",
+    "string_split_extract",
+    "string_concat_format",
+    "array_join",
+    "math_round",
+    "string_contains",
+    "multimodal_decode",
+    "merge_upsert",
+    "array_hof_battery",
+    "er_edit_distance",
+    "ann_sq8_topk",
+    "corpus_chunk_overlap",
+    "multimodal_frame_sample",
+    "graph_pagerank",
+    "graph_triangles",
+    "text_rarity_score",
+    "ts_downsample_maxarea",
+    "unpivot_melt",
     # round-3 additions, in build order — they queue behind the round-2
     # backlog (everything above that is still unverified rotates first)
     # and lead round 4's window once the backlog clears
