@@ -141,6 +141,7 @@ HEADLINE = [
     "join_asof_nearest",
     "join_asof_forward",
     "corpus_vocab_drift",
+    "dedup_threshold_sweep",
 ]
 
 

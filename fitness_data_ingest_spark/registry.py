@@ -187,6 +187,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "join_asof_nearest",
     "join_asof_forward",
     "corpus_vocab_drift",
+    "dedup_threshold_sweep",
 )
 
 

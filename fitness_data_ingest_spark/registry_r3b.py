@@ -1676,3 +1676,61 @@ GROUP BY 1
 R3B_QUERIES["corpus_vocab_drift"] = QueryDef(
     "corpus_vocab_drift", _corpus_vocab_drift, _DRIFT_SQL, ("corpus",)
 )
+
+
+# ------------------------------------------------------- THRESHOLD SWEEP
+
+
+def _dedup_threshold_sweep(spark, sf_dir):
+    """Dedup tuning curve: how many near-dup pairs survive each Jaccard
+    threshold 0.3..0.9 — ONE exact-pairs pass (shared-shingle
+    candidates at the lowest threshold), then a 7-way threshold
+    explode + count. The curve a curator reads before committing to a
+    cutoff; built on the exact n-gram path because banded LSH loses
+    recall below its S-curve knee (~0.59 at b=8, r=4) and would bend
+    the curve's low end."""
+    from .ext import dedup as D
+
+    pairs = D.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", 0.3
+    )
+    ths = F.array(*[F.lit(x / 10.0) for x in range(3, 10)])
+    return (
+        pairs.select("jaccard", F.explode(ths).alias("threshold"))
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _sweep_sql() -> str:
+    from .registry_ext import _SQL_DOC_SHINGLES
+    from .ext.dedup import NGRAM_MAX_DF
+
+    return f"""
+WITH {_SQL_DOC_SHINGLES},
+ex AS (SELECT doc_id, unnest(shd) AS s FROM sh),
+hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > {NGRAM_MAX_DF}),
+exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(x.shd, y.shd))::DOUBLE
+           / (len(x.shd) + len(y.shd) - len(list_intersect(x.shd, y.shd)))
+           AS j
+  FROM cand JOIN sh x ON x.doc_id = cand.doc_a
+            JOIN sh y ON y.doc_id = cand.doc_b),
+p4 AS (SELECT floor(j * 10000 + 0.5) / 10000.0 AS jaccard
+       FROM pairs WHERE j >= 0.3),
+ths AS (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+          AS threshold)
+SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+FROM p4 JOIN ths ON p4.jaccard >= ths.threshold
+GROUP BY 1
+"""
+
+
+R3B_QUERIES["dedup_threshold_sweep"] = QueryDef(
+    "dedup_threshold_sweep", _dedup_threshold_sweep, _sweep_sql(), ("ext",)
+)
