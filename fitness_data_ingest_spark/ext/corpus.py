@@ -670,6 +670,12 @@ def cdc_chunk_stats(docs: DataFrame, mask: int = CDC_MASK) -> DataFrame:
 
     Output per source: n_chunks, n_dup_chunks (chunk content seen >1
     time corpus-wide), sum_tok, dup_tok, dup_rate4.
+
+    Empty / whitespace-only documents have zero tokens and therefore
+    zero chunks; they are filtered out up front (with n = 0 the
+    ``sequence(0, n-1)`` index would auto-step downward to ``[0, -1]``
+    and the boundary filter would evaluate ``element_at(hs, 0)``, an
+    error in Spark).
     """
     from .text import token_hashes, tokens
 
@@ -681,8 +687,10 @@ def cdc_chunk_stats(docs: DataFrame, mask: int = CDC_MASK) -> DataFrame:
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
     docs = docs.repartition(n_parts, F.col("doc_id"))
     toks = tokens(F.col("text"))
-    staged = docs.select("doc_id", "source", toks.alias("toks")).withColumn(
-        "hs", token_hashes(F.col("toks"))
+    staged = (
+        docs.select("doc_id", "source", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .withColumn("hs", token_hashes(F.col("toks")))
     )
     n = F.size("toks")
     idx = F.sequence(F.lit(0), n - 1)

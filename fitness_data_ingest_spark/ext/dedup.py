@@ -100,7 +100,14 @@ def minhash_signature_array(hash_col: Column, n: int = MINHASH_K) -> Column:
     n× ``array_min(transform(...))`` form scanned every shingle array
     n times per row — 1.5× more signature-stage CPU at sf0.1 for
     bit-identical output (min of the same permutation values either
-    way)."""
+    way).
+
+    Empty-input contract: an EMPTY ``hash_col`` returns the fold's
+    init — an array of n MERSENNE_P sentinels (the old per-permutation
+    form returned n NULLs). Every zero-shingle row would share that
+    one sentinel signature and collide in every LSH band, so callers
+    MUST drop zero-shingle rows before signing — :func:`with_minhash`
+    does (``size(shd) > 0``)."""
     init = F.array(*[F.lit(MERSENNE_P).cast("long") for _ in range(n)])
 
     def merge(acc: Column, h: Column) -> Column:
@@ -134,6 +141,12 @@ def with_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Jaccard verification downstream runs on the HASHED shingle set —
     long arrays shuffle ~10× lighter than the string shingles, and the
     oracle mirrors the same hashed-set Jaccard exactly.
+
+    Zero-shingle rows (null text, and any degenerate input that yields
+    an empty distinct-hash set) are dropped before signing: signing
+    them would give every such row the identical sentinel signature
+    (see :func:`minhash_signature_array`) and mark every pair of empty
+    docs as an LSH candidate.
     """
     # Signature computation is CPU-heavy per row (md5 per shingle + k
     # permutations); a single small input file would otherwise pin it to
@@ -145,7 +158,16 @@ def with_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     out = df.repartition(n_parts, F.col(id_col)).select(
         F.col(id_col).alias("doc"), sh.alias("sh")
     )
-    out = out.withColumn("shd", F.array_distinct(token_hashes(F.col("sh")))).drop("sh")
+    # null-text docs hash to [null] (not an EMPTY array) — strip the
+    # nulls first so the size guard actually drops them; token_hash of
+    # any non-null shingle is never null, so this is a no-op otherwise
+    out = out.withColumn(
+        "shd",
+        F.array_distinct(
+            F.filter(token_hashes(F.col("sh")), lambda h: h.isNotNull())
+        ),
+    ).drop("sh")
+    out = out.filter(F.size("shd") > 0)
     return out.withColumn("sig", minhash_signature_array(F.col("shd")))
 
 

@@ -393,29 +393,36 @@ def resize_stub(media_df: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
-def _wav_pcm16_rms_peak(b: bytes) -> tuple[int, int] | None:
-    """Exact integer (sum of squared samples, peak |sample|) for a
-    16-bit PCM WAV payload; None for anything else."""
+def _wav_pcm16_rms_peak(b: bytes) -> tuple[int, int, int] | None:
+    """Exact integer (sum of squared samples, peak |sample|, sample
+    count) for a 16-bit PCM WAV payload; None for anything else.
+
+    Walks ALL chunks and decodes the LAST ``data`` chunk, mirroring
+    :func:`parse_wav` (which records the last one), and returns its OWN
+    decoded sample count ``n`` so the RMS denominator always matches
+    the summed samples — ``n_samples * n_channels`` from metadata
+    diverges when the data size is not a block_align multiple."""
     import struct
 
     meta = parse_wav(b)
     if meta is None or meta["bits"] != 16:
         return None
-    # find the data chunk again (parse_wav validated structure)
-    pos = 12
+    pos, data_span = 12, None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (size,) = struct.unpack_from("<I", b, pos + 4)
         if cid == b"data":
-            size = min(size, len(b) - pos - 8)
-            raw = b[pos + 8 : pos + 8 + size - (size % 2)]
-            n = len(raw) // 2
-            if n == 0:
-                return (0, 0)
-            samples = struct.unpack(f"<{n}h", raw)
-            return (sum(s * s for s in samples), max(abs(s) for s in samples))
+            data_span = (pos + 8, min(size, len(b) - pos - 8))
         pos += 8 + size + (size & 1)
-    return None
+    if data_span is None:
+        return None
+    start, size = data_span
+    raw = b[start : start + size - (size % 2)]
+    n = len(raw) // 2
+    if n == 0:
+        return (0, 0, 0)
+    samples = struct.unpack(f"<{n}h", raw)
+    return (sum(s * s for s in samples), max(abs(s) for s in samples), n)
 
 
 def audio_features(media_df: DataFrame) -> DataFrame:
@@ -438,10 +445,11 @@ def audio_features(media_df: DataFrame) -> DataFrame:
                 if r is None:
                     rows.append((mid, None, None, None))
                 else:
-                    ssq, peak = r
-                    meta = parse_wav(b)
-                    n = max(meta["n_samples"] * meta["n_channels"], 1)
-                    rms2 = math.floor(math.sqrt(ssq / n) * 100 + 0.5) / 100.0
+                    # n is the decoder's OWN sample count over the same
+                    # data chunk it summed — never re-derived from
+                    # metadata (block-align frames can disagree)
+                    ssq, peak, n = r
+                    rms2 = math.floor(math.sqrt(ssq / max(n, 1)) * 100 + 0.5) / 100.0
                     rows.append((mid, n, rms2, peak))
             yield pd.DataFrame(
                 rows, columns=["media_id", "n_values", "rms2", "peak"]

@@ -182,30 +182,53 @@ def triangle_stats(edges: DataFrame, min_degree: int = 2) -> DataFrame:
     """Per-node triangle count and local clustering coefficient over a
     symmetric edge list — the cohesion audit of a co-occurrence graph.
 
-    Canonicalize to src < dst (each undirected edge once), enumerate
-    triangles with the ordered two-path join (a<b<c, so each triangle
-    materializes exactly once), then credit all three corners via one
-    union + groupBy. Join fan-out is sum-of-degrees-squared over the
-    CANONICAL (halved, thresholded) edge set — run this on a
-    noise-thresholded graph (``cooccurrence_edges(min_groups=...)``),
-    never a raw pair explosion. Clustering coefficient
-    ``2T / (d (d-1))`` quantizes to 4 decimals through the shared IEEE
-    floor-round so engines agree bitwise.
+    Degree-ordered (compact-forward) enumeration: orient each
+    undirected edge from its lower-(degree, id) endpoint to the higher
+    one, pair the out-edges of each node (the wedge), and probe the
+    closing edge with one more equi-join. Every triangle has exactly
+    one corner that is minimal in the (degree, id) order, so each
+    triangle still materializes exactly once — the output is identical
+    to the id-canonical (a<b<c) form, property-tested in
+    tests/test_graph_merge.py. The win is the fan-out bound: oriented
+    out-degree is O(sqrt(m)) for EVERY node (a node of degree d only
+    keeps out-edges to neighbors of degree >= d, and there are at most
+    2m/d of those), so the wedge join is Σ outdeg² ≤ m^1.5 even on
+    power-law degree skew, where the id-ordered form blows up on hub
+    nodes. Run this on a noise-thresholded graph
+    (``cooccurrence_edges(min_groups=...)``), never a raw pair
+    explosion. Clustering coefficient ``2T / (d (d-1))`` quantizes to 4
+    decimals through the shared IEEE floor-round so engines agree
+    bitwise.
     """
-    ce = edges.filter(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    sym = edges.select("src", "dst").distinct()
     deg = (
-        edges.select("src", "dst")
-        .distinct()
-        .groupBy("src")
+        sym.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("src").alias("node"), "deg")
     )
-    e1, e2, e3 = ce.alias("e1"), ce.alias("e2"), ce.alias("e3")
+    # oriented edges carry the head's (deg, id) key so wedge ordering
+    # needs no extra degree join; struct comparison is lexicographic
+    oe = (
+        sym.join(deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg")), "dst")
+        .filter(
+            F.struct(F.col("sdeg"), F.col("src")) < F.struct(F.col("ddeg"), F.col("dst"))
+        )
+        .select("src", "dst", "ddeg")
+    )
+    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
     tri = (
-        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (
+                F.struct(F.col("e1.ddeg"), F.col("e1.dst"))
+                < F.struct(F.col("e2.ddeg"), F.col("e2.dst"))
+            ),
+        )
         .join(
             e3,
-            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+            (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .select(
             F.col("e1.src").alias("a"),

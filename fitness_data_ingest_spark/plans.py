@@ -40,6 +40,45 @@ def _explain(df: DataFrame, mode: str) -> str:
     return buf.getvalue()
 
 
+def _window_specs(formatted: str) -> list[str]:
+    """Every complete ``windowspecdefinition(...)`` argument string in a
+    formatted explain, extracted with a paren-depth scan — a flat regex
+    truncates at the first ')' and misparses partition keys that are
+    themselves expressions (``coalesce(a, b)``, ``CASE WHEN ...``)."""
+    specs: list[str] = []
+    marker = "windowspecdefinition("
+    pos = 0
+    while True:
+        start = formatted.find(marker, pos)
+        if start < 0:
+            return specs
+        i, depth = start + len(marker), 1
+        while i < len(formatted) and depth > 0:
+            c = formatted[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        specs.append(formatted[start + len(marker) : i - 1])
+        pos = i
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren/bracket depth 0 only."""
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+    parts.append(s[start:].strip())
+    return parts
+
+
 def lint_plan(
     df: DataFrame,
     allow_nested_loop: bool = False,
@@ -53,19 +92,15 @@ def lint_plan(
     simple = _explain(df, "simple")
     findings: list[dict[str, Any]] = []
 
-    # --- global (partition-less) windows.  In formatted explain, the
-    # Window node's Arguments render as
-    #   [exprs], [partition-cols], [order-cols]
-    # — an empty second list is a single-reducer window.
-    for m in re.finditer(
-        r"windowspecdefinition\(([^)]*)\)", formatted
-    ):
-        spec = m.group(0)
-        # spec lists partition cols first, then "<col> ASC/DESC" order
-        # entries, then the frame. No token before the first ordered
-        # column => no partition keys.
-        inner = m.group(1)
-        first = inner.split(",")[0].strip()
+    # --- global (partition-less) windows.  A windowspecdefinition's
+    # args are: partition cols, then "<expr> ASC/DESC ..." order
+    # entries, then the specifiedwindowframe.  Both the spec extraction
+    # and the first-token split are paren-depth-aware so partition keys
+    # that are themselves expressions with commas/parens (coalesce(a,
+    # b), CASE WHEN ...) are kept whole instead of producing a false
+    # "global-window" finding.
+    for inner in _window_specs(formatted):
+        first = _split_top_level(inner)[0]
         if (
             " ASC" in first
             or " DESC" in first
@@ -75,7 +110,7 @@ def lint_plan(
                 {
                     "rule": "global-window",
                     "severity": "high",
-                    "detail": spec[:160],
+                    "detail": ("windowspecdefinition(" + inner)[:160],
                 }
             )
             break

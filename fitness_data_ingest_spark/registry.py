@@ -208,9 +208,14 @@ _FORCE_REVERIFY: dict[str, int] = {
     "dedup_simhash": 2,
     # round 3: minhash signature rewritten from 32 array_min(transform)
     # scans to one running-min fold (1.5x signature CPU, bit-identical);
-    # both green keys consuming it re-enter the window
-    "dedup_minhash_lsh": 2,
-    "dedup_clusters": 2,
+    # both green keys consuming it re-enter the window.
+    # round 4: with_minhash drops zero-shingle rows before signing
+    # (ADVICE: the fold's sentinel init would give every empty doc the
+    # same signature and band-collide all of them) — output identical
+    # on any corpus without empty docs, but the plan changed, so both
+    # consumers re-enter the window once more.
+    "dedup_minhash_lsh": 3,
+    "dedup_clusters": 3,
 }
 
 

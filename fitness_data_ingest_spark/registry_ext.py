@@ -76,7 +76,8 @@ FROM pairs WHERE j >= 0.5
 
 _MINHASH_SQL = f"""
 WITH {_SQL_DOC_SHINGLES},
-sig AS (SELECT doc_id, {_sql_sig_cols()} FROM sh),
+sig AS (SELECT doc_id, {_sql_sig_cols()} FROM sh
+        WHERE len(list_filter(shd, h -> h IS NOT NULL)) > 0),
 bands AS ({_sql_band_rows()}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b

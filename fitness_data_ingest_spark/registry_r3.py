@@ -308,9 +308,12 @@ _PR_SQL = G.pagerank_oracle_sql(_PR_EDGES_CTE, iters=_PR_ITERS)
 
 def _graph_triangles(spark, sf_dir):
     """Per-node triangle count + local clustering coefficient over the
-    thresholded part co-occurrence graph: ordered two-path join over
-    canonical (src < dst) edges, each triangle credited to its three
-    corners in one union + groupBy."""
+    thresholded part co-occurrence graph: degree-ordered
+    (compact-forward) wedge join — oriented out-degree is O(sqrt(m))
+    per node, capping fan-out on skewed degree distributions — each
+    triangle credited to its three corners in one union + groupBy. The
+    oracle enumerates via the simpler id-canonical form; the triangle
+    SET is identical."""
     li = t(spark, sf_dir, "lineitem")
     edges = G.cooccurrence_edges(
         li, "l_orderkey", "l_partkey", min_groups=2

@@ -835,10 +835,12 @@ def _corpus_cdc_chunks(spark, sf_dir):
 
 
 _CDC_SQL = f"""
-WITH staged AS (
+WITH staged0 AS (
   SELECT doc_id, source,
          list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents),
+staged AS (
+  SELECT * FROM staged0 WHERE len(toks) > 0),
 b AS (
   SELECT doc_id, source, toks,
          list_filter(range(0, len(toks)),

@@ -162,3 +162,35 @@ def test_snapshot_diff_empty_new(spark):
     new = spark.createDataFrame([], "k long, v string")
     rows = INC.snapshot_diff(old, new, "k", ["v"]).collect()
     assert [(r["k"], r["diff_class"]) for r in rows] == [(1, "R")]
+
+
+def test_cdc_chunks_empty_and_whitespace_docs(spark):
+    """ADVICE r3: zero-token docs made sequence(0, n-1) auto-step to
+    [0, -1] and element_at(hs, 0) threw. Empty/whitespace docs must be
+    skipped (zero chunks), not crash the whole stats pass."""
+    from fitness_data_ingest_spark.ext import corpus as C2
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", ""),
+            (2, "a", "   "),
+            (3, "a", "real tokens in this document right here"),
+            (4, "b", None),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["source"]: r for r in C2.cdc_chunk_stats(docs).collect()}
+    # sources whose only docs are token-less contribute nothing
+    assert set(rows) == {"a"}
+    assert rows["a"]["sum_tok"] == 7
+
+
+def test_minhash_drops_zero_shingle_docs(spark):
+    """ADVICE r3: the single-fold signature returns the sentinel init
+    for empty shingle sets, so every token-less doc would share one
+    signature and band-collide pairwise. with_minhash must drop them."""
+    docs = _docs(spark, [(1, None), (2, None), (3, "one real document of text")])
+    sigs = D.with_minhash(docs, "doc_id", "text")
+    assert {r["doc"] for r in sigs.collect()} == {3}
+    out = D.minhash_near_dups(docs, "doc_id", "text", threshold=0.0)
+    assert out.count() == 0

@@ -175,3 +175,36 @@ def test_downsample_maxarea_keeps_the_spike(spark):
     out = downsample_maxarea(ev, bucket_s=60).collect()
     assert len(out) == 1  # only the middle bucket has both neighbors
     assert out[0].rep_id == 15  # the spike (b=1, i=5)
+
+
+def test_triangle_stats_matches_bruteforce_on_random_graph(spark):
+    """Degree-ordered (compact-forward) enumeration must equal a
+    brute-force all-triples count on a seeded random graph — the
+    orientation changes the JOIN shape, never the triangle set."""
+    import itertools
+    import random
+
+    from fitness_data_ingest_spark.ops.graph import triangle_stats
+
+    rng = random.Random(42)
+    nodes = list(range(24))
+    und = sorted(
+        {(a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.25}
+    )
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    want_tri = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                want_tri[n] += 1
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r.node: (r.deg, r.n_tri) for r in triangle_stats(edges).collect()}
+    want = {
+        n: (len(adj[n]), want_tri[n]) for n in nodes if len(adj[n]) >= 2
+    }
+    assert got == want

@@ -212,3 +212,31 @@ def test_audio_features_match_numpy_reference(spark, sf_dir):
         assert r["rms2"] == want_rms
         assert r["peak"] == int(np.abs(raw.astype("i8")).max())
     assert n_wav > 0
+
+
+def test_wav_rms_multi_chunk_and_ragged_data():
+    """ADVICE r3: the RMS helper must decode the SAME data chunk
+    parse_wav records (the LAST one) and use its OWN decoded sample
+    count as the denominator — not block-align frames from metadata."""
+    import struct
+
+    first = struct.pack("<4h", 100, -100, 100, -100)
+    second = struct.pack("<3h", 30000, -30000, 12345) + b"\x00"  # ragged tail byte
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(first)) + first
+        + b"data" + struct.pack("<I", len(second)) + second
+    )
+    b = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta = MM.parse_wav(b)
+    assert meta is not None and meta["n_samples"] == 2  # last chunk, 8B // block 4
+    r = MM._wav_pcm16_rms_peak(b)
+    assert r is not None
+    ssq, peak, n = r
+    # 7 ragged bytes -> 3 whole samples decoded; denominator must be 3,
+    # not n_samples * n_channels = 4
+    assert n == 3
+    assert peak == 30000
+    assert ssq == 30000 * 30000 * 2 + 12345 * 12345

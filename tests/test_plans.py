@@ -566,3 +566,23 @@ def test_sql4_family_plans(spark, sf_dir):
     )
     assert "Join" not in var
     assert var.count("events.parquet") == 1
+
+
+def test_lint_window_spec_parse_is_paren_aware():
+    """ADVICE r3: a flat regex truncated windowspecdefinition at the
+    first ')' and misread expression partition keys (coalesce(a, b))
+    as order columns, yielding a false global-window finding."""
+    from fitness_data_ingest_spark.plans import _split_top_level, _window_specs
+
+    fake = (
+        "Window [sum(x) windowspecdefinition(coalesce(a#1, b#2), "
+        "c#3 ASC NULLS FIRST, specifiedwindowframe(RangeFrame, "
+        "unboundedpreceding$(), currentrow$()))]"
+    )
+    (spec,) = _window_specs(fake)
+    parts = _split_top_level(spec)
+    assert parts[0] == "coalesce(a#1, b#2)"   # whole expression, one token
+    assert " ASC" in parts[1]
+    # a genuinely global spec still classifies as one
+    (g,) = _window_specs("windowspecdefinition(c#3 ASC NULLS FIRST, specifiedwindowframe(RowFrame, a$(), b$()))")
+    assert " ASC" in _split_top_level(g)[0]
