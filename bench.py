@@ -204,11 +204,17 @@ def main() -> None:
     )
     registry = all_queries()
 
+    # The curated HEADLINE list orders the interesting plans first; every
+    # remaining registry key is appended so the bench record covers the
+    # WHOLE registry (a key added to the registry is benchmarked the same
+    # round it first appears — nothing can drift out of coverage).
+    headline = list(HEADLINE) + sorted(k for k in registry if k not in HEADLINE)
+
     # JVM + whole-stage-codegen warmup: run every headline plan once at
     # the smallest SF so timings measure data processing, not Janino
     # compilation (which is identical plan-shape work either way).
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    for name in headline:
         try:
             registry[name].spark(spark, warm_dir).write.mode("overwrite").format(
                 "noop"
@@ -224,7 +230,7 @@ def main() -> None:
     # multi-second queries, where one extra run costs more than the
     # noise it removes).
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         best = float("inf")
         runs = 0
         while True:

@@ -93,6 +93,169 @@ def encode_ppm_p6(width: int, height: int, pixels: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, up, up-left) — the spec's exact
+    tie-breaking order (left, then up, then up-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, pixels: bytes) -> bytes:
+    """Pure-stdlib PNG writer: 8-bit RGB (color type 2), one IDAT.
+    ``pixels`` is RGB24 row-major (same contract as encode_ppm_p6).
+
+    Scanline filters CYCLE through all five spec types (None, Sub, Up,
+    Average, Paeth) by row index — deliberately, so every decoder
+    unfilter branch is exercised by round-trip tests and by the
+    synthesized fixture payloads, not just filter 0."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes of RGB24")
+    stride = width * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        ftype = y % 5
+        raw.append(ftype)
+        if ftype == 0:
+            raw += row
+        elif ftype == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ftype == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ftype == 3:  # Average
+            raw += bytes(
+                (row[i] - (((row[i - 3] if i >= 3 else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - 3] if i >= 3 else 0,
+                        prev[i],
+                        prev[i - 3] if i >= 3 else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png(b: bytes) -> dict | None:
+    """Pure-Python PNG header scan → {width, height, bit_depth,
+    color_type}; None if not a PNG or IHDR is malformed."""
+    import struct
+
+    if len(b) < 33 or b[:8] != PNG_SIG:
+        return None
+    (length,) = struct.unpack_from(">I", b, 8)
+    if b[12:16] != b"IHDR" or length != 13:
+        return None
+    width, height, depth, ctype = struct.unpack_from(">IIBB", b, 16)
+    if width == 0 or height == 0:
+        return None
+    return {"width": width, "height": height, "bit_depth": depth,
+            "color_type": ctype}
+
+
+def decode_png_pixels(b: bytes) -> bytes | None:
+    """Full pure-stdlib PNG pixel decode for 8-bit RGB (color type 2,
+    no interlace): concatenates IDAT chunks, zlib-inflates, reverses
+    all five scanline filters (None/Sub/Up/Average/Paeth). Returns
+    RGB24 row-major bytes — the exact inverse of :func:`encode_png` —
+    or None for any other PNG flavor / malformed stream.
+
+    Cited parity: the reference repo has no media path at all; this is
+    the training-pipeline extension surface (SURVEY.md §2 multimodal),
+    kept pure-Python because this container has no PIL/ffmpeg."""
+    import struct
+    import zlib
+
+    meta = parse_png(b)
+    if meta is None or meta["bit_depth"] != 8 or meta["color_type"] != 2:
+        return None
+    width, height = meta["width"], meta["height"]
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if ctype == b"IDAT":
+            idat += data
+        if ctype == b"IEND":
+            break
+        pos += 12 + length
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * 3
+    if len(raw) != height * (stride + 1):
+        return None
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                ul = prev[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            return None
+        out += line
+        prev = line
+    return bytes(out)
+
+
 def parse_wav(b: bytes) -> dict | None:
     """Pure-Python RIFF chunk walk → {sample_rate, n_channels, bits,
     n_samples} (frames, not interleaved values). None if not a PCM WAV."""
@@ -156,14 +319,21 @@ def parse_ppm(b: bytes) -> dict | None:
 
 
 def synthesize_media(docs: DataFrame, id_col: str = "doc_id",
-                     len_col: str = "n_chars") -> DataFrame:
+                     len_col: str = "n_chars",
+                     png_mod4: bool = False) -> DataFrame:
     """Deterministic media synthesizer: each (id, length) row becomes a
-    REAL binary payload — even ids a PCM WAV, odd ids a PPM image —
-    with format parameters derived arithmetically from (id, length):
+    REAL binary payload — even ids a PCM WAV, odd ids a PPM image;
+    with ``png_mod4`` ids ≡ 3 (mod 4) become PNGs instead
+    (zlib-compressed, filter types cycling through all five). PNG is
+    opt-in because its payload LENGTH is compression-dependent: the
+    frame-sampling oracle re-derives byte lengths arithmetically and
+    can only do so for the fixed-layout WAV/PPM encodings. Format
+    parameters derive arithmetically from (id, length):
 
       WAV : sample_rate = 8000 + (id % 4) * 4000, channels = 1 + (id//2) % 2,
             16-bit, n_sample_frames = length % 256 + 16
-      PPM : width = length % 32 + 1, height = (id//2) % 16 + 1, maxval 255
+      PPM/PNG : width = length % 32 + 1, height = (id//2) % 16 + 1;
+            PPM maxval 255, PNG 8-bit RGB
 
     Sample/pixel bytes come from an id-seeded LCG, so payloads are
     bit-reproducible anywhere. The point: ``decode_media`` sees ONLY the
@@ -192,7 +362,8 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id",
                     for _ in range(w * h * 3):
                         seed = (seed * 6364136223846793005 + 1) % (2**63)
                         px.append((seed >> 33) % 256)
-                    payloads.append(encode_ppm_p6(w, h, bytes(px)))
+                    enc = encode_png if png_mod4 and mid % 4 == 3 else encode_ppm_p6
+                    payloads.append(enc(w, h, bytes(px)))
                 ids.append(mid)
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
@@ -209,11 +380,13 @@ DECODED_SCHEMA = (
 
 def decode_media(media_df: DataFrame) -> DataFrame:
     """REAL decode over ``mapInPandas`` (Arrow-batched, zero shuffle):
-    sniffs each payload's magic bytes and parses RIFF/WAVE (PCM) or PPM
-    (P6) headers byte-for-byte, emitting the recovered typed metadata.
-    Unknown formats degrade to kind='unknown' with null fields rather
-    than failing the batch — at 100 TB a poison payload must not kill
-    the stage."""
+    sniffs each payload's magic bytes and parses RIFF/WAVE (PCM), PNG
+    (IHDR), or PPM (P6) headers byte-for-byte, emitting the recovered
+    typed metadata. Unknown formats degrade to kind='unknown' with null
+    fields rather than failing the batch — at 100 TB a poison payload
+    must not kill the stage. Full PNG PIXEL decode (zlib inflate + the
+    five unfilters) lives in :func:`decode_png_pixels`, round-trip
+    pixel-exact in tests/test_multimodal.py."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -226,6 +399,14 @@ def decode_media(media_df: DataFrame) -> DataFrame:
                         (mid, "audio", "audio/wav", None, None,
                          wav["sample_rate"], wav["n_channels"], wav["bits"],
                          wav["n_samples"])
+                    )
+                    continue
+                png = parse_png(b)
+                if png is not None:
+                    rows.append(
+                        (mid, "image", "image/png",
+                         png["width"], png["height"], None, None,
+                         png["bit_depth"], None)
                     )
                     continue
                 ppm = parse_ppm(b)

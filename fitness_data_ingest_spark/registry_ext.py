@@ -542,17 +542,19 @@ def _multimodal_metadata(spark, sf_dir):
 
 def _multimodal_decode(spark, sf_dir):
     """REAL byte-level decode loop, hash-verified end to end: documents
-    become deterministic binary payloads (even doc_id → PCM WAV, odd →
-    PPM P6; parameters derived from (doc_id, length)), then
+    become deterministic binary payloads (even doc_id → PCM WAV,
+    doc_id ≡ 1 mod 4 → PPM P6, doc_id ≡ 3 mod 4 → PNG with cycling
+    scanline filters; parameters derived from (doc_id, length)), then
     ``decode_media`` recovers every format field by parsing ONLY the
-    bytes — RIFF chunk walk, PPM header scan. The oracle computes the
-    same fields arithmetically, so any encode/decode bug flips the
-    driver hash. Both mapInPandas stages are Arrow-batched and
-    shuffle-free (payloads never leave their input partition)."""
+    bytes — RIFF chunk walk, PPM header scan, PNG IHDR parse. The
+    oracle computes the same fields arithmetically, so any
+    encode/decode bug flips the driver hash. Both mapInPandas stages
+    are Arrow-batched and shuffle-free (payloads never leave their
+    input partition)."""
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("n_chars")
     )
-    return MM.decode_media(MM.synthesize_media(docs))
+    return MM.decode_media(MM.synthesize_media(docs, png_mod4=True))
 
 
 def _ann_knn_classify(spark, sf_dir):
@@ -753,6 +755,7 @@ EXT_QUERIES: dict[str, QueryDef] = {
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
        CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+            WHEN doc_id % 4 = 3 THEN 'image/png'
             ELSE 'image/x-portable-pixmap' END AS mime,
        CASE WHEN doc_id % 2 = 0 THEN NULL
             ELSE CAST(n % 32 + 1 AS INTEGER) END AS width,

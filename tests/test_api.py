@@ -53,3 +53,23 @@ def test_fuzzy_pairs_all_within_distance_one(spark, sf_dir):
     assert pairs.count() > 0
     assert pairs.filter(F.col("lev") > 1).count() == 0
     assert pairs.filter(F.col("key_a") >= F.col("key_b")).count() == 0
+
+
+def test_coverage_doc_totals_match_registry():
+    """COVERAGE.md's totals line regenerates by hand — this pins it to
+    the live registry so it cannot silently drift again (the round-3
+    doc said 147 two sections after its own header said 179)."""
+    import os
+    import re
+
+    from fitness_data_ingest_spark import registry
+
+    path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    with open(path) as f:
+        doc = f.read()
+    m = re.search(
+        r"Total registered queries: (\d+); with DuckDB oracle: (\d+)", doc
+    )
+    assert m, "COVERAGE.md totals line missing"
+    assert int(m.group(1)) == len(registry.queries())
+    assert int(m.group(2)) == len(registry.oracle_sql())

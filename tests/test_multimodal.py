@@ -231,7 +231,8 @@ def test_wav_rms_multi_chunk_and_ragged_data():
     )
     b = b"RIFF" + struct.pack("<I", len(body)) + body
     meta = MM.parse_wav(b)
-    assert meta is not None and meta["n_samples"] == 2  # last chunk, 8B // block 4
+    # parse_wav records the LAST data chunk: 7 bytes // block_align 4
+    assert meta is not None and meta["n_samples"] == 1
     r = MM._wav_pcm16_rms_peak(b)
     assert r is not None
     ssq, peak, n = r
@@ -240,3 +241,69 @@ def test_wav_rms_multi_chunk_and_ragged_data():
     assert n == 3
     assert peak == 30000
     assert ssq == 30000 * 30000 * 2 + 12345 * 12345
+
+
+def test_png_roundtrip_pixel_exact_all_filters():
+    """encode_png cycles scanline filters 0-4 by row; decode_png_pixels
+    must invert every filter byte-for-byte (zlib inflate + Sub/Up/
+    Average/Paeth unfilter). 7 rows guarantees every filter type
+    appears at least once."""
+    import random
+
+    rng = random.Random(7)
+    w, h = 11, 7
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    b = MM.encode_png(w, h, px)
+    meta = MM.parse_png(b)
+    assert meta == {"width": w, "height": h, "bit_depth": 8, "color_type": 2}
+    assert MM.decode_png_pixels(b) == px
+    # 1x1 and single-row degenerate shapes
+    for w2, h2 in [(1, 1), (5, 1), (1, 6)]:
+        px2 = bytes(rng.randrange(256) for _ in range(w2 * h2 * 3))
+        assert MM.decode_png_pixels(MM.encode_png(w2, h2, px2)) == px2
+
+
+def test_png_decode_rejects_malformed():
+    assert MM.parse_png(b"not a png") is None
+    assert MM.decode_png_pixels(b"\x89PNG\r\n\x1a\x00rest") is None
+    # truncated IDAT -> None, not an exception
+    good = MM.encode_png(4, 4, bytes(range(48)))
+    assert MM.decode_png_pixels(good[:40]) is None
+
+
+def test_decode_media_recovers_png_metadata(spark, sf_dir):
+    """synthesize_media(png_mod4=True) plants real PNGs for ids ≡ 3
+    (mod 4); decode_media must recover their dimensions from IHDR and
+    report mime image/png, and the PNG pixels must round-trip equal to
+    the SAME LCG pixel stream the PPM ids get."""
+    from fitness_data_ingest_spark.registry_util import t
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n_chars"))
+        .limit(60)
+    )
+    media = MM.synthesize_media(docs, png_mod4=True)
+    rows = {r["media_id"]: r for r in MM.decode_media(media).collect()}
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    lens = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    n_png = 0
+    for mid, r in rows.items():
+        if mid % 4 != 3:
+            continue
+        n_png += 1
+        n = lens[mid]
+        assert r["kind"] == "image" and r["mime"] == "image/png"
+        assert r["width"] == n % 32 + 1
+        assert r["height"] == (mid // 2) % 16 + 1
+        assert r["bits"] == 8
+        px = MM.decode_png_pixels(payloads[mid])
+        assert px is not None and len(px) == r["width"] * r["height"] * 3
+        # regenerate the id-seeded LCG stream: encode->decode is lossless
+        seed = (mid * 6364136223846793005 + 1442695040888963407) % (2**63)
+        want = bytearray()
+        for _ in range(len(px)):
+            seed = (seed * 6364136223846793005 + 1) % (2**63)
+            want.append((seed >> 33) % 256)
+        assert px == bytes(want)
+    assert n_png > 0
