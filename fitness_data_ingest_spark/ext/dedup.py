@@ -230,6 +230,65 @@ def minhash_near_dups(
     )
 
 
+def minhash_estimate_vs_exact(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (fraction of the k=32 signature positions that
+    agree — the unbiased estimator the banding scheme is built on)
+    side by side with the EXACT hashed-shingle Jaccard, plus the
+    absolute error. The QA query you run before trusting a
+    signature-only dedup at 100 TB: if err4's distribution is wider
+    than the k=32 binomial bound predicts, the permutation family is
+    broken.
+
+    Same bucketed shape as :func:`minhash_near_dups` — candidates come
+    from the banded self-equi-join, never an all-pairs scan; the
+    signature agreement is one zip_with fold over two 32-long arrays.
+    """
+    sig = with_minhash(docs, id_col, text_col)
+    sig = sig.select("doc", "shd", "sig", *band_keys()).persist()
+    cands = lsh_candidate_pairs(sig)
+    side = sig.select("doc", "shd", "sig")
+    j = (
+        cands.join(
+            side.select(
+                F.col("doc").alias("doc_a"),
+                F.col("shd").alias("sh_a"),
+                F.col("sig").alias("sig_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            side.select(
+                F.col("doc").alias("doc_b"),
+                F.col("shd").alias("sh_b"),
+                F.col("sig").alias("sig_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "n_agree",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+                    lambda x: x,
+                )
+            ),
+        )
+        .withColumn("j", jaccard(F.col("sh_a"), F.col("sh_b")))
+    )
+    est = F.col("n_agree").cast("double") / MINHASH_K
+    err = F.abs(est - F.col("j"))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        (F.floor(est * 10000 + 0.5) / 10000.0).alias("est4"),
+        (F.floor(F.col("j") * 10000 + 0.5) / 10000.0).alias("jacc4"),
+        (F.floor(err * 10000 + 0.5) / 10000.0).alias("err4"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
     max_df: int = NGRAM_MAX_DF,

@@ -67,6 +67,84 @@ def resample_ffill(events: DataFrame, grid_s: int = GRID_S) -> DataFrame:
     )
 
 
+def interpolate_linear(events: DataFrame, grid_s: int = GRID_S) -> DataFrame:
+    """Resample each user's series onto an epoch-aligned grid with
+    LINEAR interpolation between the surrounding observations —
+    the gap-filling complement to :func:`resample_ffill` (which holds
+    the last value flat). Slots before the first or after the last
+    observation stay NULL: interpolation never extrapolates.
+
+    Same single-shuffle shape as resample_ffill — per-user bounds
+    (tiny partial agg) explode to grid rows, union with observations,
+    then TWO frames over the one (user, time) sort: a trailing frame
+    carries (prev value, prev epoch-µs) forward, a leading frame
+    carries (next value, next epoch-µs) backward. An observation
+    landing exactly on a slot sorts BEFORE the slot row (is_obs DESC
+    tie-break), so prev == the slot's own sample and the interpolation
+    weight is exactly 0 — no 0/0 division case exists.
+
+    value_lin4 = v0 + (v1-v0) · (t-t0)/(t1-t0), floor-rounded to 4
+    decimals; every input to the double expression (epoch-µs deltas,
+    raw parquet doubles) is bit-identical across engines, so the
+    oracle hash cannot flip on arithmetic."""
+    obs = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ord_us"),
+        F.lit(1).alias("is_obs"),
+        F.col("value").alias("v"),
+        F.col("event_id").alias("eid"),
+        F.lit(None).cast("long").alias("gs"),
+    )
+    bounds = events.groupBy("user_id").agg(
+        (F.floor(F.unix_timestamp(F.min("ts")) / grid_s) * grid_s).alias("g0"),
+        (F.floor(F.unix_timestamp(F.max("ts")) / grid_s) * grid_s).alias("g1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("g0", "g1", F.lit(grid_s))).alias("gs"),
+    ).select(
+        "user_id",
+        (F.col("gs") * F.lit(1_000_000)).alias("ord_us"),
+        F.lit(0).alias("is_obs"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(-1).cast("long").alias("eid"),
+        "gs",
+    )
+    unioned = obs.unionByName(grid)
+    order = [F.col("ord_us"), F.col("is_obs").desc(), F.col("eid")]
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_us = F.when(F.col("is_obs") == 1, F.col("ord_us"))
+    staged = (
+        unioned.withColumn("v0", F.last("v", ignorenulls=True).over(back))
+        .withColumn("t0", F.last(obs_us, ignorenulls=True).over(back))
+        .withColumn("v1", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("t1", F.first(obs_us, ignorenulls=True).over(fwd))
+    )
+    frac = (F.col("ord_us") - F.col("t0")).cast("double") / (
+        F.col("t1") - F.col("t0")
+    ).cast("double")
+    lin = F.when(
+        F.col("v0").isNotNull() & F.col("v1").isNotNull(),
+        F.when(F.col("ord_us") == F.col("t0"), F.col("v0")).otherwise(
+            F.col("v0") + (F.col("v1") - F.col("v0")) * frac
+        ),
+    )
+    return staged.filter(F.col("is_obs") == 0).select(
+        "user_id",
+        F.date_format(F.timestamp_seconds("gs"), "yyyy-MM-dd HH:mm:ss").alias("slot"),
+        (F.floor(lin * 10000 + F.lit(0.5)) / 10000.0).alias("value_lin4"),
+    )
+
+
 def rolling_hour_avg(events: DataFrame, span_s: int = 3600) -> DataFrame:
     """Per-event trailing average over the preceding hour of the same
     user's events — an event-time RANGE frame on exact epoch seconds.

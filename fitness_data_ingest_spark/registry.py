@@ -22,6 +22,7 @@ from .registry_ext import EXT_QUERIES
 from .registry_pipeline import PIPELINE_QUERIES
 from .registry_r3 import R3_QUERIES
 from .registry_r3b import R3B_QUERIES
+from .registry_r4 import R4_QUERIES
 from .registry_sql4 import SQL4_QUERIES
 from .registry_stream import STREAM_QUERIES
 from .registry_tpch2 import TPCH2_QUERIES
@@ -188,6 +189,13 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "join_asof_forward",
     "corpus_vocab_drift",
     "dedup_threshold_sweep",
+    # round-4 additions — queue BEHIND the whole round-3 backlog (the
+    # 44 never-verified keys MUST clear the round-4 window first; these
+    # take whatever window slots remain and otherwise ride to round 5)
+    "sql_pipe_syntax",
+    "ts_interpolate_linear",
+    "agg_higher_moments",
+    "dedup_minhash_jaccard_est",
 )
 
 
@@ -268,6 +276,7 @@ def all_queries() -> dict[str, QueryDef]:
         R3_QUERIES,
         R3B_QUERIES,
         SQL4_QUERIES,
+        R4_QUERIES,
     ):
         merged.update(family)
     verified = _driver_verified()

@@ -1,0 +1,230 @@
+"""Round-4 additions: Spark 4 SQL pipe syntax, linear time-series
+interpolation, integer-exact higher moments, and the MinHash
+sketch-accuracy audit.
+
+These queue BEHIND the round-3 verification backlog in the driver
+rotation (registry.py _NEXT_ROTATION): the round-4 window is reserved
+for the 44 never-driver-verified keys first; anything here that does
+not fit rides into round 5 automatically.
+
+Reference parity note: the reference repo (pandas/requests ETL) has
+none of these surfaces; they extend the engine along the
+training-data-pipeline axis (SURVEY.md §2 extensions) and the Spark-4
+SQL surface (pipe operators shipped in Spark 4.0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .ext import dedup as D
+from .ops import timeseries as TS
+from .registry_ext import _SQL_DOC_SHINGLES, _sql_sig_cols
+from .registry_util import QueryDef, t
+
+# ------------------------------------------------------ SQL PIPE SYNTAX
+
+
+def _sql_pipe_syntax(spark, sf_dir):
+    """Spark 4 SQL pipe-operator surface (FROM ... |> WHERE |> EXTEND
+    |> AGGREGATE): the q1-shaped pricing summary written as a linear
+    pipeline. Catalyst compiles pipes to the exact same logical plan as
+    the nested form — one scan, partial-aggregated exchange on the two
+    group keys; the oracle is the equivalent ANSI SQL."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_pipe")
+    return spark.sql(
+        """
+FROM li_pipe
+|> WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+|> EXTEND CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+     AS disc_cents
+|> AGGREGATE count(*) AS n, sum(disc_cents) AS revenue_cents,
+       CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty
+   GROUP BY l_returnflag, l_linestatus
+"""
+    )
+
+
+_PIPE_SQL = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# ------------------------------------------------ LINEAR INTERPOLATION
+
+
+def _ts_interpolate_linear(spark, sf_dir):
+    return TS.interpolate_linear(t(spark, sf_dir, "events"))
+
+
+_INTERP_SQL = f"""
+WITH obs AS (SELECT user_id, epoch_us(ts) AS ord_us, 1 AS is_obs, value AS v,
+                    event_id AS eid, CAST(NULL AS BIGINT) AS gs FROM events),
+b AS (SELECT user_id,
+             CAST(floor(epoch(min(ts)) / {TS.GRID_S}) * {TS.GRID_S} AS BIGINT) AS g0,
+             CAST(floor(epoch(max(ts)) / {TS.GRID_S}) * {TS.GRID_S} AS BIGINT) AS g1
+      FROM events GROUP BY user_id),
+grid AS (SELECT user_id, unnest(range(g0, g1 + {TS.GRID_S}, {TS.GRID_S})) AS gs
+         FROM b),
+g2 AS (SELECT user_id, gs * 1000000 AS ord_us, 0 AS is_obs,
+              CAST(NULL AS DOUBLE) AS v, CAST(-1 AS BIGINT) AS eid, gs FROM grid),
+u AS (SELECT * FROM obs UNION ALL SELECT * FROM g2),
+f AS (SELECT *,
+        last_value(v IGNORE NULLS) OVER wb AS v0,
+        last_value(CASE WHEN is_obs = 1 THEN ord_us END IGNORE NULLS)
+          OVER wb AS t0,
+        first_value(v IGNORE NULLS) OVER wf AS v1,
+        first_value(CASE WHEN is_obs = 1 THEN ord_us END IGNORE NULLS)
+          OVER wf AS t1
+      FROM u
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ord_us, is_obs DESC, eid
+                    ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY user_id ORDER BY ord_us, is_obs DESC, eid
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id,
+       strftime(TIMESTAMP '1970-01-01' + gs * INTERVAL 1 SECOND,
+                '%Y-%m-%d %H:%M:%S') AS slot,
+       floor(CASE
+               WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN
+                 CASE WHEN ord_us = t0 THEN v0
+                      ELSE v0 + (v1 - v0) * (CAST(ord_us - t0 AS DOUBLE)
+                                             / CAST(t1 - t0 AS DOUBLE))
+                 END
+             END * 10000 + 0.5) / 10000.0 AS value_lin4
+FROM f WHERE is_obs = 0
+"""
+
+# ---------------------------------------------------- HIGHER MOMENTS
+
+
+def _agg_higher_moments(spark, sf_dir):
+    """Skewness and excess-kurtosis per event type from EXACT integer
+    raw moments: values quantize to whole units (d = floor(v + 0.5),
+    max fixture value 561 → d⁴ ≤ 1e11, so Σd⁴ stays inside int64 up to
+    ~9e6 rows per group; beyond that, swap the four sums to
+    DECIMAL(38,0) — the plan shape is unchanged). All four power sums
+    ride ONE partial-aggregated exchange; the double arithmetic runs
+    only on the per-group scalars afterwards, with the formula written
+    identically here and in the oracle so both engines execute the
+    same IEEE op sequence."""
+    ev = t(spark, sf_dir, "events")
+    d = F.floor(F.col("value") + F.lit(0.5)).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("s1"),
+        F.sum(d * d).alias("s2"),
+        F.sum(d * d * d).alias("s3"),
+        F.sum(d * d * d * d).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    r1 = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - r1 * r1
+    m3 = r3 - 3 * r1 * r2 + 2 * r1 * r1 * r1
+    m4 = r4 - 4 * r1 * r3 + 6 * r1 * r1 * r2 - 3 * r1 * r1 * r1 * r1
+    skew = m3 / (F.sqrt(m2) * m2)
+    kurt = m4 / (m2 * m2) - 3.0
+    r4d = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000.0  # noqa: E731
+    return g.select(
+        "event_type",
+        "n",
+        r4d(r1).alias("mean4"),
+        r4d(m2).alias("var4"),
+        r4d(skew).alias("skew4"),
+        r4d(kurt).alias("kurt4"),
+    )
+
+
+_MOMENTS_SQL = """
+WITH q AS (SELECT event_type, CAST(floor(value + 0.5) AS BIGINT) AS d
+           FROM events),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS s1, CAST(sum(d*d) AS BIGINT) AS s2,
+             CAST(sum(d*d*d) AS BIGINT) AS s3,
+             CAST(sum(d*d*d*d) AS BIGINT) AS s4
+      FROM q GROUP BY event_type),
+m AS (SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS r1,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM g),
+c AS (SELECT event_type, n, r1,
+             r2 - r1*r1 AS m2,
+             r3 - 3*r1*r2 + 2*r1*r1*r1 AS m3,
+             r4 - 4*r1*r3 + 6*r1*r1*r2 - 3*r1*r1*r1*r1 AS m4
+      FROM m)
+SELECT event_type, n,
+       floor(r1 * 10000 + 0.5) / 10000.0 AS mean4,
+       floor(m2 * 10000 + 0.5) / 10000.0 AS var4,
+       floor(m3 / (sqrt(m2) * m2) * 10000 + 0.5) / 10000.0 AS skew4,
+       floor((m4 / (m2 * m2) - 3.0) * 10000 + 0.5) / 10000.0 AS kurt4
+FROM c
+"""
+
+# ------------------------------------------- MINHASH ESTIMATE VS EXACT
+
+
+def _dedup_minhash_jaccard_est(spark, sf_dir):
+    return D.minhash_estimate_vs_exact(
+        t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def _minhash_est_sql() -> str:
+    from .registry_ext import _sql_band_rows
+
+    agree = " + ".join(
+        f"CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END" for i in range(D.MINHASH_K)
+    )
+    return f"""
+WITH {_SQL_DOC_SHINGLES},
+sig AS (SELECT doc_id, {_sql_sig_cols()} FROM sh
+        WHERE len(list_filter(shd, h -> h IS NOT NULL)) > 0),
+bands AS ({_sql_band_rows()}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id),
+p AS (
+  SELECT doc_a, doc_b,
+         CAST(({agree}) AS DOUBLE) / {D.MINHASH_K} AS est,
+         len(list_intersect(sa.shd, sb.shd))::DOUBLE
+           / (len(sa.shd) + len(sb.shd) - len(list_intersect(sa.shd, sb.shd)))
+           AS j
+  FROM cand JOIN sig x ON x.doc_id = cand.doc_a
+            JOIN sig y ON y.doc_id = cand.doc_b
+            JOIN sh sa ON sa.doc_id = cand.doc_a
+            JOIN sh sb ON sb.doc_id = cand.doc_b)
+SELECT doc_a, doc_b,
+       floor(est * 10000 + 0.5) / 10000.0 AS est4,
+       floor(j * 10000 + 0.5) / 10000.0 AS jacc4,
+       floor(abs(est - j) * 10000 + 0.5) / 10000.0 AS err4
+FROM p
+"""
+
+
+R4_QUERIES: dict[str, QueryDef] = {
+    q.name: q
+    for q in (
+        QueryDef("sql_pipe_syntax", _sql_pipe_syntax, _PIPE_SQL, ("sql4",)),
+        QueryDef(
+            "ts_interpolate_linear", _ts_interpolate_linear, _INTERP_SQL, ("ts",)
+        ),
+        QueryDef(
+            "agg_higher_moments", _agg_higher_moments, _MOMENTS_SQL, ("agg",)
+        ),
+        QueryDef(
+            "dedup_minhash_jaccard_est",
+            _dedup_minhash_jaccard_est,
+            _minhash_est_sql(),
+            ("ext",),
+        ),
+    )
+}

@@ -586,3 +586,20 @@ def test_lint_window_spec_parse_is_paren_aware():
     # a genuinely global spec still classifies as one
     (g,) = _window_specs("windowspecdefinition(c#3 ASC NULLS FIRST, specifiedwindowframe(RowFrame, a$(), b$()))")
     assert " ASC" in _split_top_level(g)[0]
+
+
+def test_r4_family_plans(spark, sf_dir):
+    """Round-4 family: no cartesian or nested-loop joins, no
+    partition-less windows anywhere (the interpolation windows are
+    user-partitioned; the pipe aggregate is a plain hash aggregate;
+    the sketch audit joins are all banded equi-joins)."""
+    from fitness_data_ingest_spark.plans import lint_plan
+    from fitness_data_ingest_spark.registry_r4 import R4_QUERIES
+
+    for name, q in R4_QUERIES.items():
+        findings = [
+            f
+            for f in lint_plan(q.spark(spark, sf_dir))
+            if f["severity"] == "high"
+        ]
+        assert findings == [], (name, findings)
