@@ -196,6 +196,8 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "ts_interpolate_linear",
     "agg_higher_moments",
     "dedup_minhash_jaccard_est",
+    "events_markov_stationary",
+    "ts_autocorr",
 )
 
 

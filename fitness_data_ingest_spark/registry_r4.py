@@ -210,6 +210,172 @@ FROM p
 """
 
 
+# ------------------------------------------- MARKOV STATIONARY STATE
+
+MARKOV_ITERS = 8
+MARKOV_UNIT = 1_000_000
+
+
+def _events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain by
+    unrolled integer power iteration — the long-run share of user
+    attention per event type, the forecasting complement of
+    events_transition_matrix.
+
+    Scale shape: ONE events scan builds the (from, to, n, row_n)
+    transition counts (lag window + aggregate — the |types|² table is
+    tiny at any event volume), then every iteration runs on that
+    state-grain table: π_{k+1}(j) = Σ_i (π_k(i)·n_ij) // row_n_i, all
+    int64 (same integer-recurrence discipline as ops/graph.pagerank_int
+    — floor-per-term keeps the sum order-independent, so the oracle
+    hash cannot flip on partial-aggregation order). The fact table is
+    touched exactly once; iterations cost |types|² rows each."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type", 1).over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_n = F.sum("n").over(Window.partitionBy("from_type"))
+    counts = counts.withColumn("row_n", row_n).persist()
+    states = (
+        counts.select(F.col("from_type").alias("state"))
+        .unionByName(counts.select(F.col("to_type").alias("state")))
+        .distinct()
+        .persist()
+    )
+    pi = states.withColumn("pi", F.lit(MARKOV_UNIT).cast("long"))
+    for _ in range(MARKOV_ITERS):
+        contrib = (
+            counts.join(
+                F.broadcast(pi.withColumnRenamed("state", "from_type")),
+                "from_type",
+            )
+            .select(
+                F.col("to_type").alias("state"),
+                F.expr("(pi * n) div row_n").alias("term"),
+            )
+            .groupBy("state")
+            .agg(F.sum("term").alias("pi_new"))
+        )
+        pi = states.join(contrib, "state", "left").select(
+            "state", F.coalesce("pi_new", F.lit(0)).cast("long").alias("pi")
+        )
+    return pi.select(F.col("state").alias("event_type"), F.col("pi").alias("pi_micro"))
+
+
+def _markov_sql() -> str:
+    parts = [
+        """WITH p AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS from_type,
+                  event_type AS to_type
+           FROM events),
+c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n FROM c GROUP BY 1),
+ed AS (SELECT c.from_type, c.to_type, c.n, r.row_n
+       FROM c JOIN r ON c.from_type = r.from_type),
+states AS (SELECT DISTINCT from_type AS state FROM c
+           UNION SELECT DISTINCT to_type FROM c),""",
+        f"pi0 AS (SELECT state, CAST({MARKOV_UNIT} AS BIGINT) AS pi FROM states)",
+    ]
+    for i in range(MARKOV_ITERS):
+        parts.append(
+            f", pi{i + 1} AS (SELECT s.state, CAST(COALESCE(t.p, 0) AS BIGINT)"
+            f" AS pi FROM states s LEFT JOIN"
+            f" (SELECT ed.to_type AS state, SUM((p.pi * ed.n) // ed.row_n) AS p"
+            f"  FROM ed JOIN pi{i} p ON ed.from_type = p.state"
+            f"  GROUP BY ed.to_type) t ON s.state = t.state)"
+        )
+    parts.append(
+        f"SELECT state AS event_type, pi AS pi_micro FROM pi{MARKOV_ITERS}"
+    )
+    return "\n".join(parts)
+
+
+# ------------------------------------------------- LAG AUTOCORRELATION
+
+
+def _ts_autocorr(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of event values in time order —
+    the is-this-series-momentum-or-noise screen. Pearson r over the
+    (v_t, v_{t-1}) pairs from EXACT integer cent sums (six int64 power
+    sums per user, one lag window + one aggregate = one shuffle); the
+    closed-form double arithmetic runs on per-user scalars only,
+    written identically here and in the oracle. Users with < 3 pairs
+    or zero variance on either side are filtered (r undefined)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", c.alias("c0"))
+        .withColumn("c1", F.lag("c0", 1).over(w))
+        .filter(F.col("c1").isNotNull())
+    )
+    g = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c0").alias("sx"),
+        F.sum("c1").alias("sy"),
+        F.sum(F.col("c0") * F.col("c0")).alias("sxx"),
+        F.sum(F.col("c1") * F.col("c1")).alias("syy"),
+        F.sum(F.col("c0") * F.col("c1")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    dx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    dy = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return (
+        g.filter((F.col("n") >= 3) & (dx > 0) & (dy > 0))
+        .select(
+            "user_id",
+            F.col("n").alias("n_pairs"),
+            (F.floor(num / (F.sqrt(dx) * F.sqrt(dy)) * 10000 + F.lit(0.5)) / 10000.0).alias(
+                "acf1_4"
+            ),
+        )
+    )
+
+
+_AUTOCORR_SQL = """
+WITH s AS (SELECT user_id, ts, event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS c0
+           FROM events),
+p AS (SELECT user_id, c0,
+             lag(c0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c1
+      FROM s),
+g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c0) AS BIGINT) AS sx, CAST(sum(c1) AS BIGINT) AS sy,
+             CAST(sum(c0*c0) AS BIGINT) AS sxx,
+             CAST(sum(c1*c1) AS BIGINT) AS syy,
+             CAST(sum(c0*c1) AS BIGINT) AS sxy
+      FROM p WHERE c1 IS NOT NULL GROUP BY user_id),
+d AS (SELECT user_id, n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy
+      FROM g)
+SELECT user_id, n AS n_pairs,
+       floor(num / (sqrt(dx) * sqrt(dy)) * 10000 + 0.5) / 10000.0 AS acf1_4
+FROM d WHERE n >= 3 AND dx > 0 AND dy > 0
+"""
+
+
 R4_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in (
@@ -226,5 +392,12 @@ R4_QUERIES: dict[str, QueryDef] = {
             _minhash_est_sql(),
             ("ext",),
         ),
+        QueryDef(
+            "events_markov_stationary",
+            _events_markov_stationary,
+            _markov_sql(),
+            ("events",),
+        ),
+        QueryDef("ts_autocorr", _ts_autocorr, _AUTOCORR_SQL, ("ts",)),
     )
 }
