@@ -142,11 +142,17 @@ def with_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     long arrays shuffle ~10× lighter than the string shingles, and the
     oracle mirrors the same hashed-set Jaccard exactly.
 
-    Zero-shingle rows (null text, and any degenerate input that yields
-    an empty distinct-hash set) are dropped before signing: signing
-    them would give every such row the identical sentinel signature
-    (see :func:`minhash_signature_array`) and mark every pair of empty
-    docs as an LSH candidate.
+    Zero-shingle rows are dropped before signing: signing them would
+    give every such row the identical sentinel signature (see
+    :func:`minhash_signature_array`) and mark every pair of empty docs
+    as an LSH candidate. A zero-shingle set occurs EXACTLY when the
+    text is null (``shingles`` folds any non-null text — even "" — to
+    at least one shingle, and ``token_hash`` of a non-null shingle is
+    never null), so the guard is a scan-level ``text IS NOT NULL``
+    filter: pushable to parquet and free. Guarding on ``size(shd) > 0``
+    instead measured 4.4× slower at sf0.1 — the filter between
+    projections makes Catalyst evaluate the md5-per-shingle expression
+    twice per row (once for the size check, once for the signature).
     """
     # Signature computation is CPU-heavy per row (md5 per shingle + k
     # permutations); a single small input file would otherwise pin it to
@@ -155,19 +161,12 @@ def with_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
     sh = shingles(tokens(F.col(text_col)))
-    out = df.repartition(n_parts, F.col(id_col)).select(
-        F.col(id_col).alias("doc"), sh.alias("sh")
+    out = (
+        df.filter(F.col(text_col).isNotNull())
+        .repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col).alias("doc"), sh.alias("sh"))
     )
-    # null-text docs hash to [null] (not an EMPTY array) — strip the
-    # nulls first so the size guard actually drops them; token_hash of
-    # any non-null shingle is never null, so this is a no-op otherwise
-    out = out.withColumn(
-        "shd",
-        F.array_distinct(
-            F.filter(token_hashes(F.col("sh")), lambda h: h.isNotNull())
-        ),
-    ).drop("sh")
-    out = out.filter(F.size("shd") > 0)
+    out = out.withColumn("shd", F.array_distinct(token_hashes(F.col("sh")))).drop("sh")
     return out.withColumn("sig", minhash_signature_array(F.col("shd")))
 
 

@@ -215,6 +215,9 @@ def triangle_stats(edges: DataFrame, min_degree: int = 2) -> DataFrame:
             F.struct(F.col("sdeg"), F.col("src")) < F.struct(F.col("ddeg"), F.col("dst"))
         )
         .select("src", "dst", "ddeg")
+        # three self-references below — without a persist Spark rebuilds
+        # the degree joins once per alias (measured 4x at sf0.1)
+        .persist()
     )
     e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
     tri = (

@@ -132,11 +132,14 @@ def interpolate_linear(events: DataFrame, grid_s: int = GRID_S) -> DataFrame:
     frac = (F.col("ord_us") - F.col("t0")).cast("double") / (
         F.col("t1") - F.col("t0")
     ).cast("double")
+    # a slot that coincides with an observation IS that observation —
+    # it needs no following sample (matters at the series tail, where
+    # the last grid slot can land exactly on the last observation)
     lin = F.when(
+        F.col("v0").isNotNull() & (F.col("ord_us") == F.col("t0")), F.col("v0")
+    ).when(
         F.col("v0").isNotNull() & F.col("v1").isNotNull(),
-        F.when(F.col("ord_us") == F.col("t0"), F.col("v0")).otherwise(
-            F.col("v0") + (F.col("v1") - F.col("v0")) * frac
-        ),
+        F.col("v0") + (F.col("v1") - F.col("v0")) * frac,
     )
     return staged.filter(F.col("is_obs") == 0).select(
         "user_id",
@@ -446,4 +449,65 @@ def cusum_alerts(events: DataFrame, h_cents: int = CUSUM_H_CENTS) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("crossing").alias("n_alerts"),
         F.max("s").alias("max_s"),
+    )
+
+
+def isotonic_fit(events: DataFrame) -> DataFrame:
+    """Per-user isotonic regression (pool-adjacent-violators) of the
+    value series in time order — the monotone-trend extractor
+    (calibration curves, dose-response smoothing, cumulative-metric
+    repair). This is the engine's canonical ``applyInPandas`` example:
+    PAVA is an inherently sequential per-key dynamic program that no
+    composition of DataFrame operators expresses, so it runs as a
+    grouped Arrow-batched kernel — one shuffle on user_id, then pure
+    in-memory Python per group (each group is one user's series; the
+    user grain IS the parallelism, the same argument as
+    events_anomaly_mad).
+
+    Exactness: values quantize to integer cents; PAVA pools carry
+    (sum_cents, count) and compare block means by CROSS-MULTIPLICATION
+    (sum_a · n_b >= sum_b · n_a), so the merge sequence is integer-exact
+    and platform-independent; the fitted level divides once at the end
+    (floor 4-decimals). Rows-only at the driver (no SQL oracle exists
+    for a sequential DP); tests/test_graph_merge.py pins the kernel to
+    an independent O(n²) minimax implementation
+    (fitted_i = max_{j<=i} min_{k>=i} mean v[j..k]).
+    """
+    import math
+
+    import pandas as pd
+
+    math_floor = math.floor
+
+    def _pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ord_us", "event_id"])
+        cents = pdf["c"].tolist()
+        # blocks of (sum_cents, count), merged while out of order
+        blocks: list[list[int]] = []
+        for v in cents:
+            blocks.append([v, 1])
+            # pool while previous block mean > current block mean
+            while (
+                len(blocks) > 1
+                and blocks[-2][0] * blocks[-1][1] > blocks[-1][0] * blocks[-2][1]
+            ):
+                s, n = blocks.pop()
+                blocks[-1][0] += s
+                blocks[-1][1] += n
+        fitted = []
+        for s, n in blocks:
+            level = math_floor((s / n) / 100.0 * 10000 + 0.5) / 10000.0
+            fitted.extend([level] * n)
+        out = pdf[["user_id", "event_id"]].copy()
+        out["fitted4"] = fitted
+        return out
+
+    staged = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ord_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    return staged.groupBy("user_id").applyInPandas(
+        _pava, schema="user_id long, event_id long, fitted4 double"
     )

@@ -90,11 +90,10 @@ SELECT user_id,
        strftime(TIMESTAMP '1970-01-01' + gs * INTERVAL 1 SECOND,
                 '%Y-%m-%d %H:%M:%S') AS slot,
        floor(CASE
+               WHEN v0 IS NOT NULL AND ord_us = t0 THEN v0
                WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN
-                 CASE WHEN ord_us = t0 THEN v0
-                      ELSE v0 + (v1 - v0) * (CAST(ord_us - t0 AS DOUBLE)
-                                             / CAST(t1 - t0 AS DOUBLE))
-                 END
+                 v0 + (v1 - v0) * (CAST(ord_us - t0 AS DOUBLE)
+                                   / CAST(t1 - t0 AS DOUBLE))
              END * 10000 + 0.5) / 10000.0 AS value_lin4
 FROM f WHERE is_obs = 0
 """
@@ -399,5 +398,14 @@ R4_QUERIES: dict[str, QueryDef] = {
             ("events",),
         ),
         QueryDef("ts_autocorr", _ts_autocorr, _AUTOCORR_SQL, ("ts",)),
+        QueryDef(
+            "ts_isotonic_fit",
+            lambda spark, sf_dir: TS.isotonic_fit(t(spark, sf_dir, "events")),
+            # rows-only BY DESIGN: PAVA is a sequential per-key dynamic
+            # program with no ANSI-SQL expression; the kernel is pinned
+            # in pytest to an independent O(n²) minimax implementation
+            None,
+            ("ts",),
+        ),
     )
 }

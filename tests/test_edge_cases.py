@@ -194,3 +194,23 @@ def test_minhash_drops_zero_shingle_docs(spark):
     assert {r["doc"] for r in sigs.collect()} == {3}
     out = D.minhash_near_dups(docs, "doc_id", "text", threshold=0.0)
     assert out.count() == 0
+
+
+def test_round4_ops_survive_empty_and_degenerate_inputs(spark):
+    from fitness_data_ingest_spark.ops import timeseries as TS4
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    assert TS4.interpolate_linear(empty).count() == 0
+    assert TS4.isotonic_fit(empty).count() == 0
+    one = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, "view", 2.5)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # single observation: the grid slot at its floor aligns exactly ->
+    # interpolation returns the sample itself, no 0/0
+    rows = TS4.interpolate_linear(one).collect()
+    assert len(rows) == 1 and rows[0]["value_lin4"] == 2.5
+    fit = TS4.isotonic_fit(one).collect()
+    assert len(fit) == 1 and fit[0]["fitted4"] == 2.5

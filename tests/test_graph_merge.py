@@ -208,3 +208,54 @@ def test_triangle_stats_matches_bruteforce_on_random_graph(spark):
         n: (len(adj[n]), want_tri[n]) for n in nodes if len(adj[n]) >= 2
     }
     assert got == want
+
+
+def test_isotonic_fit_matches_minimax_reference(spark):
+    """PAVA (the registered applyInPandas kernel) must equal the
+    independent O(n²) minimax characterization of isotonic regression:
+    fitted_i = max_{j<=i} min_{k>=i} mean(v[j..k]). Also: output is
+    non-decreasing per user and preserves each pooled block's mean."""
+    import math
+    import random
+
+    from fitness_data_ingest_spark.ops.timeseries import isotonic_fit
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for uid in range(4):
+        for i in range(rng.randrange(5, 40)):
+            rows.append(
+                (eid, uid, f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00",
+                 round(rng.uniform(0, 50), 2))
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["user_id"], r["event_id"]): r["fitted4"]
+        for r in isotonic_fit(ev).collect()
+    }
+    by_user: dict[int, list] = {}
+    for eid_, uid, _, v in rows:
+        by_user.setdefault(uid, []).append((eid_, math.floor(v * 100 + 0.5)))
+    for uid, seq in by_user.items():
+        cents = [c for _, c in seq]
+        n = len(cents)
+        prefix = [0]
+        for c in cents:
+            prefix.append(prefix[-1] + c)
+        mean = lambda j, k: (prefix[k + 1] - prefix[j]) / (k - j + 1)  # noqa: E731
+        fitted_ref = []
+        for i in range(n):
+            best = -float("inf")
+            for j in range(i + 1):
+                m = min(mean(j, k) for k in range(i, n))
+                best = max(best, m)
+            fitted_ref.append(math.floor(best / 100.0 * 10000 + 0.5) / 10000.0)
+        prev = -float("inf")
+        for idx, (eid_, _) in enumerate(seq):
+            assert got[(uid, eid_)] == fitted_ref[idx], (uid, eid_)
+            assert got[(uid, eid_)] >= prev
+            prev = got[(uid, eid_)]
