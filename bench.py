@@ -233,6 +233,14 @@ def main() -> None:
     for name in headline:
         best = float("inf")
         runs = 0
+        # settle the JVM between queries: a full-registry session
+        # accumulates GC debt from the heavy pair-generating queries,
+        # and without this the NEXT query's min-of-N absorbs the pause
+        # (measured: events_funnel 2.4 s mid-bench vs 0.67 s isolated)
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         while True:
             # drop persisted intermediates: Spark's cache manager matches
             # canonicalized plans, so a repeat run would otherwise reuse
@@ -272,11 +280,25 @@ def main() -> None:
             and prev["queries"][name] > 0
         }
         out["vs_prev"] = vs_prev
-        regressions = sorted(n for n, r in vs_prev.items() if r > 1.5)
+        # Box-weather normalization: records come from different
+        # sessions on a shared box, and the WHOLE distribution drifts
+        # 0.7-1.6x between recordings (measured round over round). A
+        # plan regression is a query slower than the round's own drift,
+        # so flag ratio > 1.5 x the median ratio; the raw ratios stay
+        # in vs_prev for inspection either way.
+        ratios = sorted(vs_prev.values())
+        med = ratios[len(ratios) // 2] if ratios else 1.0
+        out["vs_prev_median"] = med
+        regressions = sorted(
+            n for n, r in vs_prev.items() if r > 1.5 * max(med, 0.667)
+        )
         out["regressions"] = regressions
         if regressions:
-            print(f"WARN: >1.5x regressions vs previous round: {regressions}",
-                  file=sys.stderr)
+            print(
+                f"WARN: regressions beyond 1.5x the round's median drift "
+                f"({med}): {regressions}",
+                file=sys.stderr,
+            )
 
     # Full record (incl. vs_prev/regressions) goes to BENCH_LATEST.json;
     # stdout gets the compact line.

@@ -199,28 +199,54 @@ def repetition_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Pure JVM array expressions — scan-speed, no shuffle, same plan
     family as quality_score.
+
+    Each expensive array expression is evaluated ONCE per row: HOF
+    lambdas (transform/aggregate) are ineligible for whole-stage
+    codegen's subexpression elimination, so the earlier single-select
+    form that referenced the 2-gram array from four output columns
+    re-built the array four times per row (measured 8.4 s → 1.4 s at
+    sf0.1). The 2-gram COUNT never needs the array at all
+    (n_2grams = n_toks - 1 for n_toks ≥ 2, else 0); only the distinct
+    count touches it, and the derived fractions run on the per-row
+    scalars in a second projection that CollapseProject keeps separate
+    (non-cheap columns referenced more than once are not inlined).
     """
-    toks = tokens(F.col(text_col))
-    grams = word_2grams(toks)
-    n_grams = F.size(grams)
-    n_distinct = F.size(F.array_distinct(grams))
-    dup_frac = F.when(
-        n_grams > 0, (n_grams - n_distinct).cast("double") / n_grams
-    ).otherwise(F.lit(0.0))
-    word_lens = F.transform(toks, F.length)
-    mean_len = F.when(
-        F.size(toks) > 0,
-        F.aggregate(word_lens, F.lit(0).cast("long"), lambda a, x: a + x).cast(
-            "double"
-        )
-        / F.size(toks),
-    ).otherwise(F.lit(0.0))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        n_grams.alias("n_2grams"),
-        n_distinct.alias("n_distinct_2grams"),
-        (F.floor(dup_frac * 10000 + 0.5) / 10000.0).alias("dup_2gram_frac4"),
+    # spread the per-row array CPU across the cluster BEFORE the
+    # projection (the with_minhash discipline): a single input file
+    # would otherwise pin the whole scan-side compute to one task
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    ).repartition(n_parts, F.col("doc_id"))
+    staged = staged.select("doc_id", tokens(F.col("_t")).alias("toks"))
+    grams = word_2grams(F.col("toks"))
+    word_lens = F.transform(F.col("toks"), F.length)
+    n_toks = F.size("toks")
+    s1 = staged.select(
+        "doc_id",
+        F.when(n_toks >= 2, n_toks - 1).otherwise(F.lit(0)).alias("n_2grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_2grams"),
         F.array_max(word_lens).alias("max_word_len"),
+        F.aggregate(word_lens, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "sum_len"
+        ),
+        n_toks.alias("n_toks"),
+    )
+    dup_frac = F.when(
+        F.col("n_2grams") > 0,
+        (F.col("n_2grams") - F.col("n_distinct_2grams")).cast("double")
+        / F.col("n_2grams"),
+    ).otherwise(F.lit(0.0))
+    mean_len = F.when(
+        F.col("n_toks") > 0,
+        F.col("sum_len").cast("double") / F.col("n_toks"),
+    ).otherwise(F.lit(0.0))
+    return s1.select(
+        "doc_id",
+        "n_2grams",
+        "n_distinct_2grams",
+        (F.floor(dup_frac * 10000 + 0.5) / 10000.0).alias("dup_2gram_frac4"),
+        "max_word_len",
         (F.floor(mean_len * 10000 + 0.5) / 10000.0).alias("mean_word_len4"),
     )
 
@@ -260,14 +286,22 @@ def benchmark_overlap(
     Scale: the benchmark shingle SET is tiny relative to the corpus
     (eval suites are small) — it broadcasts; the corpus side explodes
     its shingles once and equi-joins on the 64-bit hash. Cost is one
-    corpus scan, no shuffle of corpus data.
+    corpus scan, no shuffle of corpus data beyond the initial
+    parallelism spread (the with_minhash discipline — md5-per-shingle
+    is CPU-bound and a single input file would pin it to one task;
+    measured 3x at sf0.1).
     """
     from .. import ext  # local import to avoid a cycle at module load
 
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
     shingle_hashes = ext.dedup.shingle_hashes
-    doc_sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingle_hashes(F.col(text_col)))).alias("s"),
+    doc_sh = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .repartition(n_parts, F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingle_hashes(F.col("_t")))).alias("s"),
+        )
     )
     bench_sh = benchmark.select(
         F.explode(F.array_distinct(shingle_hashes(F.col(text_col)))).alias("s")

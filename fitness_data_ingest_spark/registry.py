@@ -227,6 +227,14 @@ _FORCE_REVERIFY: dict[str, int] = {
     # consumers re-enter the window once more.
     "dedup_minhash_lsh": 3,
     "dedup_clusters": 3,
+    # round 4: first-ever bench of the non-headline tail showed both
+    # text keys pinned to ONE task (no parallelism spread before the
+    # md5/array CPU) — repetition additionally re-built the 2-gram
+    # array 4x per row (HOF lambdas are not subexpression-eliminated).
+    # Both rewritten (repartition spread + single-evaluation shape);
+    # output identical, plans changed -> re-verify.
+    "text_repetition": 3,
+    "text_decontaminate": 3,
 }
 
 
