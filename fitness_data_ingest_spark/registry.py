@@ -235,6 +235,7 @@ _FORCE_REVERIFY: dict[str, int] = {
     # output identical, plans changed -> re-verify.
     "text_repetition": 3,
     "text_decontaminate": 3,
+    "text_bigram_topk": 3,
 }
 
 
