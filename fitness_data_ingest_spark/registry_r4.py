@@ -209,6 +209,102 @@ FROM p
 """
 
 
+# -------------------------------------------- GRAM POWER ITERATION
+
+POWER_ITERS = 6
+POWER_UNIT = 1_000_000
+POWER_SCALE = 1_000
+
+
+def _embed_power_iteration(spark, sf_dir):
+    """Dominant eigenvector of the embedding Gram matrix by unrolled
+    integer power iteration — the first principal direction of the
+    corpus embedding cloud (the PCA-lite drift/structure probe), with
+    every arithmetic step exact int64 so the oracle hash cannot flip.
+
+    Scale shape: components quantize to 1e-3 integers; the Gram build
+    is ONE self-equi-join on vec_id (each vector meets only itself —
+    fan-out is exactly 64² per row) + one (i, j)-grain aggregate, so
+    the output is a fixed 64×64 = 4096-row table no matter how many
+    vectors stream through; every one of the 6 iterations runs on that
+    4096-row table (broadcast x, one aggregate, 1-row max broadcast).
+    Renormalization divides |y| by (max|y| div 1e6) with the sign
+    split out explicitly: both operands are then non-negative, where
+    Spark's truncating ``div`` and DuckDB's flooring ``//`` agree."""
+    emb = t(spark, sf_dir, "embeddings")
+    s = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * POWER_SCALE + 0.5).cast("long"),
+    )
+    flat = emb.select("vec_id", F.posexplode(s).alias("i", "si"))
+    a, b = flat.alias("a"), flat.alias("b")
+    gram = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.sum(F.col("a.si") * F.col("b.si")).alias("g"))
+        .persist()
+    )
+    x = (
+        gram.select(F.col("i").alias("dim"))
+        .distinct()
+        .withColumn("x", F.lit(POWER_UNIT).cast("long"))
+    )
+    for _ in range(POWER_ITERS):
+        y = (
+            gram.join(
+                F.broadcast(
+                    x.select(F.col("dim").alias("j"), F.col("x").alias("xj"))
+                ),
+                "j",
+            )
+            .groupBy(F.col("i").alias("dim"))
+            .agg(F.sum(F.col("g") * F.col("xj")).alias("y"))
+            # y is consumed TWICE per iteration (the 1-row max AND the
+            # renormalized values); without truncation each iteration
+            # re-derives the whole prior chain for both consumers —
+            # 2^iters evaluations (measured 32 s; with the 64-row
+            # checkpoint, sub-second). Same discipline as pagerank_int.
+            .localCheckpoint()
+        )
+        m = y.agg(F.greatest(F.max(F.abs(F.col("y"))), F.lit(1).cast("long")).alias("mx"))
+        mag = F.expr(f"abs(y) div greatest(mx div {POWER_UNIT}, 1)")
+        x = y.crossJoin(F.broadcast(m)).select(
+            "dim",
+            F.when(F.col("y") >= 0, mag).otherwise(-mag).cast("long").alias("x"),
+        )
+    return x.select("dim", F.col("x").alias("eig_micro"))
+
+
+def _power_sql() -> str:
+    flat = (
+        "flat AS (SELECT vec_id, (u.p).i AS i, (u.p).s AS si FROM embeddings,"
+        " LATERAL unnest(list_transform(range(1, len(embedding) + 1),"
+        " k -> {'i': k - 1, 's': CAST(floor(embedding[k]::DOUBLE * "
+        f"{POWER_SCALE} + 0.5) AS BIGINT)}})) AS u(p))"
+    )
+    parts = [
+        "WITH " + flat + ",",
+        "gram AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.si * b.si) AS BIGINT)"
+        " AS g FROM flat a JOIN flat b ON a.vec_id = b.vec_id"
+        " GROUP BY a.i, b.i),",
+        "dims AS (SELECT DISTINCT i AS dim FROM flat),",
+        f"x0 AS (SELECT dim, CAST({POWER_UNIT} AS BIGINT) AS x FROM dims)",
+    ]
+    for k in range(POWER_ITERS):
+        parts.append(
+            f", y{k} AS (SELECT g.i AS dim, CAST(SUM(g.g * x.x) AS BIGINT) AS y"
+            f" FROM gram g JOIN x{k} x ON g.j = x.dim GROUP BY g.i)"
+            f", m{k} AS (SELECT CAST(GREATEST(MAX(ABS(y)), 1) AS BIGINT) AS mx"
+            f" FROM y{k})"
+            f", x{k + 1} AS (SELECT dim, CAST(CASE WHEN y >= 0"
+            f" THEN ABS(y) // GREATEST(mx // {POWER_UNIT}, 1)"
+            f" ELSE -(ABS(y) // GREATEST(mx // {POWER_UNIT}, 1)) END AS BIGINT)"
+            f" AS x FROM y{k}, m{k})"
+        )
+    parts.append(f"SELECT dim, x AS eig_micro FROM x{POWER_ITERS}")
+    return "\n".join(parts)
+
+
 # ------------------------------------------- MARKOV STATIONARY STATE
 
 MARKOV_ITERS = 8
@@ -398,6 +494,12 @@ R4_QUERIES: dict[str, QueryDef] = {
             ("events",),
         ),
         QueryDef("ts_autocorr", _ts_autocorr, _AUTOCORR_SQL, ("ts",)),
+        QueryDef(
+            "embed_power_iteration",
+            _embed_power_iteration,
+            _power_sql(),
+            ("ext",),
+        ),
         QueryDef(
             "ts_isotonic_fit",
             lambda spark, sf_dir: TS.isotonic_fit(t(spark, sf_dir, "events")),

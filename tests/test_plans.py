@@ -592,14 +592,21 @@ def test_r4_family_plans(spark, sf_dir):
     """Round-4 family: no cartesian or nested-loop joins, no
     partition-less windows anywhere (the interpolation windows are
     user-partitioned; the pipe aggregate is a plain hash aggregate;
-    the sketch audit joins are all banded equi-joins)."""
+    the sketch audit joins are all banded equi-joins). The one
+    sanctioned nested-loop is embed_power_iteration's 1-row max
+    broadcast per renormalization step (the q14/q22 scalar-attach
+    shape — constant build side at any data scale)."""
     from fitness_data_ingest_spark.plans import lint_plan
     from fitness_data_ingest_spark.registry_r4 import R4_QUERIES
 
+    bounded_bcast_ok = {"embed_power_iteration"}
     for name, q in R4_QUERIES.items():
         findings = [
             f
-            for f in lint_plan(q.spark(spark, sf_dir))
+            for f in lint_plan(
+                q.spark(spark, sf_dir),
+                allow_nested_loop=name in bounded_bcast_ok,
+            )
             if f["severity"] == "high"
         ]
         assert findings == [], (name, findings)
