@@ -467,6 +467,63 @@ def resize_ppm(media_df: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+def resize_image(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Format-sniffing image resize: PPM (P6) and PNG (8-bit RGB)
+    payloads are decoded with the pure-stdlib parsers, nearest-neighbor
+    resampled via numpy fancy indexing, and re-encoded in their
+    ORIGINAL format. Anything else passes through with a null output
+    payload (the decode_media poison-payload policy). Arrow-batched
+    ``mapInPandas``, zero shuffle — payloads never leave their input
+    partition."""
+    import numpy as np
+
+    def _nn(px: bytes, w0: int, h0: int) -> bytes:
+        img = np.frombuffer(px, dtype=np.uint8).reshape(h0, w0, 3)
+        ys = (np.arange(height) * h0) // height
+        xs = (np.arange(width) * w0) // width
+        return img[ys][:, xs].tobytes()
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                png = parse_png(b)
+                if png is not None:
+                    px = decode_png_pixels(b)
+                    if px is None:
+                        out.append((mid, None, None, None, None))
+                        continue
+                    resized = _nn(px, png["width"], png["height"])
+                    out.append(
+                        (mid, "image/png", encode_png(width, height, resized),
+                         width, height)
+                    )
+                    continue
+                ppm = parse_ppm(b)
+                if ppm is not None and ppm["maxval"] <= 255:
+                    w0, h0, off = ppm["width"], ppm["height"], ppm["pixel_offset"]
+                    need = w0 * h0 * 3
+                    if len(b) - off < need:
+                        out.append((mid, None, None, None, None))
+                        continue
+                    resized = _nn(b[off : off + need], w0, h0)
+                    out.append(
+                        (mid, "image/x-portable-pixmap",
+                         encode_ppm_p6(width, height, resized), width, height)
+                    )
+                    continue
+                out.append((mid, None, None, None, None))
+            yield pd.DataFrame(
+                out, columns=["media_id", "mime", "payload", "width", "height"]
+            )
+
+    return media_df.mapInPandas(
+        _resize,
+        schema="media_id long, mime string, payload binary, width int, height int",
+    )
+
+
 def decode_stub(media_df: DataFrame) -> DataFrame:
     """Contract for the compressed-codec decoder (JPEG/MP3/H.264 need
     PIL/ffmpeg — not installed; WAV/PPM are really decoded by

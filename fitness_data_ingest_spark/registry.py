@@ -198,6 +198,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "dedup_minhash_jaccard_est",
     "events_markov_stationary",
     "ts_autocorr",
+    "events_attribution_last_touch",
     "embed_power_iteration",
     "ts_isotonic_fit",
 )

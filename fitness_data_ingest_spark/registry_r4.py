@@ -393,6 +393,67 @@ states AS (SELECT DISTINCT from_type AS state FROM c
     return "\n".join(parts)
 
 
+# ---------------------------------------------- LAST-TOUCH ATTRIBUTION
+
+
+def _events_attribution_last_touch(spark, sf_dir):
+    """Marketing-style last-touch attribution: every purchase event is
+    credited to the user's most recent click STRICTLY before it (ties
+    at the same timestamp resolve by event_id order), with the
+    click-to-purchase latency in whole seconds. One keyed window pass
+    over the user stream — the conditional last(...ignorenulls) over a
+    rows-to-previous frame carries the last click forward, so the
+    operator costs exactly one shuffle at any event volume (no
+    self-join of purchases against clicks)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    click_us = F.last(
+        F.when(F.col("event_type") == "click", F.unix_micros("ts")),
+        ignorenulls=True,
+    ).over(w)
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("p_us"),
+        click_id.alias("click_id"),
+        click_us.alias("click_us"),
+    ).filter(F.col("event_type") == "purchase")
+    return staged.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "click_id",
+        F.floor((F.col("p_us") - F.col("click_us")) / 1_000_000)
+        .cast("long")
+        .alias("delta_s"),
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS p_us,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS) OVER w AS click_id,
+         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                    IGNORE NULLS) OVER w AS click_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT user_id, event_id AS purchase_id, click_id,
+       CAST(floor((p_us - click_us) / 1000000) AS BIGINT) AS delta_s
+FROM s WHERE event_type = 'purchase'
+"""
+
+
 # ------------------------------------------------- LAG AUTOCORRELATION
 
 
@@ -494,6 +555,12 @@ R4_QUERIES: dict[str, QueryDef] = {
             ("events",),
         ),
         QueryDef("ts_autocorr", _ts_autocorr, _AUTOCORR_SQL, ("ts",)),
+        QueryDef(
+            "events_attribution_last_touch",
+            _events_attribution_last_touch,
+            _ATTRIBUTION_SQL,
+            ("events",),
+        ),
         QueryDef(
             "embed_power_iteration",
             _embed_power_iteration,

@@ -307,3 +307,49 @@ def test_decode_media_recovers_png_metadata(spark, sf_dir):
             want.append((seed >> 33) % 256)
         assert px == bytes(want)
     assert n_png > 0
+
+
+def test_resize_image_handles_png_and_ppm(spark, sf_dir):
+    """Unified resize decodes PNG and PPM, resamples nearest-neighbor,
+    and re-encodes in the ORIGINAL format; pixel content must equal the
+    PPM-path resize of identical pixels (decode->resize->encode loop is
+    lossless either way). WAV payloads emit nulls."""
+    from fitness_data_ingest_spark.registry_util import t
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n_chars"))
+        .limit(40)
+    )
+    media = MM.synthesize_media(docs, png_mod4=True)
+    out = {r["media_id"]: r for r in MM.resize_image(media, 7, 5).collect()}
+    n_png = n_ppm = 0
+    for mid, r in out.items():
+        if mid % 2 == 0:  # WAV
+            assert r["payload"] is None
+            continue
+        assert r["width"] == 7 and r["height"] == 5
+        if mid % 4 == 3:
+            n_png += 1
+            assert r["mime"] == "image/png"
+            px = MM.decode_png_pixels(bytes(r["payload"]))
+            assert px is not None and len(px) == 7 * 5 * 3
+        else:
+            n_ppm += 1
+            assert r["mime"] == "image/x-portable-pixmap"
+            meta = MM.parse_ppm(bytes(r["payload"]))
+            assert meta["width"] == 7 and meta["height"] == 5
+    assert n_png > 0 and n_ppm > 0
+    # cross-format agreement: resizing the same pixels through PNG and
+    # PPM containers yields identical RGB bytes
+    pix = bytes(range(48)) + bytes(range(48, 96))  # 8x4 RGB
+    png_b = MM.encode_png(8, 4, pix)
+    ppm_b = MM.encode_ppm_p6(8, 4, pix)
+    two = spark.createDataFrame(
+        [(1, png_b), (2, ppm_b)], "media_id long, payload binary"
+    )
+    rs = {r["media_id"]: bytes(r["payload"]) for r in MM.resize_image(two, 3, 2).collect()}
+    png_px = MM.decode_png_pixels(rs[1])
+    ppm_meta = MM.parse_ppm(rs[2])
+    ppm_px = rs[2][ppm_meta["pixel_offset"] : ppm_meta["pixel_offset"] + 3 * 2 * 3]
+    assert png_px == ppm_px
