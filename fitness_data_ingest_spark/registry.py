@@ -200,6 +200,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "ts_autocorr",
     "events_attribution_last_touch",
     "embed_power_iteration",
+    "corpus_bpe_merges",
     "ts_isotonic_fit",
 )
 

@@ -393,6 +393,117 @@ states AS (SELECT DISTINCT from_type AS state FROM c
     return "\n".join(parts)
 
 
+# ----------------------------------------------------- BPE MERGE TRAIN
+
+BPE_MERGES = 3
+
+
+def _corpus_bpe_merges(spark, sf_dir):
+    """The first ``BPE_MERGES`` byte-pair-encoding training merges over
+    the corpus — the tokenizer-training primitive itself, not a proxy:
+    count adjacent symbol pairs weighted by word frequency, take the
+    most frequent pair (ties by pair text — the deterministic variant
+    of the classic algorithm), merge it everywhere (left-to-right
+    non-overlapping, the semantics ``replace`` has in both engines),
+    recount, repeat.
+
+    Scale shape: ONE corpus-wide token explode + groupBy produces the
+    word-frequency table, and every merge iteration runs on THAT table
+    (vocabulary-grain, tiny by Heaps' law relative to the corpus); the
+    top pair is an orderBy().limit(1) — a distributed
+    TakeOrderedAndProject — broadcast back as a 1-row scalar. Each
+    iteration's sequence table is localCheckpointed: the top-pair and
+    the merged-sequence branches both consume it, and without
+    truncation the lineage re-derives the corpus explode 2^k times."""
+    from .ext.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    words = (
+        docs.select(F.col("text").alias("_t"))
+        .repartition(n_parts)
+        .select(F.explode(tokens(F.col("_t"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seq = words.select(
+        F.expr(
+            "array_join(transform(sequence(1, length(word)),"
+            " i -> substr(word, i, 1)), ' ')"
+        ).alias("seq"),
+        "n",
+    ).localCheckpoint()
+    picks = []
+    for k in range(1, BPE_MERGES + 1):
+        toks = F.split(F.col("seq"), " ")
+        grams = F.expr(
+            "transform(sequence(1, size(split(seq, ' ')) - 1),"
+            " i -> concat(split(seq, ' ')[i - 1], ' ', split(seq, ' ')[i]))"
+        )
+        pairs = (
+            seq.filter(F.size(toks) >= 2)
+            .select("n", F.explode(grams).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top1 = pairs.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1)
+        picks.append(
+            top1.select(
+                F.lit(k).alias("merge_rank"), "pair", F.col("cnt").alias("cnt")
+            )
+        )
+        seq = (
+            seq.crossJoin(
+                F.broadcast(
+                    top1.select(
+                        F.col("pair").alias("_p"),
+                        F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("_m"),
+                    )
+                )
+            )
+            .select(
+                F.replace(F.col("seq"), F.col("_p"), F.col("_m")).alias("seq"),
+                "n",
+            )
+            .localCheckpoint()
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _bpe_sql() -> str:
+    parts = [
+        """WITH w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS word FROM documents)
+  GROUP BY word),
+s0 AS (SELECT array_to_string(list_transform(range(1, len(word) + 1),
+                                             i -> word[i]), ' ') AS seq, n
+       FROM w0)"""
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        parts.append(
+            f""", p{k} AS (
+  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT n, unnest(list_transform(range(1, len(string_split(seq, ' '))),
+                 i -> string_split(seq, ' ')[i] || ' '
+                      || string_split(seq, ' ')[i + 1])) AS pair
+        FROM s{k - 1} WHERE len(string_split(seq, ' ')) >= 2)
+  GROUP BY pair),
+t{k} AS (SELECT pair, cnt FROM p{k} ORDER BY cnt DESC, pair ASC LIMIT 1),
+s{k} AS (SELECT replace(s.seq, t.pair, replace(t.pair, ' ', '')) AS seq, s.n
+         FROM s{k - 1} s, t{k} t)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INTEGER) AS merge_rank, pair, cnt FROM t{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return "\n".join(parts) + "\n" + sel
+
+
 # ---------------------------------------------- LAST-TOUCH ATTRIBUTION
 
 
@@ -555,6 +666,9 @@ R4_QUERIES: dict[str, QueryDef] = {
             ("events",),
         ),
         QueryDef("ts_autocorr", _ts_autocorr, _AUTOCORR_SQL, ("ts",)),
+        QueryDef(
+            "corpus_bpe_merges", _corpus_bpe_merges, _bpe_sql(), ("corpus",)
+        ),
         QueryDef(
             "events_attribution_last_touch",
             _events_attribution_last_touch,

@@ -599,7 +599,7 @@ def test_r4_family_plans(spark, sf_dir):
     from fitness_data_ingest_spark.plans import lint_plan
     from fitness_data_ingest_spark.registry_r4 import R4_QUERIES
 
-    bounded_bcast_ok = {"embed_power_iteration"}
+    bounded_bcast_ok = {"embed_power_iteration", "corpus_bpe_merges"}
     for name, q in R4_QUERIES.items():
         findings = [
             f
