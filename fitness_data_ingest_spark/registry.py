@@ -201,6 +201,8 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "events_attribution_last_touch",
     "embed_power_iteration",
     "corpus_bpe_merges",
+    "dim_asof_lookup",
+    "dedup_survivorship",
     "ts_isotonic_fit",
 )
 

@@ -393,6 +393,139 @@ states AS (SELECT DISTINCT from_type AS state FROM c
     return "\n".join(parts)
 
 
+# -------------------------------------------- SCD2 AS-OF DIMENSION JOIN
+
+
+def _dim_asof_lookup(spark, sf_dir):
+    """The temporal-warehouse lookup: join each order to the customer
+    DIMENSION VERSION valid at its order date. Dimension versions are
+    synthesized deterministically from the customer snapshot (every
+    customer has version 1 from the epoch; customers with
+    c_custkey % 3 == 0 get a version 2 with +500 balance effective
+    1998-07-01), so the query needs no second fixture table.
+
+    Plan shape: versions-per-key is bounded (2 here; rarely more than
+    dozens in real SCD2 tables), so the lookup is a plain equi-join on
+    the customer key with the validity predicate as a post-join filter
+    — fan-out is versions-per-key, never a range blowup; the dimension
+    side broadcasts when small. This is the dimension-side complement
+    of join_asof (which matches on ORDERED event time without validity
+    intervals)."""
+    cust = t(spark, sf_dir, "customer")
+    cut = "1998-07-01 00:00:00"
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.lit(cut).cast("timestamp")
+        )
+        .otherwise(F.lit("9999-01-01 00:00:00").cast("timestamp"))
+        .alias("valid_to"),
+        F.lit(1).alias("version"),
+    )
+    v2 = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 500.0).alias("bal"),
+            F.lit(cut).cast("timestamp").alias("valid_from"),
+            F.lit("9999-01-01 00:00:00").cast("timestamp").alias("valid_to"),
+            F.lit(2).alias("version"),
+        )
+    )
+    dim = v1.unionByName(v2)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    j = orders.join(
+        F.broadcast(dim), orders.o_custkey == dim.c_custkey
+    ).filter(
+        (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("o_orderdate") < F.col("valid_to"))
+    )
+    from .registry_util import round2
+
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        "version",
+        round2(F.col("bal")).alias("bal2"),
+    )
+
+
+_DIM_ASOF_SQL = """
+WITH dim AS (
+  SELECT c_custkey, c_acctbal AS bal,
+         TIMESTAMP '1970-01-01 00:00:00' AS valid_from,
+         CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '1998-07-01 00:00:00'
+              ELSE TIMESTAMP '9999-01-01 00:00:00' END AS valid_to,
+         1 AS version
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 500.0 AS bal,
+         TIMESTAMP '1998-07-01 00:00:00' AS valid_from,
+         TIMESTAMP '9999-01-01 00:00:00' AS valid_to,
+         2 AS version
+  FROM customer WHERE c_custkey % 3 = 0)
+SELECT o_orderkey, o_custkey, version,
+       floor(bal * 100 + 0.5) / 100.0 AS bal2
+FROM orders JOIN dim ON o_custkey = c_custkey
+WHERE o_orderdate >= valid_from AND o_orderdate < valid_to
+"""
+
+
+# ------------------------------------------------ DEDUP SURVIVORSHIP
+
+
+def _dedup_survivorship(spark, sf_dir):
+    """The APPLY step of near-dup dedup: for every cluster from the
+    MinHash-LSH + connected-components pipeline, elect the canonical
+    survivor (longest text, ties to the smallest doc_id) and emit the
+    (doc -> keeper) mapping with a keep flag — the table a 100 TB
+    curation job anti-joins against to drop duplicates while keeping
+    one representative.
+
+    The election is an aggregate argmax — ``max(struct(n_chars,
+    -doc_id))`` per cluster — never a window over the clustered docs;
+    cluster membership comes from the same bucketed pipeline
+    dedup_clusters verifies."""
+    from .ext.dedup import dedup_clusters
+
+    docs = t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(docs, "doc_id", "text", 0.5)
+    sized = clusters.join(docs.select("doc_id", "n_chars"), clusters.doc == docs.doc_id)
+    keeper = (
+        sized.groupBy("cluster")
+        .agg(F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))).alias("k"))
+        .select("cluster", (-F.col("k.neg")).alias("keeper"))
+    )
+    return (
+        clusters.join(keeper, "cluster")
+        .select(
+            "doc",
+            "cluster",
+            "keeper",
+            (F.col("doc") == F.col("keeper")).alias("keep"),
+        )
+    )
+
+
+def _survivorship_sql() -> str:
+    from .registry_ext import _dedup_clusters_sql
+
+    return f"""
+WITH cl AS ({_dedup_clusters_sql().strip()}),
+sized AS (SELECT cl.doc, cl.cluster, d.n_chars
+          FROM cl JOIN documents d ON d.doc_id = cl.doc),
+k AS (SELECT cluster,
+             -(max(struct_pack(a := n_chars, b := -doc)).b) AS keeper
+      FROM sized GROUP BY cluster)
+SELECT cl.doc, cl.cluster, k.keeper, cl.doc = k.keeper AS keep
+FROM cl JOIN k ON cl.cluster = k.cluster
+"""
+
+
 # ----------------------------------------------------- BPE MERGE TRAIN
 
 BPE_MERGES = 3
@@ -668,6 +801,15 @@ R4_QUERIES: dict[str, QueryDef] = {
         QueryDef("ts_autocorr", _ts_autocorr, _AUTOCORR_SQL, ("ts",)),
         QueryDef(
             "corpus_bpe_merges", _corpus_bpe_merges, _bpe_sql(), ("corpus",)
+        ),
+        QueryDef(
+            "dim_asof_lookup", _dim_asof_lookup, _DIM_ASOF_SQL, ("incremental",)
+        ),
+        QueryDef(
+            "dedup_survivorship",
+            _dedup_survivorship,
+            _survivorship_sql(),
+            ("ext",),
         ),
         QueryDef(
             "events_attribution_last_touch",
