@@ -214,3 +214,80 @@ def test_round4_ops_survive_empty_and_degenerate_inputs(spark):
     assert len(rows) == 1 and rows[0]["value_lin4"] == 2.5
     fit = TS4.isotonic_fit(one).collect()
     assert len(fit) == 1 and fit[0]["fitted4"] == 2.5
+
+
+def test_attribution_handles_no_prior_click(spark):
+    from pyspark.sql import Window
+
+    # purchase before any click -> null credit; click at same ts with
+    # LOWER event_id counts as strictly-before (event_id tiebreak)
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "purchase", 1.0),
+        (2, "2024-01-01 00:10:00", 7, "click", 1.0),
+        (3, "2024-01-01 00:20:00", 7, "purchase", 1.0),
+        (4, "2024-01-01 00:20:00", 7, "click", 1.0),  # ties AFTER eid 3
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    got = {
+        r["event_id"]: r["cid"]
+        for r in ev.select("event_id", "event_type", click_id.alias("cid"))
+        .filter(F.col("event_type") == "purchase")
+        .collect()
+    }
+    assert got[1] is None  # no prior click
+    assert got[3] == 2  # same-ts click with higher eid NOT counted
+
+
+def test_bpe_merges_empty_and_single_char_corpus(spark):
+    from fitness_data_ingest_spark import registry_r4 as R4
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y y")], "doc_id long, source string, text string"
+    )
+    # single-char words have no pairs; the operator must not crash.
+    # Drive it through the registry callable with a temp-dir fixture.
+    import os
+    import tempfile
+    d = tempfile.mkdtemp()
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text")
+    ).select("doc_id", "text", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    out = R4._corpus_bpe_merges(spark, d).collect()
+    # only 'y y' contributes pairs? no: pairs are WITHIN words (chars);
+    # 'x' and 'y' are single-char -> zero pairs -> empty result
+    assert out == []
+
+
+def test_dim_asof_lookup_boundary_dates(spark):
+    """An order exactly AT the version-2 cutover belongs to version 2
+    (valid_from inclusive, valid_to exclusive)."""
+    from fitness_data_ingest_spark import registry_r4 as R4
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    cust = spark.createDataFrame([(3, "c3", 10.0)], "c_custkey long, c_name string, c_acctbal double")
+    cust.write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    orders = spark.createDataFrame(
+        [(1, 3, "1998-07-01 00:00:00"), (2, 3, "1998-06-30 23:59:59")],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    orders.withColumn("o_orderstatus", F.lit("O")).withColumn(
+        "o_totalprice", F.lit(1.0)
+    ).withColumn("o_orderpriority", F.lit("1")).write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    got = {r["o_orderkey"]: (r["version"], r["bal2"]) for r in R4._dim_asof_lookup(spark, d).collect()}
+    assert got[1] == (2, 510.0)   # at cutover -> v2
+    assert got[2] == (1, 10.0)    # just before -> v1
