@@ -203,6 +203,8 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "corpus_bpe_merges",
     "dim_asof_lookup",
     "dedup_survivorship",
+    "text_dedup_exact_normalized",
+    "embed_outlier_score",
     "ts_isotonic_fit",
 )
 

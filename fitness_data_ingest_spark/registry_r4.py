@@ -393,6 +393,150 @@ states AS (SELECT DISTINCT from_type AS state FROM c
     return "\n".join(parts)
 
 
+# ------------------------------------------ NORMALIZED EXACT DEDUP
+
+
+def _text_dedup_exact_normalized(spark, sf_dir):
+    """Near-exact dedup: fingerprint the NORMALIZED text (lowercase,
+    trim, whitespace runs collapsed — the standard curation
+    normalization before hashing) and report, per fingerprint, the
+    canonical doc, copy count, and how many RAW-distinct variants the
+    normalization collapsed together. One hash-groupBy shuffle on a
+    16-byte key — the same scale shape as dedup_exact_hash, which this
+    refines (raw md5 misses trivially-reformatted duplicates).
+    Only multi-copy fingerprints are returned (singletons are not
+    duplicates)."""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), " +", " ")))
+    return (
+        docs.select(
+            F.md5(norm).alias("fingerprint"),
+            "doc_id",
+            F.md5(F.col("text")).alias("raw_fp"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct(F.col("raw_fp")).alias("n_raw_variants"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+_NORM_DEDUP_SQL = """
+SELECT md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fingerprint,
+       min(doc_id) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+# ------------------------------------------- EMBEDDING OUTLIER SCORE
+
+
+def _embed_outlier_score(spark, sf_dir):
+    """Embedding-quality outlier screen: diagonal-Mahalanobis distance
+    of every vector from the corpus per-dimension mean/variance, top 20
+    by score — the cheap whole-corpus anomaly pass you run before
+    trusting embeddings for dedup or retrieval.
+
+    Exactness discipline: components quantize to integer micro-units;
+    per-dim moments are exact int64 sums (one posexplode + one
+    dim-grain aggregate); the 64 means/variances ride back as ONE
+    broadcast row of two arrays, and each vector's score is a single
+    in-order array fold (both engines sum the 64 terms in array order,
+    so the double result is bit-identical). Top-20 via the window-free
+    ranked_topk."""
+    from .ops.scale import ranked_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1_000_000 + 0.5).cast("long"),
+    )
+    flat = emb.select(F.posexplode(micro).alias("dim", "m"))
+    stats = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("s"),
+        F.sum(F.col("m") * F.col("m")).alias("q"),
+    )
+    packed = stats.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "dim",
+                    (F.col("s").cast("double") / F.col("n")).alias("mean"),
+                    (
+                        (
+                            F.col("n").cast("double") * F.col("q").cast("double")
+                            - F.col("s").cast("double") * F.col("s").cast("double")
+                        )
+                        / (F.col("n").cast("double") * F.col("n").cast("double"))
+                    ).alias("vard"),
+                )
+            )
+        ).alias("st")
+    )
+    scored = (
+        emb.select("vec_id", micro.alias("mi"))
+        .crossJoin(F.broadcast(packed))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(sequence(0, size(mi) - 1), cast(0.0 as double),"
+                " (acc, i) -> acc + (cast(mi[i] as double) - st[i].mean)"
+                " * (cast(mi[i] as double) - st[i].mean) / st[i].vard)"
+            ).alias("score"),
+        )
+    )
+    scored = scored.select(
+        "vec_id", (F.floor(F.col("score") * 10000 + 0.5) / 10000.0).alias("score4")
+    )
+    return ranked_topk(scored, [("score4", "desc"), ("vec_id", "asc")], 20)
+
+
+_OUTLIER_SQL = """
+WITH m AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT))
+           AS mi
+  FROM embeddings),
+flat AS (SELECT (u.p).d AS dim, (u.p).v AS mv
+         FROM m, LATERAL unnest(list_transform(range(1, len(mi) + 1),
+              k -> {'d': k - 1, 'v': mi[k]})) AS u(p)),
+st0 AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(mv) AS BIGINT) AS s,
+               CAST(sum(mv * mv) AS BIGINT) AS q
+        FROM flat GROUP BY dim),
+st AS (SELECT list(CAST(s AS DOUBLE) / n ORDER BY dim) AS means,
+              list((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) ORDER BY dim)
+                AS vars
+       FROM st0),
+sc AS (SELECT vec_id,
+              -- list_reduce folds left-to-right, the same pairing order
+              -- as Spark's aggregate() fold, so the double is
+              -- bit-identical (list_sum may pairwise-sum internally)
+              list_reduce(list_transform(range(1, len(mi) + 1),
+                k -> (CAST(mi[k] AS DOUBLE) - means[k])
+                     * (CAST(mi[k] AS DOUBLE) - means[k]) / vars[k]),
+                (a, b) -> a + b) AS score
+       FROM m, st),
+r AS (SELECT vec_id, floor(score * 10000 + 0.5) / 10000.0 AS score4 FROM sc)
+SELECT vec_id, score4, CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT vec_id, score4,
+             row_number() OVER (ORDER BY score4 DESC, vec_id ASC) AS rnk
+      FROM r)
+WHERE rnk <= 20
+"""
+
+
 # -------------------------------------------- SCD2 AS-OF DIMENSION JOIN
 
 
@@ -804,6 +948,15 @@ R4_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef(
             "dim_asof_lookup", _dim_asof_lookup, _DIM_ASOF_SQL, ("incremental",)
+        ),
+        QueryDef(
+            "text_dedup_exact_normalized",
+            _text_dedup_exact_normalized,
+            _NORM_DEDUP_SQL,
+            ("ext",),
+        ),
+        QueryDef(
+            "embed_outlier_score", _embed_outlier_score, _OUTLIER_SQL, ("ext",)
         ),
         QueryDef(
             "dedup_survivorship",

@@ -599,7 +599,14 @@ def test_r4_family_plans(spark, sf_dir):
     from fitness_data_ingest_spark.plans import lint_plan
     from fitness_data_ingest_spark.registry_r4 import R4_QUERIES
 
-    bounded_bcast_ok = {"embed_power_iteration", "corpus_bpe_merges"}
+    # 1-row scalar broadcasts (the q14/q22 shape): power iteration's
+    # per-step max, BPE's top pair, the outlier score's packed
+    # 64-dim stats row — all constant build sides at any data scale
+    bounded_bcast_ok = {
+        "embed_power_iteration",
+        "corpus_bpe_merges",
+        "embed_outlier_score",
+    }
     for name, q in R4_QUERIES.items():
         findings = [
             f
