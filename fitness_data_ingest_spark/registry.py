@@ -205,6 +205,8 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "dedup_survivorship",
     "text_dedup_exact_normalized",
     "embed_outlier_score",
+    "join_asof_tolerance",
+    "sql_group_by_all",
     "ts_isotonic_fit",
 )
 

@@ -393,6 +393,98 @@ states AS (SELECT DISTINCT from_type AS state FROM c
     return "\n".join(parts)
 
 
+# ------------------------------------------- AS-OF WITH TOLERANCE
+
+ASOF_TOL_S = 3600
+
+
+def _join_asof_tolerance(spark, sf_dir):
+    """Backward as-of join with a max-staleness tolerance (pandas
+    ``merge_asof(tolerance=...)``): each purchase matches the same
+    user's most recent click at-or-before it ONLY if that click is at
+    most one hour old — staler matches null out exactly like pandas,
+    with the match age in seconds alongside. Completes the as-of
+    family (backward / forward / nearest / tolerance).
+
+    Same union-merge single-sort shape as join_asof (ops/relational
+    .asof_join — never the O(n²) candidate-pair formulation); the
+    tolerance is a post-match projection, so the plan is identical
+    plus one filter-free select."""
+    from .ops import relational as R
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    out = R.asof_join(purchases, clicks, "user_id", "p_ts", "c_ts", "p_id", "c_id")
+    age = (F.unix_micros("p_ts") - F.unix_micros("c_ts")) / F.lit(1_000_000)
+    within = F.col("c_id").isNotNull() & (age <= ASOF_TOL_S)
+    return out.select(
+        "user_id",
+        "p_id",
+        F.when(within, F.col("c_id")).alias("c_id"),
+        F.when(within, F.floor(age).cast("long")).alias("age_s"),
+    )
+
+
+_ASOF_TOL_SQL = f"""
+WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS c_id, ts AS c_ts FROM events
+      WHERE event_type = 'click'),
+j AS (SELECT p.user_id, p.p_id, p.p_ts, c.c_id, c.c_ts,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY c.c_ts DESC NULLS LAST,
+                                         c.c_id DESC NULLS LAST) AS rn
+      FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.p_ts),
+m AS (SELECT user_id, p_id, c_id,
+             (epoch_us(p_ts) - epoch_us(c_ts)) / 1000000.0 AS age
+      FROM j WHERE rn = 1)
+SELECT user_id, p_id,
+       CASE WHEN c_id IS NOT NULL AND age <= {ASOF_TOL_S} THEN c_id END AS c_id,
+       CASE WHEN c_id IS NOT NULL AND age <= {ASOF_TOL_S}
+            THEN CAST(floor(age) AS BIGINT) END AS age_s
+FROM m
+"""
+
+
+# -------------------------------------------- SPARK-4 SQL SURFACE BIS
+
+
+def _sql_group_by_all(spark, sf_dir):
+    """Spark 4 SQL ergonomics in one oracle-checked pass: GROUP BY ALL
+    (grouping keys inferred from the non-aggregate select list) plus a
+    PARAMETERIZED query (named ``:cutoff`` marker bound via
+    ``spark.sql(..., args=...)`` — injection-safe literals, plan cache
+    friendly). Same hash-aggregate plan as the explicit form."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("ord_gba")
+    return spark.sql(
+        """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM ord_gba
+WHERE o_orderdate >= :cutoff
+GROUP BY ALL
+""",
+        args={"cutoff": "1997-01-01 00:00:00"},
+    )
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
 # ------------------------------------------ NORMALIZED EXACT DEDUP
 
 
@@ -948,6 +1040,18 @@ R4_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef(
             "dim_asof_lookup", _dim_asof_lookup, _DIM_ASOF_SQL, ("incremental",)
+        ),
+        QueryDef(
+            "join_asof_tolerance",
+            _join_asof_tolerance,
+            _ASOF_TOL_SQL,
+            ("join",),
+        ),
+        QueryDef(
+            "sql_group_by_all",
+            _sql_group_by_all,
+            _GROUP_BY_ALL_SQL,
+            ("sql4",),
         ),
         QueryDef(
             "text_dedup_exact_normalized",
