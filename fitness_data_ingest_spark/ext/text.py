@@ -342,3 +342,52 @@ def rarity_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.count(F.lit(1)).alias("n_distinct_tok"),
         F.sum("c").alias("rarity"),
     )
+
+
+def compression_quality(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Compression-ratio quality signal per document: deflate the UTF-8
+    text (zlib level 6) and report compressed/raw sizes and their
+    ratio — the classic repetitiveness screen (highly compressible
+    text is boilerplate/spam; near-incompressible text is often
+    binary junk or gibberish). No JVM or SQL expression computes
+    deflate, so this is an Arrow-batched ``mapInPandas`` kernel —
+    zero shuffle beyond the parallelism spread (the with_minhash
+    discipline; deflate is CPU-bound), and the driver records a
+    rows-only verdict; tests pin the kernel to a direct zlib
+    re-compression of the same bytes.
+
+    ratio4 is floor-rounded from two exact integers, so the value is
+    deterministic wherever the zlib library is (stdlib, stable
+    output for a given level)."""
+    import zlib
+
+    import pandas as pd
+
+    def _ratio(batches):
+        for pdf in batches:
+            ids, raws, comps = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                b = (txt or "").encode("utf-8")
+                ids.append(did)
+                raws.append(len(b))
+                comps.append(len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "raw_bytes": raws, "zlib_bytes": comps}
+            )
+
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
+    staged = docs.select(id_col, text_col).repartition(n_parts, F.col(id_col))
+    out = staged.mapInPandas(
+        _ratio, schema="doc_id long, raw_bytes long, zlib_bytes long"
+    )
+    ratio = F.when(
+        F.col("raw_bytes") > 0,
+        F.col("zlib_bytes").cast("double") / F.col("raw_bytes"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        "raw_bytes",
+        "zlib_bytes",
+        (F.floor(ratio * 10000 + 0.5) / 10000.0).alias("ratio4"),
+    )

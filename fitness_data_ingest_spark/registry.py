@@ -207,6 +207,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "embed_outlier_score",
     "join_asof_tolerance",
     "sql_group_by_all",
+    "text_compression_quality",
     "ts_isotonic_fit",
 )
 

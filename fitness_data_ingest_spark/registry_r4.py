@@ -1081,6 +1081,16 @@ R4_QUERIES: dict[str, QueryDef] = {
             ("ext",),
         ),
         QueryDef(
+            "text_compression_quality",
+            lambda spark, sf_dir: __import__(
+                "fitness_data_ingest_spark.ext.text", fromlist=["text"]
+            ).compression_quality(t(spark, sf_dir, "documents")),
+            # rows-only BY DESIGN: no SQL engine exposes deflate; the
+            # kernel is pinned in pytest to direct zlib re-compression
+            None,
+            ("ext",),
+        ),
+        QueryDef(
             "ts_isotonic_fit",
             lambda spark, sf_dir: TS.isotonic_fit(t(spark, sf_dir, "events")),
             # rows-only BY DESIGN: PAVA is a sequential per-key dynamic

@@ -219,3 +219,28 @@ def test_cdc_chunks_shift_invariance(spark):
     shared = sets[1] & sets[2]
     # the repeated body must re-align: most chunks survive the insertion
     assert len(shared) >= max(1, len(sets[1]) - 2), (sets[1], sets[2])
+
+
+def test_compression_quality_matches_direct_zlib(spark, sf_dir):
+    """The mapInPandas deflate kernel must equal direct zlib compression
+    of the same UTF-8 bytes, row for row; empty text yields ratio 0."""
+    import math
+    import zlib
+
+    from fitness_data_ingest_spark.ext.text import compression_quality
+    from fitness_data_ingest_spark.registry_util import t
+
+    docs = t(spark, sf_dir, "documents").limit(50)
+    got = {r["doc_id"]: r for r in compression_quality(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        b = (row["text"] or "").encode("utf-8")
+        want_c = len(zlib.compress(b, 6))
+        r = got[row["doc_id"]]
+        assert r["raw_bytes"] == len(b)
+        assert r["zlib_bytes"] == want_c
+        assert r["ratio4"] == (
+            math.floor(want_c / len(b) * 10000 + 0.5) / 10000.0 if b else 0.0
+        )
+    empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    (r,) = compression_quality(empty).collect()
+    assert r["ratio4"] == 0.0 and r["raw_bytes"] == 0
