@@ -524,6 +524,55 @@ def resize_image(media_df: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+def image_pixel_stats(media_df: DataFrame) -> DataFrame:
+    """Per-image channel statistics over the REAL decode path: PPM and
+    PNG payloads decode to RGB24 (PNG through the full zlib-inflate +
+    unfilter pipeline), then exact integer channel sums produce
+    per-channel means — the image-side quality screen (dead/black
+    frames, constant-color junk) of a multimodal curation pass.
+    Non-image payloads emit nulls (poison-payload tolerance). Means
+    are floor-rounded from EXACT integer sums, so the values are
+    engine-stable; Arrow-batched ``mapInPandas``, zero shuffle."""
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                px = None
+                png = parse_png(b)
+                if png is not None:
+                    px = decode_png_pixels(b)
+                else:
+                    ppm = parse_ppm(b)
+                    if ppm is not None and ppm["maxval"] <= 255:
+                        off = ppm["pixel_offset"]
+                        need = ppm["width"] * ppm["height"] * 3
+                        if len(b) - off >= need:
+                            px = b[off : off + need]
+                if px is None:
+                    rows.append((mid, None, None, None, None))
+                    continue
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3)
+                n = arr.shape[0]
+                sums = arr.astype("i8").sum(axis=0)
+                means = [
+                    int(s * 100 // n) / 100.0 if n else None for s in sums
+                ]
+                rows.append((mid, n, means[0], means[1], means[2]))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_px", "mean_r2", "mean_g2", "mean_b2"],
+            )
+
+    return media_df.mapInPandas(
+        _stats,
+        schema="media_id long, n_px long, mean_r2 double, mean_g2 double,"
+        " mean_b2 double",
+    )
+
+
 def decode_stub(media_df: DataFrame) -> DataFrame:
     """Contract for the compressed-codec decoder (JPEG/MP3/H.264 need
     PIL/ffmpeg — not installed; WAV/PPM are really decoded by

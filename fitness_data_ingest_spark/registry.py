@@ -208,6 +208,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "join_asof_tolerance",
     "sql_group_by_all",
     "text_compression_quality",
+    "multimodal_pixel_stats",
     "ts_isotonic_fit",
 )
 

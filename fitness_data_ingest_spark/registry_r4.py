@@ -1081,6 +1081,27 @@ R4_QUERIES: dict[str, QueryDef] = {
             ("ext",),
         ),
         QueryDef(
+            "multimodal_pixel_stats",
+            lambda spark, sf_dir: __import__(
+                "fitness_data_ingest_spark.ext.multimodal", fromlist=["multimodal"]
+            ).image_pixel_stats(
+                __import__(
+                    "fitness_data_ingest_spark.ext.multimodal",
+                    fromlist=["multimodal"],
+                ).synthesize_media(
+                    t(spark, sf_dir, "documents").select(
+                        "doc_id", F.length("text").alias("n_chars")
+                    ),
+                    png_mod4=True,
+                )
+            ),
+            # rows-only BY DESIGN: pixel bytes come from the id-seeded
+            # LCG, which no relational oracle can replay; numpy parity
+            # lives in tests/test_multimodal.py
+            None,
+            ("multimodal",),
+        ),
+        QueryDef(
             "text_compression_quality",
             lambda spark, sf_dir: __import__(
                 "fitness_data_ingest_spark.ext.text", fromlist=["text"]

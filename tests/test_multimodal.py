@@ -353,3 +353,37 @@ def test_resize_image_handles_png_and_ppm(spark, sf_dir):
     ppm_meta = MM.parse_ppm(rs[2])
     ppm_px = rs[2][ppm_meta["pixel_offset"] : ppm_meta["pixel_offset"] + 3 * 2 * 3]
     assert png_px == ppm_px
+
+
+def test_image_pixel_stats_match_numpy(spark, sf_dir):
+    """Channel means over the real decode path (PNG through
+    inflate+unfilter, PPM raw) must equal a direct numpy computation on
+    the same payload bytes; WAV payloads emit nulls."""
+    import numpy as np
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n_chars"))
+        .limit(40)
+    )
+    media = MM.synthesize_media(docs, png_mod4=True)
+    got = {r["media_id"]: r for r in MM.image_pixel_stats(media).collect()}
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    n_img = 0
+    for mid, b in payloads.items():
+        r = got[mid]
+        if mid % 2 == 0:
+            assert r["n_px"] is None and r["mean_r2"] is None
+            continue
+        n_img += 1
+        if mid % 4 == 3:
+            px = MM.decode_png_pixels(b)
+        else:
+            meta = MM.parse_ppm(b)
+            off = meta["pixel_offset"]
+            px = b[off : off + meta["width"] * meta["height"] * 3]
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3).astype("i8")
+        assert r["n_px"] == arr.shape[0]
+        for ch, col in enumerate(["mean_r2", "mean_g2", "mean_b2"]):
+            assert r[col] == int(arr[:, ch].sum() * 100 // arr.shape[0]) / 100.0
+    assert n_img > 0
