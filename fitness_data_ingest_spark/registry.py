@@ -209,6 +209,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "sql_group_by_all",
     "text_compression_quality",
     "multimodal_pixel_stats",
+    "text_char_trigram_lm",
     "ts_isotonic_fit",
 )
 

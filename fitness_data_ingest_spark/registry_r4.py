@@ -393,6 +393,64 @@ states AS (SELECT DISTINCT from_type AS state FROM c
     return "\n".join(parts)
 
 
+# --------------------------------------- CHAR-TRIGRAM LANGUAGE MODEL
+
+
+def _text_char_trigram_lm(spark, sf_dir):
+    """Character-trigram language-model TRAINING counts: top-10 char
+    trigrams per language label — the statistics a real language
+    identifier is fit from (the production upgrade of the stopword
+    heuristic in text_language_id; at inference, a doc scores by
+    summed trigram log-odds against these tables).
+
+    Scale shape: trigram generation is a per-row array transform
+    spread across partitions first (the with_minhash discipline), one
+    (lang, trigram) aggregate with map-side partial combine, then the
+    per-group top-10 via the SALTED two-level grouped_topk — a whale
+    language (English owning most of the corpus) never funnels
+    through one reducer."""
+    from .ops.scale import grouped_topk
+
+    docs = t(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    tri = (
+        docs.select("lang", F.col("text").alias("_t"))
+        .repartition(n_parts)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "CASE WHEN length(_t) >= 3 THEN"
+                    " transform(sequence(1, length(_t) - 2),"
+                    " i -> substr(_t, i, 3))"
+                    " ELSE array() END"
+                )
+            ).alias("trigram"),
+        )
+    )
+    counts = tri.groupBy("lang", "trigram").agg(F.count(F.lit(1)).alias("cnt"))
+    return grouped_topk(counts, "lang", [("cnt", "desc"), ("trigram", "asc")], 10)
+
+
+_TRIGRAM_LM_SQL = """
+WITH tri AS (
+  SELECT lang,
+         unnest(CASE WHEN len(text) >= 3
+                     THEN list_transform(range(1, len(text) - 1),
+                                         i -> text[i : i + 2])
+                     ELSE []::VARCHAR[] END) AS trigram
+  FROM documents),
+c AS (SELECT lang, trigram, CAST(count(*) AS BIGINT) AS cnt
+      FROM tri GROUP BY lang, trigram)
+SELECT lang, trigram, cnt
+FROM (SELECT lang, trigram, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, trigram ASC) AS rn
+      FROM c)
+WHERE rn <= 10
+"""
+
+
 # ------------------------------------------- AS-OF WITH TOLERANCE
 
 ASOF_TOL_S = 3600
@@ -1040,6 +1098,12 @@ R4_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef(
             "dim_asof_lookup", _dim_asof_lookup, _DIM_ASOF_SQL, ("incremental",)
+        ),
+        QueryDef(
+            "text_char_trigram_lm",
+            _text_char_trigram_lm,
+            _TRIGRAM_LM_SQL,
+            ("ext",),
         ),
         QueryDef(
             "join_asof_tolerance",
