@@ -210,6 +210,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "text_compression_quality",
     "multimodal_pixel_stats",
     "text_char_trigram_lm",
+    "join_interval_overlap",
     "ts_isotonic_fit",
 )
 

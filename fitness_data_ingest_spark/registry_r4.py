@@ -393,6 +393,78 @@ states AS (SELECT DISTINCT from_type AS state FROM c
     return "\n".join(parts)
 
 
+# ------------------------------------------ INTERVAL OVERLAP JOIN
+
+OVERLAP_SPAN_S = 1200  # synthesized interval length AND bucket width
+
+
+def _join_interval_overlap(spark, sf_dir):
+    """Interval×interval OVERLAP join — the two-sided generalization of
+    the point-in-interval range join (sessions vs incidents, genomics
+    ranges): error windows and purchase windows of the same user that
+    overlap in time, with the exact overlap in seconds.
+
+    Scale shape: each interval explodes to the coarse time buckets it
+    spans (bucket width == max interval length ⇒ ≤2 buckets per
+    interval, and two overlapping intervals ALWAYS share a bucket), so
+    candidates come from an equi-join on (user, bucket) — never a
+    nested-loop range predicate; the overlap check is a post-join
+    filter and duplicate candidates (pairs colliding in two buckets)
+    collapse with one distinct at pair grain. This is the same
+    bucketed-equi discipline as range_join_events, extended to two
+    interval sides."""
+    ev = t(spark, sf_dir, "events")
+
+    def side(kind: str, id_alias: str, s: str, e: str):
+        return ev.filter(F.col("event_type") == kind).select(
+            "user_id",
+            F.col("event_id").alias(id_alias),
+            F.unix_micros("ts").alias(s),
+            (F.unix_micros("ts") + OVERLAP_SPAN_S * 1_000_000).alias(e),
+        )
+
+    a = side("error", "a_id", "a_s", "a_e")
+    b = side("purchase", "b_id", "b_s", "b_e")
+    w = OVERLAP_SPAN_S * 1_000_000
+
+    def bucketed(df, s, e):
+        return df.withColumn(
+            "bkt", F.explode(F.sequence(F.floor(F.col(s) / w), F.floor(F.col(e) / w)))
+        )
+
+    cand = (
+        bucketed(a, "a_s", "a_e")
+        .join(bucketed(b, "b_s", "b_e"), ["user_id", "bkt"])
+        .drop("bkt")
+        .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .distinct()
+    )
+    overlap = F.least(F.col("a_e"), F.col("b_e")) - F.greatest(
+        F.col("a_s"), F.col("b_s")
+    )
+    return cand.select(
+        "user_id",
+        "a_id",
+        "b_id",
+        F.floor(overlap / 1_000_000).cast("long").alias("overlap_s"),
+    )
+
+
+_OVERLAP_SQL = f"""
+WITH a AS (SELECT user_id, event_id AS a_id, epoch_us(ts) AS a_s,
+                  epoch_us(ts) + {OVERLAP_SPAN_S} * 1000000 AS a_e
+           FROM events WHERE event_type = 'error'),
+b AS (SELECT user_id, event_id AS b_id, epoch_us(ts) AS b_s,
+             epoch_us(ts) + {OVERLAP_SPAN_S} * 1000000 AS b_e
+      FROM events WHERE event_type = 'purchase')
+SELECT a.user_id, a_id, b_id,
+       CAST(floor((least(a_e, b_e) - greatest(a_s, b_s)) / 1000000.0)
+            AS BIGINT) AS overlap_s
+FROM a JOIN b ON a.user_id = b.user_id
+WHERE a_s < b_e AND b_s < a_e
+"""
+
+
 # --------------------------------------- CHAR-TRIGRAM LANGUAGE MODEL
 
 
@@ -1098,6 +1170,12 @@ R4_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef(
             "dim_asof_lookup", _dim_asof_lookup, _DIM_ASOF_SQL, ("incremental",)
+        ),
+        QueryDef(
+            "join_interval_overlap",
+            _join_interval_overlap,
+            _OVERLAP_SQL,
+            ("join",),
         ),
         QueryDef(
             "text_char_trigram_lm",
