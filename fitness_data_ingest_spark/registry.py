@@ -211,6 +211,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "multimodal_pixel_stats",
     "text_char_trigram_lm",
     "join_interval_overlap",
+    "corpus_dedup_pipeline",
     "ts_isotonic_fit",
 )
 

@@ -393,6 +393,79 @@ states AS (SELECT DISTINCT from_type AS state FROM c
     return "\n".join(parts)
 
 
+# --------------------------------------------- FULL DEDUP PIPELINE
+
+
+def _corpus_dedup_pipeline(spark, sf_dir):
+    """The complete dedup ladder in one report — raw → exact-normalized
+    canonical → near-dup survivor — with per-source counts and the
+    character budget that survives. This is the shape of a real
+    curation job's accounting: every stage reuses an independently
+    oracle-verified operator (text_dedup_exact_normalized's
+    fingerprint, dedup_survivorship's cluster election), so the
+    composite is auditable piecewise AND end-to-end.
+
+    One doc-grain pass carries boolean stage flags (exact-canonical:
+    doc == min(doc) per normalized fingerprint, via groupBy+join, no
+    window; near-dup survivor: unclustered OR elected keeper, LEFT
+    join against the bucketed LSH+CC survivorship table) and ONE
+    source-grain aggregate derives all funnel columns."""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), " +", " ")))
+    staged = docs.select("doc_id", "source", "n_chars", F.md5(norm).alias("fp"))
+    canon = staged.groupBy("fp").agg(F.min("doc_id").alias("min_id"))
+    surv = _dedup_survivorship(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"), F.col("keep").alias("nd_keep")
+    )
+    flagged = (
+        staged.join(canon, "fp")
+        .join(surv, "doc_id", "left")
+        .select(
+            "source",
+            "n_chars",
+            (F.col("doc_id") == F.col("min_id")).alias("ex"),
+            F.coalesce(F.col("nd_keep"), F.lit(True)).alias("sv"),
+        )
+    )
+    final = F.col("ex") & F.col("sv")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("ex").cast("long")).alias("n_exact"),
+        F.sum(final.cast("long")).alias("n_final"),
+        F.sum(F.when(final, F.col("n_chars")).otherwise(0)).alias("chars_final"),
+    )
+
+
+def _dedup_pipeline_sql() -> str:
+    from .registry_ext import _dedup_clusters_sql
+
+    return f"""
+WITH cl AS ({_dedup_clusters_sql().strip()}),
+sized AS (SELECT cl.doc, cl.cluster, d.n_chars
+          FROM cl JOIN documents d ON d.doc_id = cl.doc),
+k AS (SELECT cluster,
+             -(max(struct_pack(a := n_chars, b := -doc)).b) AS keeper
+      FROM sized GROUP BY cluster),
+stg AS (SELECT doc_id, source, n_chars,
+               md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp
+        FROM documents),
+m AS (SELECT fp, min(doc_id) AS min_id FROM stg GROUP BY fp),
+fl AS (SELECT stg.source, stg.n_chars,
+              stg.doc_id = m.min_id AS ex,
+              CASE WHEN cl.doc IS NULL THEN TRUE
+                   ELSE stg.doc_id = k.keeper END AS sv
+       FROM stg JOIN m USING (fp)
+       LEFT JOIN cl ON cl.doc = stg.doc_id
+       LEFT JOIN k ON cl.cluster = k.cluster)
+SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN ex AND sv THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       CAST(sum(CASE WHEN ex AND sv THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_final
+FROM fl GROUP BY source
+"""
+
+
 # ------------------------------------------ INTERVAL OVERLAP JOIN
 
 OVERLAP_SPAN_S = 1200  # synthesized interval length AND bucket width
@@ -1170,6 +1243,12 @@ R4_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef(
             "dim_asof_lookup", _dim_asof_lookup, _DIM_ASOF_SQL, ("incremental",)
+        ),
+        QueryDef(
+            "corpus_dedup_pipeline",
+            _corpus_dedup_pipeline,
+            _dedup_pipeline_sql(),
+            ("corpus",),
         ),
         QueryDef(
             "join_interval_overlap",
