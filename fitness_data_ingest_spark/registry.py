@@ -212,6 +212,8 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "text_char_trigram_lm",
     "join_interval_overlap",
     "corpus_dedup_pipeline",
+    "events_decay_score",
+    "events_user_type_gini",
     "ts_isotonic_fit",
 )
 

@@ -393,6 +393,114 @@ states AS (SELECT DISTINCT from_type AS state FROM c
     return "\n".join(parts)
 
 
+# -------------------------------------------- DECAYED ENGAGEMENT SCORE
+
+DECAY_ANCHOR = "2024-03-01 00:00:00"  # fixed as-of point (fixture spans Jan-Feb)
+DECAY_CAP_DAYS = 30
+
+
+def _events_decay_score(spark, sf_dir):
+    """Time-decayed engagement score per user (the recency-weighted
+    ranking signal): each event contributes value·2^(-age_days), with
+    the decay weight computed as an EXACT integer right-shift —
+    ``1e6 >> age_days`` (capped at 30 days, after which the weight is
+    0) — so the aggregate is an order-independent int64 sum, never a
+    float pow whose last ulp differs across libm builds. The as-of
+    anchor is a fixed literal so the query is deterministic across
+    runs (a now() anchor would flip the hash every day).
+
+    One scan, one user-grain aggregate; the shift is per-row JVM
+    arithmetic."""
+    ev = t(spark, sf_dir, "events")
+    anchor = F.lit(DECAY_ANCHOR).cast("timestamp")
+    age_days = F.floor(
+        (F.unix_micros(anchor) - F.unix_micros("ts")) / F.lit(86_400_000_000)
+    ).cast("int")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    staged = ev.select(
+        "user_id", cents.alias("c"), age_days.alias("age_days")
+    )
+    # shiftright's bit count must be a per-row COLUMN here, which the
+    # typed DSL rejects — the SQL expression form accepts it
+    w = F.expr(
+        f"CASE WHEN age_days >= 0 AND age_days <= {DECAY_CAP_DAYS}"
+        " THEN shiftright(cast(1000000 as bigint), age_days)"
+        " ELSE cast(0 as bigint) END"
+    )
+    g = staged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("c") * w).alias("score_raw"),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        (
+            F.floor(F.col("score_raw").cast("double") / 1e8 * 10000 + 0.5) / 10000.0
+        ).alias("decay_score4"),
+    )
+
+
+_DECAY_SQL = f"""
+WITH s AS (
+  SELECT user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         CAST(floor((epoch_us(TIMESTAMP '{DECAY_ANCHOR}') - epoch_us(ts))
+                    / 86400000000.0) AS INTEGER) AS age_days
+  FROM events),
+w AS (SELECT user_id, c,
+             CASE WHEN age_days >= 0 AND age_days <= {DECAY_CAP_DAYS}
+                  THEN CAST(1000000 AS BIGINT) >> age_days
+                  ELSE CAST(0 AS BIGINT) END AS w
+      FROM s)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       floor(CAST(sum(c * w) AS DOUBLE) / 1e8 * 10000 + 0.5) / 10000.0
+         AS decay_score4
+FROM w GROUP BY user_id
+"""
+
+
+# ----------------------------------------------- BEHAVIORAL DIVERSITY
+
+
+def _events_user_type_gini(spark, sf_dir):
+    """Behavioral-diversity screen per user: Gini impurity of the
+    event-type distribution, 1 − Σ(nᵢ/n)² — the log-free stand-in for
+    Shannon entropy (log's last ulp differs across libm builds; Gini
+    is a pure rational of two exact integers). 0 = single-type bot,
+    → 0.8 = uniform over the 5 types. Two keyed aggregates — (user,
+    type) then user — both map-side combined; the final double divides
+    exact int64 sums."""
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("ni"))
+    g = per.groupBy("user_id").agg(
+        F.sum("ni").alias("n"),
+        F.sum(F.col("ni") * F.col("ni")).alias("sq"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    gini = 1.0 - F.col("sq").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    return g.select(
+        "user_id",
+        "n_types",
+        (F.floor(gini * 10000 + F.lit(0.5)) / 10000.0).alias("gini4"),
+    )
+
+
+_GINI_SQL = """
+WITH per AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS ni
+             FROM events GROUP BY user_id, event_type),
+g AS (SELECT user_id, CAST(sum(ni) AS BIGINT) AS n,
+             CAST(sum(ni * ni) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM per GROUP BY user_id)
+SELECT user_id, n_types,
+       floor((1.0 - CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             * 10000 + 0.5) / 10000.0 AS gini4
+FROM g
+"""
+
+
 # --------------------------------------------- FULL DEDUP PIPELINE
 
 
@@ -1243,6 +1351,15 @@ R4_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef(
             "dim_asof_lookup", _dim_asof_lookup, _DIM_ASOF_SQL, ("incremental",)
+        ),
+        QueryDef(
+            "events_decay_score", _events_decay_score, _DECAY_SQL, ("events",)
+        ),
+        QueryDef(
+            "events_user_type_gini",
+            _events_user_type_gini,
+            _GINI_SQL,
+            ("events",),
         ),
         QueryDef(
             "corpus_dedup_pipeline",
