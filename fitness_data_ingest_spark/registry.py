@@ -214,6 +214,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "corpus_dedup_pipeline",
     "events_decay_score",
     "events_user_type_gini",
+    "events_peak_concurrency",
     "ts_isotonic_fit",
 )
 

@@ -22,6 +22,10 @@ from .ops import timeseries as TS
 from .registry_ext import _SQL_DOC_SHINGLES, _sql_sig_cols
 from .registry_util import QueryDef, t
 
+# Synthesized activity-interval length (and overlap-join bucket width),
+# shared by the interval-overlap join and the peak-concurrency sweep.
+OVERLAP_SPAN_S = 1200
+
 # ------------------------------------------------------ SQL PIPE SYNTAX
 
 
@@ -393,6 +397,57 @@ states AS (SELECT DISTINCT from_type AS state FROM c
     return "\n".join(parts)
 
 
+# --------------------------------------------- PEAK CONCURRENCY
+
+
+def _events_peak_concurrency(spark, sf_dir):
+    """Sweep-line peak concurrency per user: the maximum number of
+    simultaneously-open activity windows (each event opens a 20-minute
+    half-open interval) — the load-peak statistic of any interval
+    workload (sessions, jobs, connections). Each interval emits a
+    +1 at its start and a −1 at its end; one keyed window running-sum
+    over (time, delta) — ends sort before starts at the same instant,
+    the half-open convention — and the per-user MAX of the running
+    level is the peak. The max is tie-order-invariant, so the result
+    is deterministic even where multiple intervals share a boundary.
+    One shuffle (the user-keyed window), then a user-grain aggregate."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    span = OVERLAP_SPAN_S * 1_000_000
+    base = ev.select("user_id", F.unix_micros("ts").alias("s"))
+    deltas = base.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        base.select("user_id", (F.col("s") + span).alias("t"), F.lit(-1).alias("d"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lev = deltas.withColumn("level", F.sum("d").over(w))
+    return lev.groupBy("user_id").agg(
+        F.max("level").cast("long").alias("peak_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )
+
+
+_PEAK_SQL = f"""
+WITH base AS (SELECT user_id, epoch_us(ts) AS s FROM events),
+d AS (SELECT user_id, s AS t, 1 AS d FROM base
+      UNION ALL
+      SELECT user_id, s + {OVERLAP_SPAN_S} * 1000000 AS t, -1 AS d FROM base),
+lev AS (SELECT user_id,
+               sum(d) OVER (PARTITION BY user_id ORDER BY t, d
+                            ROWS UNBOUNDED PRECEDING) AS level
+        FROM d)
+SELECT user_id, CAST(max(level) AS BIGINT) AS peak_concurrent,
+       CAST(count(*) / 2 AS BIGINT) AS n_intervals
+FROM lev GROUP BY user_id
+"""
+
+
 # -------------------------------------------- DECAYED ENGAGEMENT SCORE
 
 DECAY_ANCHOR = "2024-03-01 00:00:00"  # fixed as-of point (fixture spans Jan-Feb)
@@ -575,8 +630,6 @@ FROM fl GROUP BY source
 
 
 # ------------------------------------------ INTERVAL OVERLAP JOIN
-
-OVERLAP_SPAN_S = 1200  # synthesized interval length AND bucket width
 
 
 def _join_interval_overlap(spark, sf_dir):
@@ -1354,6 +1407,12 @@ R4_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef(
             "events_decay_score", _events_decay_score, _DECAY_SQL, ("events",)
+        ),
+        QueryDef(
+            "events_peak_concurrency",
+            _events_peak_concurrency,
+            _PEAK_SQL,
+            ("events",),
         ),
         QueryDef(
             "events_user_type_gini",
