@@ -215,6 +215,7 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "events_decay_score",
     "events_user_type_gini",
     "events_peak_concurrency",
+    "embed_knn_graph",
     "ts_isotonic_fit",
 )
 

@@ -397,6 +397,99 @@ states AS (SELECT DISTINCT from_type AS state FROM c
     return "\n".join(parts)
 
 
+# ------------------------------------------------ KNN GRAPH BUILD
+
+KNN_GRAPH_K = 4
+
+
+def _embed_knn_graph(spark, sf_dir):
+    """Approximate k-NN GRAPH construction + reciprocity QA — the
+    index-building step of HNSW/NN-descent-style ANN: every vector's
+    top-4 same-LSH-bucket neighbors by cosine, then the fraction of
+    directed edges that are MUTUAL (low reciprocity flags a badly
+    bucketed space). Candidates come from the hyperplane-LSH bucket
+    equi-join (work tracks bucket collisions, not N²); the per-vector
+    top-4 is a bucket-keyed ranking window whose partitions are the
+    per-vector candidate lists — with millions of vectors the vectors
+    ARE the parallelism; mutuality is one self-equi-join of the edge
+    list on the reversed pair."""
+    from pyspark.sql import Window
+
+    from .ext.similarity import cosine, lsh_bucket, with_norm
+
+    emb = t(spark, sf_dir, "embeddings")
+    e = with_norm(emb, "embedding").select(
+        F.col("vec_id").alias("id"), "vec", "nrm",
+        lsh_bucket(F.col("vec")).alias("bucket"),
+    )
+    a = e.select(
+        F.col("id").alias("src"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = e.select(
+        F.col("id").alias("dst"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("src") != F.col("dst"))
+    scored = pairs.select(
+        "src", "dst", cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cos")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
+    edges = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_GRAPH_K)
+        .select("src", "dst")
+        .persist()
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = edges.join(rev, ["src", "dst"])
+    stats = edges.agg(
+        F.count_distinct("src").alias("n_nodes"),
+        F.count(F.lit(1)).alias("n_edges"),
+    ).crossJoin(F.broadcast(mutual.agg(F.count(F.lit(1)).alias("n_mutual"))))
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_mutual",
+        (
+            F.floor(
+                F.col("n_mutual").cast("double") / F.col("n_edges") * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("recip4"),
+    )
+
+
+def _knn_graph_sql() -> str:
+    from .registry_ext import _EMB_D, _sql_lsh_bucket
+
+    return f"""
+WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
+n AS (SELECT * FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                            CAST({_sql_lsh_bucket()} AS BIGINT) AS bucket FROM e)
+      WHERE nrm > 0),
+s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b USING (bucket)
+      WHERE a.vec_id <> b.vec_id),
+edges AS (SELECT src, dst
+          FROM (SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY cos DESC, dst ASC) AS rnk
+                FROM s)
+          WHERE rnk <= {KNN_GRAPH_K}),
+m AS (SELECT count(*) AS n_mutual
+      FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src),
+g AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+             CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+SELECT n_nodes, n_edges, CAST(n_mutual AS BIGINT) AS n_mutual,
+       floor(CAST(n_mutual AS DOUBLE) / n_edges * 10000 + 0.5) / 10000.0
+         AS recip4
+FROM g, m
+"""
+
+
 # --------------------------------------------- PEAK CONCURRENCY
 
 
@@ -1407,6 +1500,9 @@ R4_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef(
             "events_decay_score", _events_decay_score, _DECAY_SQL, ("events",)
+        ),
+        QueryDef(
+            "embed_knn_graph", _embed_knn_graph, _knn_graph_sql(), ("ext",)
         ),
         QueryDef(
             "events_peak_concurrency",
