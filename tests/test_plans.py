@@ -606,6 +606,8 @@ def test_r4_family_plans(spark, sf_dir):
         "embed_power_iteration",
         "corpus_bpe_merges",
         "embed_outlier_score",
+        # 1-row mutual-count scalar attached to the 1-row graph stats
+        "embed_knn_graph",
     }
     for name, q in R4_QUERIES.items():
         findings = [
