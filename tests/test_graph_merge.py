@@ -259,3 +259,88 @@ def test_isotonic_fit_matches_minimax_reference(spark):
             assert got[(uid, eid_)] == fitted_ref[idx], (uid, eid_)
             assert got[(uid, eid_)] >= prev
             prev = got[(uid, eid_)]
+
+
+def test_interval_overlap_bucketing_matches_bruteforce(spark):
+    """The bucketed-equi overlap join must find EXACTLY the pairs a
+    brute-force O(n^2) scan finds — bucket width == max interval
+    length guarantees overlapping intervals share a bucket, so no
+    candidate is lost and the distinct collapses double collisions."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    span = 1200 * 1_000_000
+    w = span
+
+    def bucketed(df, s, e):
+        return df.withColumn(
+            "bkt",
+            F.explode(F.sequence(F.floor(F.col(s) / w), F.floor(F.col(e) / w))),
+        )
+
+    rows_a, rows_b = [], []
+    for i in range(60):
+        u = rng.randrange(3)
+        t0 = rng.randrange(0, 20) * 300 * 1_000_000  # 5-min grid, forces ties
+        (rows_a if i % 2 == 0 else rows_b).append((u, i, t0, t0 + span))
+    a = spark.createDataFrame(rows_a, "user_id long, a_id long, a_s long, a_e long")
+    b = spark.createDataFrame(rows_b, "user_id long, b_id long, b_s long, b_e long")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in bucketed(a, "a_s", "a_e")
+        .join(bucketed(b, "b_s", "b_e"), ["user_id", "bkt"])
+        .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .select("a_id", "b_id")
+        .distinct()
+        .collect()
+    }
+    want = {
+        (ua[1], ub[1])
+        for ua, ub in itertools.product(rows_a, rows_b)
+        if ua[0] == ub[0] and ua[2] < ub[3] and ub[2] < ua[3]
+    }
+    assert got == want and len(want) > 0
+
+
+def test_peak_concurrency_matches_bruteforce(spark):
+    """Sweep-line peak must equal a brute-force per-instant maximum on
+    a random interval set, including boundary ties (half-open: an
+    interval ending exactly when another starts does NOT overlap)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(9)
+    span = 7
+    ivals = []
+    for i in range(50):
+        u = rng.randrange(3)
+        s = rng.randrange(0, 30)
+        ivals.append((u, s, s + span))
+    base = spark.createDataFrame(ivals, "user_id long, s long, e long")
+    deltas = base.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(base.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("d")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["user_id"]: r["peak"]
+        for r in deltas.withColumn("level", F.sum("d").over(w))
+        .groupBy("user_id")
+        .agg(F.max("level").alias("peak"))
+        .collect()
+    }
+    for u in {iv[0] for iv in ivals}:
+        mine = [iv for iv in ivals if iv[0] == u]
+        want = max(
+            sum(1 for s, e in [(i[1], i[2]) for i in mine] if s <= t < e)
+            for t in range(0, 40)
+        )
+        assert got[u] == want, (u, got[u], want)
