@@ -216,6 +216,8 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "events_user_type_gini",
     "events_peak_concurrency",
     "embed_knn_graph",
+    "corpus_ngram_coverage",
+    "events_count_dispersion",
     "ts_isotonic_fit",
 )
 

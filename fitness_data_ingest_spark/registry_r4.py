@@ -397,6 +397,121 @@ states AS (SELECT DISTINCT from_type AS state FROM c
     return "\n".join(parts)
 
 
+# ------------------------------------------- VOCAB COVERAGE EVAL
+
+COVERAGE_VOCAB_K = 20
+
+
+def _corpus_ngram_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary coverage evaluation: what fraction of all
+    corpus token OCCURRENCES does a top-K frequency vocabulary cover —
+    the out-of-vocabulary-rate curve point every tokenizer budget
+    decision reads. One token explode + one vocab-grain aggregate; the
+    top-K cut is a distributed TakeOrderedAndProject and the coverage
+    ratio divides two exact int64 sums (the K-vocab total rides back
+    as a 1-row broadcast)."""
+    from .ext.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    tok = (
+        docs.select(F.col("text").alias("_t"))
+        .repartition(n_parts)
+        .select(F.explode(tokens(F.col("_t"))).alias("term"))
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    top = counts.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(
+        COVERAGE_VOCAB_K
+    )
+    tot = counts.agg(
+        F.sum("tf").alias("total_tok"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    cov = top.agg(F.sum("tf").alias("covered_tok"))
+    j = tot.crossJoin(F.broadcast(cov))
+    return j.select(
+        "n_terms",
+        "total_tok",
+        "covered_tok",
+        (
+            F.floor(
+                F.col("covered_tok").cast("double")
+                / F.col("total_tok").cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("coverage4"),
+    )
+
+
+_NGRAM_COVERAGE_SQL = f"""
+WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS term FROM documents),
+c AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY term),
+top AS (SELECT tf FROM c ORDER BY tf DESC, term ASC LIMIT {COVERAGE_VOCAB_K}),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tok,
+               CAST(count(*) AS BIGINT) AS n_terms FROM c),
+cov AS (SELECT CAST(sum(tf) AS BIGINT) AS covered_tok FROM top)
+SELECT n_terms, total_tok, covered_tok,
+       floor(CAST(covered_tok AS DOUBLE) / CAST(total_tok AS DOUBLE)
+             * 10000 + 0.5) / 10000.0 AS coverage4
+FROM tot, cov
+"""
+
+
+# ---------------------------------------- ARRIVAL COUNT DISPERSION
+
+
+def _events_count_dispersion(spark, sf_dir):
+    """Poisson overdispersion screen on arrival counts: per event
+    type, the index of dispersion (variance/mean) of per-hour event
+    counts — ≈1 for a Poisson process, ≫1 for bursty arrivals (the
+    complement of agg_dispersion, which profiles VALUES; this
+    profiles COUNT dynamics). Hour-grain counts from one aggregate;
+    the moments are exact int64 sums over the tiny
+    (type, hour)-grain table; only the final ratio is double, written
+    identically in both engines."""
+    ev = t(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    g = hours.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
+    )
+    n = F.col("n_hours").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.col("sq").cast("double") / n - mean * mean
+    return g.select(
+        "event_type",
+        "n_hours",
+        (F.floor(mean * 10000 + F.lit(0.5)) / 10000.0).alias("mean4"),
+        (F.floor(var / mean * 10000 + F.lit(0.5)) / 10000.0).alias("dispersion4"),
+    )
+
+
+_COUNT_DISPERSION_SQL = """
+WITH h AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY event_type, date_trunc('hour', ts)),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(cnt) AS BIGINT) AS s,
+             CAST(sum(cnt * cnt) AS BIGINT) AS sq
+      FROM h GROUP BY event_type)
+SELECT event_type, n_hours,
+       floor(CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE) * 10000 + 0.5)
+         / 10000.0 AS mean4,
+       floor((CAST(sq AS DOUBLE) / CAST(n_hours AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE)))
+             / (CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE))
+             * 10000 + 0.5) / 10000.0 AS dispersion4
+FROM g
+"""
+
+
 # ------------------------------------------------ KNN GRAPH BUILD
 
 KNN_GRAPH_K = 4
@@ -1503,6 +1618,18 @@ R4_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef(
             "embed_knn_graph", _embed_knn_graph, _knn_graph_sql(), ("ext",)
+        ),
+        QueryDef(
+            "corpus_ngram_coverage",
+            _corpus_ngram_coverage,
+            _NGRAM_COVERAGE_SQL,
+            ("corpus",),
+        ),
+        QueryDef(
+            "events_count_dispersion",
+            _events_count_dispersion,
+            _COUNT_DISPERSION_SQL,
+            ("events",),
         ),
         QueryDef(
             "events_peak_concurrency",

@@ -608,6 +608,8 @@ def test_r4_family_plans(spark, sf_dir):
         "embed_outlier_score",
         # 1-row mutual-count scalar attached to the 1-row graph stats
         "embed_knn_graph",
+        # 1-row covered-token scalar attached to the 1-row totals
+        "corpus_ngram_coverage",
     }
     for name, q in R4_QUERIES.items():
         findings = [
