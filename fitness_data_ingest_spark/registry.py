@@ -218,6 +218,8 @@ _NEXT_ROTATION: tuple[str, ...] = (
     "embed_knn_graph",
     "corpus_ngram_coverage",
     "events_count_dispersion",
+    "text_hashing_trick",
+    "agg_weighted_median",
     "ts_isotonic_fit",
 )
 

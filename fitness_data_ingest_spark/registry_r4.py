@@ -397,6 +397,109 @@ states AS (SELECT DISTINCT from_type AS state FROM c
     return "\n".join(parts)
 
 
+# ------------------------------------------- FEATURE HASHING TRICK
+
+HASH_TRICK_BUCKETS = 16
+
+
+def _text_hashing_trick(spark, sf_dir):
+    """The hashing-trick featurizer (Vowpal-Wabbit-style bag of words):
+    every token maps to one of 16 buckets by its md5-derived hash and
+    per-(doc, bucket) counts form the fixed-width sparse feature
+    vector — the constant-memory text featurization that needs NO
+    vocabulary pass at any corpus size (the whole point of the trick).
+    Long (doc, bucket, cnt) output keeps it sparse; one explode + one
+    aggregate, the bucket hash reuses the engine-portable md5 token
+    hash so the oracle reproduces bucket ids exactly."""
+    from .ext.text import token_hash, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    tok = (
+        docs.select("doc_id", F.col("text").alias("_t"))
+        .repartition(n_parts, F.col("doc_id"))
+        .select("doc_id", F.explode(tokens(F.col("_t"))).alias("term"))
+    )
+    bucket = F.pmod(token_hash(F.col("term")), F.lit(HASH_TRICK_BUCKETS))
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_HASH_TRICK_SQL = f"""
+WITH tok AS (SELECT doc_id,
+                    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                      AS term
+             FROM documents)
+SELECT doc_id,
+       ('0x' || substr(md5(term), 1, 8))::BIGINT % {HASH_TRICK_BUCKETS}
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM tok GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------- WEIGHTED MEDIAN
+
+
+def _agg_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per return flag — the weighted
+    quantile every pricing/inventory report needs (the unweighted
+    exact_quantiles path ignores row mass). One keyed sort carries a
+    running weight sum; the weighted median is the FIRST value whose
+    cumulative weight reaches half the total (lower weighted median),
+    found with a min-aggregate over the qualifying rows — the total
+    rides alongside via a partition-wide frame on the SAME sort, so
+    the operator costs one shuffle. Prices compare as exact cents;
+    weights are exact integer quantities."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    staged = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("pc"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("w"),
+    )
+    wsort = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = staged.withColumn("cw", F.sum("w").over(wsort)).withColumn(
+        "tw", F.sum("w").over(wall)
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            (F.min("pc").cast("double") / 100.0).alias("w_median"),
+            F.max("tw").alias("total_qty"),
+        )
+    )
+
+
+_WMEDIAN_SQL = """
+WITH s AS (SELECT l_returnflag,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+                  CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+           FROM lineitem),
+c AS (SELECT l_returnflag, pc, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY pc
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM s)
+SELECT l_returnflag,
+       CAST(min(pc) AS DOUBLE) / 100.0 AS w_median,
+       CAST(max(tw) AS BIGINT) AS total_qty
+FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag
+"""
+
+
 # ------------------------------------------- VOCAB COVERAGE EVAL
 
 COVERAGE_VOCAB_K = 20
@@ -1618,6 +1721,18 @@ R4_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef(
             "embed_knn_graph", _embed_knn_graph, _knn_graph_sql(), ("ext",)
+        ),
+        QueryDef(
+            "text_hashing_trick",
+            _text_hashing_trick,
+            _HASH_TRICK_SQL,
+            ("ext",),
+        ),
+        QueryDef(
+            "agg_weighted_median",
+            _agg_weighted_median,
+            _WMEDIAN_SQL,
+            ("agg",),
         ),
         QueryDef(
             "corpus_ngram_coverage",
