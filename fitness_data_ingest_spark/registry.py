@@ -320,11 +320,21 @@ def all_queries() -> dict[str, QueryDef]:
     # unverified in dict order); already-green keys trail. The flagship
     # stays covered by entry()'s per-round smoke check regardless of
     # position.
-    ordered = (
+    unverified = (
         [n for n in _FORCE_REVERIFY if n not in verified]
         + [n for n in _PRIORITY if n not in verified]
         + [n for n in _NEXT_ROTATION if n not in verified]
         + [n for n in merged if n not in verified]
+    )
+    # Rows-only-by-design keys (no oracle entry) can never earn a green
+    # verdict — the driver records ``err: no_oracle`` forever.  They must
+    # not consume window slots ahead of oracle-paired keys that CAN go
+    # green, so within the unverified set they sort strictly last
+    # (round-4 verdict item 2: three window slots were burned this way
+    # across r01/r04 before this partition existed).
+    ordered = (
+        [n for n in unverified if n in merged and merged[n].sql is not None]
+        + [n for n in unverified if n in merged and merged[n].sql is None]
         + list(merged)
     )
     out: dict[str, QueryDef] = {}

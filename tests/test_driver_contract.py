@@ -73,6 +73,17 @@ def test_registry_verification_window_rotates():
         )
         leaked = [k for k in tail[first_green:] if k not in green]
         assert not leaked, f"unverified keys behind a green key: {leaked}"
+    # within the unverified set, oracle-paired keys strictly precede
+    # rows-only (no-oracle) keys: a no-oracle key can never earn a green
+    # verdict, so letting one ahead of an oracle-paired key burns a
+    # driver window slot forever (round-4 verdict item 2)
+    aq = registry.all_queries()
+    unverified = [k for k in ordered if k not in green]
+    first_no_oracle = next(
+        (i for i, k in enumerate(unverified) if aq[k].sql is None), len(unverified)
+    )
+    misordered = [k for k in unverified[first_no_oracle:] if aq[k].sql is not None]
+    assert not misordered, f"oracle-paired keys behind a no-oracle key: {misordered}"
     # rotation bookkeeping must reference real keys only
     assert set(registry._NEXT_ROTATION) <= set(ordered)
     assert set(registry._PRIORITY) <= set(ordered)
