@@ -1448,8 +1448,19 @@ def _corpus_bpe_merges(spark, sf_dir):
     count adjacent symbol pairs weighted by word frequency, take the
     most frequent pair (ties by pair text — the deterministic variant
     of the classic algorithm), merge it everywhere (left-to-right
-    non-overlapping, the semantics ``replace`` has in both engines),
-    recount, repeat.
+    non-overlapping and TOKEN-ALIGNED), recount, repeat.
+
+    The merge is applied with a boundary-anchored ``replace``: the
+    sequence is wrapped in sentinel spaces with every internal
+    separator doubled (``' ' || replace(seq,' ','  ') || ' '``), so the
+    pattern ``' p1  p2 '`` can only match at token boundaries — a plain
+    substring replace on the single-space form would merge ACROSS
+    boundaries (pair ``'h e'`` matching inside ``'th e'`` after an
+    earlier ``'t h'`` merge, corrupting later merge ranks). The
+    replacement ``' merged '`` restores the consumed boundary halves,
+    so scan-continue-after-replacement replace in both engines is
+    exactly the left-to-right non-overlapping token merge; un-doubling
+    (trim + ``'  '``→``' '``) returns to the canonical form.
 
     Scale shape: ONE corpus-wide token explode + groupBy produces the
     word-frequency table, and every merge iteration runs on THAT table
@@ -1506,7 +1517,25 @@ def _corpus_bpe_merges(spark, sf_dir):
                 )
             )
             .select(
-                F.replace(F.col("seq"), F.col("_p"), F.col("_m")).alias("seq"),
+                F.trim(
+                    F.replace(
+                        F.replace(
+                            F.concat(
+                                F.lit(" "),
+                                F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+                                F.lit(" "),
+                            ),
+                            F.concat(
+                                F.lit(" "),
+                                F.replace(F.col("_p"), F.lit(" "), F.lit("  ")),
+                                F.lit(" "),
+                            ),
+                            F.concat(F.lit(" "), F.col("_m"), F.lit(" ")),
+                        ),
+                        F.lit("  "),
+                        F.lit(" "),
+                    )
+                ).alias("seq"),
                 "n",
             )
             .localCheckpoint()
@@ -1538,7 +1567,11 @@ s0 AS (SELECT array_to_string(list_transform(range(1, len(word) + 1),
         FROM s{k - 1} WHERE len(string_split(seq, ' ')) >= 2)
   GROUP BY pair),
 t{k} AS (SELECT pair, cnt FROM p{k} ORDER BY cnt DESC, pair ASC LIMIT 1),
-s{k} AS (SELECT replace(s.seq, t.pair, replace(t.pair, ' ', '')) AS seq, s.n
+s{k} AS (SELECT trim(replace(
+           replace(' ' || replace(s.seq, ' ', '  ') || ' ',
+                   ' ' || replace(t.pair, ' ', '  ') || ' ',
+                   ' ' || replace(t.pair, ' ', '') || ' '),
+           '  ', ' ')) AS seq, s.n
          FROM s{k - 1} s, t{k} t)"""
         )
     sel = "\nUNION ALL\n".join(

@@ -270,6 +270,71 @@ def test_bpe_merges_empty_and_single_char_corpus(spark):
     assert out == []
 
 
+def test_bpe_merges_are_token_aligned(spark):
+    """A merged token's suffix colliding with a later pair must NOT
+    merge across the token boundary: corpus yields merge-1 't h' and
+    merge-2 'h e'; after merge 1 the word 'the' is ['th', 'e'], and a
+    substring replace of 'h e' would corrupt it to 'the', erasing the
+    'th e' pair that merge 3 must find (the old plain-replace form
+    returned only 2 merges on this corpus)."""
+    import os
+    import tempfile
+
+    from fitness_data_ingest_spark import registry_r4 as R4
+
+    d = tempfile.mkdtemp()
+    docs = spark.createDataFrame(
+        [(1, "a", "th th th th the the he he")],
+        "doc_id long, source string, text string",
+    )
+    docs.withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text")
+    ).select("doc_id", "text", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    # pure-python reference BPE (token-aligned, left-to-right
+    # non-overlapping, ties by pair text ascending)
+    def ref_bpe(word_freqs, n_merges):
+        seqs = [(list(w), n) for w, n in word_freqs.items()]
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for toks, n in seqs:
+                for a, b in zip(toks, toks[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + n
+            if not counts:
+                break
+            # deterministic: max count, then lexicographically smallest pair
+            best = max(counts.values())
+            pair = min(p for p, c in counts.items() if c == best)
+            merges.append((" ".join(pair), counts[pair]))
+            merged = "".join(pair)
+            new_seqs = []
+            for toks, n in seqs:
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and (toks[i], toks[i + 1]) == pair:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                new_seqs.append((out, n))
+            seqs = new_seqs
+        return merges
+
+    freqs = {"th": 4, "the": 2, "he": 2}
+    expect = ref_bpe(freqs, R4.BPE_MERGES)
+    assert expect == [("t h", 6), ("h e", 2), ("th e", 2)]  # pin the scenario
+
+    got = sorted(
+        (r["merge_rank"], r["pair"], r["cnt"])
+        for r in R4._corpus_bpe_merges(spark, d).collect()
+    )
+    assert got == [(k + 1, p, c) for k, (p, c) in enumerate(expect)]
+
+
 def test_dim_asof_lookup_boundary_dates(spark):
     """An order exactly AT the version-2 cutover belongs to version 2
     (valid_from inclusive, valid_to exclusive)."""
