@@ -769,8 +769,11 @@ def _events_decay_score(spark, sf_dir):
     """Time-decayed engagement score per user (the recency-weighted
     ranking signal): each event contributes value·2^(-age_days), with
     the decay weight computed as an EXACT integer right-shift —
-    ``1e6 >> age_days`` (capped at 30 days, after which the weight is
-    0) — so the aggregate is an order-independent int64 sum, never a
+    ``2^30 >> age_days`` (capped at 30 days, after which the weight is
+    0; the 2^30 unit keeps every day inside the cap at a nonzero
+    weight — a 1e6 unit underflowed to 0 from day 20, silently
+    zeroing events aged 20-30 days) — so the aggregate is an
+    order-independent int64 sum, never a
     float pow whose last ulp differs across libm builds. The as-of
     anchor is a fixed literal so the query is deterministic across
     runs (a now() anchor would flip the hash every day).
@@ -790,7 +793,7 @@ def _events_decay_score(spark, sf_dir):
     # typed DSL rejects — the SQL expression form accepts it
     w = F.expr(
         f"CASE WHEN age_days >= 0 AND age_days <= {DECAY_CAP_DAYS}"
-        " THEN shiftright(cast(1000000 as bigint), age_days)"
+        " THEN shiftright(cast(1073741824 as bigint), age_days)"
         " ELSE cast(0 as bigint) END"
     )
     g = staged.groupBy("user_id").agg(
@@ -801,7 +804,10 @@ def _events_decay_score(spark, sf_dir):
         "user_id",
         "n_events",
         (
-            F.floor(F.col("score_raw").cast("double") / 1e8 * 10000 + 0.5) / 10000.0
+            F.floor(
+                F.col("score_raw").cast("double") / 107374182400.0 * 10000 + 0.5
+            )
+            / 10000.0
         ).alias("decay_score4"),
     )
 
@@ -815,11 +821,11 @@ WITH s AS (
   FROM events),
 w AS (SELECT user_id, c,
              CASE WHEN age_days >= 0 AND age_days <= {DECAY_CAP_DAYS}
-                  THEN CAST(1000000 AS BIGINT) >> age_days
+                  THEN CAST(1073741824 AS BIGINT) >> age_days
                   ELSE CAST(0 AS BIGINT) END AS w
       FROM s)
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-       floor(CAST(sum(c * w) AS DOUBLE) / 1e8 * 10000 + 0.5) / 10000.0
+       floor(CAST(sum(c * w) AS DOUBLE) / 107374182400.0 * 10000 + 0.5) / 10000.0
          AS decay_score4
 FROM w GROUP BY user_id
 """

@@ -356,3 +356,38 @@ def test_dim_asof_lookup_boundary_dates(spark):
     got = {r["o_orderkey"]: (r["version"], r["bal2"]) for r in R4._dim_asof_lookup(spark, d).collect()}
     assert got[1] == (2, 510.0)   # at cutover -> v2
     assert got[2] == (1, 10.0)    # just before -> v1
+
+
+def test_decay_score_full_cap_window_has_nonzero_weight(spark):
+    """Every age inside DECAY_CAP_DAYS must carry a NONZERO weight: the
+    old 1e6 shift unit underflowed to 0 at age 20, silently zeroing
+    events aged 20-30 days (ADVICE r4). Two users, one with a single
+    day-25 event, one with a single day-35 event: the first must score
+    > 0, the second exactly 0."""
+    import os
+    import tempfile
+
+    from fitness_data_ingest_spark import registry_r4 as R4
+
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-02-05 00:00:00", 10, "click", 100.0),  # age 25d
+            (2, "2024-01-26 00:00:00", 20, "click", 100.0),  # age 35d > cap
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r["user_id"]: r["decay_score4"] for r in R4._events_decay_score(spark, d).collect()}
+    # value 100 at age 25: 10000 cents * (2^30 >> 25) / (2^30 * 100)
+    # = 10000 * 32 / 2^30 / 100 = 2.98e-6 -> rounds to 0.0000 at 4dp,
+    # so assert on the RAW weight path instead: use value large enough
+    # to survive the 4-decimal rounding (value=1e6 -> score ~0.0298)
+    assert got[20] == 0.0
+    ev2 = spark.createDataFrame(
+        [(1, "2024-02-05 00:00:00", 10, "click", 1_000_000.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev2.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got2 = {r["user_id"]: r["decay_score4"] for r in R4._events_decay_score(spark, d).collect()}
+    assert got2[10] > 0.0, "age-25d event inside the cap must contribute"
