@@ -289,13 +289,26 @@ def main() -> None:
         ratios = sorted(vs_prev.values())
         med = ratios[len(ratios) // 2] if ratios else 1.0
         out["vs_prev_median"] = med
+        # ADVICE r4: the normalizer is clamped from ABOVE too — with an
+        # unbounded median, a round where every query genuinely slows
+        # ~2x would normalize itself invisible. Box weather measured
+        # 0.7-1.6x; drift beyond 1.25x median is treated as real.
         regressions = sorted(
-            n for n, r in vs_prev.items() if r > 1.5 * max(med, 0.667)
+            n
+            for n, r in vs_prev.items()
+            if r > 1.5 * min(max(med, 0.667), 1.25)
         )
         out["regressions"] = regressions
+        if med > 1.6:
+            print(
+                f"WARN: median ratio vs previous round is {med} — the whole "
+                f"sweep slowed beyond box-weather range; treat per-query "
+                f"ratios as raw",
+                file=sys.stderr,
+            )
         if regressions:
             print(
-                f"WARN: regressions beyond 1.5x the round's median drift "
+                f"WARN: regressions beyond 1.5x the clamped median drift "
                 f"({med}): {regressions}",
                 file=sys.stderr,
             )

@@ -244,6 +244,15 @@ def minhash_estimate_vs_exact(
     Same bucketed shape as :func:`minhash_near_dups` — candidates come
     from the banded self-equi-join, never an all-pairs scan; the
     signature agreement is one zip_with fold over two 32-long arrays.
+
+    Cache contract (ADVICE r4): the signature table is ``persist()``-ed
+    because three branches consume it (the band join and both pair
+    sides) and the result is returned LAZILY, so this function cannot
+    unpersist it itself. In a long-lived session, repeated calls
+    accumulate cached partitions until ``spark.catalog.clearCache()``
+    (bench.py clears between queries); one-shot driver/oracle runs drop
+    it with the session. Same contract as the other internal persists
+    in this module and ``ops/graph.py``.
     """
     sig = with_minhash(docs, id_col, text_col)
     sig = sig.select("doc", "shd", "sig", *band_keys()).persist()
