@@ -190,7 +190,10 @@ IVF_NPROBE = 2
 
 
 def ivf_assign(
-    vectors: DataFrame, centroids: DataFrame, n_nearest: int = 1
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_nearest: int = 1,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``n_nearest`` highest-cosine centroids.
 
@@ -202,6 +205,14 @@ def ivf_assign(
     cos, then smallest centroid id (struct max compares fields in
     order; -cid makes smaller ids win).
     ``vectors`` must carry (id, vec, nrm) from ``with_norm``.
+
+    ``carry_vec=True`` (n_nearest=1 only) rides (vec, nrm) through the
+    argmax struct — the payload fields sit BEHIND the (ccos, neg_cid)
+    key and can never decide a comparison (cid is unique per group) —
+    so the caller gets (id, cell, vec, nrm) from the ONE aggregate
+    shuffle instead of re-joining the assignment back to the vector
+    table (a second full-width shuffle of the candidate set, measured
+    ~1.5x the whole-query wall at sf0.1).
     """
     cent = centroids.select(
         F.col("id").alias("cid"), F.col("vec").alias("cv"), F.col("nrm").alias("cn")
@@ -210,10 +221,16 @@ def ivf_assign(
         "ccos", cosine(F.col("vec"), F.col("cv"), F.col("nrm"), F.col("cn"))
     )
     if n_nearest == 1:
-        best = scored.groupBy("id").agg(
-            F.max(F.struct(F.col("ccos"), (-F.col("cid")).alias("neg_cid"))).alias("b")
-        )
-        return best.select("id", (-F.col("b.neg_cid")).alias("cell"))
+        fields = [F.col("ccos"), (-F.col("cid")).alias("neg_cid")]
+        if carry_vec:
+            fields += [F.col("vec"), F.col("nrm")]
+        best = scored.groupBy("id").agg(F.max(F.struct(*fields)).alias("b"))
+        out = ["id", (-F.col("b.neg_cid")).alias("cell")]
+        if carry_vec:
+            out += [F.col("b.vec").alias("vec"), F.col("b.nrm").alias("nrm")]
+        return best.select(*out)
+    if carry_vec:
+        raise ValueError("carry_vec is only supported for n_nearest=1")
     w = Window.partitionBy("id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
     return (
         scored.withColumn("pr", F.row_number().over(w))
@@ -248,9 +265,11 @@ def ivf_topk(
         (F.col("id") >= IVF_CENTROID_LO) & (F.col("id") < IVF_CENTROID_HI)
     )
     q = with_norm(queries, vec_col).select(F.col(id_col).alias("id"), "vec", "nrm")
-    cand_cells = ivf_assign(cand, cent, 1)
     q_cells = ivf_assign(q, cent, nprobe)
-    inv = cand.join(cand_cells, "id").select(
+    # the inverted file comes straight out of the assignment aggregate
+    # (carry_vec rides the vector payload through the argmax struct) —
+    # no second shuffle join of the candidate table against its cells
+    inv = ivf_assign(cand, cent, 1, carry_vec=True).select(
         F.col("id").alias("cand_id"), F.col("vec").alias("cv"),
         F.col("nrm").alias("cn"), "cell",
     )

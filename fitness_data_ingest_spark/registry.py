@@ -258,6 +258,11 @@ _FORCE_REVERIFY: dict[str, int] = {
     "text_repetition": 3,
     "text_decontaminate": 3,
     "text_bigram_topk": 3,
+    # round 5: ivf inverted file now comes straight out of the
+    # assignment aggregate (carry_vec rides the vector payload through
+    # the argmax struct) — the second full-width candidate shuffle join
+    # is gone; values identical (A/B-verified), plan changed.
+    "ann_ivf_topk": 4,
 }
 
 
