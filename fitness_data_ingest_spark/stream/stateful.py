@@ -35,6 +35,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..compat import install_protobuf_bridge
+
+# transformWithStateInPandas workers need google.protobuf at state-call
+# time; installing at import time covers the worker too, because the
+# worker unpickles the processor (importing this module) before it
+# constructs the state API client. No-op where protobuf is installed;
+# False (protobuf-dependent operators unusable) where no runtime exists.
+PROTOBUF_AVAILABLE = install_protobuf_bridge()
+
 GAP_MINUTES = 30
 
 # emitted sessions — mirrors windows.session_stats output (string

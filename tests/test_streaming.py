@@ -581,16 +581,29 @@ def test_tws_sessionize_matches_applyinpandas_twin(spark, sf_dir, tmp_path):
     batch result, on the full fixture plus a watermark-advancing
     sentinel that flushes every open session.
 
-    transformWithState's state server speaks protobuf; skip where
-    google.protobuf is absent/broken (this container ships no usable
-    protobuf — the operator itself is pure public PySpark API)."""
+    transformWithState's state server speaks protobuf; the compat
+    bridge (fitness_data_ingest_spark.compat) makes the Cloud SDK's
+    bundled pure-Python runtime importable as google.protobuf where no
+    wheel is installed — skip only when neither exists (the operator
+    itself is pure public PySpark API)."""
     import datetime
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("google.protobuf unavailable: transformWithState "
-                    "state server cannot start in this environment")
+    from fitness_data_ingest_spark.compat import install_protobuf_bridge
+
+    if not install_protobuf_bridge():
+        pytest.skip("no protobuf runtime (wheel or Cloud SDK bundle): "
+                    "transformWithState state server cannot start")
+
+    # transformWithState keeps each state variable in its own column
+    # family — the default HDFSBackedStateStoreProvider rejects that;
+    # RocksDB (bundled with Spark 4) is the production provider anyway
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
 
     from fitness_data_ingest_spark.stream import stateful as S
     from fitness_data_ingest_spark.stream import windows as W
@@ -613,15 +626,21 @@ def test_tws_sessionize_matches_applyinpandas_twin(spark, sf_dir, tmp_path):
         .withWatermark("ts", "1 minute")
     )
     out = S.tws_sessionize(stream, gap_minutes=30)
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("tws_sessions")
-        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tws_sessions")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev_prov)
     got = {
         tuple(r)
         for r in spark.table("tws_sessions").collect()
