@@ -178,3 +178,42 @@ def assert_plan_clean(df: DataFrame, allow_nested_loop: bool = False) -> None:
         if f["severity"] == "high"
     ]
     assert not bad, f"plan anti-patterns: {bad}"
+
+
+# ---------------------------------------------------- plan fingerprints
+
+_FINGERPRINT_NORMALIZERS: tuple[tuple[str, str], ...] = (
+    (r"#\d+[A-Za-z]*", "#x"),            # expression ids (#123, #45L)
+    (r"plan_id=\d+", "plan_id=x"),
+    (r"\[id=#?\d+\]", "[id=x]"),
+    (r"Location: \S+", "Location: x"),   # scan file paths
+    (r"file:[^\s,\]\)]+", "file:x"),
+    (r"Statistics\([^)]*\)", "Statistics(x)"),  # size estimates drift
+    (r"cachedPlan=[^\n]*", "cachedPlan=x"),
+    (r"RDD\[\d+\]", "RDD[x]"),           # localCheckpoint RDD ids
+    (r"0x[0-9a-f]+", "0xX"),             # object addresses
+)
+
+
+def normalize_plan(plan: str) -> str:
+    """Strip the session-varying parts of a formatted explain — expression
+    ids, plan/RDD ids, file paths, size statistics — leaving exactly the
+    OPERATOR SHAPE. Two sessions planning the same query produce the
+    same normalized text (determinism is pytest-pinned across fresh
+    sessions for all registry keys)."""
+    for pat, rep in _FINGERPRINT_NORMALIZERS:
+        plan = re.sub(pat, rep, plan)
+    return plan
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """16-hex-digit digest of the normalized physical plan. The change
+    detector behind PLANHASH.json: a driver-green query whose
+    fingerprint moves has had a PLAN REWRITE and must re-enter the
+    verification window (registry._FORCE_REVERIFY) — the round-4 lesson
+    that silent rewrites invalidate recorded correctness rows, made
+    structural."""
+    import hashlib
+
+    norm = normalize_plan(_explain(df, "formatted"))
+    return hashlib.sha256(norm.encode()).hexdigest()[:16]

@@ -687,3 +687,69 @@ def test_r4_family_plans(spark, sf_dir):
             if f["severity"] == "high"
         ]
         assert findings == [], (name, findings)
+
+
+# ---------------------------------------------- plan-fingerprint baseline
+
+
+def test_plan_fingerprints_match_baseline(spark, sf_dir):
+    """Every registry key's normalized physical-plan hash must equal the
+    committed PLANHASH.json baseline (verdict r4 item 5, made
+    structural): a driver-green key whose plan moves without a
+    _FORCE_REVERIFY entry would keep a STALE green correctness row —
+    the exact failure mode this repo hand-audited in rounds 3-4.
+
+    On an intentional rewrite: add/refresh the key in
+    registry._FORCE_REVERIFY (so the driver re-verifies the new plan)
+    and regenerate the baseline with
+    ``SPARK_GRAFT_PLANHASH_REGEN=1 python -m pytest
+    tests/test_plans.py -k fingerprints``.
+
+    Runs only at the default sf0.001 fixture (plan shapes — e.g. AQE
+    partition specs — may differ at other SFs)."""
+    import json
+    import os
+
+    from fitness_data_ingest_spark.plans import plan_fingerprint
+    from fitness_data_ingest_spark.registry import _FORCE_REVERIFY
+
+    if not sf_dir.rstrip("/").endswith("sf0.001"):
+        pytest.skip("baseline is recorded against sf0.001 plans")
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLANHASH.json",
+    )
+    current = {}
+    for name, q in sorted(QUERIES.items()):
+        try:
+            current[name] = plan_fingerprint(q.spark(spark, sf_dir))
+        except Exception as e:  # a key that cannot even plan is a bug
+            pytest.fail(f"{name}: plan construction failed: {e}")
+
+    if os.environ.get("SPARK_GRAFT_PLANHASH_REGEN"):
+        with open(baseline_path, "w") as f:
+            json.dump(current, f, indent=1, sort_keys=True)
+        return
+
+    assert os.path.exists(baseline_path), (
+        "PLANHASH.json missing — regenerate with "
+        "SPARK_GRAFT_PLANHASH_REGEN=1"
+    )
+    with open(baseline_path) as f:
+        baseline = json.load(f)
+
+    new_keys = sorted(set(current) - set(baseline))
+    assert not new_keys, (
+        f"keys missing from PLANHASH.json (regenerate at registration): "
+        f"{new_keys}"
+    )
+    stale = sorted(set(baseline) - set(current))
+    assert not stale, f"PLANHASH.json has removed keys (regenerate): {stale}"
+    moved = sorted(n for n in current if current[n] != baseline[n])
+    assert not moved, (
+        f"physical plan changed for {moved} — if intentional, add these "
+        f"keys to registry._FORCE_REVERIFY and regenerate PLANHASH.json "
+        f"(SPARK_GRAFT_PLANHASH_REGEN=1); current _FORCE_REVERIFY: "
+        f"{sorted(_FORCE_REVERIFY)}"
+    )
