@@ -716,6 +716,12 @@ def test_plan_fingerprints_match_baseline(spark, sf_dir):
     if not sf_dir.rstrip("/").endswith("sf0.001"):
         pytest.skip("baseline is recorded against sf0.001 plans")
 
+    # earlier tests leave DataFrames persisted (triangle orientation,
+    # minhash signatures); Spark substitutes InMemoryRelation for any
+    # matching sub-plan at compile time, which would move fingerprints
+    # that are cache-free in the committed baseline
+    spark.catalog.clearCache()
+
     baseline_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PLANHASH.json",
