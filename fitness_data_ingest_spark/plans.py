@@ -191,7 +191,16 @@ _FINGERPRINT_NORMALIZERS: tuple[tuple[str, str], ...] = (
     (r"Statistics\([^)]*\)", "Statistics(x)"),  # size estimates drift
     (r"cachedPlan=[^\n]*", "cachedPlan=x"),
     (r"RDD\[\d+\]", "RDD[x]"),           # localCheckpoint RDD ids
+    # RDD callsite frame names mutate mid-session when the JVM inflates
+    # reflection accessors (`at NativeMethodAccessorImpl.java:0` becomes
+    # `at <unknown>:0` after ~15 reflective calls)
+    (r"\bat [^,\s]+:\d+", "at x:0"),
     (r"0x[0-9a-f]+", "0xX"),             # object addresses
+    # higher-order-function variable names carry a SESSION-GLOBAL
+    # monotonic counter (`lambda x_7` cold vs `lambda x_566` after other
+    # queries planned in the same JVM) — the one id the `#\d+` rule
+    # misses, found when the baseline test was order-dependent
+    (r"\blambda ([A-Za-z]+)_\d+", r"lambda \1_n"),
 )
 
 

@@ -23,6 +23,7 @@ from .registry_pipeline import PIPELINE_QUERIES
 from .registry_r3 import R3_QUERIES
 from .registry_r3b import R3B_QUERIES
 from .registry_r4 import R4_QUERIES
+from .registry_r5 import R5_QUERIES
 from .registry_sql4 import SQL4_QUERIES
 from .registry_stream import STREAM_QUERIES
 from .registry_tpch2 import TPCH2_QUERIES
@@ -263,6 +264,10 @@ _FORCE_REVERIFY: dict[str, int] = {
     # the argmax struct) — the second full-width candidate shuffle join
     # is gone; values identical (A/B-verified), plan changed.
     "ann_ivf_topk": 4,
+    # round 5: click-attribution aggregate rewritten from two
+    # countDistinct (nondeterministic Expand order, 3x shuffled rows)
+    # to single-pass size(collect_set) — values identical, plan changed.
+    "stream_interval_join": 4,
 }
 
 
@@ -316,6 +321,7 @@ def all_queries() -> dict[str, QueryDef]:
         R3B_QUERIES,
         SQL4_QUERIES,
         R4_QUERIES,
+        R5_QUERIES,
     ):
         merged.update(family)
     verified = _driver_verified()

@@ -1,0 +1,311 @@
+"""Round-5 additions along the training-data-pipeline axis: DSIR-style
+importance-resampling weights and exact substring (token-span) dedup
+statistics — the two published corpus-curation operators the registry
+did not yet cover (data selection and span-level duplication; see
+Xie et al. 2023 "Data Selection for Language Models via Importance
+Resampling" and Lee et al. 2021 "Deduplicating Training Data Makes
+Language Models Better").
+
+Reference parity note: the reference repo (pandas/requests ETL,
+``services/fitbit/fitbit_utils.py`` et al.) has no corpus-curation
+surface; these extend SURVEY.md §2's LLM-pipeline axis. Both are
+engine-exact (integer arithmetic only) with full DuckDB hash oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry_util import QueryDef, t
+
+# Hashed-feature distribution width for importance resampling. 64
+# buckets keeps the weight table broadcast-trivially-small at ANY corpus
+# size (the bucket table's row count is the bucket count, not the vocab
+# size — the same constant-memory property the hashing trick has).
+DSIR_BUCKETS = 64
+# Integer scale for the probability-ratio weights (6 decimal digits).
+DSIR_SCALE = 1_000_000
+DSIR_TOPK = 50
+
+# Token-span width for exact substring dedup. The published systems use
+# 50-token windows over BPE streams; the fixture docs are ~50-100
+# whitespace tokens, so 5 keeps span counts per doc comparable to the
+# published spans-per-page ratio at fixture scale.
+SPAN_W = 5
+
+
+def _tok(col):
+    """Whitespace tokens, empties dropped (ext.text.tokens; re-declared
+    here so the SQL oracle below and the Spark plan share one literal
+    definition per family file)."""
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def _h32(col):
+    """Engine-portable 32-bit hash: first 8 md5 hex chars as a long
+    (ext.text.token_hash — md5 is md5 in both engines, so DuckDB
+    reproduces bucket ids and span fingerprints bit-for-bit)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# ------------------------------------------- DSIR IMPORTANCE WEIGHTS
+
+
+def _text_dsir_weights(spark, sf_dir):
+    """Data selection via importance resampling over hashed n-gram
+    features (DSIR): estimate a target-corpus and a raw-corpus
+    distribution over ``DSIR_BUCKETS`` hashed unigram+bigram buckets,
+    weight every raw document by how target-like its features are, and
+    return the top-``DSIR_TOPK`` raw docs to promote. Target = the
+    ``lang='en'`` half of ``documents``; raw = everything else.
+
+    Exactness divergence from the paper, by design: the per-bucket
+    weight is the add-1-smoothed SCALED PROBABILITY RATIO
+    ``(p_b+1)*SCALE div (q_b+1)`` (integer division, exact in both
+    engines) rather than its logarithm — monotone per bucket, so the
+    induced per-bucket preference order is the paper's, and the doc
+    score stays a pure int64 dot product the oracle hash-verifies.
+
+    Scale shape (the whole point of hashed DSIR): ONE explode feeds ONE
+    shuffle to (doc, bucket) grain with map-side partial aggregation;
+    the bucket-grain distribution is a second aggregate over that
+    already-reduced table (64 rows out), never a second pass over the
+    corpus; the weight table broadcasts (64 rows at ANY corpus size);
+    the global top-k is a distributed TakeOrderedAndProject, never a
+    single-partition sort. Feature hashing is per-row array-HOF CPU, so
+    the input is repartitioned first (the with_minhash discipline — a
+    single-file scan would otherwise pin the md5 work to one task)."""
+    docs = t(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    toks = F.col("toks")
+    # adjacent-pair bigrams, multiplicity kept (ext.text.word_2grams
+    # shape): sequence is empty when the doc has a single token
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucketed = (
+        docs.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("is_tgt"),
+            _tok(F.col("text")).alias("toks"),
+        )
+        .repartition(n_parts, F.col("doc_id"))
+        .select(
+            "doc_id",
+            "is_tgt",
+            F.explode(F.concat(toks, bigrams)).alias("feat"),
+        )
+        .select(
+            "doc_id",
+            "is_tgt",
+            F.pmod(_h32(F.col("feat")), F.lit(DSIR_BUCKETS)).alias("bucket"),
+        )
+    )
+    # one corpus-wide shuffle, to (doc, side, bucket) grain
+    per_doc = bucketed.groupBy("doc_id", "is_tgt", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # bucket-grain distribution from the REDUCED table (64 rows out)
+    wt = (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_tgt"), F.col("cnt")).otherwise(0)).alias("p_cnt"),
+            F.sum(F.when(~F.col("is_tgt"), F.col("cnt")).otherwise(0)).alias("q_cnt"),
+        )
+        .select(
+            "bucket",
+            F.expr(f"(p_cnt + 1) * {DSIR_SCALE} div (q_cnt + 1)").alias("wt"),
+        )
+    )
+    scored = (
+        per_doc.filter(~F.col("is_tgt"))
+        .join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("wt")).alias("weight"),
+            F.sum("cnt").alias("n_feats"),
+        )
+    )
+    return scored.orderBy(F.desc("weight"), F.asc("doc_id")).limit(DSIR_TOPK)
+
+
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS is_tgt,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, is_tgt,
+         unnest(list_concat(
+           toks,
+           [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+         )) AS feat
+  FROM tok
+),
+bucketed AS (
+  SELECT doc_id, is_tgt,
+         ('0x' || substr(md5(feat), 1, 8))::BIGINT % {DSIR_BUCKETS} AS bucket
+  FROM feats
+),
+per_doc AS (
+  SELECT doc_id, is_tgt, bucket, count(*) AS cnt
+  FROM bucketed GROUP BY doc_id, is_tgt, bucket
+),
+w AS (
+  SELECT bucket,
+         CAST((sum(cnt) FILTER (WHERE is_tgt) + 1) * {DSIR_SCALE}
+              // (sum(cnt) FILTER (WHERE NOT is_tgt) + 1) AS BIGINT) AS wt
+  FROM (SELECT bucket, is_tgt, sum(cnt) AS cnt FROM per_doc GROUP BY 1, 2)
+  GROUP BY bucket
+)
+SELECT d.doc_id,
+       CAST(sum(d.cnt * w.wt) AS BIGINT) AS weight,
+       CAST(sum(d.cnt) AS BIGINT) AS n_feats
+FROM per_doc d JOIN w USING (bucket)
+WHERE NOT d.is_tgt
+GROUP BY d.doc_id
+ORDER BY weight DESC, d.doc_id ASC
+LIMIT {DSIR_TOPK}
+"""
+
+
+# ------------------------------------------- EXACT SUBSTRING SPAN DEDUP
+
+
+def _dedup_span_ngrams(spark, sf_dir):
+    """Exact substring deduplication statistics at token-span grain: a
+    span is ``SPAN_W`` consecutive tokens; a span is DUPLICATED when
+    its fingerprint occurs in >= 2 distinct documents. Per affected
+    document: total tokens, total spans, duplicated spans, and the
+    number of token positions covered by at least one duplicated span
+    (the quantity the published removal step excises). This is the
+    shuffle-native restatement of suffix-array substring dedup — the
+    suffix array's find-repeats pass becomes a groupBy on span
+    fingerprints, which is the form that scales on a cluster.
+
+    Scale shape: span fingerprints come from ONE per-row array
+    transform (repartitioned first — md5-per-span is the CPU); dup
+    detection is one shuffle on the 64-bit fingerprint with a distinct
+    count; the flag rides back on a fingerprint equi-join; position
+    coverage explodes ONLY duplicated spans (W rows each) into a
+    distinct-position count per doc. No windows, no all-pairs — the
+    candidate set is fingerprint-bucketed exactly like minhash-LSH."""
+    docs = t(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    toks = F.col("toks")
+    span_hashes = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - SPAN_W),
+        lambda i: _h32(
+            F.array_join(F.slice(toks, (i + 1).cast("int"), SPAN_W), " ")
+        ),
+    )
+    hashed = (
+        docs.select("doc_id", _tok(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= SPAN_W)
+        .repartition(n_parts, F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.posexplode(span_hashes).alias("start", "h"),
+        )
+    )
+    dup = (
+        hashed.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(True).alias("is_dup"))
+    )
+    flagged = hashed.join(dup, "h", "left").select(
+        "doc_id",
+        "n_tokens",
+        "start",
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+    )
+    cover = (
+        flagged.filter(F.col("is_dup"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + SPAN_W - 1)
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("pos").alias("covered_tokens"))
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("dup_spans"),
+    )
+    return (
+        per_doc.filter(F.col("dup_spans") > 0)
+        .join(cover, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            "dup_spans",
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).alias("covered_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPAN_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         unnest(range(0, len(toks) - {SPAN_W} + 1)) AS start, toks
+  FROM tok WHERE len(toks) >= {SPAN_W}
+),
+hashed AS (
+  SELECT doc_id, n_tokens, start,
+         ('0x' || substr(md5(array_to_string(
+             toks[start+1:start+{SPAN_W}], ' ')), 1, 8))::BIGINT AS h
+  FROM spans
+),
+dup AS (SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+flagged AS (
+  SELECT hashed.*, (dup.h IS NOT NULL) AS is_dup
+  FROM hashed LEFT JOIN dup ON hashed.h = dup.h
+),
+cover AS (
+  SELECT doc_id, count(DISTINCT pos) AS covered
+  FROM (SELECT doc_id, unnest(range(start, start + {SPAN_W})) AS pos
+        FROM flagged WHERE is_dup) GROUP BY doc_id
+),
+per_doc AS (
+  SELECT doc_id, any_value(n_tokens) AS n_tokens, count(*) AS n_spans,
+         count(*) FILTER (WHERE is_dup) AS dup_spans
+  FROM flagged GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       CAST(p.n_spans AS BIGINT) AS n_spans,
+       CAST(p.dup_spans AS BIGINT) AS dup_spans,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens
+FROM per_doc p LEFT JOIN cover c USING (doc_id)
+WHERE p.dup_spans > 0
+ORDER BY p.doc_id
+"""
+
+
+R5_QUERIES: dict[str, QueryDef] = {
+    q.name: q
+    for q in (
+        QueryDef("text_dsir_weights", _text_dsir_weights, _DSIR_SQL, ("ext",)),
+        QueryDef("dedup_span_ngrams", _dedup_span_ngrams, _SPAN_SQL, ("ext",)),
+    )
+}

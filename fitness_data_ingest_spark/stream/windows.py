@@ -154,10 +154,17 @@ def click_attribution(ev: DataFrame, horizon_min: int = 10) -> DataFrame:
         & (F.col("c_ts") > F.col("v_ts"))
         & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon_min} MINUTES")),
     )
+    # exact distinct counts via collect_set, NOT two countDistinct in
+    # one aggregate: Catalyst's RewriteDistinctAggregates orders the
+    # Expand projections for multiple distinct groups by expression-id
+    # hash, so the physical plan is session-position-dependent (caught
+    # by the PLANHASH baseline) and the Expand triples the shuffled
+    # rows; one hash aggregate with bounded per-user sets does the same
+    # work in a single deterministic pass.
     return pairs.groupBy(F.col("v_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.countDistinct("click_id").alias("n_clicks"),
-        F.countDistinct("view_id").alias("n_views"),
+        F.size(F.collect_set("click_id")).alias("n_clicks"),
+        F.size(F.collect_set("view_id")).alias("n_views"),
     )
 
 

@@ -689,6 +689,23 @@ def test_r4_family_plans(spark, sf_dir):
         assert findings == [], (name, findings)
 
 
+def test_r5_family_plans(spark, sf_dir):
+    """Round-5 family: no cartesian/nested-loop joins, no
+    partition-less windows, no Python UDFs. DSIR's weight table joins
+    broadcast (64 rows at any corpus size); span dedup's candidate set
+    is fingerprint-bucketed equi-join, never all-pairs."""
+    from fitness_data_ingest_spark.plans import lint_plan
+    from fitness_data_ingest_spark.registry_r5 import R5_QUERIES
+
+    for name, q in R5_QUERIES.items():
+        findings = [
+            f
+            for f in lint_plan(q.spark(spark, sf_dir))
+            if f["severity"] == "high"
+        ]
+        assert findings == [], (name, findings)
+
+
 # ---------------------------------------------- plan-fingerprint baseline
 
 
