@@ -677,3 +677,108 @@ def corr_matrix_int(
         "n",
         (F.floor(corr * 1e4 + F.lit(0.5)) / 1e4).alias("corr4"),
     )
+
+
+SEMDEDUP_TAU = 0.55
+
+
+def semdedup_profile(
+    df: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication") restated as a
+    per-cluster calibration profile: assign every vector to its nearest
+    seed centroid, compare members pairwise WITHIN each cluster only,
+    and report per cluster the member count, the single most-similar
+    pair (the statistic you inspect to pick the paper's epsilon), and
+    how many members the keep-lowest-id rule would drop at ``tau``
+    (a member drops when some smaller-id member of the same cluster has
+    cosine >= tau with it).
+
+    The cluster-profile grain (10 rows here, k rows in general) rather
+    than a raw drop-list keeps the result non-degenerate on corpora
+    with few semantic duplicates — the drop-list itself is recoverable
+    by raising the report to pair grain.
+
+    Scale shape — the paper's entire trick, kept intact: the pairwise
+    join is an equi-join on cluster id, so candidate pairs are
+    sum(c_i^2), NOT N^2; assignment is the broadcast k-way expansion
+    with the argmax as a partial-aggregated ``max(struct)`` carrying
+    (vec, nrm) through (ivf_assign carry_vec — one shuffle total);
+    best-pair-per-cluster is again ``max(struct)``, never a window
+    over the expanded pair set. A production run caps cluster sizes at
+    the clustering step (the paper uses balanced k-means); skew in
+    cluster sizes is the operator's documented scaling limit.
+    """
+    e = with_norm(df, vec_col)
+    seed_ids = e.groupBy(label_col).agg(F.min(id_col).alias("sid"))
+    seeds = e.join(
+        F.broadcast(seed_ids.select(F.col(label_col).alias("slbl"), "sid")),
+        F.col(id_col) == F.col("sid"),
+    ).select(F.col("slbl").alias("id"), "vec", "nrm")
+    # persisted: referenced by the pair join's BOTH sides and the
+    # member count — without it each reference re-scans the corpus and
+    # re-runs the k-way expansion (the triangle_stats oe.persist
+    # contract: callers/bench clearCache between queries)
+    assigned = ivf_assign(
+        e.select(F.col(id_col).alias("id"), "vec", "nrm"),
+        seeds,
+        n_nearest=1,
+        carry_vec=True,
+    ).persist()
+    a = assigned.select(
+        F.col("cell").alias("cluster"),
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cell").alias("cluster"),
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster",
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cos"),
+        )
+    )
+    members = assigned.groupBy(F.col("cell").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    best = pairs.groupBy("cluster").agg(
+        F.max(
+            F.struct(
+                F.col("cos"),
+                (-F.col("id_a")).alias("neg_a"),
+                (-F.col("id_b")).alias("neg_b"),
+            )
+        ).alias("bp")
+    )
+    drops = (
+        pairs.filter(F.col("cos") >= tau)
+        .groupBy("cluster")
+        .agg(F.count_distinct("id_b").alias("n_drop"))
+    )
+    return (
+        members.join(best, "cluster")
+        .join(drops, "cluster", "left")
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_members",
+            (-F.col("bp.neg_a")).alias("best_a"),
+            (-F.col("bp.neg_b")).alias("best_b"),
+            (F.floor(F.col("bp.cos") * 10000 + 0.5) / 10000.0).alias("best_cos4"),
+            F.coalesce(F.col("n_drop"), F.lit(0)).alias("n_drop"),
+        )
+        .orderBy("cluster")
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .ext import similarity as S
 from .registry_util import QueryDef, t
 
 # Hashed-feature distribution width for importance resampling. 64
@@ -302,10 +303,66 @@ ORDER BY p.doc_id
 """
 
 
+# ------------------------------------------- SEMDEDUP CLUSTER PROFILE
+
+
+def _embed_semdedup(spark, sf_dir):
+    """SemDeDup per-cluster semantic-dedup profile (Abbas et al. 2023):
+    nearest-seed cluster assignment, within-cluster-only pairwise
+    cosine, most-similar pair + keep-lowest-id drop count at
+    tau=0.55 per cluster. See ext.similarity.semdedup_profile for the
+    full scale argument (pairs are sum(c_i^2) via the cluster equi-join,
+    never N^2; both argmaxes are partial-aggregated max(struct))."""
+    return S.semdedup_profile(t(spark, sf_dir, "embeddings"))
+
+
+_SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+n AS (SELECT * FROM (SELECT vec_id, label, v,
+                            sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      WHERE nrm > 0),
+sid AS (SELECT label AS seed_lbl, min(vec_id) AS s_id FROM n GROUP BY label),
+seeds AS (SELECT sid.seed_lbl AS cid, n.v AS cv, n.nrm AS cn
+          FROM sid JOIN n ON n.vec_id = sid.s_id),
+assigned AS (
+  SELECT vec_id, cid, v, nrm FROM (
+    SELECT n.vec_id, seeds.cid, n.v, n.nrm,
+           row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY list_dot_product(n.v, seeds.cv)
+                        / (n.nrm * seeds.cn) DESC,
+                        seeds.cid ASC) AS pr
+    FROM n, seeds) WHERE pr = 1),
+pairs AS (
+  SELECT a.cid AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+drops AS (SELECT cluster, count(DISTINCT id_b) AS n_drop
+          FROM pairs WHERE cos >= {S.SEMDEDUP_TAU} GROUP BY cluster),
+best AS (
+  SELECT cluster, id_a, id_b, cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY cluster
+        ORDER BY cos DESC, id_a ASC, id_b ASC) AS pr FROM pairs)
+  WHERE pr = 1),
+members AS (SELECT cid AS cluster, count(*) AS n_members
+            FROM assigned GROUP BY cid)
+SELECT m.cluster::INT AS cluster, m.n_members,
+       b.id_a AS best_a, b.id_b AS best_b,
+       floor(b.cos * 10000 + 0.5) / 10000.0 AS best_cos4,
+       COALESCE(d.n_drop, 0) AS n_drop
+FROM members m JOIN best b USING (cluster)
+LEFT JOIN drops d USING (cluster)
+ORDER BY cluster
+"""
+
+
 R5_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in (
         QueryDef("text_dsir_weights", _text_dsir_weights, _DSIR_SQL, ("ext",)),
         QueryDef("dedup_span_ngrams", _dedup_span_ngrams, _SPAN_SQL, ("ext",)),
+        QueryDef("embed_semdedup", _embed_semdedup, _SEMDEDUP_SQL, ("ext",)),
     )
 }

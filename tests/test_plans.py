@@ -693,17 +693,32 @@ def test_r5_family_plans(spark, sf_dir):
     """Round-5 family: no cartesian/nested-loop joins, no
     partition-less windows, no Python UDFs. DSIR's weight table joins
     broadcast (64 rows at any corpus size); span dedup's candidate set
-    is fingerprint-bucketed equi-join, never all-pairs."""
+    is fingerprint-bucketed equi-join, never all-pairs. Sanctioned
+    bounded broadcast: embed_semdedup's k-way seed-centroid expansion
+    (k rows at any scale — the embed_cluster_assign pattern); its
+    PAIR join must still be the cluster equi-join, asserted below."""
     from fitness_data_ingest_spark.plans import lint_plan
     from fitness_data_ingest_spark.registry_r5 import R5_QUERIES
 
+    bounded_bcast_ok = {"embed_semdedup"}
     for name, q in R5_QUERIES.items():
         findings = [
             f
-            for f in lint_plan(q.spark(spark, sf_dir))
+            for f in lint_plan(
+                q.spark(spark, sf_dir),
+                allow_nested_loop=name in bounded_bcast_ok,
+            )
             if f["severity"] == "high"
         ]
         assert findings == [], (name, findings)
+    # the within-cluster pair join is hash-shuffled on the cluster key;
+    # the sanctioned nested loop is ONLY the k-seed expansion (inside
+    # the persisted assignment — computed once, though each
+    # InMemoryTableScan re-prints it, so no textual count is asserted)
+    plan = plan_of(R5_QUERIES["embed_semdedup"].spark(spark, sf_dir), "simple")
+    spark.catalog.clearCache()
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
 
 # ---------------------------------------------- plan-fingerprint baseline
