@@ -52,13 +52,13 @@ def _h32(col):
 # ------------------------------------------- DSIR IMPORTANCE WEIGHTS
 
 
-def _text_dsir_weights(spark, sf_dir):
+def dsir_weights(docs, target_flag=None, topk: int = DSIR_TOPK):
     """Data selection via importance resampling over hashed n-gram
     features (DSIR): estimate a target-corpus and a raw-corpus
     distribution over ``DSIR_BUCKETS`` hashed unigram+bigram buckets,
     weight every raw document by how target-like its features are, and
-    return the top-``DSIR_TOPK`` raw docs to promote. Target = the
-    ``lang='en'`` half of ``documents``; raw = everything else.
+    return the top-``topk`` raw docs to promote. ``target_flag`` is a
+    boolean Column marking target rows (default: ``lang = 'en'``).
 
     Exactness divergence from the paper, by design: the per-bucket
     weight is the add-1-smoothed SCALED PROBABILITY RATIO
@@ -76,8 +76,9 @@ def _text_dsir_weights(spark, sf_dir):
     single-partition sort. Feature hashing is per-row array-HOF CPU, so
     the input is repartitioned first (the with_minhash discipline — a
     single-file scan would otherwise pin the md5 work to one task)."""
-    docs = t(spark, sf_dir, "documents")
-    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    if target_flag is None:
+        target_flag = F.col("lang") == "en"
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
     toks = F.col("toks")
     # adjacent-pair bigrams, multiplicity kept (ext.text.word_2grams
     # shape): sequence is empty when the doc has a single token
@@ -95,7 +96,7 @@ def _text_dsir_weights(spark, sf_dir):
     bucketed = (
         docs.select(
             "doc_id",
-            (F.col("lang") == "en").alias("is_tgt"),
+            target_flag.alias("is_tgt"),
             _tok(F.col("text")).alias("toks"),
         )
         .repartition(n_parts, F.col("doc_id"))
@@ -135,7 +136,11 @@ def _text_dsir_weights(spark, sf_dir):
             F.sum("cnt").alias("n_feats"),
         )
     )
-    return scored.orderBy(F.desc("weight"), F.asc("doc_id")).limit(DSIR_TOPK)
+    return scored.orderBy(F.desc("weight"), F.asc("doc_id")).limit(topk)
+
+
+def _text_dsir_weights(spark, sf_dir):
+    return dsir_weights(t(spark, sf_dir, "documents"))
 
 
 _DSIR_SQL = f"""
@@ -182,7 +187,7 @@ LIMIT {DSIR_TOPK}
 # ------------------------------------------- EXACT SUBSTRING SPAN DEDUP
 
 
-def _dedup_span_ngrams(spark, sf_dir):
+def span_dedup_stats(docs):
     """Exact substring deduplication statistics at token-span grain: a
     span is ``SPAN_W`` consecutive tokens; a span is DUPLICATED when
     its fingerprint occurs in >= 2 distinct documents. Per affected
@@ -200,8 +205,7 @@ def _dedup_span_ngrams(spark, sf_dir):
     coverage explodes ONLY duplicated spans (W rows each) into a
     distinct-position count per doc. No windows, no all-pairs — the
     candidate set is fingerprint-bucketed exactly like minhash-LSH."""
-    docs = t(spark, sf_dir, "documents")
-    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
     toks = F.col("toks")
     span_hashes = F.transform(
         F.sequence(F.lit(0), F.size(toks) - SPAN_W),
@@ -259,6 +263,10 @@ def _dedup_span_ngrams(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _dedup_span_ngrams(spark, sf_dir):
+    return span_dedup_stats(t(spark, sf_dir, "documents"))
 
 
 _SPAN_SQL = f"""

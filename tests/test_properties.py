@@ -416,3 +416,196 @@ def test_sessionize_break_count_random(spark, gaps, gap_s):
     n_sessions = TS.sessionize(df, gap_s=gap_s).count()
     want = 1 + sum(1 for g in gaps[1:] if g > gap_s)
     assert n_sessions == want
+
+
+# ---------------------------------------------------------------- round 5
+
+
+def _md5_32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+TEXTS = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=0, max_size=12
+    ).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(texts=TEXTS)
+@PROP_SETTINGS
+def test_span_dedup_matches_bruteforce(spark, texts):
+    """dedup_span_ngrams == the direct Python restatement: a span is
+    duplicated iff its 5-token fingerprint occurs in >= 2 DISTINCT
+    docs; covered = |union of [start, start+W) over duplicated spans|."""
+    from fitness_data_ingest_spark.registry_r5 import SPAN_W, span_dedup_stats
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["dup_spans"], r["covered_tokens"])
+        for r in span_dedup_stats(docs).collect()
+    }
+
+    toks = {i: [w for w in txt.split(" ") if w] for i, txt in enumerate(texts)}
+    spans = {
+        i: [
+            _md5_32(" ".join(tk[s : s + SPAN_W]))
+            for s in range(len(tk) - SPAN_W + 1)
+        ]
+        for i, tk in toks.items()
+        if len(tk) >= SPAN_W
+    }
+    owners: dict[int, set[int]] = {}
+    for i, hs in spans.items():
+        for h in hs:
+            owners.setdefault(h, set()).add(i)
+    want = {}
+    for i, hs in spans.items():
+        dup_pos = [s for s, h in enumerate(hs) if len(owners[h]) >= 2]
+        if not dup_pos:
+            continue
+        covered = set()
+        for s in dup_pos:
+            covered.update(range(s, s + SPAN_W))
+        want[i] = (len(toks[i]), len(hs), len(dup_pos), len(covered))
+    assert got == want
+
+
+@given(
+    texts=TEXTS,
+    tgt_mask=st.lists(st.booleans(), min_size=2, max_size=12),
+)
+@PROP_SETTINGS
+def test_dsir_weights_match_bruteforce(spark, texts, tgt_mask):
+    """dsir_weights == the direct Python restatement of hashed-DSIR:
+    bucket = md5_32(feat) % B over unigrams+bigrams (multiplicity
+    kept), weight = sum over buckets of cnt * ((p_b+1)*SCALE //
+    (q_b+1))."""
+    from fitness_data_ingest_spark.registry_r5 import (
+        DSIR_BUCKETS,
+        DSIR_SCALE,
+        dsir_weights,
+    )
+
+    mask = (tgt_mask * len(texts))[: len(texts)]
+    docs = spark.createDataFrame(
+        [(i, txt, "en" if m else "xx") for i, (txt, m) in enumerate(zip(texts, mask))],
+        "doc_id long, text string, lang string",
+    )
+    got = [
+        (r["doc_id"], r["weight"], r["n_feats"])
+        for r in dsir_weights(docs).collect()
+    ]
+
+    def feats(txt):
+        tk = [w for w in txt.split(" ") if w]
+        return tk + [" ".join(p) for p in zip(tk, tk[1:])]
+
+    per_doc: dict[tuple[int, int], int] = {}
+    p = [0] * DSIR_BUCKETS
+    q = [0] * DSIR_BUCKETS
+    for i, (txt, m) in enumerate(zip(texts, mask)):
+        for f in feats(txt):
+            b = _md5_32(f) % DSIR_BUCKETS
+            (p if m else q)[b] += 1
+            if not m:
+                per_doc[(i, b)] = per_doc.get((i, b), 0) + 1
+    wt = [(p[b] + 1) * DSIR_SCALE // (q[b] + 1) for b in range(DSIR_BUCKETS)]
+    agg: dict[int, list[int]] = {}
+    for (i, b), c in per_doc.items():
+        a = agg.setdefault(i, [0, 0])
+        a[0] += c * wt[b]
+        a[1] += c
+    want = sorted(
+        ((i, w, n) for i, (w, n) in agg.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:50]
+    assert got == want
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # label
+            st.lists(
+                st.integers(min_value=-3, max_value=3), min_size=4, max_size=4
+            ),
+        ),
+        min_size=2,
+        max_size=14,
+    )
+)
+@PROP_SETTINGS
+def test_semdedup_matches_bruteforce(spark, vecs):
+    """semdedup_profile == the direct Python restatement on small
+    integer vectors (integer dot products are exact in double, and
+    sqrt/division are IEEE-identical across runtimes, so assignment
+    and threshold decisions cannot straddle an ulp)."""
+    import math
+
+    from fitness_data_ingest_spark.ext.similarity import (
+        SEMDEDUP_TAU,
+        semdedup_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, [float(x) for x in v], lbl) for i, (lbl, v) in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r["cluster"]: (
+            r["n_members"], r["best_a"], r["best_b"], r["best_cos4"], r["n_drop"]
+        )
+        for r in semdedup_profile(docs).collect()
+    }
+
+    live = [
+        (i, lbl, v)
+        for i, (lbl, v) in enumerate(vecs)
+        if any(x != 0 for x in v)
+    ]
+    if not live:
+        assert got == {}
+        return
+    nrm = {i: math.sqrt(sum(x * x for x in v)) for i, _, v in live}
+
+    def cos(va, vb, na, nb):
+        return sum(x * y for x, y in zip(va, vb)) / (na * nb)
+
+    seeds = {}
+    for i, lbl, v in live:
+        if lbl not in seeds or i < seeds[lbl]:
+            seeds[lbl] = i
+    seed_vec = {lbl: dict((j, v) for j, _, v in live)[sid] for lbl, sid in seeds.items()}
+    assign = {}
+    for i, _, v in live:
+        best = max(
+            (cos(v, seed_vec[lbl], nrm[i], nrm[seeds[lbl]]), -lbl)
+            for lbl in seeds
+        )
+        assign[i] = -best[1]
+    want = {}
+    for c in sorted(set(assign.values())):
+        members = sorted(i for i, cl in assign.items() if cl == c)
+        if len(members) < 2:
+            continue
+        vbyid = {j: v for j, _, v in live}
+        pairs = [
+            (cos(vbyid[a], vbyid[b], nrm[a], nrm[b]), a, b)
+            for ai, a in enumerate(members)
+            for b in members[ai + 1 :]
+        ]
+        bc, ba, bb = max((c0, -a, -b) for c0, a, b in pairs)
+        dropped = {b for c0, a, b in pairs if c0 >= SEMDEDUP_TAU}
+        want[c] = (
+            len(members), -ba, -bb,
+            math.floor(bc * 10000 + 0.5) / 10000.0, len(dropped),
+        )
+    # singleton clusters have no pair row; Spark's inner join drops them
+    assert got == want
