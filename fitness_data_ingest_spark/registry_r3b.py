@@ -929,8 +929,12 @@ R3B_QUERIES["events_cusum_alerts"] = QueryDef(
 def _multimodal_audio_features(spark, sf_dir):
     """Real audio feature extraction (integer RMS + peak) over the
     synthesized-WAV payloads — byte-level decode through mapInPandas.
-    Non-SQL-expressible (the oracle cannot replay the payload LCG);
-    driver records rows-only, the numpy re-decode parity lives in
+    Full hash oracle via relational LCG replay (the pixel-stats
+    pattern): payload synthesis is arithmetic in (doc_id, length), so
+    DuckDB re-derives every 16-bit sample with the pw(k) power table
+    and recomputes ssq/peak/rms without ever seeing a byte — the hash
+    match proves the encode→parse-RIFF→decode-PCM loop recovers every
+    sample exactly. The numpy re-decode parity stays in
     tests/test_multimodal.py."""
     from .ext import multimodal as MM
 
@@ -939,8 +943,58 @@ def _multimodal_audio_features(spark, sf_dir):
     return MM.audio_features(media)
 
 
+# Relational replay of the synthesize_media WAV-sample LCG (same pw(k)
+# = (A^k, sum_{j<k} A^j) mod 2^63 table as _PIXEL_STATS_SQL in
+# registry_r4): per even doc_id, m = (len%256+16)*(1+(id//2)%2)
+# samples (max 542), sample_k = ((A^k*s0+S_k) >> 33) % 65536 - 32768;
+# ssq/peak are exact int64 and rms2 = floor(sqrt(ssq/m)*100+0.5)/100
+# is one IEEE sqrt of exact integers, bit-identical across engines.
+_AUDIO_FEATURES_SQL = """
+WITH RECURSIVE pw(k, ak, sk) AS (
+  SELECT 1, CAST(6364136223846793005 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT k + 1,
+         CAST((CAST(6364136223846793005 AS HUGEINT) * ak)
+              % 9223372036854775808 AS BIGINT),
+         CAST((CAST(6364136223846793005 AS HUGEINT) * sk + 1)
+              % 9223372036854775808 AS BIGINT)
+  FROM pw WHERE k < 542
+),
+wavs AS (
+  SELECT doc_id AS media_id,
+         CAST((length(text) % 256 + 16)
+              * (1 + (doc_id // 2) % 2) AS BIGINT) AS m,
+         CAST((CAST(doc_id AS HUGEINT) * 6364136223846793005
+               + 1442695040888963407) % 9223372036854775808 AS BIGINT) AS s0
+  FROM documents WHERE doc_id % 2 = 0
+),
+smp AS (
+  SELECT w.media_id, w.m,
+         (CAST((CAST(p.ak AS HUGEINT) * w.s0 + p.sk)
+               % 9223372036854775808 AS BIGINT) // 8589934592) % 65536
+           - 32768 AS s
+  FROM wavs w JOIN pw p ON p.k <= w.m
+),
+agg AS (
+  SELECT media_id, m, CAST(sum(s * s) AS BIGINT) AS ssq,
+         CAST(max(abs(s)) AS BIGINT) AS peak
+  FROM smp GROUP BY media_id, m
+)
+SELECT media_id, CAST(m AS BIGINT) AS n_values,
+       floor(sqrt(CAST(ssq AS DOUBLE) / m) * 100 + 0.5) / 100.0 AS rms2,
+       peak
+FROM agg
+UNION ALL
+SELECT doc_id AS media_id, CAST(NULL AS BIGINT) AS n_values,
+       CAST(NULL AS DOUBLE) AS rms2, CAST(NULL AS BIGINT) AS peak
+FROM documents WHERE doc_id % 2 = 1
+"""
+
 R3B_QUERIES["multimodal_audio_features"] = QueryDef(
-    "multimodal_audio_features", _multimodal_audio_features, None, ("multimodal",)
+    "multimodal_audio_features",
+    _multimodal_audio_features,
+    _AUDIO_FEATURES_SQL,
+    ("multimodal",),
 )
 
 
