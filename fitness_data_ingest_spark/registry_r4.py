@@ -1777,6 +1777,41 @@ SELECT doc_id AS media_id, CAST(NULL AS BIGINT) AS n_px,
 FROM documents WHERE doc_id % 2 = 0
 """
 
+_ISOTONIC_SQL = """
+WITH s AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events
+),
+p AS (
+  SELECT user_id, event_id, i, c,
+         sum(c) OVER (PARTITION BY user_id ORDER BY i
+                      ROWS UNBOUNDED PRECEDING) AS pref
+  FROM s
+),
+m AS (
+  SELECT a.user_id, a.i AS j, b.i AS k,
+         CAST(b.pref - (a.pref - a.c) AS DOUBLE) / (b.i - a.i + 1) AS mean_jk
+  FROM p a JOIN p b ON a.user_id = b.user_id AND a.i <= b.i
+),
+sm AS (
+  SELECT user_id, j, k,
+         min(mean_jk) OVER (PARTITION BY user_id, j ORDER BY k DESC
+                            ROWS UNBOUNDED PRECEDING) AS minsuf
+  FROM m
+),
+f AS (
+  SELECT user_id, k AS i, max(minsuf) AS fit
+  FROM sm GROUP BY user_id, k
+)
+SELECT s.user_id, s.event_id,
+       floor(f.fit / 100.0 * 10000 + 0.5) / 10000.0 AS fitted4
+FROM f JOIN s ON s.user_id = f.user_id AND s.i = f.i
+"""
+
+
 R4_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in (
@@ -1945,10 +1980,17 @@ R4_QUERIES: dict[str, QueryDef] = {
         QueryDef(
             "ts_isotonic_fit",
             lambda spark, sf_dir: TS.isotonic_fit(t(spark, sf_dir, "events")),
-            # rows-only BY DESIGN: PAVA is a sequential per-key dynamic
-            # program with no ANSI-SQL expression; the kernel is pinned
-            # in pytest to an independent O(n²) minimax implementation
-            None,
+            # Full hash oracle via the minimax characterization:
+            # fitted_i = max_{j<=i} min_{k>=i} mean(c[j..k]). PAVA the
+            # KERNEL stays a sequential per-key DP (no SQL expresses
+            # the stack), but its RESULT is this closed form, which IS
+            # ANSI-SQL: O(n²) (j,k) means per user from prefix sums
+            # (n<=99 in the fixtures), suffix-min window over k, max
+            # aggregate over j. Both engines divide the same exact
+            # int64 (sum, count) pairs, so the doubles are
+            # bit-identical and the optimum lands on the same pooled
+            # block mean the kernel emits.
+            _ISOTONIC_SQL,
             ("ts",),
         ),
     )
