@@ -269,6 +269,104 @@ def _dedup_span_ngrams(spark, sf_dir):
     return span_dedup_stats(t(spark, sf_dir, "documents"))
 
 
+# ------------------------------------------- CROSS-SOURCE OVERLAP MATRIX
+
+
+def source_overlap(docs):
+    """Cross-source duplication forensics: for every source pair, how
+    many DISTINCT 5-token span fingerprints they share, plus per-source
+    distinct-span totals and the span-set Jaccard — the audit that
+    tells a corpus build which source pairs to dedup against each other
+    (mirror sites, syndication, scraped re-posts) before any document-
+    level pass.
+
+    Scale shape: one per-row transform emits span fingerprints (same
+    repartition-first discipline as span_dedup_stats), ONE shuffle
+    reduces to distinct (source, h), and the pair count is an equi-join
+    on the 64-bit fingerprint whose per-key fanout is bounded by
+    C(n_sources, 2) — source count is the small dimension (dozens at
+    100 TB), so the matrix is tiny even when the span table is not.
+    Totals ride in as a broadcast (n_sources rows)."""
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism, 1)
+    toks = F.col("toks")
+    span_hashes = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - SPAN_W),
+        lambda i: _h32(
+            F.array_join(F.slice(toks, (i + 1).cast("int"), SPAN_W), " ")
+        ),
+    )
+    sh = (
+        docs.select("doc_id", "source", _tok(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= SPAN_W)
+        .repartition(n_parts, F.col("doc_id"))
+        .select("source", F.explode(span_hashes).alias("h"))
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), "h")
+    ov = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = F.broadcast(tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")))
+    tb = F.broadcast(tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
+    return (
+        ov.join(ta, "src_a")
+        .join(tb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            (F.floor(jac * 10000 + 0.5) / 10000.0).alias("jaccard4"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _corpus_source_overlap(spark, sf_dir):
+    return source_overlap(t(spark, sf_dir, "documents"))
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+spans AS (
+  SELECT source,
+         ('0x' || substr(md5(array_to_string(
+             toks[s+1:s+{SPAN_W}], ' ')), 1, 8))::BIGINT AS h
+  FROM (SELECT source, toks,
+               unnest(range(0, len(toks) - {SPAN_W} + 1)) AS s
+        FROM tok WHERE len(toks) >= {SPAN_W})
+),
+sh AS (SELECT DISTINCT source, h FROM spans),
+tot AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+ov AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT o.src_a, o.src_b,
+       CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+       CAST(o.n_shared AS BIGINT) AS n_shared,
+       floor(CAST(o.n_shared AS DOUBLE) / (ta.n + tb.n - o.n_shared)
+             * 10000 + 0.5) / 10000.0 AS jaccard4
+FROM ov o JOIN tot ta ON ta.source = o.src_a
+          JOIN tot tb ON tb.source = o.src_b
+ORDER BY src_a, src_b
+"""
+
+
 _SPAN_SQL = f"""
 WITH tok AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -372,5 +470,11 @@ R5_QUERIES: dict[str, QueryDef] = {
         QueryDef("text_dsir_weights", _text_dsir_weights, _DSIR_SQL, ("ext",)),
         QueryDef("dedup_span_ngrams", _dedup_span_ngrams, _SPAN_SQL, ("ext",)),
         QueryDef("embed_semdedup", _embed_semdedup, _SEMDEDUP_SQL, ("ext",)),
+        QueryDef(
+            "corpus_source_overlap",
+            _corpus_source_overlap,
+            _SOURCE_OVERLAP_SQL,
+            ("corpus",),
+        ),
     )
 }

@@ -609,3 +609,52 @@ def test_semdedup_matches_bruteforce(spark, vecs):
         )
     # singleton clusters have no pair row; Spark's inner join drops them
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=12
+            ).map(" ".join),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@PROP_SETTINGS
+def test_source_overlap_matches_bruteforce(spark, rows):
+    """corpus_source_overlap == the direct Python restatement: per
+    source the DISTINCT 5-token fingerprint set, pair counts are set
+    intersections, jaccard from the union."""
+    from fitness_data_ingest_spark.registry_r5 import SPAN_W, source_overlap
+
+    docs = spark.createDataFrame(
+        [(i, txt, src) for i, (src, txt) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_a"], r["n_b"], r["n_shared"], r["jaccard4"])
+        for r in source_overlap(docs).collect()
+    }
+
+    import math
+
+    sets: dict[str, set[int]] = {}
+    for src, txt in rows:
+        tk = [w for w in txt.split(" ") if w]
+        for s in range(len(tk) - SPAN_W + 1):
+            sets.setdefault(src, set()).add(_md5_32(" ".join(tk[s : s + SPAN_W])))
+    srcs = sorted(sets)
+    want = {}
+    for ai, sa in enumerate(srcs):
+        for sb in srcs[ai + 1 :]:
+            shared = len(sets[sa] & sets[sb])
+            if shared:
+                j = shared / (len(sets[sa]) + len(sets[sb]) - shared)
+                want[(sa, sb)] = (
+                    len(sets[sa]), len(sets[sb]), shared,
+                    math.floor(j * 10000 + 0.5) / 10000.0,
+                )
+    assert got == want
