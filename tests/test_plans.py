@@ -721,6 +721,38 @@ def test_r5_family_plans(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
 
+def test_r5b_family_plans(spark, sf_dir):
+    """Round-5b family: no cartesian/nested-loop joins, no
+    partition-less windows, no Python UDFs. The cumulative-distinct
+    running sum is the HIERARCHICAL prefix sum — month-partitioned
+    windows plus month-base offsets — whose offset build joins the
+    month table to itself (strictly-earlier months): calendar-bounded
+    build side at any data scale, the sanctioned bounded-broadcast
+    shape. The count-min sketch join must broadcast (256 cells by
+    geometry) and OHLC must contain no Window at all (struct extrema,
+    not per-bar sorts)."""
+    from fitness_data_ingest_spark.plans import lint_plan
+    from fitness_data_ingest_spark.registry_r5b import R5B_QUERIES
+
+    bounded_bcast_ok = {"events_cumulative_distinct"}
+    for name, q in R5B_QUERIES.items():
+        findings = [
+            f
+            for f in lint_plan(
+                q.spark(spark, sf_dir),
+                allow_nested_loop=name in bounded_bcast_ok,
+            )
+            if f["severity"] == "high"
+        ]
+        assert findings == [], (name, findings)
+    plan = plan_of(R5B_QUERIES["ts_ohlc_bars"].spark(spark, sf_dir), "simple")
+    assert "Window" not in plan, plan[:800]
+    plan = plan_of(
+        R5B_QUERIES["agg_countmin_heavy"].spark(spark, sf_dir), "simple"
+    )
+    assert "BroadcastHashJoin" in plan, plan[:800]
+
+
 # ---------------------------------------------- plan-fingerprint baseline
 
 

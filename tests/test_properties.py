@@ -658,3 +658,155 @@ def test_source_overlap_matches_bruteforce(spark, rows):
                     math.floor(j * 10000 + 0.5) / 10000.0,
                 )
     assert got == want
+
+
+# ------------------------------------------------- round-5b operators
+
+
+@given(counts=st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=20))
+@PROP_SETTINGS
+def test_countmin_estimate_dominates_exact(spark, counts):
+    """Count-min guarantee on ANY input: est >= exact for every key, and
+    the estimate equals the brute-force d×w sketch replay (deterministic
+    md5 row hashes make the sketch itself exactly reproducible)."""
+    from fitness_data_ingest_spark.registry_r5b import (
+        CM_ROWS,
+        CM_WIDTH,
+        countmin_heavy,
+    )
+
+    rows = [(u,) for u, c in enumerate(counts) for _ in range(c)]
+    events = spark.createDataFrame(rows, "user_id long")
+    got = {
+        r["user_id"]: (r["exact_cnt"], r["est_cnt"], r["overestimate"])
+        for r in countmin_heavy(events, topk=len(counts)).collect()
+    }
+
+    exact = {u: c for u, c in enumerate(counts)}
+    cells: dict[tuple[int, int], int] = {}
+    for u, c in exact.items():
+        for r in range(CM_ROWS):
+            b = _md5_32(f"cm{r}:{u}") % CM_WIDTH
+            cells[(r, b)] = cells.get((r, b), 0) + c
+    want = {
+        u: (
+            c,
+            min(cells[(r, _md5_32(f"cm{r}:{u}") % CM_WIDTH)] for r in range(CM_ROWS)),
+        )
+        for u, c in exact.items()
+    }
+    assert got == {u: (c, e, e - c) for u, (c, e) in want.items()}
+    assert all(e >= c for c, e, _ in got.values())
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3 * 3600 - 1),  # second offset
+            st.integers(min_value=-500, max_value=500),  # cents
+            st.sampled_from(["a", "b"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@PROP_SETTINGS
+def test_ohlc_bars_match_bruteforce(spark, rows):
+    """OHLC via struct extrema == the sort-based Python restatement for
+    any tie pattern (duplicate timestamps resolved by event_id)."""
+    import datetime as dt
+
+    from fitness_data_ingest_spark.registry_r5b import ohlc_bars
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + dt.timedelta(seconds=sec), typ, c / 100.0)
+        for i, (sec, c, typ) in enumerate(rows)
+    ]
+    events = spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        (r["event_type"], r["bar_hour"]): (
+            r["n_events"], r["open2"], r["high2"], r["low2"], r["close2"]
+        )
+        for r in ohlc_bars(events).collect()
+    }
+
+    bars: dict[tuple, list] = {}
+    for eid, ts, typ, v in data:
+        c = int((v * 100 + 0.5) // 1) if v >= 0 else int(__import__("math").floor(v * 100 + 0.5))
+        bars.setdefault((typ, ts.replace(minute=0, second=0, microsecond=0)), []).append(
+            (ts, eid, c)
+        )
+    want = {}
+    for key, evs in bars.items():
+        evs.sort()
+        cs = [c for _, _, c in evs]
+        want[key] = (
+            len(evs), evs[0][2] / 100.0, max(cs) / 100.0, min(cs) / 100.0,
+            evs[-1][2] / 100.0,
+        )
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # user
+            st.integers(min_value=0, max_value=99),  # day offset (spans months)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@PROP_SETTINGS
+def test_cumulative_distinct_matches_bruteforce(spark, rows):
+    """Hierarchical prefix sum == count(distinct users seen so far) for
+    any arrival pattern, including month-boundary crossings."""
+    import datetime as dt
+
+    from fitness_data_ingest_spark.registry_r5b import cumulative_distinct_users
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + dt.timedelta(days=d)) for i, (u, d) in enumerate(rows)
+    ]
+    events = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        r["day"].isoformat(): (r["new_users"], r["cum_users"])
+        for r in cumulative_distinct_users(events).collect()
+    }
+
+    first = {}
+    for _, u, ts in data:
+        d = ts.date()
+        if u not in first or d < first[u]:
+            first[u] = d
+    days = sorted(set(first.values()))
+    cum, want = 0, {}
+    for d in days:
+        new = sum(1 for v in first.values() if v == d)
+        cum += new
+        want[d.isoformat()] = (new, cum)
+    assert got == want
+    assert max(c for _, c in got.values()) == len(first)
+
+
+@given(ids=st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=30))
+@PROP_SETTINGS
+def test_hash_sample_is_deterministic_partition(spark, ids):
+    """The hash-Bernoulli sample is a PARTITION of the input decided
+    per-row by md5 — n_sampled matches the brute-force predicate count
+    exactly, for any id set (no RNG, no order dependence)."""
+    from fitness_data_ingest_spark.registry_r5b import SAMPLE_MOD, hash_sample_audit
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z", "s") for i in ids], "doc_id long, text string, source string"
+    )
+    [r] = hash_sample_audit(docs).collect()
+    want = sum(1 for i in ids if _md5_32(f"smp:{i}") % SAMPLE_MOD == 0)
+    assert (r["n_docs"], r["n_sampled"]) == (len(ids), want)
+    assert r["sampled_tokens"] == want * 4
