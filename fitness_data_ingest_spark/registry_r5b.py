@@ -368,6 +368,311 @@ FROM d ORDER BY day
 """
 
 
+# ------------------------------------------- ZONE-MAP LAYOUT AUDIT
+
+# Synthetic file count for the layout simulation: enough files that the
+# two layouts separate sharply, small enough that the stats table stays
+# metadata-sized at fixture scale.
+ZM_FILES = 16
+
+
+def zonemap_overlap(lineitem, n_files: int = ZM_FILES):
+    """Zone-map (file-skipping) effectiveness audit: assign every row to
+    one of ``n_files`` synthetic files under TWO layouts — ``hash``
+    (md5 of the order key: the layout an unsorted ingest produces) and
+    ``range`` (contiguous ship-date ranges: the layout sort-on-write /
+    Z-order produces) — then measure, per file, how many OTHER files'
+    [min, max] ship-date ranges overlap it. Overlap depth is THE
+    file-skipping metric (Snowflake's clustering_depth): a date-filtered
+    scan must read every overlapping file, so hash-layout depth ≈
+    n_files (zone maps useless) while range-layout depth ≈ 0 — the
+    quantified argument for the zorder_locality/files_compaction_plan
+    keys.
+
+    Scale shape: ONE pass over the data builds per-(layout, file)
+    min/max/count — a map-side-combinable groupBy onto 2·n_files rows.
+    Everything after runs on that METADATA-sized table: the overlap
+    self-join is equi on layout with range predicates over a bounded
+    build (file count is a configuration constant, never data-sized).
+    The date-span scalar rides in as a broadcast 1-row aggregate (the
+    q14/q22 scalar-attach shape)."""
+    li = lineitem.select(
+        "l_orderkey", F.to_date("l_shipdate").alias("d")
+    )
+    bounds = li.agg(
+        F.min("d").alias("dmin"),
+        F.datediff(F.max("d"), F.min("d")).alias("span"),
+    )
+    hf = F.pmod(_h32(F.col("l_orderkey").cast("string")), F.lit(n_files))
+    rf = F.floor(
+        F.datediff(F.col("d"), F.col("dmin")) * n_files / (F.col("span") + 1)
+    ).cast("int")
+    assigned = li.join(F.broadcast(bounds)).select(
+        "d",
+        F.explode(
+            F.array(
+                F.struct(F.lit("hash").alias("layout"), hf.cast("int").alias("f")),
+                F.struct(F.lit("range").alias("layout"), rf.alias("f")),
+            )
+        ).alias("lf"),
+    )
+    stats = assigned.groupBy(
+        F.col("lf.layout").alias("layout"), F.col("lf.f").alias("f")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("d").alias("fmin"),
+        F.max("d").alias("fmax"),
+    )
+    a = stats.select("layout", "f", "n_rows", "fmin", "fmax")
+    b = stats.select(
+        F.col("layout").alias("layout_b"),
+        F.col("f").alias("f_b"),
+        F.col("fmin").alias("bmin"),
+        F.col("fmax").alias("bmax"),
+    )
+    ov = (
+        a.join(
+            b,
+            (F.col("layout") == F.col("layout_b"))
+            & (F.col("f") != F.col("f_b"))
+            & (F.col("fmin") <= F.col("bmax"))
+            & (F.col("bmin") <= F.col("fmax")),
+            "left",
+        )
+        .groupBy("layout", "f")
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.first("fmin").alias("min_date"),
+            F.first("fmax").alias("max_date"),
+            F.sum(F.when(F.col("f_b").isNotNull(), 1).otherwise(0)).alias(
+                "n_overlaps"
+            ),
+        )
+    )
+    return ov.orderBy("layout", "f")
+
+
+def _layout_zonemap_overlap(spark, sf_dir):
+    return zonemap_overlap(t(spark, sf_dir, "lineitem"))
+
+
+_ZONEMAP_SQL = f"""
+WITH li AS (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS d FROM lineitem),
+b AS (SELECT min(d) AS dmin,
+             date_diff('day', min(d), max(d)) AS span FROM li),
+assigned AS (
+  SELECT layout, f, d FROM (
+    SELECT li.d,
+           ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+             % {ZM_FILES} AS hf,
+           CAST(floor(date_diff('day', b.dmin, li.d) * {ZM_FILES}
+                      / (b.span + 1)) AS BIGINT) AS rf
+    FROM li, b
+  ) s, LATERAL (VALUES ('hash', s.hf), ('range', s.rf)) AS v(layout, f)
+),
+stats AS (
+  SELECT layout, CAST(f AS INT) AS f, CAST(count(*) AS BIGINT) AS n_rows,
+         min(d) AS fmin, max(d) AS fmax
+  FROM assigned GROUP BY layout, f
+)
+SELECT a.layout, a.f, a.n_rows,
+       a.fmin AS min_date, a.fmax AS max_date,
+       CAST(count(b.f) AS BIGINT) AS n_overlaps
+FROM stats a LEFT JOIN stats b
+  ON a.layout = b.layout AND a.f <> b.f
+ AND a.fmin <= b.fmax AND b.fmin <= a.fmax
+GROUP BY a.layout, a.f, a.n_rows, a.fmin, a.fmax
+ORDER BY a.layout, a.f
+"""
+
+
+# ------------------------------------------- QUALITY THRESHOLD SWEEP
+
+# Quality thresholds on the quality4 x10000 integer scale.
+QS_THRESHOLDS = tuple(range(2000, 8001, 1000))
+
+
+def quality_sweep(docs):
+    """Retention curve across quality-filter thresholds: for each
+    candidate cutoff, how many documents and tokens survive — the
+    what-if sweep a corpus build runs BEFORE committing to a quality
+    bar (the threshold is always chosen from this curve, never a
+    priori). Quality is the registered heuristic (length + stopword +
+    alphabetic ratios, ``ext.text.quality_score``) quantized to the
+    x10000 integer grid, so every comparison is integer-exact.
+
+    Scale shape: the per-doc score is ONE pass of JVM expressions; the
+    sweep explodes each doc into |thresholds| rows (a 7x in-place
+    generate, the dedup_threshold_sweep pattern) and reduces with a
+    single map-side-combinable groupBy on the threshold — never one
+    job per threshold, never a re-scan of the corpus."""
+    from .ext import text as TX
+
+    toks = _tok(F.col("text"))
+    q4i = F.floor(
+        TX.quality_score(F.col("text"), F.col("toks")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    per = docs.select("text", toks.alias("toks")).select(
+        q4i.alias("q4i"), F.size("toks").alias("n_tok")
+    )
+    thr = F.explode(F.array(*[F.lit(v) for v in QS_THRESHOLDS])).alias("thr")
+    return (
+        per.select("q4i", "n_tok", thr)
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("q4i") >= F.col("thr"), 1).otherwise(0)).alias(
+                "n_docs"
+            ),
+            F.sum(
+                F.when(F.col("q4i") >= F.col("thr"), F.col("n_tok")).otherwise(0)
+            ).alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            "thr",
+            "n_docs",
+            "n_tokens",
+            (
+                F.floor(
+                    F.col("n_docs").cast("double") / F.col("n_total") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("pct_docs4"),
+        )
+        .orderBy("thr")
+    )
+
+
+def _corpus_quality_sweep(spark, sf_dir):
+    return quality_sweep(t(spark, sf_dir, "documents"))
+
+
+_QS_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_QS_THR_LIST = "[" + ", ".join(str(v) for v in QS_THRESHOLDS) + "]"
+
+
+def _qs_en_list() -> str:
+    from .ext import text as TX
+
+    return "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"]) + "]"
+
+
+_QSWEEP_SQL = f"""
+WITH tok AS (SELECT doc_id, text, {_QS_TOKS} AS toks FROM documents),
+per AS (
+  SELECT CAST(floor((least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+              + (len(list_filter(toks, x -> list_contains({_qs_en_list()}, x)))::DOUBLE
+                 / len(toks)) * 0.3
+              + (length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+                 / length(text)) * 0.3) * 10000 + 0.5) AS BIGINT) AS q4i,
+         len(toks) AS n_tok
+  FROM tok
+),
+sw AS (SELECT per.*, unnest({_QS_THR_LIST}) AS thr FROM per)
+SELECT CAST(thr AS INT) AS thr,
+       CAST(count(*) FILTER (WHERE q4i >= thr) AS BIGINT) AS n_docs,
+       CAST(COALESCE(sum(n_tok) FILTER (WHERE q4i >= thr), 0) AS BIGINT)
+         AS n_tokens,
+       floor(CAST(count(*) FILTER (WHERE q4i >= thr) AS DOUBLE) / count(*)
+             * 10000 + 0.5) / 10000.0 AS pct_docs4
+FROM sw GROUP BY thr ORDER BY thr
+"""
+
+
+# ------------------------------------------- COMMON-NEIGHBOR LINK PREDICTION
+
+# Wedge-center degree cap: hubs contribute deg^2 candidate pairs while
+# carrying near-zero link-prediction signal (every pair shares the hub)
+# — the standard practice is to drop or downweight them. The cap bounds
+# per-center fan-out at CAP^2 regardless of degree skew, the same
+# blowup-guard discipline as dedup's DF>100 hot-shingle filter.
+LP_HUB_CAP = 64
+LP_TOPK = 20
+
+
+def link_predict(edges, topk: int = LP_TOPK, hub_cap: int = LP_HUB_CAP):
+    """Common-neighbor link prediction over a symmetric edge list: for
+    every NON-adjacent node pair, count shared neighbors and return the
+    top-``topk`` strongest candidates — the classic graph-completion /
+    recommendation primitive (Liben-Nowell & Kleinberg 2003).
+
+    Scale shape: candidates come from a wedge equi-join through the
+    shared neighbor (mid) — never an all-pairs scan; wedge centers with
+    degree > ``hub_cap`` are excluded (documented above), so per-center
+    fan-out is bounded under power-law skew; existing edges drop via a
+    fingerprint-grain anti-join; top-k is a distributed
+    TakeOrderedAndProject. Degrees ride back on two broadcast joins of
+    the node-grain degree table."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg.filter(F.col("deg") <= hub_cap).select("src")
+    ce = edges.join(centers, "src")
+    e1 = ce.select(F.col("src").alias("mid"), F.col("dst").alias("a"))
+    e2 = ce.select(F.col("src").alias("mid"), F.col("dst").alias("b"))
+    wedges = (
+        e1.join(e2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    existing = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    cand = wedges.join(existing, ["a", "b"], "left_anti")
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select("a", "b", "common_neighbors", "deg_a", "deg_b")
+        .orderBy(F.desc("common_neighbors"), F.asc("a"), F.asc("b"))
+        .limit(topk)
+    )
+
+
+def _graph_link_predict(spark, sf_dir):
+    from .ops import graph as G
+
+    li = t(spark, sf_dir, "lineitem")
+    # deliberately NOT cached (unlike graph_pagerank/graph_triangles,
+    # whose ITERATIVE consumers need a materialized edge set): here all
+    # four consumers sit in ONE job, so ReusedExchange shares the edge
+    # build's shuffle output already — an explicit cache measured SLOWER
+    # at sf0.1 (4.1 s vs 3.1 s: pays materialization for nothing).
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_groups=2)
+    return link_predict(edges)
+
+
+_LP_EDGES_CTE = """
+SELECT a.i AS src, b.i AS dst
+FROM (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem) b
+  ON a.g = b.g AND a.i <> b.i
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+_LP_SQL = f"""
+WITH edges AS ({_LP_EDGES_CTE}),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+ce AS (SELECT e.src, e.dst FROM edges e
+       JOIN deg ON deg.src = e.src AND deg.deg <= {LP_HUB_CAP}),
+wedges AS (
+  SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM ce e1 JOIN ce e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT w.* FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM edges x
+                    WHERE x.src = w.a AND x.dst = w.b)
+)
+SELECT c.a, c.b, c.common_neighbors, da.deg AS deg_a, db.deg AS deg_b
+FROM cand c JOIN deg da ON da.src = c.a JOIN deg db ON db.src = c.b
+ORDER BY c.common_neighbors DESC, c.a ASC, c.b ASC
+LIMIT {LP_TOPK}
+"""
+
+
 R5B_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in (
@@ -382,5 +687,15 @@ R5B_QUERIES: dict[str, QueryDef] = {
             _CUMDIST_SQL,
             ("events",),
         ),
+        QueryDef(
+            "layout_zonemap_overlap",
+            _layout_zonemap_overlap,
+            _ZONEMAP_SQL,
+            ("warehouse",),
+        ),
+        QueryDef(
+            "corpus_quality_sweep", _corpus_quality_sweep, _QSWEEP_SQL, ("corpus",)
+        ),
+        QueryDef("graph_link_predict", _graph_link_predict, _LP_SQL, ("graph",)),
     )
 }

@@ -734,7 +734,12 @@ def test_r5b_family_plans(spark, sf_dir):
     from fitness_data_ingest_spark.plans import lint_plan
     from fitness_data_ingest_spark.registry_r5b import R5B_QUERIES
 
-    bounded_bcast_ok = {"events_cumulative_distinct"}
+    bounded_bcast_ok = {
+        "events_cumulative_distinct",
+        # 1-row date-bounds scalar attach (q14/q22 shape) + the file-grain
+        # overlap self-join over a configuration-constant build side
+        "layout_zonemap_overlap",
+    }
     for name, q in R5B_QUERIES.items():
         findings = [
             f

@@ -810,3 +810,110 @@ def test_hash_sample_is_deterministic_partition(spark, ids):
     want = sum(1 for i in ids if _md5_32(f"smp:{i}") % SAMPLE_MOD == 0)
     assert (r["n_docs"], r["n_sampled"]) == (len(ids), want)
     assert r["sampled_tokens"] == want * 4
+
+
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=8), st.integers(min_value=0, max_value=8)
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    cap=st.integers(min_value=1, max_value=8),
+)
+@PROP_SETTINGS
+def test_link_predict_matches_bruteforce(spark, edges, cap):
+    """Common-neighbor link prediction == the adjacency-set Python
+    restatement for any graph and any hub cap: candidates are exactly
+    the non-adjacent pairs sharing >= 1 capped-degree neighbor."""
+    from fitness_data_ingest_spark.registry_r5b import link_predict
+
+    sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        (r["a"], r["b"]): (r["common_neighbors"], r["deg_a"], r["deg_b"])
+        for r in link_predict(df, topk=1000, hub_cap=cap).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    want = {}
+    for mid, nbrs in adj.items():
+        if len(nbrs) > cap:
+            continue
+        for a in nbrs:
+            for b in nbrs:
+                if a < b:
+                    want[(a, b)] = want.get((a, b), 0) + 1
+    want = {
+        (a, b): (cn, len(adj[a]), len(adj[b]))
+        for (a, b), cn in want.items()
+        if b not in adj[a]
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # order key
+            st.integers(min_value=0, max_value=400),  # day offset
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@PROP_SETTINGS
+def test_zonemap_range_layout_never_overlaps(spark, rows):
+    """Value-bucketed (range) files partition the date domain, so their
+    zone maps can never overlap — for ANY input; hash files conserve
+    rows; every row lands in exactly one file per layout."""
+    import datetime as dt
+
+    from fitness_data_ingest_spark.registry_r5b import zonemap_overlap
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, base + dt.timedelta(days=d)) for k, d in rows],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    out = zonemap_overlap(df).collect()
+    for r in out:
+        assert r["min_date"] <= r["max_date"]
+        if r["layout"] == "range":
+            assert r["n_overlaps"] == 0, out
+    for layout in ("hash", "range"):
+        assert sum(r["n_rows"] for r in out if r["layout"] == layout) == len(rows)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["the", "and", "zq", "!!", "a"]), min_size=1, max_size=20
+        ).map(" ".join),
+        min_size=1,
+        max_size=15,
+    )
+)
+@PROP_SETTINGS
+def test_quality_sweep_monotone_and_conserving(spark, texts):
+    """Retention is non-increasing in the threshold, the doc total is
+    conserved at every threshold, and token retention is bounded by the
+    corpus token total — for any corpus."""
+    from fitness_data_ingest_spark.registry_r5b import QS_THRESHOLDS, quality_sweep
+
+    docs = spark.createDataFrame(
+        [(i, s, "src") for i, s in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    out = sorted(quality_sweep(docs).collect(), key=lambda r: r["thr"])
+    assert [r["thr"] for r in out] == list(QS_THRESHOLDS)
+    total_toks = sum(len([w for w in s.split() if w]) for s in texts)
+    prev_d, prev_t = len(texts) + 1, total_toks + 1
+    for r in out:
+        assert 0 <= r["n_docs"] <= len(texts)
+        assert 0 <= r["n_tokens"] <= total_toks
+        assert r["n_docs"] <= prev_d and r["n_tokens"] <= prev_t
+        prev_d, prev_t = r["n_docs"], r["n_tokens"]
