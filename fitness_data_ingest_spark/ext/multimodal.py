@@ -751,3 +751,68 @@ def audio_features(media_df: DataFrame) -> DataFrame:
         ]
     )
     return media_df.mapInPandas(_extract, schema=schema)
+
+
+def image_ahash_bands(media_df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) per image over the REAL decode
+    path, split into four 16-bit bands for LSH-style duplicate
+    blocking: decode RGB24 (PPM directly, PNG through zlib-inflate +
+    unfilter), nearest-neighbor-downsample to the canonical 8x8 grid,
+    grayscale each cell as ``(r+g+b) // 3``, and set bit ``cy*8+cx``
+    when the cell is strictly brighter than the integer-floor mean of
+    the 64 cells. Bands are bits [0,16), [16,32), [32,48), [48,64) —
+    four SMALL integers instead of one 64-bit hash so downstream SQL
+    needs no 1<<63 overflow gymnastics and band-equality blocking is a
+    plain column equi-join (the pigeonhole guarantee: Hamming distance
+    <= 3 implies at least one identical band; wider radii trade recall
+    exactly like dedup_simhash's banding).
+
+    Everything is integer arithmetic on bytes, so the hash is
+    bit-reproducible across engines — the DuckDB oracle replays the
+    pixel LCG relationally and re-derives every band (the
+    multimodal_pixel_stats pattern). Non-image payloads emit nulls
+    (poison-payload tolerance); Arrow-batched ``mapInPandas``, zero
+    shuffle."""
+    import numpy as np
+
+    def _ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                px, w, h = None, 0, 0
+                png = parse_png(b)
+                if png is not None:
+                    px = decode_png_pixels(b)
+                    w, h = png["width"], png["height"]
+                else:
+                    ppm = parse_ppm(b)
+                    if ppm is not None and ppm["maxval"] <= 255:
+                        off = ppm["pixel_offset"]
+                        need = ppm["width"] * ppm["height"] * 3
+                        if len(b) - off >= need:
+                            px = b[off : off + need]
+                            w, h = ppm["width"], ppm["height"]
+                if px is None:
+                    rows.append((mid, None, None, None, None))
+                    continue
+                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                cells = img[ys][:, xs].astype("i8")
+                gray = cells.sum(axis=2) // 3  # 8x8 ints
+                mean = int(gray.sum()) // 64
+                bits = (gray > mean).astype("i8").flatten()  # ck = cy*8+cx
+                bands = [
+                    int(sum(int(bits[16 * i + j]) << j for j in range(16)))
+                    for i in range(4)
+                ]
+                rows.append((mid, *bands))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return media_df.mapInPandas(
+        _ahash,
+        schema="media_id long, b0 long, b1 long, b2 long, b3 long",
+    )

@@ -673,6 +673,289 @@ LIMIT {LP_TOPK}
 """
 
 
+# ------------------------------------------- PERCEPTUAL IMAGE DEDUP
+
+# Hamming radius for the duplicate verdict (of 64 aHash bits). Random
+# images sit near 32; real near-dups and degenerate (low-information)
+# images sit near 0 — 12 is the conventional aHash near-dup bar.
+AH_HAM_T = 12
+
+
+def image_dedup(bands):
+    """Banded perceptual-hash image dedup over (media_id, b0..b3) aHash
+    band rows: candidates are pairs agreeing on ANY 16-bit band (the
+    pigeonhole blocking dedup_simhash uses — Hamming <= 3 is guaranteed
+    caught, wider radii probabilistically), verified by exact 64-bit
+    Hamming distance <= ``AH_HAM_T``. Returns every image's bands plus
+    its near-duplicate count — on this corpus the duplicate classes are
+    the degenerate tiny images (1x1 collapses all 64 cells to one
+    pixel, so every 1x1 image hashes to all-zero bands), which is
+    precisely what aHash flags in production: low-information images.
+
+    Scale shape: the band explode is in-place (4 rows per image);
+    candidates come from ONE self-equi-join on (band_idx, value) —
+    never all-pairs; the Hamming verify joins the bounded candidate
+    set back to the band table twice; the per-image count is an
+    aggregate. The band table is persisted: it is the output AND feeds
+    three joins, and each re-derivation would re-run the Python decode
+    over every payload (the minhash-signature persist discipline;
+    callers/bench clearCache between queries)."""
+    bands = bands.persist()
+    ex = bands.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), F.col(f"b{i}").alias("v"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", F.col("bv.i").alias("i"), F.col("bv.v").alias("v"))
+    a = ex.select(F.col("media_id").alias("ma"), "i", "v")
+    b = ex.select(F.col("media_id").alias("mb"), "i", "v")
+    cand = (
+        a.join(b, ["i", "v"])
+        .filter(F.col("ma") < F.col("mb"))
+        .select("ma", "mb")
+        .distinct()
+    )
+    ba = bands.select(
+        F.col("media_id").alias("ma"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+    )
+    bb = bands.select(
+        F.col("media_id").alias("mb"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}"))) for i in range(4)
+    )
+    dups = (
+        cand.join(ba, "ma")
+        .join(bb, "mb")
+        .filter(ham <= AH_HAM_T)
+        .select("ma", "mb")
+    )
+    touched = dups.select(F.col("ma").alias("media_id")).unionByName(
+        dups.select(F.col("mb").alias("media_id"))
+    )
+    cnt = touched.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_dups"))
+    return (
+        bands.join(cnt, "media_id", "left")
+        .select(
+            "media_id",
+            "b0",
+            "b1",
+            "b2",
+            "b3",
+            F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def _multimodal_image_dedup(spark, sf_dir):
+    from .ext import multimodal as MM
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    media = MM.synthesize_media(docs, png_mod4=True)
+    bands = MM.image_ahash_bands(media).filter(F.col("b0").isNotNull())
+    return image_dedup(bands)
+
+
+# Relational replay of the synthesize_media pixel LCG (the
+# multimodal_pixel_stats oracle pattern): pw(k) carries the
+# id-independent (A^k mod 2^63, sum_{j<k} A^j mod 2^63) pair; per image
+# seed_k = A^k*s0 + S_k and byte_k = (seed_k >> 33) % 256 (1-based k).
+# The 8x8 downsample cell (cy, cx) reads source pixel
+# p = (cy*h // 8)*w + (cx*w // 8) (0-based), i.e. bytes 3p+1..3p+3;
+# gray = floor(sum/3), mean = floor(sum(gray)/64), bit ck set iff
+# gray > mean, band i = bits [16i, 16i+16). PNG rows (id % 4 == 3)
+# carry the SAME LCG pixels — the encode/decode loop is pixel-exact —
+# so the oracle needs no per-format branch.
+_AHASH_SQL = f"""
+WITH RECURSIVE pw(k, ak, sk) AS (
+  SELECT 1, CAST(6364136223846793005 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT k + 1,
+         CAST((CAST(6364136223846793005 AS HUGEINT) * ak)
+              % 9223372036854775808 AS BIGINT),
+         CAST((CAST(6364136223846793005 AS HUGEINT) * sk + 1)
+              % 9223372036854775808 AS BIGINT)
+  FROM pw WHERE k < 1536
+),
+imgs AS (
+  SELECT doc_id AS media_id,
+         CAST(length(text) % 32 + 1 AS BIGINT) AS w,
+         CAST((doc_id // 2) % 16 + 1 AS BIGINT) AS h,
+         CAST((CAST(doc_id AS HUGEINT) * 6364136223846793005
+               + 1442695040888963407) % 9223372036854775808 AS BIGINT) AS s0
+  FROM documents WHERE doc_id % 2 = 1
+),
+cells AS (
+  SELECT i.media_id, c.ck,
+         ((c.ck // 8) * i.h // 8) * i.w + ((c.ck % 8) * i.w // 8) AS p
+  FROM imgs i, (SELECT unnest(range(0, 64)) AS ck) c
+),
+gray AS (
+  SELECT cl.media_id, cl.ck,
+         CAST(sum((CAST((CAST(p.ak AS HUGEINT) * i.s0 + p.sk)
+                   % 9223372036854775808 AS BIGINT) // 8589934592) % 256)
+              // 3 AS BIGINT) AS g
+  FROM cells cl
+  JOIN imgs i ON i.media_id = cl.media_id
+  JOIN pw p ON p.k BETWEEN 3 * cl.p + 1 AND 3 * cl.p + 3
+  GROUP BY cl.media_id, cl.ck
+),
+m AS (SELECT media_id, CAST(sum(g) // 64 AS BIGINT) AS mean
+      FROM gray GROUP BY media_id),
+bits AS (
+  SELECT gray.media_id, ck,
+         CASE WHEN g > m.mean THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+  FROM gray JOIN m USING (media_id)
+),
+bands AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN ck // 16 = 0 THEN bit << (ck % 16) ELSE 0 END)
+              AS BIGINT) AS b0,
+         CAST(sum(CASE WHEN ck // 16 = 1 THEN bit << (ck % 16) ELSE 0 END)
+              AS BIGINT) AS b1,
+         CAST(sum(CASE WHEN ck // 16 = 2 THEN bit << (ck % 16) ELSE 0 END)
+              AS BIGINT) AS b2,
+         CAST(sum(CASE WHEN ck // 16 = 3 THEN bit << (ck % 16) ELSE 0 END)
+              AS BIGINT) AS b3
+  FROM bits GROUP BY media_id
+),
+cand AS (
+  SELECT a.media_id AS ma, b.media_id AS mb
+  FROM bands a JOIN bands b
+    ON a.media_id < b.media_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+),
+dups AS (
+  SELECT ma, mb FROM cand
+  JOIN bands x ON x.media_id = cand.ma
+  JOIN bands y ON y.media_id = cand.mb
+  WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+      <= {AH_HAM_T}
+),
+cnt AS (
+  SELECT media_id, CAST(count(*) AS BIGINT) AS n_dups
+  FROM (SELECT ma AS media_id FROM dups
+        UNION ALL SELECT mb FROM dups)
+  GROUP BY media_id
+)
+SELECT b.media_id, b.b0, b.b1, b.b2, b.b3,
+       CAST(COALESCE(c.n_dups, 0) AS BIGINT) AS n_dups
+FROM bands b LEFT JOIN cnt c USING (media_id)
+ORDER BY b.media_id
+"""
+
+
+# ------------------------------------------- EMBEDDING DECONTAMINATION
+
+# Cosine bar for the contamination verdict — the SemDeDup tau (the two
+# operators answer the same "is this semantically the same item"
+# question, one within-corpus, one across the train/eval boundary).
+DECON_TAU = 0.55
+
+
+def cross_split_decontaminate(embeddings, tau: float = DECON_TAU):
+    """Train/eval decontamination scan in embedding space: the eval
+    split (``vec_id % 10 == 0`` — the corpus_split_assign convention)
+    must not appear, up to near-duplication, in the train split. For
+    every label: train size, bucketed candidate-pair count, the MAXIMUM
+    train-eval cosine found, and how many train vectors breach ``tau``.
+    A clean corpus reports zero breaches WITH the observed margin — the
+    report a training run archives as evidence eval was not leaked
+    (planted-duplicate detection is property-tested).
+
+    Scale shape: candidates are hyperplane-LSH bucket collisions (ONE
+    equi-join on the bucket id — never train x eval), the same
+    blocking as every registered ANN key; per-label reduction is an
+    aggregate; the label-grain report rides on one left join."""
+    from .ext import similarity as S
+
+    e = S.with_norm(embeddings)
+    n = e.select(
+        "vec_id", "label", "vec", "nrm", S.lsh_bucket(F.col("vec")).alias("bucket")
+    )
+    tr = n.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    te = n.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0).select(
+        F.col("vec").alias("t_vec"), F.col("nrm").alias("t_nrm"), "bucket"
+    )
+    pairs = tr.join(te, "bucket").select(
+        "vec_id",
+        "label",
+        S.cosine(
+            F.col("vec"), F.col("t_vec"), F.col("nrm"), F.col("t_nrm")
+        ).alias("cos"),
+    )
+    per_label = pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_cand_pairs"),
+        (F.floor(F.max("cos") * 10000 + F.lit(0.5)) / 10000.0).alias("max_cos4"),
+        F.count_distinct(
+            F.when(F.col("cos") >= tau, F.col("vec_id"))
+        ).alias("n_contaminated"),
+    )
+    base = tr.groupBy("label").agg(F.count(F.lit(1)).alias("n_train"))
+    return (
+        base.join(per_label, "label", "left")
+        .select(
+            "label",
+            "n_train",
+            F.coalesce(F.col("n_cand_pairs"), F.lit(0)).alias("n_cand_pairs"),
+            F.coalesce(F.col("max_cos4"), F.lit(-1.0)).alias("max_cos4"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+        )
+        .orderBy("label")
+    )
+
+
+def _embed_decontaminate(spark, sf_dir):
+    return cross_split_decontaminate(t(spark, sf_dir, "embeddings"))
+
+
+def _decon_sql() -> str:
+    from .registry_ext import _sql_lsh_bucket
+
+    return f"""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+n AS (SELECT * FROM (
+        SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm,
+               CAST({_sql_lsh_bucket()} AS BIGINT) AS bucket
+        FROM e) WHERE nrm > 0),
+tr AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+te AS (SELECT v AS t_vec, nrm AS t_nrm, bucket FROM n WHERE vec_id % 10 = 0),
+pairs AS (
+  SELECT tr.vec_id, tr.label,
+         list_dot_product(tr.v, te.t_vec) / (tr.nrm * te.t_nrm) AS cos
+  FROM tr JOIN te USING (bucket)
+),
+pl AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_cand_pairs,
+         floor(max(cos) * 10000 + 0.5) / 10000.0 AS max_cos4,
+         CAST(count(DISTINCT CASE WHEN cos >= {DECON_TAU} THEN vec_id END)
+              AS BIGINT) AS n_contaminated
+  FROM pairs GROUP BY label
+),
+base AS (SELECT label, CAST(count(*) AS BIGINT) AS n_train
+         FROM tr GROUP BY label)
+SELECT base.label, base.n_train,
+       CAST(COALESCE(pl.n_cand_pairs, 0) AS BIGINT) AS n_cand_pairs,
+       COALESCE(pl.max_cos4, -1.0) AS max_cos4,
+       CAST(COALESCE(pl.n_contaminated, 0) AS BIGINT) AS n_contaminated
+FROM base LEFT JOIN pl USING (label)
+ORDER BY base.label
+"""
+
+
 R5B_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in (
@@ -697,5 +980,14 @@ R5B_QUERIES: dict[str, QueryDef] = {
             "corpus_quality_sweep", _corpus_quality_sweep, _QSWEEP_SQL, ("corpus",)
         ),
         QueryDef("graph_link_predict", _graph_link_predict, _LP_SQL, ("graph",)),
+        QueryDef(
+            "multimodal_image_dedup",
+            _multimodal_image_dedup,
+            _AHASH_SQL,
+            ("multimodal",),
+        ),
+        QueryDef(
+            "embed_decontaminate", _embed_decontaminate, _decon_sql(), ("ext",)
+        ),
     )
 }

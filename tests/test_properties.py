@@ -917,3 +917,106 @@ def test_quality_sweep_monotone_and_conserving(spark, texts):
         assert 0 <= r["n_tokens"] <= total_toks
         assert r["n_docs"] <= prev_d and r["n_tokens"] <= prev_t
         prev_d, prev_t = r["n_docs"], r["n_tokens"]
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=10),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@PROP_SETTINGS
+def test_ahash_bands_match_bruteforce_and_png_roundtrip(spark, w, h, seed):
+    """image_ahash_bands == the numpy-free Python replay for any image
+    geometry, and the PNG encoding of the SAME pixels hashes to the
+    SAME bands (the encode->decode loop is pixel-exact)."""
+    from fitness_data_ingest_spark.ext.multimodal import (
+        encode_png,
+        encode_ppm_p6,
+        image_ahash_bands,
+    )
+
+    rng = seed
+    px = bytearray()
+    for _ in range(w * h * 3):
+        rng = (rng * 6364136223846793005 + 1) % (2**63)
+        px.append((rng >> 33) % 256)
+    px = bytes(px)
+    media = spark.createDataFrame(
+        [(0, encode_ppm_p6(w, h, px)), (1, encode_png(w, h, px))],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in image_ahash_bands(media).collect()
+    }
+
+    ys = [(cy * h) // 8 for cy in range(8)]
+    xs = [(cx * w) // 8 for cx in range(8)]
+    gray = [
+        sum(px[3 * (y * w + x) + c] for c in range(3)) // 3
+        for y in ys
+        for x in xs
+    ]
+    mean = sum(gray) // 64
+    bits = [1 if g > mean else 0 for g in gray]
+    want = tuple(
+        sum(bits[16 * i + j] << j for j in range(16)) for i in range(4)
+    )
+    assert got[0] == want
+    assert got[1] == want  # PNG round-trip pixel-exact
+
+
+def test_image_dedup_flags_identical_images(spark):
+    """Two byte-identical images must be mutual near-duplicates
+    (Hamming 0 -> banded candidates -> n_dups >= 1 on both)."""
+    from fitness_data_ingest_spark.ext.multimodal import (
+        encode_ppm_p6,
+        image_ahash_bands,
+    )
+    from fitness_data_ingest_spark.registry_r5b import image_dedup
+
+    rng, px = 7, bytearray()
+    for _ in range(6 * 4 * 3):
+        rng = (rng * 6364136223846793005 + 1) % (2**63)
+        px.append((rng >> 33) % 256)
+    dup = encode_ppm_p6(6, 4, bytes(px))
+    other = encode_ppm_p6(1, 1, bytes(px[:3]))
+    media = spark.createDataFrame(
+        [(0, dup), (1, dup), (2, other)], "media_id long, payload binary"
+    )
+    out = {
+        r["media_id"]: r["n_dups"]
+        for r in image_dedup(image_ahash_bands(media)).collect()
+    }
+    spark.catalog.clearCache()
+    assert out[0] >= 1 and out[1] >= 1
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-3, max_value=3), min_size=64, max_size=64
+        ).filter(lambda v: any(v)),
+        min_size=1,
+        max_size=8,
+    )
+)
+@PROP_SETTINGS
+def test_decontaminate_flags_planted_duplicate(spark, vecs):
+    """Planting an EXACT copy of an eval vector in the train split must
+    be detected (same LSH bucket by construction, cosine 1 >= tau), and
+    candidate accounting stays consistent for any corpus."""
+    from fitness_data_ingest_spark.registry_r5b import cross_split_decontaminate
+
+    rows = []
+    for i, v in enumerate(vecs):
+        rows.append((10 * (i + 1), [float(x) for x in v], 0))  # eval split
+    # plant: train copy of the FIRST eval vector
+    rows.append((1, [float(x) for x in vecs[0]], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    [r] = cross_split_decontaminate(emb).collect()
+    assert r["n_contaminated"] >= 1
+    assert r["max_cos4"] >= 0.9999
+    assert r["n_cand_pairs"] >= 1 and r["n_train"] == 1
