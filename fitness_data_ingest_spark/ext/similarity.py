@@ -782,3 +782,119 @@ def semdedup_profile(
         )
         .orderBy("cluster")
     )
+
+
+# ----------------------------------------------------- K-MEANS (LLOYD)
+
+KM_K = 8
+KM_ROUNDS = 3
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = KM_K,
+    rounds: int = KM_ROUNDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over SQ8-quantized codes: ``rounds``
+    assignment passes with a centroid update between consecutive passes,
+    seeded by the ``k`` lowest-id vectors. Returns the final
+    per-cluster profile (members, representative = lowest member id,
+    inertia).
+
+    Exactness design — the whole point of running Lloyd on CODES rather
+    than floats: a centroid is kept as the INTEGER pair (count, per-dim
+    code sums), never a float mean, so the comparable quantity
+    ``dist²·cnt² = Σ(cnt·x_i − s_i)²`` is an exact int64 and the only
+    float op is one division by ``cnt²`` per (vector, centroid) — the
+    same ints divide to the same doubles in any engine, which is what
+    lets a 3-round iterative clustering hash-match DuckDB bit-for-bit.
+    Per-cluster inertia is exact for the same reason: every member of a
+    cluster shares the divisor, so Σdist² accumulates as int64
+    (order-independent) and divides once. int64 headroom: |cnt·x| ≤
+    N·255, squared and summed over 64 dims ⇒ safe beyond 10⁶ rows per
+    cluster; production scales switch the centroid to a float mean and
+    accept fold-order drift (documented, not registered).
+
+    Scale shape per round: the centroid table is k rows (broadcast —
+    the embed_cluster_assign expansion, sanctioned bounded build); the
+    argmin is a partial-aggregated ``min(struct)`` CARRYING the code
+    vector through (the ivf carry_vec trick — no join-back); the update
+    is ONE shuffle at (cluster, dim) grain with map-side combine.
+    State is ``localCheckpoint``-ed between rounds, killing the
+    2^rounds lineage re-derivation (the power-iteration lesson).
+    Clusters that lose all members drop out of the state identically
+    in both engines (group-by semantics)."""
+    codes = sq8_codes(df, id_col, vec_col).localCheckpoint()
+    state = (
+        codes.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.lit(1).cast("long").alias("cnt"),
+            F.col("c").alias("s"),
+        )
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(c, s, (x, si) -> (cnt*x - si)*(cnt*x - si)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    assigned = None
+    for r in range(rounds):
+        joined = codes.crossJoin(F.broadcast(state))
+        sv = F.struct(
+            (dist2.cast("double") / (F.col("cnt") * F.col("cnt")).cast("double")).alias(
+                "v"
+            ),
+            F.col("cid").alias("cid"),
+            dist2.alias("d2"),
+            F.col("cnt").alias("cnt"),
+            F.col("c").alias("c"),
+        )
+        assigned = (
+            joined.select(F.col(id_col).alias("vid"), sv.alias("sv"))
+            .groupBy("vid")
+            .agg(F.min("sv").alias("m"))
+            .select(
+                "vid",
+                F.col("m.cid").alias("cid"),
+                F.col("m.d2").alias("d2"),
+                F.col("m.cnt").alias("cnt"),
+                F.col("m.c").alias("c"),
+            )
+        )
+        if r < rounds - 1:
+            sums = (
+                assigned.select("cid", F.posexplode("c").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            )
+            state = (
+                sums.groupBy("cid")
+                .agg(
+                    F.max("n").alias("cnt"),
+                    F.expr("array_sort(collect_list(struct(pos, sx)))").alias("ps"),
+                )
+                .select(
+                    "cid", "cnt", F.expr("transform(ps, e -> e.sx)").alias("s")
+                )
+                .localCheckpoint()
+            )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vid").alias("rep_id"),
+            (
+                F.floor(
+                    F.sum("d2").cast("double")
+                    / (F.first("cnt") * F.first("cnt")).cast("double")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("inertia4"),
+        )
+        .orderBy("cid")
+    )

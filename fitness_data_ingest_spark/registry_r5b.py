@@ -956,6 +956,252 @@ ORDER BY base.label
 """
 
 
+# ------------------------------------------- BLOOM-FILTER PRUNE AUDIT
+
+# Bloom geometry: 16 synthetic files, m=256 bits per file packed as
+# 8 words x 32 bits (shifts stay < 32, so every mask is a positive
+# int64 in both engines), k=3 hash functions, 500 synthetic probe keys.
+BF_FILES = 16
+BF_WORDS = 8
+BF_BITS = 256
+BF_K = 3
+BF_PROBES = 500
+
+
+def bloom_prune_audit(orders):
+    """Bloom-filter data-skipping audit — the third leg of the skipping
+    triad (min/max zone maps: layout_zonemap_overlap; clustering:
+    zorder_locality; membership: this). Each synthetic file gets an
+    m-bit bloom over its order keys (k deterministic md5 hash bits);
+    the audit probes ``BF_PROBES`` keys GUARANTEED absent (beyond the
+    corpus max) against every file and reports the realized
+    false-positive rate per file — the number that decides whether
+    shipping blooms into the manifest is worth it for point-lookup
+    pruning.
+
+    Scale shape: the bloom build is ONE map-side-combinable ``bit_or``
+    shuffle onto (file, word) grain — 128 cells total, geometry-bounded
+    like the count-min sketch; the probe set derives from a 1-row max
+    aggregate (broadcast scalar attach) and expands in place to
+    probes x files x k rows, which then equi-join the 128-cell bloom
+    table broadcast. Nothing downstream of the build touches data
+    grain."""
+    keys = orders.select("o_orderkey").distinct()
+    fid = F.pmod(_h32(F.concat(F.lit("bf_file:"), F.col("o_orderkey").cast("string"))), F.lit(BF_FILES))
+    bit_j = lambda j, col: F.pmod(
+        _h32(F.concat(F.lit(f"bf{j}:"), col.cast("string"))), F.lit(BF_BITS)
+    )
+    kb = keys.select(
+        fid.alias("f"),
+        F.explode(
+            F.array(*[bit_j(j, F.col("o_orderkey")) for j in range(BF_K)])
+        ).alias("bit"),
+    )
+    blooms = (
+        kb.select(
+            "f",
+            (F.col("bit") / 32).cast("int").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(bit, 32) AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("f", "word")
+        .agg(F.bit_or("mask").alias("w"))
+    )
+    per_file = keys.select(fid.alias("f")).groupBy("f").agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+    mx = orders.agg(F.max("o_orderkey").alias("mx"))
+    probes = (
+        mx.select(
+            F.explode(F.sequence(F.col("mx") + 1, F.col("mx") + BF_PROBES)).alias(
+                "pk"
+            )
+        )
+        .select(
+            "pk",
+            F.explode(F.sequence(F.lit(0), F.lit(BF_FILES - 1))).alias("f"),
+        )
+        .select(
+            "pk",
+            "f",
+            F.explode(
+                F.array(*[bit_j(j, F.col("pk")) for j in range(BF_K)])
+            ).alias("bit"),
+        )
+        .select(
+            "pk",
+            "f",
+            (F.col("bit") / 32).cast("int").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(bit, 32) AS INT))"
+            ).alias("mask"),
+        )
+    )
+    hits = (
+        probes.join(F.broadcast(blooms), ["f", "word"], "left")
+        .groupBy("pk", "f")
+        .agg(
+            F.min(
+                (F.coalesce(F.col("w"), F.lit(0)).bitwiseAND(F.col("mask")) == F.col("mask")).cast("int")
+            ).alias("member")
+        )
+        .filter(F.col("member") == 1)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+    )
+    return (
+        per_file.join(hits, "f", "left")
+        .select(
+            "f",
+            "n_keys",
+            F.coalesce(F.col("n_fp"), F.lit(0)).alias("n_fp"),
+            (
+                F.floor(
+                    F.coalesce(F.col("n_fp"), F.lit(0)).cast("double")
+                    / BF_PROBES
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("fp_rate4"),
+        )
+        .orderBy("f")
+    )
+
+
+def _table_bloom_prune_audit(spark, sf_dir):
+    return bloom_prune_audit(t(spark, sf_dir, "orders"))
+
+
+def _bf_bits_sql(j: int, expr: str) -> str:
+    return (
+        f"('0x' || substr(md5('bf{j}:' || CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {BF_BITS}"
+    )
+
+
+_BF_SQL = f"""
+WITH keys AS (SELECT DISTINCT o_orderkey FROM orders),
+kb AS (
+  SELECT ('0x' || substr(md5('bf_file:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           % {BF_FILES} AS f,
+         unnest([{", ".join(_bf_bits_sql(j, "o_orderkey") for j in range(BF_K))}]) AS bit
+  FROM keys
+),
+blooms AS (
+  SELECT f, CAST(bit // 32 AS INT) AS word,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS BIGINT) AS w
+  FROM kb GROUP BY f, CAST(bit // 32 AS INT)
+),
+per_file AS (
+  SELECT ('0x' || substr(md5('bf_file:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           % {BF_FILES} AS f, CAST(count(*) AS BIGINT) AS n_keys
+  FROM keys GROUP BY 1
+),
+probes AS (
+  SELECT mx + 1 + p.i AS pk, fl.f, b.j
+  FROM (SELECT max(o_orderkey) AS mx FROM orders),
+       (SELECT unnest(range(0, {BF_PROBES})) AS i) p,
+       (SELECT unnest(range(0, {BF_FILES})) AS f) fl,
+       (SELECT unnest(range(0, {BF_K})) AS j) b
+),
+pb AS (
+  SELECT pk, f,
+         CASE j {" ".join(f"WHEN {j} THEN {_bf_bits_sql(j, 'pk')}" for j in range(BF_K))} END AS bit
+  FROM probes
+),
+hits AS (
+  SELECT pk, f FROM (
+    SELECT pb.pk, pb.f,
+           min(CASE WHEN COALESCE(bl.w, 0) & (CAST(1 AS BIGINT) << CAST(pb.bit % 32 AS INT))
+                         = (CAST(1 AS BIGINT) << CAST(pb.bit % 32 AS INT))
+                    THEN 1 ELSE 0 END) AS member
+    FROM pb LEFT JOIN blooms bl
+      ON bl.f = pb.f AND bl.word = CAST(pb.bit // 32 AS INT)
+    GROUP BY pb.pk, pb.f) WHERE member = 1
+),
+fp AS (SELECT f, CAST(count(*) AS BIGINT) AS n_fp FROM hits GROUP BY f)
+SELECT per_file.f, per_file.n_keys,
+       CAST(COALESCE(fp.n_fp, 0) AS BIGINT) AS n_fp,
+       floor(CAST(COALESCE(fp.n_fp, 0) AS DOUBLE) / {BF_PROBES} * 10000 + 0.5)
+         / 10000.0 AS fp_rate4
+FROM per_file LEFT JOIN fp USING (f)
+ORDER BY per_file.f
+"""
+
+
+# ----------------------------------------------------- K-MEANS (LLOYD)
+
+
+def _embed_kmeans_lloyd(spark, sf_dir):
+    """Deterministic 3-round Lloyd k-means over SQ8 codes — see
+    ext.similarity.kmeans_lloyd for the integer-exactness and
+    per-round scale argument. The oracle unrolls the three rounds in
+    SQL exactly like graph_pagerank's unrolled recurrence."""
+    from .ext import similarity as S
+
+    return S.kmeans_lloyd(t(spark, sf_dir, "embeddings"))
+
+
+def _kmeans_sql() -> str:
+    from .ext import similarity as S
+
+    k, rounds = S.KM_K, S.KM_ROUNDS
+    parts = [
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+idx AS (SELECT vec_id, v, unnest(range(1, len(v)+1)) AS i FROM e),
+d AS (SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx FROM idx GROUP BY 1),
+b AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM d),
+codes AS (SELECT vec_id,
+  list_transform(range(1, len(v)+1), i ->
+    CASE WHEN b.mx[i] > b.mn[i]
+         THEN CAST(floor((v[i] - b.mn[i]) / (b.mx[i] - b.mn[i]) * 255 + 0.5) AS BIGINT)
+         ELSE 0 END) AS c
+  FROM e CROSS JOIN b),"""
+    ]
+    parts.append(
+        f"st0 AS (SELECT vec_id AS cid, CAST(1 AS BIGINT) AS cnt, c AS s"
+        f" FROM codes ORDER BY vec_id LIMIT {k}),"
+    )
+    for r in range(rounds):
+        parts.append(
+            f"""a{r} AS (
+  SELECT vec_id, c, cid, d2, cnt FROM (
+    SELECT codes.vec_id, codes.c, st{r}.cid, st{r}.cnt,
+      CAST(list_sum(list_transform(range(1, len(codes.c)+1),
+           i -> (st{r}.cnt*codes.c[i] - st{r}.s[i])
+              * (st{r}.cnt*codes.c[i] - st{r}.s[i]))) AS BIGINT) AS d2,
+      row_number() OVER (PARTITION BY codes.vec_id ORDER BY
+        CAST(list_sum(list_transform(range(1, len(codes.c)+1),
+           i -> (st{r}.cnt*codes.c[i] - st{r}.s[i])
+              * (st{r}.cnt*codes.c[i] - st{r}.s[i]))) AS DOUBLE)
+          / (st{r}.cnt * st{r}.cnt), st{r}.cid) AS pr
+    FROM codes, st{r}) WHERE pr = 1),"""
+        )
+        if r < rounds - 1:
+            parts.append(
+                f"""u{r} AS (
+  SELECT cid, i AS pos, CAST(sum(c[i]) AS BIGINT) AS sx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT cid, c, unnest(range(1, len(c)+1)) AS i FROM a{r})
+  GROUP BY cid, i),
+st{r + 1} AS (SELECT cid, max(n) AS cnt, list(sx ORDER BY pos) AS s
+  FROM u{r} GROUP BY cid),"""
+            )
+    last = rounds - 1
+    parts.append(
+        f"""final AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(min(vec_id) AS BIGINT) AS rep_id,
+         floor(CAST(sum(d2) AS DOUBLE) / (max(cnt) * max(cnt))
+               * 10000 + 0.5) / 10000.0 AS inertia4
+  FROM a{last} GROUP BY cid)
+SELECT cid, n_members, rep_id, inertia4 FROM final ORDER BY cid"""
+    )
+    return "\n".join(parts)
+
+
 R5B_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in (
@@ -988,6 +1234,15 @@ R5B_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef(
             "embed_decontaminate", _embed_decontaminate, _decon_sql(), ("ext",)
+        ),
+        QueryDef(
+            "table_bloom_prune_audit",
+            _table_bloom_prune_audit,
+            _BF_SQL,
+            ("warehouse",),
+        ),
+        QueryDef(
+            "embed_kmeans_lloyd", _embed_kmeans_lloyd, _kmeans_sql(), ("ext",)
         ),
     )
 }

@@ -739,6 +739,9 @@ def test_r5b_family_plans(spark, sf_dir):
         # 1-row date-bounds scalar attach (q14/q22 shape) + the file-grain
         # overlap self-join over a configuration-constant build side
         "layout_zonemap_overlap",
+        # SQ8's 1-row bounds attach + the k-row centroid expansion per
+        # Lloyd round (the embed_cluster_assign sanctioned shape)
+        "embed_kmeans_lloyd",
     }
     for name, q in R5B_QUERIES.items():
         findings = [

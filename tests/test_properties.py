@@ -1020,3 +1020,113 @@ def test_decontaminate_flags_planted_duplicate(spark, vecs):
     assert r["n_contaminated"] >= 1
     assert r["max_cos4"] >= 0.9999
     assert r["n_cand_pairs"] >= 1 and r["n_train"] == 1
+
+
+@given(keys=st.sets(st.integers(min_value=0, max_value=300), min_size=1, max_size=25))
+@PROP_SETTINGS
+def test_bloom_no_false_negatives_and_fp_matches_bruteforce(spark, keys):
+    """Bloom soundness on ANY key set: every real key is a member of
+    its own file's bloom (zero false negatives — checked by probing the
+    build keys through the same predicate), and the audit's
+    false-positive counts equal the brute-force bit replay."""
+    from fitness_data_ingest_spark.registry_r5b import (
+        BF_BITS,
+        BF_FILES,
+        BF_K,
+        BF_PROBES,
+        bloom_prune_audit,
+    )
+
+    orders = spark.createDataFrame([(k,) for k in keys], "o_orderkey long")
+    out = {r["f"]: (r["n_keys"], r["n_fp"]) for r in bloom_prune_audit(orders).collect()}
+
+    blooms: dict[int, set[int]] = {}
+    per_file: dict[int, int] = {}
+    for k in keys:
+        f = _md5_32(f"bf_file:{k}") % BF_FILES
+        per_file[f] = per_file.get(f, 0) + 1
+        for j in range(BF_K):
+            blooms.setdefault(f, set()).add(_md5_32(f"bf{j}:{k}") % BF_BITS)
+    # no false negatives: the build keys themselves always pass
+    for k in keys:
+        f = _md5_32(f"bf_file:{k}") % BF_FILES
+        assert all(_md5_32(f"bf{j}:{k}") % BF_BITS in blooms[f] for j in range(BF_K))
+    mx = max(keys)
+    want = {}
+    for f, n in per_file.items():
+        fp = sum(
+            1
+            for p in range(mx + 1, mx + 1 + BF_PROBES)
+            if all(_md5_32(f"bf{j}:{p}") % BF_BITS in blooms[f] for j in range(BF_K))
+        )
+        want[f] = (n, fp)
+    assert out == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=-4, max_value=4), min_size=6, max_size=6),
+        min_size=3,
+        max_size=14,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+@PROP_SETTINGS
+def test_kmeans_lloyd_matches_bruteforce(spark, vecs, k):
+    """Distributed Lloyd == the sequential Python replay (quantize,
+    seed by lowest ids, 3 assignment rounds with integer-pair centroids
+    and double-division argmin) for any input and k."""
+    from fitness_data_ingest_spark.ext.similarity import kmeans_lloyd
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["cid"]: (r["n_members"], r["rep_id"], r["inertia4"])
+        for r in kmeans_lloyd(emb, k=k, rounds=3).collect()
+    }
+
+    dims = len(vecs[0])
+    mn = [min(float(v[i]) for v in vecs) for i in range(dims)]
+    mx = [max(float(v[i]) for v in vecs) for i in range(dims)]
+    import math
+
+    codes = [
+        [
+            int(math.floor((float(v[i]) - mn[i]) / (mx[i] - mn[i]) * 255 + 0.5))
+            if mx[i] > mn[i]
+            else 0
+            for i in range(dims)
+        ]
+        for v in vecs
+    ]
+    state = {i: (1, list(codes[i])) for i in range(min(k, len(vecs)))}
+    assigned = None
+    for r in range(3):
+        assigned = {}
+        for vid, c in enumerate(codes):
+            best = None
+            for cid in sorted(state):
+                cnt, s = state[cid]
+                d2 = sum((cnt * c[i] - s[i]) ** 2 for i in range(dims))
+                key = (d2 / float(cnt * cnt), cid)
+                if best is None or key < best[0]:
+                    best = (key, cid, d2, cnt)
+            assigned[vid] = (best[1], best[2], best[3])
+        if r < 2:
+            new: dict[int, tuple[int, list[int]]] = {}
+            for vid, (cid, _, _) in assigned.items():
+                cnt, s = new.get(cid, (0, [0] * dims))
+                new[cid] = (cnt + 1, [s[i] + codes[vid][i] for i in range(dims)])
+            state = new
+    want: dict[int, tuple[int, int, float]] = {}
+    agg: dict[int, list] = {}
+    for vid, (cid, d2, cnt) in assigned.items():
+        a = agg.setdefault(cid, [0, vid, 0, cnt])
+        a[0] += 1
+        a[1] = min(a[1], vid)
+        a[2] += d2
+    for cid, (n, rep, sd2, cnt) in agg.items():
+        want[cid] = (n, rep, math.floor(sd2 / float(cnt * cnt) * 10000 + 0.5) / 10000.0)
+    assert got == want
