@@ -1202,6 +1202,195 @@ SELECT cid, n_members, rep_id, inertia4 FROM final ORDER BY cid"""
     return "\n".join(parts)
 
 
+# ------------------------------------------- NDV PROFILING (MINCOUNT)
+
+# MinCount geometry: 64 buckets of minimum hash values per column; the
+# per-bucket estimate R div (min+1) - 1 uses INTEGER division so the
+# 64-term sum is order-independent int64 (a double sum would make the
+# result partitioning-dependent and unhashable cross-engine).
+NDV_BUCKETS = 64
+NDV_R = 1 << 32
+NDV_COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+
+
+def ndv_mincount(lineitem):
+    """Column-statistics collection at scale: exact NDV next to a
+    MinCount sketch estimate (stochastic averaging of per-bucket
+    minimum hashes — the KMV/HLL family member that stays EXACTLY
+    reproducible, because its state is 64 integer minima of md5 values,
+    not probabilistic registers) with the realized relative error.
+    This is the ANALYZE TABLE primitive a CBO needs, restated as one
+    job over all profiled columns with its own accuracy audit — the
+    same exact-next-to-estimate framing as agg_countmin_heavy.
+
+    Scale shape: ONE pass explodes each row into (column, value) pairs;
+    ONE shuffle reduces to (column, value) grain — the same shuffle an
+    exact count-distinct needs anyway, and min(hash) rides it for free;
+    everything after runs on (column, bucket) grain (256 rows). At
+    100 TB this replaces |columns| separate ANALYZE scans with one.
+    The estimator needs no distinct at all (min over duplicate hashes
+    is the min) — the distinct grain here is only for the exact-NDV
+    half of the audit."""
+    pairs = lineitem.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("cname"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in NDV_COLS
+                ]
+            )
+        ).alias("cv")
+    ).select(F.col("cv.cname").alias("cname"), F.col("cv.val").alias("val"))
+    grain = pairs.groupBy("cname", "val").agg(
+        F.min(_h32(F.concat(F.lit("ndv:"), F.col("val")))).alias("h")
+    )
+    grain = grain.select(
+        "cname", "val", "h", F.pmod(F.col("h"), F.lit(NDV_BUCKETS)).alias("b")
+    )
+    exact = grain.groupBy("cname").agg(F.count(F.lit(1)).alias("exact_ndv"))
+    mins = grain.groupBy("cname", "b").agg(F.min("h").alias("mn"))
+    est = mins.groupBy("cname").agg(
+        F.sum(
+            F.expr(f"CAST({NDV_R} AS BIGINT) div (mn + 1) - 1")
+        ).alias("est_ndv")
+    )
+    return (
+        exact.join(est, "cname")
+        .select(
+            "cname",
+            "exact_ndv",
+            "est_ndv",
+            (
+                F.floor(
+                    F.abs(F.col("est_ndv") - F.col("exact_ndv")).cast("double")
+                    / F.col("exact_ndv")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("rel_err4"),
+        )
+        .orderBy("cname")
+    )
+
+
+def _table_ndv_mincount(spark, sf_dir):
+    return ndv_mincount(t(spark, sf_dir, "lineitem"))
+
+
+_NDV_PAIRS = " UNION ALL ".join(
+    f"SELECT '{c}' AS cname, CAST({c} AS VARCHAR) AS val FROM lineitem"
+    for c in NDV_COLS
+)
+
+_NDV_SQL = f"""
+WITH pairs AS ({_NDV_PAIRS}),
+grain AS (
+  SELECT cname, val,
+         min(('0x' || substr(md5('ndv:' || val), 1, 8))::BIGINT) AS h
+  FROM pairs GROUP BY cname, val
+),
+g2 AS (SELECT cname, val, h, h % {NDV_BUCKETS} AS b FROM grain),
+exact AS (SELECT cname, CAST(count(*) AS BIGINT) AS exact_ndv
+          FROM g2 GROUP BY cname),
+mins AS (SELECT cname, b, min(h) AS mn FROM g2 GROUP BY cname, b),
+est AS (SELECT cname,
+               CAST(sum(CAST({NDV_R} AS BIGINT) // (mn + 1) - 1) AS BIGINT)
+                 AS est_ndv
+        FROM mins GROUP BY cname)
+SELECT exact.cname, exact.exact_ndv, est.est_ndv,
+       floor(abs(est.est_ndv - exact.exact_ndv)::DOUBLE / exact.exact_ndv
+             * 10000 + 0.5) / 10000.0 AS rel_err4
+FROM exact JOIN est USING (cname)
+ORDER BY exact.cname
+"""
+
+
+# ------------------------------------------- WATERMARK LATENESS SWEEP
+
+# Candidate watermark delays (seconds) for the tuning sweep.
+WM_SWEEP = (0, 60, 300, 900, 3600)
+
+
+def lateness_sweep(events):
+    """Watermark tuning report: treating ``event_id`` as the arrival
+    order (the ingest sequence), an event is LATE by the amount the
+    per-user stream has already advanced past its timestamp when it
+    arrives. For each candidate watermark delay W the report counts the
+    events a streaming job with ``withWatermark(W)`` would drop — the
+    curve that picks W (stream/windows.py consumes the chosen value).
+    All lateness arithmetic is exact integer microseconds.
+
+    Scale shape: ONE user-partitioned running-max window in arrival
+    order (the sessionize discipline — never a global window), then a
+    |sweep|-way in-place explode + one map-side-combinable groupBy on
+    the threshold. No joins."""
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = events.select(
+        "user_id", "event_id", (F.max(us).over(w) - us).alias("late_us")
+    )
+    thr = F.explode(F.array(*[F.lit(v) for v in WM_SWEEP])).alias("w_seconds")
+    return (
+        late.select("late_us", thr)
+        .groupBy("w_seconds")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("late_us")
+                    > F.col("w_seconds").cast("long") * 1_000_000,
+                    1,
+                ).otherwise(0)
+            ).alias("n_dropped"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            "w_seconds",
+            "n_dropped",
+            (
+                F.floor(
+                    F.col("n_dropped").cast("double") / F.col("n_total") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("pct_dropped4"),
+        )
+        .orderBy("w_seconds")
+    )
+
+
+def _stream_lateness_sweep(spark, sf_dir):
+    return lateness_sweep(t(spark, sf_dir, "events"))
+
+
+_WM_LIST = "[" + ", ".join(str(v) for v in WM_SWEEP) + "]"
+
+_LATENESS_SQL = f"""
+WITH l AS (
+  SELECT user_id, event_id,
+         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING)
+           - epoch_us(ts) AS late_us
+  FROM events
+),
+sw AS (SELECT late_us, unnest({_WM_LIST}) AS w_seconds FROM l)
+SELECT CAST(w_seconds AS INT) AS w_seconds,
+       CAST(count(*) FILTER (WHERE late_us > CAST(w_seconds AS BIGINT) * 1000000) AS BIGINT)
+         AS n_dropped,
+       floor(CAST(count(*) FILTER (WHERE late_us > CAST(w_seconds AS BIGINT) * 1000000)
+                  AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0
+         AS pct_dropped4
+FROM sw GROUP BY w_seconds ORDER BY w_seconds
+"""
+
+
 R5B_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in (
@@ -1243,6 +1432,15 @@ R5B_QUERIES: dict[str, QueryDef] = {
         ),
         QueryDef(
             "embed_kmeans_lloyd", _embed_kmeans_lloyd, _kmeans_sql(), ("ext",)
+        ),
+        QueryDef(
+            "table_ndv_mincount", _table_ndv_mincount, _NDV_SQL, ("warehouse",)
+        ),
+        QueryDef(
+            "stream_lateness_sweep",
+            _stream_lateness_sweep,
+            _LATENESS_SQL,
+            ("stream",),
         ),
     )
 }

@@ -1130,3 +1130,88 @@ def test_kmeans_lloyd_matches_bruteforce(spark, vecs, k):
     for cid, (n, rep, sd2, cnt) in agg.items():
         want[cid] = (n, rep, math.floor(sd2 / float(cnt * cnt) * 10000 + 0.5) / 10000.0)
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # orderkey
+            st.integers(min_value=0, max_value=6),  # partkey
+            st.integers(min_value=0, max_value=3),  # suppkey
+            st.sampled_from(["A", "N", "R"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@PROP_SETTINGS
+def test_ndv_mincount_matches_bruteforce(spark, rows):
+    """Exact NDV is exact, and the MinCount estimate equals the
+    integer-division hash replay — for any duplicate structure."""
+    from fitness_data_ingest_spark.registry_r5b import (
+        NDV_BUCKETS,
+        NDV_COLS,
+        NDV_R,
+        ndv_mincount,
+    )
+
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_returnflag string",
+    )
+    got = {
+        r["cname"]: (r["exact_ndv"], r["est_ndv"])
+        for r in ndv_mincount(df).collect()
+    }
+    for ci, cname in enumerate(NDV_COLS):
+        vals = {str(r[ci]) for r in rows}
+        mins: dict[int, int] = {}
+        for v in vals:
+            h = _md5_32(f"ndv:{v}")
+            b = h % NDV_BUCKETS
+            mins[b] = min(mins.get(b, h), h)
+        est = sum(NDV_R // (m + 1) - 1 for m in mins.values())
+        assert got[cname] == (len(vals), est)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=7200),  # ts second offset
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@PROP_SETTINGS
+def test_lateness_sweep_matches_bruteforce(spark, rows):
+    """Drop counts equal the per-user running-max replay at every
+    threshold, and the curve is non-increasing in the watermark."""
+    import datetime as dt
+
+    from fitness_data_ingest_spark.registry_r5b import WM_SWEEP, lateness_sweep
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + dt.timedelta(seconds=s)) for i, (u, s) in enumerate(rows)
+    ]
+    events = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        r["w_seconds"]: r["n_dropped"] for r in lateness_sweep(events).collect()
+    }
+
+    late_s: list[float] = []
+    for u in {u for _, u, _ in data}:
+        mx = None
+        for _, _, ts in sorted(
+            (d for d in data if d[1] == u), key=lambda d: d[0]
+        ):
+            mx = ts if mx is None or ts > mx else mx
+            late_s.append((mx - ts).total_seconds())
+    want = {w: sum(1 for s in late_s if s > w) for w in WM_SWEEP}
+    assert got == want
+    seq = [got[w] for w in WM_SWEEP]
+    assert seq == sorted(seq, reverse=True)
