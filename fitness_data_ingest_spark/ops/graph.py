@@ -257,3 +257,83 @@ def triangle_stats(edges: DataFrame, min_degree: int = 2) -> DataFrame:
         F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
         (F.floor(cc * 10000 + F.lit(0.5)) / 10000.0).alias("cc4"),
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over a
+    symmetric edge list — the linear-time community detector: labels
+    init to node ids; each round every node adopts the most frequent
+    label among its neighbors (ties → smallest label). SYNCHRONOUS
+    update is deliberate: the async variant's result depends on visit
+    order and cannot be reproduced across engines or partitionings,
+    the sync one is a pure function of the graph (and hash-matches the
+    unrolled SQL oracle). Returns the final community profile
+    (community label, member count, lowest member id).
+
+    Scale shape — the PageRank zero-exchange discipline: edges persist
+    pre-partitioned by ``dst`` ONCE; each round broadcasts the
+    node-grain label table, counts (dst, lbl) — HashPartitioning(dst)
+    satisfies the (dst, lbl) clustering, so the aggregate inserts NO
+    exchange — and takes the per-node argmax as ``min(struct(-n,
+    lbl))`` on the same partitioning (zero exchange again). Labels
+    localCheckpoint between rounds (the lineage-doubling fix)."""
+    ed = edges.repartition("dst").persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    for _ in range(rounds):
+        nb = ed.join(F.broadcast(labels), ed.src == labels.node).select(
+            "dst", "lbl"
+        )
+        cnt = nb.groupBy("dst", "lbl").agg(F.count(F.lit(1)).alias("n"))
+        labels = (
+            cnt.select(
+                "dst",
+                F.struct(
+                    (-F.col("n")).alias("neg"), F.col("lbl").alias("lbl")
+                ).alias("s"),
+            )
+            .groupBy("dst")
+            .agg(F.min("s").alias("m"))
+            .select(F.col("dst").alias("node"), F.col("m.lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("rep_id"),
+        )
+        .select(F.col("lbl").alias("community"), "n_members", "rep_id")
+        .orderBy("community")
+    )
+
+
+def label_propagation_oracle_sql(edges_cte: str, rounds: int = 3) -> str:
+    """Unrolled ANSI-SQL mirror of :func:`label_propagation` (one CTE
+    pair per round — aggregate then ranked argmax), the
+    pagerank_oracle_sql pattern."""
+    parts = [
+        f"WITH edges AS ({edges_cte}),",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges),",
+        "l0 AS (SELECT node, node AS lbl FROM nodes),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"c{r} AS (SELECT e.dst, l.lbl, CAST(count(*) AS BIGINT) AS n"
+            f" FROM edges e JOIN l{r} l ON l.node = e.src GROUP BY e.dst, l.lbl),"
+        )
+        parts.append(
+            f"l{r + 1} AS (SELECT dst AS node, lbl FROM ("
+            f"SELECT dst, lbl, row_number() OVER (PARTITION BY dst"
+            f" ORDER BY n DESC, lbl ASC) AS rn FROM c{r}) WHERE rn = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,"
+        f" CAST(min(node) AS BIGINT) AS rep_id FROM l{rounds}"
+        f" GROUP BY lbl ORDER BY community"
+    )
+    return "\n".join(parts)

@@ -1391,6 +1391,137 @@ FROM sw GROUP BY w_seconds ORDER BY w_seconds
 """
 
 
+# ------------------------------------------- LABEL PROPAGATION (LPA)
+
+
+def _graph_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation community detection over the part
+    co-occurrence graph (the graph_pagerank/graph_triangles edge set) —
+    see ops.graph.label_propagation for the zero-per-round-exchange
+    argument and why the SYNC variant is the only reproducible one."""
+    from .ops import graph as G
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_groups=2)
+    return G.label_propagation(edges)
+
+
+def _lpa_sql() -> str:
+    from .ops import graph as G
+
+    edges_cte = """
+SELECT a.i AS src, b.i AS dst
+FROM (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem) b
+  ON a.g = b.g AND a.i <> b.i
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+    return G.label_propagation_oracle_sql(edges_cte, rounds=3)
+
+
+# ------------------------------------------- TOKEN-BUDGET SAMPLING
+
+# Budget as a percent of corpus tokens, and the bucket count for the
+# hierarchical prefix sum over the hash axis (top 7 bits of the 32-bit
+# hash, so bucket order == hash order).
+TB_PCT = 50
+TB_BUCKETS = 128
+TB_BUCKET_DIV = (1 << 32) // TB_BUCKETS
+
+
+def token_budget_sample(docs, pct: int = TB_PCT):
+    """Deterministic budget-capped corpus selection: walk the corpus in
+    key-hash order (a reproducible pseudo-random shuffle — no RNG
+    state) and take documents until the token budget (``pct``% of the
+    corpus) is spent; a doc is taken iff the tokens BEFORE it in hash
+    order fit the budget. This is how a fixed-size training mix is cut
+    from a larger pool when the unit of cost is tokens, not documents.
+    Reports the per-source composition of the selected sample — the
+    number that shows whether budget-capping skewed the mix.
+
+    Scale shape: take-while over a global order is a prefix sum — the
+    same cliff as cumulative-distinct, solved the same way,
+    HIERARCHICALLY, on the hash axis: bucket = top hash bits (so
+    bucket order IS hash order), within-bucket running sums under a
+    bucket-partitioned window, bucket base offsets from a
+    strictly-earlier self-join over the 128-row bucket table (bounded
+    build). The budget scalar rides in as a broadcast 1-row aggregate.
+    One corpus shuffle (the window's bucket partition), everything
+    else metadata-sized."""
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(_tok(F.col("text"))).alias("n_tok"),
+        _h32(F.concat(F.lit("tb:"), F.col("doc_id").cast("string"))).alias("h"),
+    ).withColumn("bucket", F.expr(f"h div {TB_BUCKET_DIV}"))
+    budget = base.agg(
+        F.expr(f"sum(n_tok) * {pct} div 100").alias("budget")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("cum_in_bucket", F.sum("n_tok").over(w))
+    btot = base.groupBy("bucket").agg(F.sum("n_tok").alias("btok"))
+    b_a = btot.select(F.col("bucket").alias("bk"))
+    b_b = btot.select(F.col("bucket").alias("bk2"), "btok")
+    offsets = (
+        b_a.join(b_b, F.col("bk2") < F.col("bk"))
+        .groupBy("bk")
+        .agg(F.sum("btok").alias("off"))
+    )
+    sel = (
+        within.join(F.broadcast(offsets), within.bucket == offsets.bk, "left")
+        .join(F.broadcast(budget))
+        .select(
+            "source",
+            "n_tok",
+            (
+                F.coalesce(F.col("off"), F.lit(0))
+                + F.col("cum_in_bucket")
+                - F.col("n_tok")
+            ).alias("cum_before"),
+            "budget",
+        )
+        .filter(F.col("cum_before") < F.col("budget"))
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_taken"),
+            F.sum("n_tok").alias("tokens_taken"),
+        )
+        .orderBy("source")
+    )
+
+
+def _corpus_token_budget_sample(spark, sf_dir):
+    return token_budget_sample(t(spark, sf_dir, "documents"))
+
+
+_TB_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+         ('0x' || substr(md5('tb:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           AS h
+  FROM documents
+),
+b AS (SELECT CAST(sum(n_tok) * {TB_PCT} // 100 AS BIGINT) AS budget FROM base),
+o AS (
+  SELECT source, n_tok,
+         sum(n_tok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+           - n_tok AS cum_before
+  FROM base
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_taken,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_taken
+FROM o, b WHERE o.cum_before < b.budget
+GROUP BY source ORDER BY source
+"""
+
+
 R5B_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in (
@@ -1441,6 +1572,18 @@ R5B_QUERIES: dict[str, QueryDef] = {
             _stream_lateness_sweep,
             _LATENESS_SQL,
             ("stream",),
+        ),
+        QueryDef(
+            "graph_label_propagation",
+            _graph_label_propagation,
+            _lpa_sql(),
+            ("graph",),
+        ),
+        QueryDef(
+            "corpus_token_budget_sample",
+            _corpus_token_budget_sample,
+            _TB_SQL,
+            ("corpus",),
         ),
     )
 }

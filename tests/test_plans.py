@@ -742,6 +742,9 @@ def test_r5b_family_plans(spark, sf_dir):
         # SQ8's 1-row bounds attach + the k-row centroid expansion per
         # Lloyd round (the embed_cluster_assign sanctioned shape)
         "embed_kmeans_lloyd",
+        # 1-row budget scalar attach + the 128-row bucket-offset
+        # self-join (the hierarchical-prefix-sum bounded build)
+        "corpus_token_budget_sample",
     }
     for name, q in R5B_QUERIES.items():
         findings = [

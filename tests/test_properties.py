@@ -1215,3 +1215,85 @@ def test_lateness_sweep_matches_bruteforce(spark, rows):
     assert got == want
     seq = [got[w] for w in WM_SWEEP]
     assert seq == sorted(seq, reverse=True)
+
+
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=7), st.integers(min_value=0, max_value=7)
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=16,
+    )
+)
+@PROP_SETTINGS
+def test_label_propagation_matches_bruteforce(spark, edges):
+    """Synchronous LPA == the Python replay (3 rounds, neighbor-label
+    mode, ties to the smallest label) for any symmetric graph."""
+    from fitness_data_ingest_spark.ops.graph import label_propagation
+
+    sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r["community"]: (r["n_members"], r["rep_id"])
+        for r in label_propagation(df, rounds=3).collect()
+    }
+    spark.catalog.clearCache()
+
+    adj: dict[int, list[int]] = {}
+    for a, b in sym:
+        adj.setdefault(a, []).append(b)
+    lbl = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt: dict[int, int] = {}
+            for m in nbrs:
+                cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+            new[n] = min(cnt, key=lambda c: (-cnt[c], c))
+        lbl = new
+    want: dict[int, tuple[int, int]] = {}
+    for n, c in lbl.items():
+        cur = want.get(c, (0, n))
+        want[c] = (cur[0] + 1, min(cur[1], n))
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),  # token count
+            st.sampled_from(["s0", "s1"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@PROP_SETTINGS
+def test_token_budget_sample_matches_bruteforce(spark, docs):
+    """The hierarchical take-while == the sequential hash-order walk:
+    identical per-source composition, and the tokens taken BEFORE the
+    last selected doc always fit the budget."""
+    from fitness_data_ingest_spark.registry_r5b import TB_PCT, token_budget_sample
+
+    rows = [(i, " ".join(["w"] * n), src) for i, (n, src) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: (r["n_taken"], r["tokens_taken"])
+        for r in token_budget_sample(df).collect()
+    }
+
+    total = sum(n for n, _ in docs)
+    budget = total * TB_PCT // 100
+    order = sorted(
+        range(len(docs)), key=lambda i: (_md5_32(f"tb:{i}"), i)
+    )
+    want: dict[str, tuple[int, int]] = {}
+    cum = 0
+    for i in order:
+        n, src = docs[i]
+        if cum < budget:
+            c, tk = want.get(src, (0, 0))
+            want[src] = (c + 1, tk + n)
+        cum += n
+    assert got == want
