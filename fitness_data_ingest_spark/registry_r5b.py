@@ -1522,6 +1522,117 @@ GROUP BY source ORDER BY source
 """
 
 
+# ------------------------------------------- LSH CANDIDATE RECALL EVAL
+
+# Ground-truth threshold for the eval — the dedup family's tau. The
+# b=8, r=4 banding has its S-curve midpoint near (1/8)^(1/4) ~ 0.59,
+# so at tau=0.5 candidate recall is genuinely < 1 and the eval
+# measures a real trade, not a tautology.
+LSH_EVAL_TAU = 0.5
+
+
+def lsh_recall_eval(docs):
+    """Candidate-generation quality of MinHash-LSH banding, measured
+    against exact shingle-Jaccard ground truth — the dedup counterpart
+    of ann_recall_eval, and the number that decides the (bands, rows)
+    configuration before a corpus-scale dedup run: RECALL is the
+    fraction of true near-dup pairs (exact Jaccard >= tau) the band
+    collisions recover; candidate PRECISION is the fraction of
+    collisions worth verifying (1 - wasted verify work).
+
+    Ground truth comes from the shared-shingle blocking
+    (ext.dedup.ngram_jaccard_pairs) — exhaustive for pairs above tau
+    except pairs whose every shared shingle exceeds the hot-DF guard
+    (documented there; none exist in the fixtures). Scale shape: both
+    pipelines are the registered bucketed forms (never all-pairs); the
+    three scalar counts combine as 1-row broadcast attaches (q14
+    shape)."""
+    from .ext import dedup as D
+
+    sig = D.with_minhash(docs, "doc_id", "text")
+    sig = sig.select("doc", *D.band_keys()).persist()
+    cand = D.lsh_candidate_pairs(sig)
+    truth = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=LSH_EVAL_TAU
+    ).select("doc_a", "doc_b")
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    q4 = lambda num, den: F.when(
+        F.col(den) > 0,
+        F.floor(F.col(num).cast("double") / F.col(den) * 10000 + F.lit(0.5))
+        / 10000.0,
+    ).otherwise(F.lit(-1.0))
+    return (
+        nt.join(F.broadcast(nc))
+        .join(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            q4("n_hit", "n_cand").alias("cand_precision4"),
+            q4("n_hit", "n_truth").alias("recall4"),
+        )
+    )
+
+
+def _dedup_lsh_recall_eval(spark, sf_dir):
+    return lsh_recall_eval(t(spark, sf_dir, "documents"))
+
+
+def _lsh_recall_sql() -> str:
+    from .ext import dedup as D
+    from .registry_ext import (
+        _SQL_DOC_SHINGLES,
+        _sql_band_rows,
+        _sql_sig_cols,
+    )
+
+    return f"""
+WITH {_SQL_DOC_SHINGLES},
+sig AS (SELECT doc_id, {_sql_sig_cols()} FROM sh
+        WHERE len(list_filter(shd, h -> h IS NOT NULL)) > 0),
+bands AS ({_sql_band_rows()}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ex AS (SELECT doc_id, unnest(shd) AS s FROM sh),
+hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > {D.NGRAM_MAX_DF}),
+ex2 AS (SELECT ex.* FROM ex LEFT JOIN hot USING (s) WHERE hot.s IS NULL),
+tc AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT tc.doc_a, tc.doc_b,
+           len(list_intersect(x.shd, y.shd))::DOUBLE
+             / (len(x.shd) + len(y.shd) - len(list_intersect(x.shd, y.shd)))
+             AS j
+    FROM tc JOIN sh x ON x.doc_id = tc.doc_a
+            JOIN sh y ON y.doc_id = tc.doc_b)
+  WHERE j >= {LSH_EVAL_TAU}
+),
+hit AS (SELECT truth.* FROM truth
+        JOIN cand ON cand.doc_a = truth.doc_a AND cand.doc_b = truth.doc_b),
+c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+             (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)
+SELECT n_truth, n_cand, n_hit,
+       CASE WHEN n_cand > 0
+            THEN floor(n_hit::DOUBLE / n_cand * 10000 + 0.5) / 10000.0
+            ELSE -1.0 END AS cand_precision4,
+       CASE WHEN n_truth > 0
+            THEN floor(n_hit::DOUBLE / n_truth * 10000 + 0.5) / 10000.0
+            ELSE -1.0 END AS recall4
+FROM c
+"""
+
+
 R5B_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in (
@@ -1584,6 +1695,12 @@ R5B_QUERIES: dict[str, QueryDef] = {
             _corpus_token_budget_sample,
             _TB_SQL,
             ("corpus",),
+        ),
+        QueryDef(
+            "dedup_lsh_recall_eval",
+            _dedup_lsh_recall_eval,
+            _lsh_recall_sql(),
+            ("ext",),
         ),
     )
 }

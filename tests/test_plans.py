@@ -745,6 +745,8 @@ def test_r5b_family_plans(spark, sf_dir):
         # 1-row budget scalar attach + the 128-row bucket-offset
         # self-join (the hierarchical-prefix-sum bounded build)
         "corpus_token_budget_sample",
+        # three 1-row count scalars combined (q14 scalar-attach shape)
+        "dedup_lsh_recall_eval",
     }
     for name, q in R5B_QUERIES.items():
         findings = [

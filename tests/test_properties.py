@@ -1297,3 +1297,37 @@ def test_token_budget_sample_matches_bruteforce(spark, docs):
             want[src] = (c + 1, tk + n)
         cum += n
     assert got == want
+
+
+@given(
+    base=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=6,
+            max_size=12,
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    ndup=st.integers(min_value=1, max_value=3),
+)
+@PROP_SETTINGS
+def test_lsh_recall_eval_perfect_on_exact_duplicates(spark, base, ndup):
+    """Identical documents have identical MinHash signatures, so every
+    band collides: when ALL true near-dup pairs are exact duplicates,
+    candidate recall is exactly 1.0 — for any corpus. Counting
+    invariants (hits bounded by both sides) hold always."""
+    from fitness_data_ingest_spark.registry_r5b import lsh_recall_eval
+
+    texts = list(base) + [base[0]] * ndup  # plant exact duplicates
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    [r] = lsh_recall_eval(docs).collect()
+    spark.catalog.clearCache()
+    assert r["n_hit"] <= r["n_cand"] and r["n_hit"] <= r["n_truth"]
+    # the planted duplicate group contributes C(ndup+1, 2) true pairs
+    planted = (ndup + 1) * ndup // 2
+    assert r["n_truth"] >= planted
+    if r["n_truth"] == planted:  # all true pairs are the exact-dup group
+        assert r["recall4"] == 1.0
