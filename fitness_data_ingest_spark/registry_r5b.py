@@ -1633,6 +1633,92 @@ FROM c
 """
 
 
+# ------------------------------------------------- FLAC ROUND-TRIP QA
+
+
+def _multimodal_flac_roundtrip(spark, sf_dir):
+    """Real compressed-audio decode: every document becomes a genuine
+    FLAC stream (rice-coded fixed/constant subframes, CRC-8/16, spec
+    MD5) via the pure-stdlib codec in ``ext/flac.py``; the features are
+    computed from the DECODED samples. The DuckDB oracle never sees a
+    byte — it replays the sample LCG relationally — so the hash match
+    proves the encode→parse→rice-decode→undo-predictor loop is lossless
+    at sample grain, the same arithmetic-oracle pattern as
+    ``multimodal_decode``/``multimodal_audio_features``. Scale shape:
+    two chained Arrow-batched ``mapInPandas`` over the scan, zero
+    shuffle, payload bytes never transit the driver."""
+    from .ext import flac as FL
+
+    docs = t(spark, sf_dir, "documents")
+    return FL.flac_features(FL.synthesize_flac(docs))
+
+
+# Relational replay of synthesize_flac: ids ≡ 0 (mod 8) are constant
+# streams (closed form, no pw join); the rest replay the shared
+# pw(k) = (A^k, sum_{j<k} A^j) mod 2^63 LCG table. rms2 is one IEEE
+# sqrt of exact integers (bit-identical across engines); the constant
+# branch's rms2 = |v| exactly (v² * m / m, sqrt, and the *100 floor
+# quantization are all exact IEEE ops on representable integers).
+_FLAC_SQL = """
+WITH RECURSIVE pw(k, ak, sk) AS (
+  SELECT 1, CAST(6364136223846793005 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT k + 1,
+         CAST((CAST(6364136223846793005 AS HUGEINT) * ak)
+              % 9223372036854775808 AS BIGINT),
+         CAST((CAST(6364136223846793005 AS HUGEINT) * sk + 1)
+              % 9223372036854775808 AS BIGINT)
+  FROM pw WHERE k < 542
+),
+docs0 AS (
+  SELECT doc_id,
+         CAST(length(text) % 256 + 16 AS BIGINT) AS frames,
+         CAST(1 + (doc_id // 2) % 2 AS INTEGER) AS nch,
+         CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS rate
+  FROM documents),
+lcg AS (
+  SELECT doc_id AS media_id, frames, nch, rate,
+         frames * nch AS m,
+         CAST((CAST(doc_id AS HUGEINT) * 6364136223846793005
+               + 1442695040888963407) % 9223372036854775808 AS BIGINT) AS s0
+  FROM docs0 WHERE doc_id % 8 <> 0),
+smp AS (
+  SELECT l.media_id, l.m, l.frames, l.nch, l.rate, p.k,
+         (CAST((CAST(p.ak AS HUGEINT) * l.s0 + p.sk)
+               % 9223372036854775808 AS BIGINT) // 8589934592) % 65536
+           - 32768 AS s
+  FROM lcg l JOIN pw p ON p.k <= l.m),
+agg AS (
+  SELECT media_id, m, frames, nch, rate,
+         CAST(sum(s * s) AS BIGINT) AS ssq,
+         CAST(max(abs(s)) AS BIGINT) AS peak,
+         CAST(max(CASE WHEN k = 1 THEN s END) AS INTEGER) AS first_s,
+         CAST(max(CASE WHEN k = m THEN s END) AS INTEGER) AS last_s
+  FROM smp GROUP BY 1, 2, 3, 4, 5),
+noise AS (
+  SELECT media_id, rate AS sample_rate, nch AS n_channels,
+         m AS n_values,
+         CAST(CASE WHEN frames > 256 THEN 2 ELSE 1 END AS INTEGER)
+           AS n_frames,
+         first_s, last_s, peak,
+         floor(sqrt(CAST(ssq AS DOUBLE) / m) * 100 + 0.5) / 100.0 AS rms2,
+         TRUE AS md5_ok
+  FROM agg),
+cst AS (
+  SELECT doc_id AS media_id, rate AS sample_rate, nch AS n_channels,
+         CAST(frames * nch AS BIGINT) AS n_values,
+         CAST(CASE WHEN frames > 256 THEN 2 ELSE 1 END AS INTEGER)
+           AS n_frames,
+         CAST((doc_id * 2654435761) % 65536 - 32768 AS INTEGER) AS first_s,
+         CAST((doc_id * 2654435761) % 65536 - 32768 AS INTEGER) AS last_s,
+         CAST(abs((doc_id * 2654435761) % 65536 - 32768) AS BIGINT) AS peak,
+         CAST(abs((doc_id * 2654435761) % 65536 - 32768) AS DOUBLE) AS rms2,
+         TRUE AS md5_ok
+  FROM docs0 WHERE doc_id % 8 = 0)
+SELECT * FROM noise UNION ALL SELECT * FROM cst
+"""
+
+
 R5B_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in (
@@ -1701,6 +1787,12 @@ R5B_QUERIES: dict[str, QueryDef] = {
             _dedup_lsh_recall_eval,
             _lsh_recall_sql(),
             ("ext",),
+        ),
+        QueryDef(
+            "multimodal_flac_roundtrip",
+            _multimodal_flac_roundtrip,
+            _FLAC_SQL,
+            ("multimodal",),
         ),
     )
 }

@@ -387,3 +387,208 @@ def test_image_pixel_stats_match_numpy(spark, sf_dir):
         for ch, col in enumerate(["mean_r2", "mean_g2", "mean_b2"]):
             assert r[col] == int(arr[:, ch].sum() * 100 // arr.shape[0]) / 100.0
     assert n_img > 0
+
+
+# ------------------------------------------------------- FLAC codec
+
+
+def test_flac_roundtrip_bit_exact():
+    """Lossless invariant: decode(encode(x)) == x sample-for-sample,
+    with the spec MD5 verifying independently, across mono/stereo,
+    block-boundary lengths, and all subframe-type-triggering shapes."""
+    import random
+
+    from fitness_data_ingest_spark.ext import flac as FL
+
+    rng = random.Random(42)
+    for nch in (1, 2):
+        for n in (16, 255, 256, 257, 512, 513):
+            for samples in (
+                [rng.randrange(-32768, 32768) for _ in range(n * nch)],
+                [(i * 7) % 2000 - 1000 for i in range(n * nch)],  # ramps
+                [-4242] * (n * nch),  # constant
+            ):
+                b = FL.encode_flac(samples, 44100, nch, block_size=256)
+                d = FL.decode_flac(b)
+                assert d is not None
+                assert d["samples"] == samples
+                assert d["md5_ok"]
+                assert d["sample_rate"] == 44100
+                assert d["n_channels"] == nch
+                assert d["n_frames"] == -(-n // 256)
+
+
+def test_flac_decoder_handles_lpc_subframe():
+    """The decoder is wider than the encoder: an LPC subframe stream
+    (order-2 predictor, hand-written with the bit writer) decodes to
+    the exact samples the predictor recurrence generates."""
+    from fitness_data_ingest_spark.ext import flac as FL
+
+    bs, bits = 64, 16
+    warm = [100, 103]
+    coefs = [3, -1]  # pred = (3*x[t-1] - 1*x[t-2]) >> shift, shift=1
+    shift = 1
+    res = [((i * 17) % 11) - 5 for i in range(bs - 2)]
+    x = list(warm)
+    for r in res:
+        x.append(r + ((coefs[0] * x[-1] + coefs[1] * x[-2]) >> shift))
+    assert all(-32768 <= v < 32768 for v in x)
+
+    w = FL._BitWriter()
+    w.write(0b11111111111110, 14)
+    w.write(0, 2)  # reserved + fixed-blocksize
+    w.write(0b0110, 4)  # blocksize: 8-bit at end
+    w.write(0b0000, 4)  # rate from streaminfo
+    w.write(0, 4)  # mono
+    w.write(0b100, 3)  # 16-bit
+    w.write(0, 1)
+    w.write(0, 8)  # frame number 0 (utf8 1-byte)
+    w.write(bs - 1, 8)
+    w.write(FL._crc8(bytes(w.buf)), 8)
+    # LPC subframe: type 1ooooo with order-1 in low 5 bits
+    w.write(0, 1)
+    w.write(0b100000 | (2 - 1), 6)
+    w.write(0, 1)  # no wasted bits
+    for v in warm:
+        w.write(v & 0xFFFF, bits)
+    w.write(15 - 1, 4)  # coefficient precision 15
+    w.write(shift, 5)
+    for c in coefs:
+        w.write(c & 0x7FFF, 15)
+    FL._write_rice_partition0(w, res, bits)
+    w.align()
+    w.write(FL._crc16(bytes(w.buf)), 16)
+    frame = w.bytes()
+
+    si = FL._BitWriter()
+    si.write(1, 1)
+    si.write(0, 7)
+    si.write(34, 24)
+    si.write(bs, 16)
+    si.write(bs, 16)
+    si.write(len(frame), 24)
+    si.write(len(frame), 24)
+    si.write(8000, 20)
+    si.write(0, 3)
+    si.write(bits - 1, 5)
+    si.write(bs, 36)
+    import hashlib
+    import struct
+
+    md5 = hashlib.md5(struct.pack(f"<{bs}h", *x)).digest()
+    for byte in md5:
+        si.write(byte, 8)
+    stream = b"fLaC" + si.bytes() + frame
+
+    d = FL.decode_flac(stream)
+    assert d is not None and d["samples"] == x and d["md5_ok"]
+
+
+def test_flac_decoder_handles_mid_side():
+    """Mid-side stereo decorrelation (never emitted by our encoder)
+    reconstructs exact left/right channels."""
+    import hashlib
+    import random
+    import struct
+
+    from fitness_data_ingest_spark.ext import flac as FL
+
+    rng = random.Random(3)
+    bs = 32
+    left = [rng.randrange(-2000, 2000) for _ in range(bs)]
+    right = [rng.randrange(-2000, 2000) for _ in range(bs)]
+    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+    side = [l - r for l, r in zip(left, right)]
+
+    w = FL._BitWriter()
+    w.write(0b11111111111110, 14)
+    w.write(0, 2)
+    w.write(0b0110, 4)
+    w.write(0b0000, 4)
+    w.write(0b1010, 4)  # mid-side
+    w.write(0b100, 3)
+    w.write(0, 1)
+    w.write(0, 8)
+    w.write(bs - 1, 8)
+    w.write(FL._crc8(bytes(w.buf)), 8)
+    for chan, extra in ((mid, 0), (side, 1)):  # side gets +1 bit
+        w.write(0, 1)
+        w.write(0b000001, 6)  # verbatim
+        w.write(0, 1)
+        for v in chan:
+            w.write(v & ((1 << (16 + extra)) - 1), 16 + extra)
+    w.align()
+    w.write(FL._crc16(bytes(w.buf)), 16)
+    frame = w.bytes()
+
+    si = FL._BitWriter()
+    si.write(1, 1)
+    si.write(0, 7)
+    si.write(34, 24)
+    si.write(bs, 16)
+    si.write(bs, 16)
+    si.write(len(frame), 24)
+    si.write(len(frame), 24)
+    si.write(8000, 20)
+    si.write(1, 3)  # 2 channels
+    si.write(15, 5)  # 16-bit
+    si.write(bs, 36)
+    inter = [v for pair in zip(left, right) for v in pair]
+    md5 = hashlib.md5(struct.pack(f"<{len(inter)}h", *inter)).digest()
+    for byte in md5:
+        si.write(byte, 8)
+
+    d = FL.decode_flac(b"fLaC" + si.bytes() + frame)
+    assert d is not None and d["samples"] == inter and d["md5_ok"]
+
+
+def test_flac_corruption_never_raises():
+    """Poison-payload tolerance: every single-byte corruption either
+    fails CRC (None) or still parses — never an exception (a bad blob
+    must not kill a 100 TB stage)."""
+    import random
+
+    from fitness_data_ingest_spark.ext import flac as FL
+
+    rng = random.Random(9)
+    b = FL.encode_flac(
+        [rng.randrange(-32768, 32768) for _ in range(200)], 8000, 1
+    )
+    for pos in range(len(b)):
+        bb = bytearray(b)
+        bb[pos] ^= 0xFF
+        FL.decode_flac(bytes(bb))
+    assert FL.decode_flac(b"") is None
+    assert FL.decode_flac(b"fLaC") is None
+
+
+def test_flac_features_spark_matches_local(spark, sf_dir):
+    """The Spark surface (synthesize → decode via mapInPandas) agrees
+    with a driver-local replay of the same LCG arithmetic, and the
+    constant-stream ids exercise the CONSTANT subframe path."""
+    from fitness_data_ingest_spark.ext import flac as FL
+
+    docs = t(spark, sf_dir, "documents").limit(40)
+    rows = {
+        r["media_id"]: r
+        for r in FL.flac_features(FL.synthesize_flac(docs)).collect()
+    }
+    for mid, n in docs.select("doc_id", "n_chars").collect():
+        frames = n % 256 + 16
+        channels = 1 + (mid // 2) % 2
+        if mid % 8 == 0:
+            v = (mid * 2654435761) % 65536 - 32768
+            samples = [v] * (frames * channels)
+        else:
+            seed = (mid * 6364136223846793005 + 1442695040888963407) % (
+                2**63
+            )
+            samples = []
+            for _ in range(frames * channels):
+                seed = (seed * 6364136223846793005 + 1) % (2**63)
+                samples.append((seed >> 33) % 65536 - 32768)
+        r = rows[mid]
+        assert r["md5_ok"] and r["n_values"] == len(samples)
+        assert r["first_s"] == samples[0] and r["last_s"] == samples[-1]
+        assert r["peak"] == max(abs(v) for v in samples)
+        assert r["n_frames"] == -(-frames // FL.FLAC_BLOCK_SIZE)
