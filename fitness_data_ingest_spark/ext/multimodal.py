@@ -6,14 +6,18 @@ Arrow-batched pandas functions over ``mapInPandas`` so each executor
 processes whole record batches (the only sane shape at 100 TB — payload
 bytes never transit the driver, and partition sizing bounds memory).
 
-Compressed codecs (JPEG/MP3/H.264) are NOT in this container, so those
-paths stay stubbed (``decode_stub``/``resize_stub`` raise
-NotImplementedError by contract). Uncompressed container formats ARE
-really decoded, dependency-free: ``decode_media`` parses RIFF/WAVE
-(PCM) and PPM (P6) payloads byte-for-byte — chunk walk, fmt/data
-extraction, ASCII header scan — and ``resize_ppm`` does a real
-nearest-neighbor resample with numpy. ``fake_feature_extract`` remains
-the deterministic stand-in for learned-embedding extraction.
+No codec libraries (PIL/libjpeg/libFLAC/ffmpeg) exist in this
+container, so every supported format is implemented from its public
+spec, dependency-free: ``decode_media`` parses RIFF/WAVE (PCM), PNG
+(zlib inflate + all five filters), and PPM (P6) byte-for-byte;
+``ext/flac.py`` is a real FLAC codec (RFC 9639 subset — rice coding,
+CRC-8/16, spec MD5, sample-exact lossless round-trip); ``ext/jpeg.py``
+is a real baseline-sequential JPEG codec (ITU T.81 — DCT, huffman,
+byte stuffing). Only MP3/H.264 remain contract stubs
+(``decode_stub``/``resize_stub`` raise NotImplementedError by
+contract; ``resize_ppm``/``resize_image`` really resample PPM/PNG with
+numpy). ``fake_feature_extract`` remains the deterministic stand-in
+for learned-embedding extraction.
 """
 
 from __future__ import annotations
@@ -574,9 +578,11 @@ def image_pixel_stats(media_df: DataFrame) -> DataFrame:
 
 
 def decode_stub(media_df: DataFrame) -> DataFrame:
-    """Contract for the compressed-codec decoder (JPEG/MP3/H.264 need
-    PIL/ffmpeg — not installed; WAV/PPM are really decoded by
-    ``decode_media``).
+    """Contract for codecs still outside the spec-implemented set
+    (MP3/H.264 — psychoacoustic/motion-compensated decoding is out of
+    scope to reimplement; WAV/PPM/PNG are really decoded by
+    ``decode_media``, JPEG by ``ext/jpeg.py``, FLAC by
+    ``ext/flac.py``).
 
     Raises at *execution* time, per batch, so the plan still builds and
     the schema contract is checkable."""

@@ -1719,6 +1719,70 @@ SELECT * FROM noise UNION ALL SELECT * FROM cst
 """
 
 
+# ------------------------------------------------- JPEG ROUND-TRIP QA
+
+
+def _multimodal_jpeg_roundtrip(spark, sf_dir):
+    """Real compressed-image decode: every document becomes a genuine
+    baseline JPEG (DCT + huffman entropy coding + byte stuffing) via
+    the numpy/stdlib codec in ``ext/jpeg.py``, using the flat-block /
+    all-ones-quantizer configuration under which baseline JPEG is
+    bit-exact — so the DuckDB oracle can replay the per-block LCG
+    relationally and predict every decoded pixel statistic. The hash
+    match proves the DCT→quantize→huffman→unstuff→dequantize→IDCT loop
+    is exact at pixel grain; lossy-mode quality is PSNR-asserted in
+    pytest. Scale shape: two chained Arrow-batched ``mapInPandas``,
+    zero shuffle, payloads never transit the driver."""
+    from .ext import jpeg as J
+
+    docs = t(spark, sf_dir, "documents")
+    return J.jpeg_features(J.synthesize_jpeg(docs))
+
+
+# Relational replay of synthesize_jpeg's block LCG (same pw(k) table
+# family as the WAV/FLAC oracles, truncated at the 12-block max).
+# dc_blocks = block count asserts relationally that every decoded 8x8
+# block came back constant — i.e. no AC leakage anywhere in the loop.
+_JPEG_SQL = """
+WITH RECURSIVE pw(k, ak, sk) AS (
+  SELECT 1, CAST(6364136223846793005 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT k + 1,
+         CAST((CAST(6364136223846793005 AS HUGEINT) * ak)
+              % 9223372036854775808 AS BIGINT),
+         CAST((CAST(6364136223846793005 AS HUGEINT) * sk + 1)
+              % 9223372036854775808 AS BIGINT)
+  FROM pw WHERE k < 12
+),
+docs0 AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 + 1 AS BIGINT) AS bw,
+         CAST((doc_id // 4) % 3 + 1 AS BIGINT) AS bh,
+         CASE WHEN doc_id % 8 = 0 THEN doc_id + length(text)
+              ELSE doc_id END AS sb
+  FROM documents),
+seeds AS (
+  SELECT doc_id, bw, bh, bw * bh AS nb,
+         CAST((CAST(sb AS HUGEINT) * 6364136223846793005
+               + 1442695040888963407) % 9223372036854775808 AS BIGINT) AS s0
+  FROM docs0),
+blk AS (
+  SELECT d.doc_id, d.bw, d.bh, d.nb,
+         (CAST((CAST(p.ak AS HUGEINT) * d.s0 + p.sk)
+               % 9223372036854775808 AS BIGINT) // 8589934592) % 256 AS v
+  FROM seeds d JOIN pw p ON p.k <= d.nb)
+SELECT doc_id AS media_id,
+       CAST(bw * 8 AS INTEGER) AS width,
+       CAST(bh * 8 AS INTEGER) AS height,
+       CAST(bw * bh * 64 AS BIGINT) AS n_px,
+       CAST(64 * sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS INTEGER) AS px_min,
+       CAST(max(v) AS INTEGER) AS px_max,
+       CAST(nb AS INTEGER) AS dc_blocks
+FROM blk GROUP BY doc_id, bw, bh, nb
+"""
+
+
 R5B_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in (
@@ -1792,6 +1856,12 @@ R5B_QUERIES: dict[str, QueryDef] = {
             "multimodal_flac_roundtrip",
             _multimodal_flac_roundtrip,
             _FLAC_SQL,
+            ("multimodal",),
+        ),
+        QueryDef(
+            "multimodal_jpeg_roundtrip",
+            _multimodal_jpeg_roundtrip,
+            _JPEG_SQL,
             ("multimodal",),
         ),
     )

@@ -592,3 +592,150 @@ def test_flac_features_spark_matches_local(spark, sf_dir):
         assert r["first_s"] == samples[0] and r["last_s"] == samples[-1]
         assert r["peak"] == max(abs(v) for v in samples)
         assert r["n_frames"] == -(-frames // FL.FLAC_BLOCK_SIZE)
+
+
+# ------------------------------------------------------- JPEG codec
+
+
+def test_jpeg_flat_blocks_bit_exact():
+    """The oracle-bearing configuration: block-constant image + all-ones
+    quantizer -> decode(encode(x)) is BIT-EXACT (DCT concentrates each
+    block into an exact-integer DC; every AC quantizes to 0)."""
+    import random
+
+    import numpy as np
+
+    from fitness_data_ingest_spark.ext import jpeg as J
+
+    rng = random.Random(11)
+    for _ in range(25):
+        bw, bh = rng.randrange(1, 5), rng.randrange(1, 4)
+        img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        for by in range(bh):
+            for bx in range(bw):
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rng.randrange(
+                    256
+                )
+        b = J.encode_jpeg(bw * 8, bh * 8, img.tobytes(), 1, J.FLAT_QTABLE)
+        d = J.decode_jpeg(b)
+        assert d is not None
+        assert (d["width"], d["height"], d["n_components"]) == (
+            bw * 8,
+            bh * 8,
+            1,
+        )
+        assert d["pixels"] == img.tobytes()
+
+
+def test_jpeg_lossy_mode_psnr_and_determinism():
+    """Standard Annex-K quantizer on a gradient image: lossy but high
+    fidelity (PSNR > 28 dB) and byte-deterministic across encodes."""
+    import numpy as np
+
+    from fitness_data_ingest_spark.ext import jpeg as J
+
+    img = np.array(
+        [[(x * 3 + y * 7) % 256 for x in range(32)] for y in range(32)],
+        dtype=np.uint8,
+    )
+    b1 = J.encode_jpeg(32, 32, img.tobytes(), 1, J.STD_QTABLE)
+    b2 = J.encode_jpeg(32, 32, img.tobytes(), 1, J.STD_QTABLE)
+    assert b1 == b2
+    d = J.decode_jpeg(b1)
+    rec = np.frombuffer(d["pixels"], np.uint8).astype(float).reshape(32, 32)
+    mse = ((rec - img) ** 2).mean()
+    assert 10 * np.log10(255**2 / max(mse, 1e-12)) > 28.0
+
+
+def test_jpeg_noisy_q1_near_lossless_exercises_ac_paths():
+    """Random noise with the all-ones quantizer drives the full AC
+    entropy machinery (magnitude categories, runs, EOB) — recovery is
+    within ±1 per pixel (AC rounding only)."""
+    import random
+
+    import numpy as np
+
+    from fitness_data_ingest_spark.ext import jpeg as J
+
+    rng = random.Random(23)
+    img = np.array(
+        [[rng.randrange(256) for _ in range(24)] for _ in range(16)],
+        dtype=np.uint8,
+    )
+    b = J.encode_jpeg(24, 16, img.tobytes(), 1, J.FLAT_QTABLE)
+    d = J.decode_jpeg(b)
+    rec = np.frombuffer(d["pixels"], np.uint8).astype(int).reshape(16, 24)
+    assert np.abs(rec - img.astype(int)).max() <= 1
+
+
+def test_jpeg_color_roundtrip():
+    """3-component 4:4:4: gray flat blocks are exact through the YCbCr
+    round trip; colored noise stays high-PSNR with the flat quantizer."""
+    import random
+
+    import numpy as np
+
+    from fitness_data_ingest_spark.ext import jpeg as J
+
+    img = np.zeros((8, 16, 3), dtype=np.uint8)
+    img[:, :8] = 77
+    img[:, 8:] = 200
+    d = J.decode_jpeg(J.encode_jpeg(16, 8, img.tobytes(), 3, J.FLAT_QTABLE))
+    assert d["n_components"] == 3
+    assert (
+        np.frombuffer(d["pixels"], np.uint8).reshape(8, 16, 3) == img
+    ).all()
+
+    rng = random.Random(31)
+    img = np.array(
+        [
+            [[rng.randrange(256) for _ in range(3)] for _ in range(16)]
+            for _ in range(16)
+        ],
+        dtype=np.uint8,
+    )
+    d = J.decode_jpeg(J.encode_jpeg(16, 16, img.tobytes(), 3, J.FLAT_QTABLE))
+    rec = np.frombuffer(d["pixels"], np.uint8).astype(int).reshape(16, 16, 3)
+    mse = ((rec - img.astype(int)) ** 2).mean()
+    assert 10 * np.log10(255**2 / max(mse, 1e-12)) > 40.0
+
+
+def test_jpeg_corruption_never_raises():
+    import numpy as np
+
+    from fitness_data_ingest_spark.ext import jpeg as J
+
+    img = np.full((16, 16), 128, dtype=np.uint8)
+    b = J.encode_jpeg(16, 16, img.tobytes(), 1, J.STD_QTABLE)
+    for pos in range(len(b)):
+        bb = bytearray(b)
+        bb[pos] ^= 0xFF
+        J.decode_jpeg(bytes(bb))  # None or a decode — never an exception
+    assert J.decode_jpeg(b"") is None
+    assert J.decode_jpeg(b"\xff\xd8\xff\xd9") is None
+
+
+def test_jpeg_features_spark_matches_local(spark, sf_dir):
+    """The Spark surface agrees with a driver-local replay of the block
+    LCG, and every block decodes back constant (dc_blocks == blocks)."""
+    from fitness_data_ingest_spark.ext import jpeg as J
+
+    docs = t(spark, sf_dir, "documents").limit(40)
+    rows = {
+        r["media_id"]: r
+        for r in J.jpeg_features(J.synthesize_jpeg(docs)).collect()
+    }
+    for mid, n in docs.select("doc_id", "n_chars").collect():
+        bw, bh = mid % 4 + 1, (mid // 4) % 3 + 1
+        sb = mid + n if mid % 8 == 0 else mid
+        seed = (sb * 6364136223846793005 + 1442695040888963407) % (2**63)
+        vs = []
+        for _ in range(bw * bh):
+            seed = (seed * 6364136223846793005 + 1) % (2**63)
+            vs.append((seed >> 33) % 256)
+        r = rows[mid]
+        assert (r["width"], r["height"]) == (bw * 8, bh * 8)
+        assert r["n_px"] == 64 * bw * bh
+        assert r["px_sum"] == 64 * sum(vs)
+        assert (r["px_min"], r["px_max"]) == (min(vs), max(vs))
+        assert r["dc_blocks"] == bw * bh
