@@ -898,3 +898,152 @@ def kmeans_lloyd(
         )
         .orderBy("cid")
     )
+
+
+# ------------------------------------------------ PRODUCT QUANTIZATION
+
+PQ_M = 4  # subspaces (64-dim fixtures -> 16 dims each)
+PQ_K = 8  # centroids per subspace (codebook = PQ_M * PQ_K = 32 rows)
+PQ_ROUNDS = 2  # Lloyd passes per subspace (1 update between them)
+PQ_TOPK = 5
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_pred: Column,
+    m: int = PQ_M,
+    k_cent: int = PQ_K,
+    rounds: int = PQ_ROUNDS,
+    k: int = PQ_TOPK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011) — the canonical memory-compression step beyond SQ8: a
+    64-dim vector stores as ``m`` sub-codebook indices (here 4 bytes vs
+    64 floats), and queries score candidates through a per-query lookup
+    table without touching raw vectors.
+
+    Exactness design (the kmeans_lloyd discipline, per subspace): all
+    training runs on SQ8 integer codes; a centroid is the integer pair
+    (count, per-dim sums) so assignment compares exact int64
+    ``dist²·cnt²`` scaled by one IEEE division; every subspace trains
+    in the SAME DataFrame ops with ``sub`` as a group key (the codebook
+    is one 32-row table, not m separate jobs). The ADC sum adds the m
+    per-subspace doubles in FIXED subspace order ((d0+d1)+d2)+d3 —
+    never a shuffle-order float fold — which is what lets an iterative
+    trained quantizer hash-match an unrolled SQL oracle bit-for-bit.
+
+    Scale shape: codebook (m·k_cent rows) and the per-query distance
+    LUT (n_queries·m·k_cent rows) broadcast; candidates are scored by
+    joining their CODES to the LUT — the raw-vector scan ends at
+    encode time. One shuffle to (query, cand) grain for the ADC sum,
+    then the ranking window partitioned per query (queries are the
+    parallelism, the sq8_topk shape)."""
+    dsub_expr = f"CAST(size(c) / {m} AS INT)"
+    codes = sq8_codes(df, id_col, vec_col).localCheckpoint()
+    subs = codes.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" s -> slice(c, s * {dsub_expr} + 1, {dsub_expr}))"
+            )
+        ).alias("sub", "sc"),
+    ).localCheckpoint()
+    seed_ids = codes.orderBy(id_col).limit(k_cent).select(
+        F.col(id_col).alias("vid")
+    )
+    state = subs.join(F.broadcast(seed_ids), "vid").select(
+        F.col("vid").alias("cid"),
+        "sub",
+        F.lit(1).cast("long").alias("cnt"),
+        F.col("sc").alias("s"),
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(sc, s, (x, si) -> (cnt*x - si)*(cnt*x - si)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    assigned = None
+    for r in range(rounds):
+        joined = subs.join(F.broadcast(state), "sub")
+        sv = F.struct(
+            (
+                dist2.cast("double")
+                / (F.col("cnt") * F.col("cnt")).cast("double")
+            ).alias("v"),
+            F.col("cid").alias("cid"),
+            F.col("sc").alias("sc"),
+        )
+        assigned = (
+            joined.select("vid", "sub", sv.alias("sv"))
+            .groupBy("vid", "sub")
+            .agg(F.min("sv").alias("mi"))
+            .select(
+                "vid", "sub",
+                F.col("mi.cid").alias("cid"),
+                F.col("mi.sc").alias("sc"),
+            )
+        )
+        if r < rounds - 1:
+            sums = (
+                assigned.select("sub", "cid", F.posexplode("sc").alias("pos", "x"))
+                .groupBy("sub", "cid", "pos")
+                .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            )
+            state = (
+                sums.groupBy("sub", "cid")
+                .agg(
+                    F.max("n").alias("cnt"),
+                    F.expr("array_sort(collect_list(struct(pos, sx)))").alias("ps"),
+                )
+                .select(
+                    "sub", "cid", "cnt",
+                    F.expr("transform(ps, e -> e.sx)").alias("s"),
+                )
+                .localCheckpoint()
+            )
+    # per-query ADC lookup table: distance from each query SUB-code to
+    # every centroid of that subspace — n_queries * m * k_cent rows
+    ids = codes.select(F.col(id_col), query_pred.alias("is_q"))
+    q_subs = subs.join(
+        F.broadcast(ids.filter("is_q").select(F.col(id_col).alias("vid"))),
+        "vid",
+    ).select(F.col("vid").alias("query_id"), "sub", "sc")
+    lut = (
+        q_subs.join(F.broadcast(state), "sub")
+        .select(
+            "query_id", "sub", "cid",
+            (
+                dist2.cast("double")
+                / (F.col("cnt") * F.col("cnt")).cast("double")
+            ).alias("dq"),
+        )
+    )
+    cand_enc = assigned.join(
+        F.broadcast(ids.filter(~F.col("is_q")).select(F.col(id_col).alias("vid"))),
+        "vid",
+    ).select(F.col("vid").alias("cand_id"), "sub", "cid")
+    scored = cand_enc.join(F.broadcast(lut), ["sub", "cid"])
+    per_sub = [
+        F.max(F.when(F.col("sub") == s, F.col("dq"))).alias(f"d{s}")
+        for s in range(m)
+    ]
+    paired = scored.groupBy("query_id", "cand_id").agg(*per_sub)
+    adc = F.col("d0")
+    for s in range(1, m):
+        adc = adc + F.col(f"d{s}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("cand_id").asc()
+    )
+    return (
+        paired.withColumn("adc", adc)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "cand_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            (F.floor(F.col("adc") * 10000 + F.lit(0.5)) / 10000.0).alias("adc4"),
+        )
+    )

@@ -1783,6 +1783,110 @@ FROM blk GROUP BY doc_id, bw, bh, nb
 """
 
 
+# --------------------------------------------- PRODUCT QUANTIZATION
+
+# Query set for the PQ ADC key: one in 40 vectors (13 queries at the
+# 500-vector SFs, 50 at sf0.1) — queries may coincide with codebook
+# seeds, which is realistic (a stored vector queried against the rest).
+PQ_QUERY_MOD = 40
+
+
+def _embed_pq_adc(spark, sf_dir):
+    """PQ-compressed ANN with per-query ADC lookup tables — see
+    ext.similarity.pq_adc_topk for the integer-exact training design
+    and the fixed-order ADC fold that make an iterative trained
+    quantizer hash-verifiable. Completes the ANN compression ladder
+    (brute cosine → LSH → IVF → SQ8 → PQ/ADC)."""
+    from .ext import similarity as S
+
+    emb = t(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(emb, F.col("vec_id") % PQ_QUERY_MOD == 0)
+
+
+def _pq_sql() -> str:
+    from .ext import similarity as S
+
+    m, kc, rounds, k = S.PQ_M, S.PQ_K, S.PQ_ROUNDS, S.PQ_TOPK
+    dsub = 64 // m  # fixture embeddings are 64-dim (asserted by codes CTE)
+    parts = [
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+idx AS (SELECT vec_id, v, unnest(range(1, len(v)+1)) AS i FROM e),
+d AS (SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx FROM idx GROUP BY 1),
+b AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM d),
+codes AS (SELECT vec_id,
+  list_transform(range(1, len(v)+1), i ->
+    CASE WHEN b.mx[i] > b.mn[i]
+         THEN CAST(floor((v[i] - b.mn[i]) / (b.mx[i] - b.mn[i]) * 255 + 0.5) AS BIGINT)
+         ELSE 0 END) AS c
+  FROM e CROSS JOIN b),"""
+    ]
+    parts.append(
+        f"""subs AS (
+  SELECT vec_id, sub,
+         list_transform(range(1, {dsub + 1}), i -> c[sub*{dsub} + i]) AS sc
+  FROM (SELECT vec_id, c, unnest(range(0, {m})) AS sub FROM codes)),
+st0 AS (
+  SELECT vec_id AS cid, sub, CAST(1 AS BIGINT) AS cnt, sc AS s
+  FROM subs WHERE vec_id IN
+    (SELECT vec_id FROM codes ORDER BY vec_id LIMIT {kc})),"""
+    )
+    for r in range(rounds):
+        parts.append(
+            f"""a{r} AS (
+  SELECT vec_id, sub, cid, sc FROM (
+    SELECT subs.vec_id, subs.sub, st{r}.cid, subs.sc,
+      row_number() OVER (PARTITION BY subs.vec_id, subs.sub ORDER BY
+        CAST(list_sum(list_transform(range(1, {dsub + 1}),
+           i -> (st{r}.cnt*subs.sc[i] - st{r}.s[i])
+              * (st{r}.cnt*subs.sc[i] - st{r}.s[i]))) AS DOUBLE)
+          / (st{r}.cnt * st{r}.cnt), st{r}.cid) AS pr
+    FROM subs JOIN st{r} ON st{r}.sub = subs.sub) WHERE pr = 1),"""
+        )
+        if r < rounds - 1:
+            parts.append(
+                f"""u{r} AS (
+  SELECT sub, cid, i AS pos, CAST(sum(sc[i]) AS BIGINT) AS sx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT sub, cid, sc, unnest(range(1, {dsub + 1})) AS i FROM a{r})
+  GROUP BY sub, cid, i),
+st{r + 1} AS (SELECT sub, cid, max(n) AS cnt, list(sx ORDER BY pos) AS s
+  FROM u{r} GROUP BY sub, cid),"""
+            )
+    last = rounds - 1
+    adc_sum = "((d0 + d1) + d2) + d3" if m == 4 else " + ".join(
+        f"d{s}" for s in range(m)
+    )
+    per_sub_cols = ",\n         ".join(
+        f"max(CASE WHEN sub = {s} THEN dq END) AS d{s}" for s in range(m)
+    )
+    parts.append(
+        f"""lut AS (
+  SELECT q.vec_id AS query_id, q.sub, st{last}.cid,
+         CAST(list_sum(list_transform(range(1, {dsub + 1}),
+            i -> (st{last}.cnt*q.sc[i] - st{last}.s[i])
+               * (st{last}.cnt*q.sc[i] - st{last}.s[i]))) AS DOUBLE)
+           / (st{last}.cnt * st{last}.cnt) AS dq
+  FROM (SELECT * FROM subs WHERE vec_id % {PQ_QUERY_MOD} = 0) q
+  JOIN st{last} ON st{last}.sub = q.sub),
+enc AS (SELECT vec_id AS cand_id, sub, cid FROM a{last}
+        WHERE vec_id % {PQ_QUERY_MOD} <> 0),
+paired AS (
+  SELECT query_id, cand_id,
+         {per_sub_cols}
+  FROM enc JOIN lut USING (sub, cid)
+  GROUP BY query_id, cand_id),
+ranked AS (
+  SELECT query_id, cand_id, {adc_sum} AS adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {adc_sum}, cand_id) AS rnk
+  FROM paired)
+SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk,
+       floor(adc * 10000 + 0.5) / 10000.0 AS adc4
+FROM ranked WHERE rnk <= {k}"""
+    )
+    return "\n".join(parts)
+
+
 R5B_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in (
@@ -1864,5 +1968,6 @@ R5B_QUERIES: dict[str, QueryDef] = {
             _JPEG_SQL,
             ("multimodal",),
         ),
+        QueryDef("embed_pq_adc", _embed_pq_adc, _pq_sql(), ("ext",)),
     )
 }

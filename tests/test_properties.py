@@ -1331,3 +1331,110 @@ def test_lsh_recall_eval_perfect_on_exact_duplicates(spark, base, ndup):
     assert r["n_truth"] >= planted
     if r["n_truth"] == planted:  # all true pairs are the exact-dup group
         assert r["recall4"] == 1.0
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=8, max_size=8),
+        min_size=5,
+        max_size=14,
+    )
+)
+@PROP_SETTINGS
+def test_pq_adc_topk_matches_bruteforce(spark, vecs):
+    """Full Python mirror of the PQ pipeline (SQ8 -> per-subspace Lloyd
+    with exact integer dist²·cnt² -> per-query ADC LUT with the fixed
+    ((d0+d1)+d2)+d3 fold -> top-k) — every (query, cand, rank, adc4)
+    tuple must match the Spark plan exactly."""
+    import math
+
+    from fitness_data_ingest_spark.ext.similarity import pq_adc_topk
+
+    m, kc, rounds, k, qmod = 4, 3, 2, 2, 3
+    dim = 8
+    dsub = dim // m
+    n = len(vecs)
+
+    # --- mirror ---
+    mn = [min(v[i] for v in vecs) for i in range(dim)]
+    mx = [max(v[i] for v in vecs) for i in range(dim)]
+    codes = {
+        vid: [
+            int(math.floor((float(v[i]) - mn[i]) / (mx[i] - mn[i]) * 255 + 0.5))
+            if mx[i] > mn[i]
+            else 0
+            for i in range(dim)
+        ]
+        for vid, v in enumerate(vecs)
+    }
+    sub = {
+        (vid, s): codes[vid][s * dsub : (s + 1) * dsub]
+        for vid in range(n)
+        for s in range(m)
+    }
+    state = {
+        s: {cid: (1, list(sub[(cid, s)])) for cid in range(min(kc, n))}
+        for s in range(m)
+    }
+    assigned = None
+    for r in range(rounds):
+        assigned = {}
+        for vid in range(n):
+            for s in range(m):
+                best = None
+                for cid, (cnt, sums) in state[s].items():
+                    d2 = sum(
+                        (cnt * x - si) ** 2 for x, si in zip(sub[(vid, s)], sums)
+                    )
+                    key = (d2 / float(cnt * cnt), cid)
+                    if best is None or key < best[0]:
+                        best = (key, cid)
+                assigned[(vid, s)] = best[1]
+        if r < rounds - 1:
+            nxt = {s: {} for s in range(m)}
+            for s in range(m):
+                for cid in state[s]:
+                    members = [
+                        vid for vid in range(n) if assigned[(vid, s)] == cid
+                    ]
+                    if not members:
+                        continue
+                    sums = [
+                        sum(sub[(vid, s)][i] for vid in members)
+                        for i in range(dsub)
+                    ]
+                    nxt[s][cid] = (len(members), sums)
+            state = nxt
+    queries = [vid for vid in range(n) if vid % qmod == 0]
+    cands = [vid for vid in range(n) if vid % qmod != 0]
+    want = {}
+    for q in queries:
+        scored = []
+        for cand in cands:
+            ds = []
+            for s in range(m):
+                cid = assigned[(cand, s)]
+                cnt, sums = state[s][cid]
+                d2 = sum(
+                    (cnt * x - si) ** 2 for x, si in zip(sub[(q, s)], sums)
+                )
+                ds.append(d2 / float(cnt * cnt))
+            adc = ((ds[0] + ds[1]) + ds[2]) + ds[3]
+            scored.append((adc, cand))
+        scored.sort()
+        for rnk, (adc, cand) in enumerate(scored[:k], start=1):
+            want[(q, cand)] = (rnk, math.floor(adc * 10000 + 0.5) / 10000.0)
+
+    # --- spark ---
+    df = spark.createDataFrame(
+        [(vid, [float(x) for x in v]) for vid, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["query_id"], r["cand_id"]): (r["rnk"], r["adc4"])
+        for r in pq_adc_topk(
+            df, F.col("vec_id") % qmod == 0, m=m, k_cent=kc, rounds=rounds, k=k
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == want
