@@ -337,3 +337,101 @@ def label_propagation_oracle_sql(edges_cte: str, rounds: int = 3) -> str:
         f" GROUP BY lbl ORDER BY community"
     )
     return "\n".join(parts)
+
+
+def kcore_peel(edges: DataFrame, k: int = 4, rounds: int = 3) -> DataFrame:
+    """Synchronous k-core peeling (Seidman 1983; the degeneracy-order
+    workhorse behind graph cleaning and dense-subgraph seeding): each
+    round drops every node whose degree among STILL-ACTIVE nodes is
+    < k, together with its incident edges, and reports the per-round
+    profile (round, n_nodes active at entry, n_edges active at entry,
+    n_removed this round). Synchronous rounds are a pure function of
+    the graph — reproducible across engines and partitionings, like
+    label_propagation's sync update.
+
+    Scale shape — the LPA discipline: edges persist pre-partitioned by
+    ``dst`` ONCE; each round intersects them with the (node-grain,
+    broadcast) active set via two broadcast semi-shaped joins that
+    PRESERVE the dst partitioning, so the degree aggregate inserts no
+    exchange; the three per-round counts combine as 1-row broadcast
+    attaches (the q14 scalar shape). Active sets localCheckpoint
+    between rounds (lineage-doubling fix). Zero-degree actives are
+    removed correctly: they simply vanish from the degree table, and
+    removal is counted as |active| - |kept|."""
+    ed = edges.repartition("dst").persist()
+    active = (
+        ed.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outs = []
+    for r in range(rounds):
+        ae = (
+            ed.join(
+                F.broadcast(active.select(F.col("node").alias("_s"))),
+                F.col("src") == F.col("_s"),
+            )
+            .drop("_s")
+            .join(
+                F.broadcast(active.select(F.col("node").alias("_d"))),
+                F.col("dst") == F.col("_d"),
+            )
+            .drop("_d")
+        )
+        deg = ae.groupBy("dst").agg(F.count(F.lit(1)).alias("n"))
+        nxt = (
+            deg.filter(F.col("n") >= k)
+            .select(F.col("dst").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        row = (
+            active.agg(F.count(F.lit(1)).alias("n_nodes"))
+            .join(F.broadcast(ae.agg(F.count(F.lit(1)).alias("n_edges"))))
+            .join(F.broadcast(nxt.agg(F.count(F.lit(1)).alias("_kept"))))
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "n_nodes",
+                "n_edges",
+                (F.col("n_nodes") - F.col("_kept")).alias("n_removed"),
+            )
+        )
+        outs.append(row)
+        active = nxt
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("round")
+
+
+def kcore_oracle_sql(edges_cte: str, k: int = 4, rounds: int = 3) -> str:
+    """Unrolled ANSI-SQL mirror of :func:`kcore_peel` — one
+    (edge-filter, degree, survivor) CTE triple per round, per-round
+    stat rows UNION ALL'd (the label_propagation_oracle_sql pattern)."""
+    parts = [
+        f"WITH edges AS ({edges_cte}),",
+        "a0 AS (SELECT DISTINCT src AS node FROM edges),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"e{r} AS (SELECT e.src, e.dst FROM edges e"
+            f" JOIN a{r} x ON x.node = e.src"
+            f" JOIN a{r} y ON y.node = e.dst),"
+        )
+        parts.append(
+            f"d{r} AS (SELECT dst AS node, count(*) AS n FROM e{r}"
+            f" GROUP BY dst),"
+        )
+        parts.append(
+            f"a{r + 1} AS (SELECT node FROM d{r} WHERE n >= {k}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    selects = [
+        f"SELECT CAST({r} AS INTEGER) AS round,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM a{r}) AS n_nodes,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM a{r})"
+        f" - (SELECT CAST(count(*) AS BIGINT) FROM a{r + 1}) AS n_removed"
+        for r in range(rounds)
+    ]
+    parts.append(" UNION ALL ".join(selects) + " ORDER BY round")
+    return "\n".join(parts)

@@ -1887,6 +1887,40 @@ FROM ranked WHERE rnk <= {k}"""
     return "\n".join(parts)
 
 
+# --------------------------------------------------- K-CORE PEELING
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def _graph_kcore_peel(spark, sf_dir):
+    """k-core peeling profile over the part co-occurrence graph (the
+    pagerank/triangles/LPA edge set) — see ops.graph.kcore_peel for
+    the zero-per-round-exchange argument. k=2 is calibrated to the
+    fixtures (real peel dynamics: removals every round, non-empty
+    core at every SF: sf0.1 peels 5922 -> 1067 -> 138 -> 22), and the
+    per-round removal curve is the graph-cleaning
+    number: how much of the graph is shell vs core."""
+    from .ops import graph as G
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_groups=2)
+    return G.kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _kcore_sql() -> str:
+    from .ops import graph as G
+
+    edges_cte = """
+SELECT a.i AS src, b.i AS dst
+FROM (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem) b
+  ON a.g = b.g AND a.i <> b.i
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+    return G.kcore_oracle_sql(edges_cte, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
 R5B_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in (
@@ -1969,5 +2003,8 @@ R5B_QUERIES: dict[str, QueryDef] = {
             ("multimodal",),
         ),
         QueryDef("embed_pq_adc", _embed_pq_adc, _pq_sql(), ("ext",)),
+        QueryDef(
+            "graph_kcore_peel", _graph_kcore_peel, _kcore_sql(), ("graph",)
+        ),
     )
 }

@@ -747,6 +747,9 @@ def test_r5b_family_plans(spark, sf_dir):
         "corpus_token_budget_sample",
         # three 1-row count scalars combined (q14 scalar-attach shape)
         "dedup_lsh_recall_eval",
+        # per-round (n_nodes, n_edges, kept) 1-row count scalars
+        # combined (q14 scalar-attach shape, three per peel round)
+        "graph_kcore_peel",
     }
     for name, q in R5B_QUERIES.items():
         findings = [

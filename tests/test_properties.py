@@ -1438,3 +1438,47 @@ def test_pq_adc_topk_matches_bruteforce(spark, vecs):
     }
     spark.catalog.clearCache()
     assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+@PROP_SETTINGS
+def test_kcore_peel_matches_bruteforce(spark, pairs, k):
+    """Python mirror of synchronous k-core peeling on arbitrary small
+    graphs: per-round (n_nodes, n_edges, n_removed) must match exactly,
+    including zero-degree-active removal and empty-core rounds."""
+    from fitness_data_ingest_spark.ops.graph import kcore_peel
+
+    edges = sorted({(a, b) for a, b in pairs if a != b} | {
+        (b, a) for a, b in pairs if a != b
+    })
+    if not edges:
+        return
+    rounds = 3
+    active = {a for a, _ in edges}
+    want = []
+    for r in range(rounds):
+        ae = [(a, b) for a, b in edges if a in active and b in active]
+        deg = {}
+        for _, b in ae:
+            deg[b] = deg.get(b, 0) + 1
+        nxt = {n for n, d in deg.items() if d >= k}
+        want.append((r, len(active), len(ae), len(active) - len(nxt)))
+        active = nxt
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [
+        (r["round"], r["n_nodes"], r["n_edges"], r["n_removed"])
+        for r in kcore_peel(df, k=k, rounds=rounds).collect()
+    ]
+    spark.catalog.clearCache()
+    assert got == want
