@@ -739,3 +739,104 @@ def test_jpeg_features_spark_matches_local(spark, sf_dir):
         assert r["px_sum"] == 64 * sum(vs)
         assert (r["px_min"], r["px_max"]) == (min(vs), max(vs))
         assert r["dc_blocks"] == bw * bh
+
+
+def test_flac_decoder_handles_partitioned_and_escaped_rice():
+    """Decoder breadth our encoder never emits: a FIXED-order-1
+    subframe whose residuals use rice partition order 1 (two
+    partitions) with the SECOND partition escape-coded (raw 6-bit) —
+    hand-built, must decode to the exact recurrence."""
+    import hashlib
+    import struct
+
+    from fitness_data_ingest_spark.ext import flac as FL
+
+    bs, bits = 16, 16
+    warm = [500]
+    res = [3, -2, 1, 0, -1, 2, -3] + [7, -8, 5, -6, 4, -5, 6, -7]
+    # x[t] = res[t-1] + x[t-1]  (fixed order 1)
+    x = list(warm)
+    for r in res:
+        x.append(r + x[-1])
+
+    w = FL._BitWriter()
+    w.write(0b11111111111110, 14)
+    w.write(0, 2)
+    w.write(0b0110, 4)  # blocksize: 8-bit at end
+    w.write(0b0000, 4)
+    w.write(0, 4)  # mono
+    w.write(0b100, 3)
+    w.write(0, 1)
+    w.write(0, 8)  # frame 0
+    w.write(bs - 1, 8)
+    w.write(FL._crc8(bytes(w.buf)), 8)
+    w.write(0, 1)
+    w.write(0b001000 | 1, 6)  # FIXED order 1
+    w.write(0, 1)
+    w.write(warm[0] & 0xFFFF, bits)  # warmup
+    w.write(0, 2)  # coding method 0
+    w.write(1, 4)  # partition order 1 -> 2 partitions
+    # partition 1: bs/2 - order = 7 residuals, rice param 2
+    w.write(2, 4)
+    for r in res[:7]:
+        u = FL._zigzag(r)
+        w.write_unary(u >> 2)
+        w.write(u & 3, 2)
+    # partition 2: bs/2 = 8 residuals, ESCAPE raw 6-bit
+    w.write(FL._RICE_ESCAPE4, 4)
+    w.write(6, 5)
+    for r in res[7:]:
+        w.write(r & 0x3F, 6)
+    w.align()
+    w.write(FL._crc16(bytes(w.buf)), 16)
+    frame = w.bytes()
+
+    si = FL._BitWriter()
+    si.write(1, 1)
+    si.write(0, 7)
+    si.write(34, 24)
+    si.write(bs, 16)
+    si.write(bs, 16)
+    si.write(len(frame), 24)
+    si.write(len(frame), 24)
+    si.write(8000, 20)
+    si.write(0, 3)
+    si.write(bits - 1, 5)
+    si.write(bs, 36)
+    md5 = hashlib.md5(struct.pack(f"<{bs}h", *x)).digest()
+    for byte in md5:
+        si.write(byte, 8)
+
+    d = FL.decode_flac(b"fLaC" + si.bytes() + frame)
+    assert d is not None and d["samples"] == x and d["md5_ok"]
+
+
+def test_jpeg_decoder_handles_16bit_quant_table():
+    """Decoder breadth: a DQT segment with precision=1 (16-bit
+    entries). Re-encode our flat-block stream with an 8-bit all-ones
+    table, then rewrite the DQT to 16-bit all-ones — decode must be
+    identical (same dequantized values through the wider table)."""
+    import struct
+
+    import numpy as np
+
+    from fitness_data_ingest_spark.ext import jpeg as J
+
+    img = np.zeros((8, 16), dtype=np.uint8)
+    img[:, :8] = 33
+    img[:, 8:] = 190
+    b = J.encode_jpeg(16, 8, img.tobytes(), 1, J.FLAT_QTABLE)
+    # locate the DQT segment (FFDB, length 67, pq/tq byte, 64 entries)
+    i = b.index(b"\xff\xdb")
+    assert b[i + 4] == 0x00  # pq=0 (8-bit), tq=0
+    wide = (
+        b[:i]
+        + b"\xff\xdb"
+        + struct.pack(">H", 2 + 1 + 128)
+        + bytes([0x10])  # pq=1 (16-bit), tq=0
+        + b"".join(struct.pack(">H", 1) for _ in range(64))
+        + b[i + 2 + 67 :]
+    )
+    d = J.decode_jpeg(wide)
+    assert d is not None
+    assert d["pixels"] == img.tobytes()
