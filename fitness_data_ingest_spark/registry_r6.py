@@ -1,0 +1,659 @@
+"""Round-6 families: distribution-comparison statistics (KS,
+Mann-Whitney, chi-square independence, Benjamini-Hochberg FDR,
+Poisson-bootstrap CI), feature engineering for model training
+(scaling, target encoding, chi-square feature selection, one-hot),
+text/corpus quality additions (Gopher rules, n-gram novelty), and
+weighted reproducible sampling.
+
+Exactness discipline (house rules, registry_util): every statistic is
+either pure int64 arithmetic, or an IEEE-754 expression whose inputs
+are exactly-representable int64 casts — both engines evaluate the
+identical float expression tree, so value hashes cannot drift — and
+every exported float is quantized ``floor(x*10^k + 0.5)/10^k``.
+
+Reference parity note: the reference repo (pandas/requests ETL —
+``services/fitbit/fitbit_utils.py``, ``services/strava/utils.py``) has
+no statistics/feature layer; these extend SURVEY.md §2's LLM-pipeline
+axis (A/B evaluation of data interventions, feature prep, corpus QA)
+the same way the round-4/5 families do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry_util import QueryDef, cents, t
+
+# Two-sample split for the rank statistics: the A/B arms are two event
+# types of the same value stream (the canonical "did the intervention
+# move the metric distribution" question).
+KS_A = "click"
+KS_B = "view"
+
+# Coarse-bucket width for the hierarchical prefix sum over the value
+# grain: cents-values bucket into ~range/4096 coarse groups, so the
+# coarse offset table is bounded by the VALUE DOMAIN (metadata-sized at
+# any row count), never by row count.
+KS_BUCKET = 4096
+
+# Benjamini-Hochberg level: alpha = 0.05 exactly, expressed as the
+# integer pair (1/alpha = 20) so the step-up test is pure int64
+# cross-multiplication on nano-quantized p-values.
+BH_INV_ALPHA = 20
+
+# Poisson(1) bootstrap: inverse-CDF thresholds on a uniform 0..999999
+# md5 draw.  cum P(k) * 1e6, k = 0..7; ties to the literal constants on
+# BOTH engines, so replicate membership is bit-stable forever.
+POISSON_CUM = (367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990)
+N_BOOT = 64
+
+# Target-encoding smoothing pseudo-count (the standard m-estimate).
+TE_SMOOTH = 10
+
+
+def _h32(col):
+    """Engine-portable 32-bit hash (md5 prefix as int64) — same literal
+    definition as registry_r5/r5b, re-declared per family file so each
+    file's SQL oracles pair with the Spark expression beside them."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _tok(col):
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+# ---------------------------------------------------------------------
+# Shared machinery: two-sample cumulative counts at the cents-value
+# grain, built with the HIERARCHICAL prefix sum (coarse-bucket offsets +
+# within-bucket windows) so no partition-less window ever appears —
+# the same scalable identity events_cumulative_distinct uses at the
+# month grain.
+# ---------------------------------------------------------------------
+
+
+def _two_sample_cum(events):
+    """Per distinct cents-value v of the A/B value stream:
+    (v, a_cnt, b_cnt, cum_a_le, cum_b_le) with inclusive cumulative
+    counts, plus broadcastable totals attached (n_a, n_b).
+
+    Scale shape: one shuffle to the (distinct-value) grain — bounded by
+    the value DOMAIN, not the row count — then windows only within
+    coarse buckets; the coarse offset build is a self-join on a table
+    whose size is domain/KS_BUCKET (metadata-sized)."""
+    ab = events.where(F.col("event_type").isin(KS_A, KS_B)).select(
+        cents(F.col("value")).alias("v"),
+        F.when(F.col("event_type") == KS_A, 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == KS_B, 1).otherwise(0).alias("b"),
+    )
+    g = ab.groupBy("v").agg(
+        F.sum("a").alias("a_cnt"), F.sum("b").alias("b_cnt")
+    )
+    g = g.withColumn("bkt", F.floor(F.col("v") / KS_BUCKET))
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = g.select(
+        "v",
+        "bkt",
+        "a_cnt",
+        "b_cnt",
+        F.sum("a_cnt").over(w).alias("ca_in"),
+        F.sum("b_cnt").over(w).alias("cb_in"),
+    )
+    btot = g.groupBy("bkt").agg(
+        F.sum("a_cnt").alias("ba"), F.sum("b_cnt").alias("bb")
+    )
+    b_a = btot.select(F.col("bkt").alias("k"))
+    b_b = btot.select(F.col("bkt").alias("k2"), "ba", "bb")
+    offs = (
+        b_a.join(b_b, b_b.k2 < b_a.k)
+        .groupBy("k")
+        .agg(F.sum("ba").alias("off_a"), F.sum("bb").alias("off_b"))
+    )
+    cum = (
+        within.join(F.broadcast(offs), within.bkt == offs.k, "left")
+        .select(
+            "v",
+            "a_cnt",
+            "b_cnt",
+            (F.col("ca_in") + F.coalesce("off_a", F.lit(0))).alias("cum_a_le"),
+            (F.col("cb_in") + F.coalesce("off_b", F.lit(0))).alias("cum_b_le"),
+        )
+    )
+    tot = cum.agg(
+        F.sum("a_cnt").alias("n_a"), F.sum("b_cnt").alias("n_b")
+    )
+    return cum.join(F.broadcast(tot))
+
+
+_TWO_SAMPLE_CTE = f"""
+ab AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = '{KS_B}' THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+),
+g AS (
+  SELECT v, CAST(sum(a) AS BIGINT) AS a_cnt, CAST(sum(b) AS BIGINT) AS b_cnt
+  FROM ab GROUP BY v
+),
+cum AS (
+  SELECT v, a_cnt, b_cnt,
+         CAST(sum(a_cnt) OVER (ORDER BY v) AS BIGINT) AS cum_a_le,
+         CAST(sum(b_cnt) OVER (ORDER BY v) AS BIGINT) AS cum_b_le
+  FROM g
+),
+tot AS (
+  SELECT CAST(sum(a_cnt) AS BIGINT) AS n_a, CAST(sum(b_cnt) AS BIGINT) AS n_b
+  FROM g
+)
+"""
+
+
+# ----------------------------------------------------- KOLMOGOROV-SMIRNOV
+
+
+def ks_two_sample(events):
+    """Two-sample Kolmogorov-Smirnov D between the A and B value
+    distributions, computed EXACTLY in integers: at every distinct
+    cents-value v, D's numerator is |cum_a·n_b − cum_b·n_a| (int64),
+    maximized with a deterministic argmax (smallest v attaining the
+    max).  D itself is the one quantized division at the very end.
+
+    This is the drift/intervention test a data pipeline runs between
+    two corpus snapshots or A/B arms.  The naive formulation sorts the
+    combined sample through one reducer; here the ECDF merge is the
+    hierarchical prefix sum of ``_two_sample_cum`` — every shuffle is
+    keyed on the bounded value domain."""
+    cum = _two_sample_cum(events)
+    d = cum.select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a_le") * F.col("n_b") - F.col("cum_b_le") * F.col("n_a")
+        ).alias("d_num"),
+        F.col("v"),
+    )
+    best = d.groupBy("n_a", "n_b").agg(
+        F.max(F.struct(F.col("d_num"), (-F.col("v")).alias("nv"))).alias("m")
+    )
+    return best.select(
+        "n_a",
+        "n_b",
+        F.col("m.d_num").alias("d_num"),
+        (-F.col("m.nv")).alias("at_cents"),
+        (
+            F.floor(
+                F.col("m.d_num")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("ks_d6"),
+    )
+
+
+def _stat_ks_test(spark, sf_dir):
+    return ks_two_sample(t(spark, sf_dir, "events"))
+
+
+_KS_SQL = f"""
+WITH {_TWO_SAMPLE_CTE},
+d AS (
+  SELECT cum.v,
+         CAST(abs(cum_a_le * tot.n_b - cum_b_le * tot.n_a) AS BIGINT) AS d_num,
+         tot.n_a, tot.n_b
+  FROM cum, tot
+)
+SELECT n_a, n_b, d_num, v AS at_cents,
+       floor(CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             * 1000000 + 0.5) / 1000000.0 AS ks_d6
+FROM d ORDER BY d_num DESC, v ASC LIMIT 1
+"""
+
+
+# ------------------------------------------------------- MANN-WHITNEY U
+
+
+def mannwhitney_u(events):
+    """Mann-Whitney U (rank-sum) for the same A/B arms, tie-correct and
+    EXACT: with per-distinct-value counts (a_v, b_v) and the strictly-
+    below cumulative cum_b_lt, 2·U_A = Σ_v a_v · (2·cum_b_lt + b_v) —
+    pure int64 (the ½ tie credit is carried as the doubled statistic).
+    AUC = U/(n_a·n_b) is the probability a random A value exceeds a
+    random B value — the effect size ML evals report.
+
+    Same scale shape as the KS key: all heavy work at the bounded
+    distinct-value grain."""
+    cum = _two_sample_cum(events)
+    per_v = cum.select(
+        "n_a",
+        "n_b",
+        (
+            F.col("a_cnt")
+            * (2 * (F.col("cum_b_le") - F.col("b_cnt")) + F.col("b_cnt"))
+        ).alias("u2_term"),
+    )
+    agg = per_v.groupBy("n_a", "n_b").agg(F.sum("u2_term").alias("u2_a"))
+    return agg.select(
+        "n_a",
+        "n_b",
+        "u2_a",
+        (2 * F.col("n_a") * F.col("n_b") - F.col("u2_a")).alias("u2_b"),
+        (
+            F.floor(
+                F.col("u2_a")
+                / (2.0 * F.col("n_a") * F.col("n_b"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("auc6"),
+    )
+
+
+def _stat_mannwhitney_u(spark, sf_dir):
+    return mannwhitney_u(t(spark, sf_dir, "events"))
+
+
+_MWU_SQL = f"""
+WITH {_TWO_SAMPLE_CTE},
+u AS (
+  SELECT tot.n_a, tot.n_b,
+         CAST(sum(a_cnt * (2 * (cum_b_le - b_cnt) + b_cnt)) AS BIGINT) AS u2_a
+  FROM cum, tot GROUP BY tot.n_a, tot.n_b
+)
+SELECT n_a, n_b, u2_a,
+       CAST(2 * n_a * n_b - u2_a AS BIGINT) AS u2_b,
+       floor(CAST(u2_a AS DOUBLE) / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             * 1000000 + 0.5) / 1000000.0 AS auc6
+FROM u
+"""
+
+
+# ----------------------------------------------- CHI-SQUARE INDEPENDENCE
+
+
+def chi2_independence(orders):
+    """Chi-square independence audit of o_orderpriority × o_orderstatus
+    at the CELL grain: observed count, margins, expected count, and the
+    cell's chi-square contribution.  Per-cell output deliberately — the
+    residual table is what an analyst reads, and it avoids any
+    order-dependent float total (the scalar chi² is the oracle-side sum
+    of the quantized contributions, which callers can fold exactly).
+
+    Exactness: the contribution is ((obs·T − r·c)² )/(T·r·c) — the
+    numerator root obs·T − r·c is exact int64; both engines square and
+    divide the identical doubles.  Scale shape: one map-side-combinable
+    groupBy to the (priority, status) grain (≤15 cells at any data
+    size); margins and the total ride in as broadcast aggregates."""
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    rows = cells.groupBy("o_orderpriority").agg(F.sum("obs").alias("row_tot"))
+    cols = cells.groupBy("o_orderstatus").agg(F.sum("obs").alias("col_tot"))
+    tot = cells.agg(F.sum("obs").alias("t_tot"))
+    j = (
+        cells.join(F.broadcast(rows), "o_orderpriority")
+        .join(F.broadcast(cols), "o_orderstatus")
+        .join(F.broadcast(tot))
+    )
+    n = F.col("obs") * F.col("t_tot") - F.col("row_tot") * F.col("col_tot")
+    denom = (
+        F.col("t_tot") * F.col("row_tot") * F.col("col_tot")
+    ).cast("double")
+    return j.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "obs",
+        "row_tot",
+        "col_tot",
+        (
+            F.floor(
+                F.col("row_tot")
+                * F.col("col_tot")
+                / F.col("t_tot").cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("exp6"),
+        (
+            F.floor(
+                n.cast("double") * n.cast("double") / denom * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("contrib6"),
+    ).orderBy("o_orderpriority", "o_orderstatus")
+
+
+def _stat_chi2_independence(spark, sf_dir):
+    return chi2_independence(t(spark, sf_dir, "orders"))
+
+
+_CHI2_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1, 2
+),
+r AS (SELECT o_orderpriority, CAST(sum(obs) AS BIGINT) AS row_tot FROM cells GROUP BY 1),
+c AS (SELECT o_orderstatus, CAST(sum(obs) AS BIGINT) AS col_tot FROM cells GROUP BY 1),
+tt AS (SELECT CAST(sum(obs) AS BIGINT) AS t_tot FROM cells)
+SELECT cells.o_orderpriority, cells.o_orderstatus, obs, row_tot, col_tot,
+       floor(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(t_tot AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS exp6,
+       floor(CAST(obs * t_tot - row_tot * col_tot AS DOUBLE)
+             * CAST(obs * t_tot - row_tot * col_tot AS DOUBLE)
+             / CAST(t_tot * row_tot * col_tot AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS contrib6
+FROM cells JOIN r USING (o_orderpriority) JOIN c USING (o_orderstatus), tt
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+# --------------------------------------------- BENJAMINI-HOCHBERG (FDR)
+
+
+def benjamini_hochberg(events):
+    """Benjamini-Hochberg step-up FDR control over per-group location
+    tests (one hypothesis per event_type: "this type's mean value
+    differs from the corpus mean").  The per-group p-value is the
+    distribution-free Chebyshev bound p = min(1, s²/(n·(mean−μ)²)) —
+    chosen precisely because it is RATIONAL in the integer moment sums
+    (no erf/exp), so the whole procedure is engine-exact: p is
+    nano-quantized to int64 and the step-up test p_(k)·m/α ≤ k is pure
+    int64 cross-multiplication.
+
+    Scale shape: one map-side-combinable groupBy to the hypothesis
+    grain (m groups — small at any scale); ranking and the step-up scan
+    are self-joins on that m-row table (broadcast, bounded build —
+    never a partition-less window)."""
+    vals = events.select(
+        "event_type", cents(F.col("value")).alias("c")
+    )
+    g = vals.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("tn"),
+        F.sum("s").alias("ts"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    j = g.join(F.broadcast(tot))
+    # all doubles below are casts of exact int64s; identical expression
+    # tree on the oracle side
+    mu = F.col("ts").cast("double") / F.col("tn").cast("double")
+    mean_g = F.col("s").cast("double") / F.col("n").cast("double")
+    var_num = (F.col("q") * F.col("n") - F.col("s") * F.col("s")).cast("double")
+    dev = mean_g - mu
+    denom = F.col("n").cast("double") * dev * dev
+    # degenerate hypotheses (single observation, or group mean exactly
+    # the corpus mean) are unfalsifiable: p = 1 by definition — branch
+    # explicitly (ANSI mode rejects the IEEE inf shortcut)
+    p = F.when((F.col("n") < 2) | (denom == 0.0), F.lit(1.0)).otherwise(
+        F.least(
+            F.lit(1.0),
+            var_num
+            / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+            / denom,
+        )
+    )
+    scored = j.select(
+        "event_type",
+        "n",
+        "m",
+        F.floor(p * 1000000000 + F.lit(0.5)).cast("long").alias("p9"),
+    )
+    a = scored.select(
+        F.col("event_type"), F.col("n"), F.col("m"), F.col("p9")
+    )
+    b = scored.select(
+        F.col("event_type").alias("et2"), F.col("p9").alias("p9_2")
+    )
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("p9_2") < F.col("p9"))
+            | ((F.col("p9_2") == F.col("p9")) & (F.col("et2") < F.col("event_type"))),
+            "left",
+        )
+        .groupBy("event_type", "n", "m", "p9")
+        .agg((F.count("et2") + 1).alias("k"))
+    )
+    kstar = ranked.agg(
+        F.max(
+            F.when(
+                F.col("p9") * BH_INV_ALPHA * F.col("m")
+                <= F.col("k") * F.lit(1000000000),
+                F.col("k"),
+            ).otherwise(F.lit(0))
+        ).alias("k_star")
+    )
+    return (
+        ranked.join(F.broadcast(kstar))
+        .select(
+            "event_type",
+            "n",
+            "p9",
+            "k",
+            (F.col("k") <= F.col("k_star")).alias("rejected"),
+        )
+        .orderBy("k")
+    )
+
+
+def _stat_benjamini_hochberg(spark, sf_dir):
+    return benjamini_hochberg(t(spark, sf_dir, "events"))
+
+
+_BH_SQL = f"""
+WITH vals AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+  FROM vals GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(s) AS BIGINT) AS ts,
+         CAST(count(*) AS BIGINT) AS m
+  FROM g
+),
+scored AS (
+  SELECT event_type, n, m,
+         CAST(floor(
+           CASE WHEN n < 2 OR CAST(n AS DOUBLE)
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                     - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                     - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)) = 0.0
+                THEN 1.0
+                ELSE least(1.0,
+                  CAST(q * n - s * s AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                  / (CAST(n AS DOUBLE)
+                     * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                        - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+                     * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                        - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))))
+           END * 1000000000 + 0.5) AS BIGINT) AS p9
+  FROM g, tot
+),
+ranked AS (
+  SELECT a.event_type, a.n, a.m, a.p9,
+         CAST(1 + count(b.event_type) AS BIGINT) AS k
+  FROM scored a LEFT JOIN scored b
+    ON b.p9 < a.p9 OR (b.p9 = a.p9 AND b.event_type < a.event_type)
+  GROUP BY a.event_type, a.n, a.m, a.p9
+),
+ks AS (
+  SELECT max(CASE WHEN p9 * {BH_INV_ALPHA} * m <= k * 1000000000
+                  THEN k ELSE 0 END) AS k_star
+  FROM ranked
+)
+SELECT event_type, n, p9, k, k <= k_star AS rejected
+FROM ranked, ks ORDER BY k
+"""
+
+
+# ------------------------------------------------ POISSON BOOTSTRAP CI
+
+
+def bootstrap_ci(orders):
+    """Deterministic Poisson bootstrap CI for mean(o_totalprice):
+    every (row, replicate) pair draws a Poisson(1) count via the
+    md5-uniform inverse CDF (literal integer thresholds on both
+    engines), so the resample is REPRODUCIBLE across retries and
+    engines — the same argument as sample_hash_bernoulli, extended to
+    uncertainty quantification.  CI bounds are exact order statistics
+    of the 64 replicate means (ranks 2 and 63 ≈ 2.5%/97.5%).
+
+    Scale shape: the 64× explode is the honest CPU cost of a bootstrap,
+    but map-side combine collapses the shuffle to exactly 64 rows
+    regardless of input size; ranking the replicates is a 64×64
+    broadcast self-join (bounded build).  The point estimate rides in
+    as the usual broadcast 1-row aggregate."""
+    base = orders.select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        cents(F.col("o_totalprice")).alias("c"),
+    )
+    u = F.pmod(
+        _h32(
+            F.concat(
+                F.lit("boot:"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("k"),
+            )
+        ),
+        F.lit(1000000),
+    )
+    draw = F.lit(len(POISSON_CUM))
+    for i in range(len(POISSON_CUM) - 1, -1, -1):
+        draw = F.when(u < POISSON_CUM[i], i).otherwise(draw)
+    rep = (
+        base.select("k", "c", F.explode(F.sequence(F.lit(0), F.lit(N_BOOT - 1))).alias("b"))
+        .select("b", F.col("c"), draw.cast("long").alias("w"))
+        .groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("c")).alias("sb"), F.sum("w").alias("nb"))
+        # a replicate whose Poisson weights all landed on 0 resamples
+        # nothing — undefined mean, dropped (cannot occur beyond toy
+        # inputs: P ≈ (1/e)^rows)
+        .where(F.col("nb") > 0)
+        .select(
+            "b",
+            F.floor(
+                F.col("sb") * 100.0 / F.col("nb").cast("double") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mean_c2"),
+        )
+    )
+    ra = rep.select("b", "mean_c2")
+    rb = rep.select(F.col("b").alias("b2"), F.col("mean_c2").alias("m2"))
+    ranked = (
+        ra.join(
+            F.broadcast(rb),
+            (F.col("m2") < F.col("mean_c2"))
+            | ((F.col("m2") == F.col("mean_c2")) & (F.col("b2") < F.col("b"))),
+            "left",
+        )
+        .groupBy("b", "mean_c2")
+        .agg(F.count("b2").alias("r0"))
+    )
+    point = orders.agg(
+        F.floor(
+            F.sum(cents(F.col("o_totalprice"))) * 100.0
+            / F.count(F.lit(1)).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("point_c2")
+    )
+    ci = ranked.agg(
+        F.count(F.lit(1)).alias("n_boot"),
+        F.max(F.when(F.col("r0") == 1, F.col("mean_c2"))).alias("lo_c2"),
+        F.max(F.when(F.col("r0") == N_BOOT - 2, F.col("mean_c2"))).alias("hi_c2"),
+    )
+    return ci.join(F.broadcast(point)).select(
+        "n_boot", "point_c2", "lo_c2", "hi_c2"
+    )
+
+
+def _stat_bootstrap_ci(spark, sf_dir):
+    return bootstrap_ci(t(spark, sf_dir, "orders"))
+
+
+def _poisson_case_sql(u_expr: str) -> str:
+    branches = "".join(
+        f" WHEN {u_expr} < {thr} THEN {k}"
+        for k, thr in enumerate(POISSON_CUM)
+    )
+    return f"CASE{branches} ELSE {len(POISSON_CUM)} END"
+
+
+_BOOT_SQL = f"""
+WITH base AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders
+),
+rep AS (
+  SELECT b.b,
+         CAST(floor(
+           CAST(sum(({_poisson_case_sql("('0x' || substr(md5('boot:' || CAST(b.b AS VARCHAR) || ':' || base.k), 1, 8))::BIGINT % 1000000")}) * c) AS DOUBLE)
+           * 100.0
+           / CAST(sum({_poisson_case_sql("('0x' || substr(md5('boot:' || CAST(b.b AS VARCHAR) || ':' || base.k), 1, 8))::BIGINT % 1000000")}) AS DOUBLE)
+           + 0.5) AS BIGINT) AS mean_c2
+  FROM base, (SELECT unnest(range(0, {N_BOOT})) AS b) b
+  GROUP BY b.b
+  HAVING sum({_poisson_case_sql("('0x' || substr(md5('boot:' || CAST(b.b AS VARCHAR) || ':' || base.k), 1, 8))::BIGINT % 1000000")}) > 0
+),
+ranked AS (
+  SELECT a.b, a.mean_c2, CAST(count(x.b) AS BIGINT) AS r0
+  FROM rep a LEFT JOIN rep x
+    ON x.mean_c2 < a.mean_c2 OR (x.mean_c2 = a.mean_c2 AND x.b < a.b)
+  GROUP BY a.b, a.mean_c2
+),
+point AS (
+  SELECT CAST(floor(
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           * 100.0 / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS point_c2
+  FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n_boot,
+       (SELECT point_c2 FROM point) AS point_c2,
+       max(CASE WHEN r0 = 1 THEN mean_c2 END) AS lo_c2,
+       max(CASE WHEN r0 = {N_BOOT - 2} THEN mean_c2 END) AS hi_c2
+FROM ranked
+"""
+
+
+R6_QUERIES: dict[str, QueryDef] = {
+    q.name: q
+    for q in (
+        QueryDef("stat_ks_test", _stat_ks_test, _KS_SQL, ("stat",)),
+        QueryDef("stat_mannwhitney_u", _stat_mannwhitney_u, _MWU_SQL, ("stat",)),
+        QueryDef(
+            "stat_chi2_independence",
+            _stat_chi2_independence,
+            _CHI2_SQL,
+            ("stat",),
+        ),
+        QueryDef(
+            "stat_benjamini_hochberg",
+            _stat_benjamini_hochberg,
+            _BH_SQL,
+            ("stat",),
+        ),
+        QueryDef("stat_bootstrap_ci", _stat_bootstrap_ci, _BOOT_SQL, ("stat",)),
+    )
+}

@@ -839,3 +839,29 @@ def test_plan_fingerprints_match_baseline(spark, sf_dir):
         f"(SPARK_GRAFT_PLANHASH_REGEN=1); current _FORCE_REVERIFY: "
         f"{sorted(_FORCE_REVERIFY)}"
     )
+
+
+def test_r6_stat_family_plan_shapes(spark, sf_dir):
+    """Round-6 statistics keys: no cartesian products anywhere; every
+    BroadcastNestedLoopJoin is a sanctioned bounded-build attach —
+    the 1-row totals scalar (KS/MWU/chi2/BH/bootstrap point estimate),
+    the m-hypothesis rank self-join (m = #groups, data-scale-free), or
+    the 64-replicate bootstrap rank self-join (B is a constant).
+    Additionally the two-sample machinery must never plan a
+    partition-less window: its windows are coarse-bucket-partitioned by
+    construction."""
+    from fitness_data_ingest_spark.registry_r6 import R6_QUERIES
+
+    for name, q in R6_QUERIES.items():
+        if not name.startswith("stat_"):
+            continue
+        plan = plan_of(q.spark(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+
+    for name in ("stat_ks_test", "stat_mannwhitney_u"):
+        plan = plan_of(R6_QUERIES[name].spark(spark, sf_dir), "simple")
+        # every Window must carry a partition spec (hierarchical prefix)
+        import re
+
+        for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+            assert m.group(1).strip(), f"{name}: partition-less window\n{plan[:600]}"

@@ -1482,3 +1482,214 @@ def test_kcore_peel_matches_bruteforce(spark, pairs, k):
     ]
     spark.catalog.clearCache()
     assert got == want
+
+
+# -------------------------------------------------- round-6 statistics
+
+
+def _mk_ab_events(spark, avals, bvals):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base, "click", c / 100.0) for i, c in enumerate(avals)
+    ] + [
+        (len(avals) + i, base, "view", c / 100.0) for i, c in enumerate(bvals)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string, value double"
+    )
+
+
+@given(
+    avals=st.lists(st.integers(min_value=1, max_value=9000), min_size=1, max_size=25),
+    bvals=st.lists(st.integers(min_value=1, max_value=9000), min_size=1, max_size=25),
+)
+@PROP_SETTINGS
+def test_ks_two_sample_matches_bruteforce(spark, avals, bvals):
+    """Integer KS numerator == brute-force max ECDF gap over the merged
+    support, including the smallest-argmax tie-break; values straddle
+    the KS_BUCKET boundary so the hierarchical prefix sum is exercised
+    across coarse buckets."""
+    from fitness_data_ingest_spark.registry_r6 import ks_two_sample
+
+    row = ks_two_sample(_mk_ab_events(spark, avals, bvals)).collect()[0]
+    na, nb = len(avals), len(bvals)
+    support = sorted(set(avals) | set(bvals))
+    best = (-1, None)
+    for v in support:
+        ca = sum(1 for x in avals if x <= v)
+        cb = sum(1 for x in bvals if x <= v)
+        d = abs(ca * nb - cb * na)
+        if d > best[0]:
+            best = (d, v)
+    assert (row["n_a"], row["n_b"], row["d_num"], row["at_cents"]) == (
+        na, nb, best[0], best[1]
+    )
+
+
+@given(
+    avals=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=20),
+    bvals=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=20),
+)
+@PROP_SETTINGS
+def test_mannwhitney_matches_pair_count(spark, avals, bvals):
+    """2·U_A from the cumulative identity == the literal pair count
+    (2 per A>B pair, 1 per tie) — heavy ties on a narrow domain."""
+    from fitness_data_ingest_spark.registry_r6 import mannwhitney_u
+
+    row = mannwhitney_u(_mk_ab_events(spark, avals, bvals)).collect()[0]
+    u2 = sum(2 if a > b else (1 if a == b else 0) for a in avals for b in bvals)
+    assert (row["u2_a"], row["u2_b"]) == (
+        u2, 2 * len(avals) * len(bvals) - u2
+    )
+
+
+@given(
+    labels=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), st.integers(min_value=0, max_value=2)),
+        min_size=2,
+        max_size=30,
+    )
+)
+@PROP_SETTINGS
+def test_chi2_cells_match_bruteforce(spark, labels):
+    """Per-cell chi-square contributions == the Python float replay of
+    the identical expression tree (both are IEEE doubles from exact
+    int64 roots)."""
+    import math
+
+    from fitness_data_ingest_spark.registry_r6 import chi2_independence
+
+    orders = spark.createDataFrame(
+        [(i, f"P{p}", f"S{s}") for i, (p, s) in enumerate(labels)],
+        "o_orderkey long, o_orderpriority string, o_orderstatus string",
+    )
+    got = {
+        (r["o_orderpriority"], r["o_orderstatus"]): (
+            r["obs"], r["row_tot"], r["col_tot"], r["exp6"], r["contrib6"]
+        )
+        for r in chi2_independence(orders).collect()
+    }
+    obs: dict[tuple, int] = {}
+    for p, s in labels:
+        obs[(f"P{p}", f"S{s}")] = obs.get((f"P{p}", f"S{s}"), 0) + 1
+    T = len(labels)
+    rt = {p: sum(v for (pp, _), v in obs.items() if pp == p) for p, _ in obs}
+    ct = {s: sum(v for (_, ss), v in obs.items() if ss == s) for _, s in obs}
+    want = {}
+    for (p, s), o in obs.items():
+        n = o * T - rt[p] * ct[s]
+        want[(p, s)] = (
+            o, rt[p], ct[s],
+            math.floor(float(rt[p]) * float(ct[s]) / float(T) * 1000000 + 0.5) / 1000000.0,
+            math.floor(float(n) * float(n) / float(T * rt[p] * ct[s]) * 1000000 + 0.5) / 1000000.0,
+        )
+    assert got == want
+
+
+@given(
+    groups=st.lists(
+        st.lists(st.integers(min_value=1, max_value=500), min_size=2, max_size=10),
+        min_size=2,
+        max_size=5,
+    )
+)
+@PROP_SETTINGS
+def test_benjamini_hochberg_matches_bruteforce(spark, groups):
+    """Chebyshev p-values + BH step-up == the Python replay: same p9
+    quantization, same lexicographic rank tie-break, same integer
+    cross-multiplied rejection front."""
+    import datetime as dt
+    import math
+
+    from fitness_data_ingest_spark.registry_r6 import BH_INV_ALPHA, benjamini_hochberg
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (gi * 1000 + i, base, f"t{gi}", c / 100.0)
+        for gi, vals in enumerate(groups)
+        for i, c in enumerate(vals)
+    ]
+    events = spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        r["event_type"]: (r["n"], r["p9"], r["k"], r["rejected"])
+        for r in benjamini_hochberg(events).collect()
+    }
+
+    m = len(groups)
+    tn = sum(len(v) for v in groups)
+    ts_ = sum(sum(v) for v in groups)
+    mu = float(ts_) / float(tn)
+    scored = []
+    for gi, vals in enumerate(groups):
+        n, s, q = len(vals), sum(vals), sum(c * c for c in vals)
+        mean_g = float(s) / float(n)
+        var_num = float(q * n - s * s)
+        s2 = var_num / (float(n) * float(n - 1))
+        dev = mean_g - mu
+        denom = float(n) * dev * dev
+        p = 1.0 if denom == 0.0 else min(1.0, s2 / denom)
+        scored.append((f"t{gi}", n, math.floor(p * 1000000000 + 0.5)))
+    ranked = []
+    for et, n, p9 in scored:
+        k = 1 + sum(
+            1 for et2, _, p92 in scored if p92 < p9 or (p92 == p9 and et2 < et)
+        )
+        ranked.append((et, n, p9, k))
+    k_star = max(
+        (k for _, _, p9, k in ranked if p9 * BH_INV_ALPHA * m <= k * 1000000000),
+        default=0,
+    )
+    want = {et: (n, p9, k, k <= k_star) for et, n, p9, k in ranked}
+    assert got == want
+
+
+@given(
+    prices=st.lists(st.integers(min_value=100, max_value=99999), min_size=3, max_size=25)
+)
+@PROP_SETTINGS
+def test_bootstrap_ci_matches_bruteforce(spark, prices):
+    """Deterministic Poisson bootstrap == the hashlib replay: same
+    md5-uniform draws, same inverse-CDF counts, same replicate means and
+    order-statistic CI bounds. Empty replicates (all-zero weights) can't
+    occur with these sizes but ranks must still line up exactly."""
+    import hashlib
+    import math
+
+    from fitness_data_ingest_spark.registry_r6 import N_BOOT, POISSON_CUM, bootstrap_ci
+
+    orders = spark.createDataFrame(
+        [(i, c / 100.0) for i, c in enumerate(prices)],
+        "o_orderkey long, o_totalprice double",
+    )
+    row = bootstrap_ci(orders).collect()[0]
+
+    def pois(u):
+        for k, thr in enumerate(POISSON_CUM):
+            if u < thr:
+                return k
+        return len(POISSON_CUM)
+
+    reps = []
+    for b in range(N_BOOT):
+        sb = nb = 0
+        for i, c in enumerate(prices):
+            u = int(hashlib.md5(f"boot:{b}:{i}".encode()).hexdigest()[:8], 16) % 1000000
+            w = pois(u)
+            sb += w * c
+            nb += w
+        if nb:
+            reps.append((b, math.floor(sb * 100.0 / float(nb) + 0.5)))
+    ranked = [
+        (mean, b, sum(1 for b2, m2 in reps if m2 < mean or (m2 == mean and b2 < b)))
+        for b, mean in reps
+    ]
+    lo = next((m for m, _, r0 in ranked if r0 == 1), None)
+    hi = next((m for m, _, r0 in ranked if r0 == N_BOOT - 2), None)
+    point = math.floor(sum(prices) * 100.0 / float(len(prices)) + 0.5)
+    assert (row["n_boot"], row["point_c2"], row["lo_c2"], row["hi_c2"]) == (
+        len(reps), point, lo, hi
+    )
