@@ -657,3 +657,433 @@ R6_QUERIES: dict[str, QueryDef] = {
         QueryDef("stat_bootstrap_ci", _stat_bootstrap_ci, _BOOT_SQL, ("stat",)),
     )
 }
+
+
+# =====================================================================
+# Feature engineering family: the fit+transform operators a training
+# pipeline runs between curation and the trainer.  Same exactness
+# discipline: fitted parameters are integer moment sums / exact order
+# statistics; every exported float is a quantized IEEE expression over
+# exact int64 casts.
+# =====================================================================
+
+# deterministic application subsets (content-free key arithmetic, the
+# sample_hash_bernoulli argument: retry-stable row membership)
+SCALE_MOD = 997
+TE_MOD = 13
+OH_MOD = 11
+
+# customer market segments are a closed enum of the fixture schema —
+# encoding against a DECLARED vocabulary is the production shape (a
+# data-derived vocabulary would make the output schema data-dependent,
+# which no trainer accepts); unseen values fall through to all-zeros.
+MKT_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+def scale_battery(events, mod: int = SCALE_MOD):
+    """Fit-and-apply of the three standard scalers — z-score (standard),
+    min-max, and robust (median/IQR) — per event_type, applied to a
+    deterministic row subset.  Fitted parameters are exact: integer
+    moment sums for mean/std (sqrt is IEEE-correctly-rounded, so even
+    the std is bit-stable cross-engine), and EXACT order statistics for
+    the robust quartiles (smallest v with 4·cum ≥ k·n at the distinct
+    cents-value grain — no interpolation, no approximate percentile).
+
+    Scale shape: one shuffle to the (type, distinct-value) grain for
+    the quartile scan (bounded by the value domain), windows only
+    within type partitions; moments ride the same aggregate; the 5-row
+    parameter table broadcasts onto the filtered application subset."""
+    vals = events.select(
+        "event_id", "event_type", cents(F.col("value")).alias("c")
+    )
+    grp = vals.groupBy("event_type", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grp.select(
+        "event_type", "c", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    ntot = grp.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    cumn = cum.join(F.broadcast(ntot), "event_type")
+    quarts = cumn.groupBy("event_type").agg(
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("c"))).alias("p25"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("c"))).alias("p50"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("c"))).alias("p75"),
+    )
+    moments = vals.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+        F.min("c").alias("cmin"),
+        F.max("c").alias("cmax"),
+    )
+    params = moments.join(quarts, "event_type")
+    rows = vals.where(F.pmod(F.col("event_id"), F.lit(mod)) == 0)
+    j = rows.join(F.broadcast(params), "event_type")
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    std = F.sqrt(
+        (F.col("q") * F.col("n") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+    )
+    dc = F.col("c").cast("double")
+
+    def q6(x):
+        return F.floor(x * 1000000 + F.lit(0.5)) / 1000000.0
+
+    z6 = F.when((F.col("n") < 2) | (std == 0.0), F.lit(0.0)).otherwise(
+        q6((dc - mean) / std)
+    )
+    mm6 = F.when(F.col("cmax") == F.col("cmin"), F.lit(0.0)).otherwise(
+        q6(
+            (F.col("c") - F.col("cmin")).cast("double")
+            / (F.col("cmax") - F.col("cmin")).cast("double")
+        )
+    )
+    r6_ = F.when(F.col("p75") == F.col("p25"), F.lit(0.0)).otherwise(
+        q6(
+            (F.col("c") - F.col("p50")).cast("double")
+            / (F.col("p75") - F.col("p25")).cast("double")
+        )
+    )
+    return j.select(
+        "event_id",
+        "event_type",
+        "c",
+        z6.alias("z6"),
+        mm6.alias("mm6"),
+        r6_.alias("robust6"),
+    ).orderBy("event_id")
+
+
+def _feature_scale_battery(spark, sf_dir):
+    return scale_battery(t(spark, sf_dir, "events"))
+
+
+_SCALE_SQL = f"""
+WITH vals AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+grp AS (
+  SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, c, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS BIGINT) AS cum
+  FROM grp
+),
+ntot AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM grp GROUP BY 1
+),
+quarts AS (
+  SELECT cum.event_type,
+         min(CASE WHEN 4 * cum >= n THEN c END) AS p25,
+         min(CASE WHEN 2 * cum >= n THEN c END) AS p50,
+         min(CASE WHEN 4 * cum >= 3 * n THEN c END) AS p75
+  FROM cum JOIN ntot ON cum.event_type = ntot.event_type
+  GROUP BY cum.event_type
+),
+moments AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q,
+         min(c) AS cmin, max(c) AS cmax
+  FROM vals GROUP BY 1
+),
+params AS (
+  SELECT moments.*, p25, p50, p75
+  FROM moments JOIN quarts ON moments.event_type = quarts.event_type
+)
+SELECT v.event_id, v.event_type, v.c,
+       CASE WHEN n < 2 OR sqrt(CAST(q * n - s * s AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) = 0.0
+            THEN 0.0
+            ELSE floor((CAST(v.c AS DOUBLE)
+                        - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       / sqrt(CAST(q * n - s * s AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                       * 1000000 + 0.5) / 1000000.0
+       END AS z6,
+       CASE WHEN cmax = cmin THEN 0.0
+            ELSE floor(CAST(v.c - cmin AS DOUBLE)
+                       / CAST(cmax - cmin AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+       END AS mm6,
+       CASE WHEN p75 = p25 THEN 0.0
+            ELSE floor(CAST(v.c - p50 AS DOUBLE)
+                       / CAST(p75 - p25 AS DOUBLE) * 1000000 + 0.5) / 1000000.0
+       END AS robust6
+FROM vals v JOIN params ON v.event_type = params.event_type
+WHERE v.event_id % {SCALE_MOD} = 0
+ORDER BY v.event_id
+"""
+
+
+def target_encode(customer, m: int = TE_SMOOTH, mod: int = TE_MOD):
+    """Smoothed (m-estimate) target encoding of c_mktsegment against
+    the account-balance target, with the leave-one-out variant on a
+    deterministic row subset — LOO is what prevents target leakage in
+    training folds, and its per-row form is exactly the group sums
+    minus self, so no second pass is needed.
+
+    Exactness: all sums are integer cents; the smoothing prior mu is
+    the one shared double; every encoded value is one quantized IEEE
+    division of exact components.  Scale shape: one map-side
+    aggregate to the segment grain (closed enum), broadcast back onto
+    the subset rows."""
+    vals = customer.select(
+        "c_custkey", "c_mktsegment", cents(F.col("c_acctbal")).alias("c")
+    )
+    g = vals.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("c").alias("s_g")
+    )
+    tot = vals.agg(F.sum("c").alias("ts"), F.count(F.lit(1)).alias("tn"))
+    rows = vals.where(F.pmod(F.col("c_custkey"), F.lit(mod)) == 0)
+    j = rows.join(F.broadcast(g), "c_mktsegment").join(F.broadcast(tot))
+    mu = F.col("ts").cast("double") / F.col("tn").cast("double")
+
+    def q6(x):
+        return F.floor(x * 1000000 + F.lit(0.5)) / 1000000.0
+
+    enc = q6(
+        (F.col("s_g").cast("double") + F.lit(float(m)) * mu)
+        / (F.col("n_g") + m).cast("double")
+        / 100.0
+    )
+    loo = F.when(F.col("n_g") <= 1, F.lit(None).cast("double")).otherwise(
+        q6(
+            ((F.col("s_g") - F.col("c")).cast("double") + F.lit(float(m)) * mu)
+            / (F.col("n_g") - 1 + m).cast("double")
+            / 100.0
+        )
+    )
+    return j.select(
+        "c_custkey", "c_mktsegment", enc.alias("enc6"), loo.alias("loo6")
+    ).orderBy("c_custkey")
+
+
+def _feature_target_encode(spark, sf_dir):
+    return target_encode(t(spark, sf_dir, "customer"))
+
+
+_TE_SQL = f"""
+WITH vals AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS c
+  FROM customer
+),
+g AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(c) AS BIGINT) AS s_g
+  FROM vals GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS ts, CAST(count(*) AS BIGINT) AS tn FROM vals
+)
+SELECT v.c_custkey, v.c_mktsegment,
+       floor((CAST(s_g AS DOUBLE)
+              + {TE_SMOOTH}.0 * (CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)))
+             / CAST(n_g + {TE_SMOOTH} AS DOUBLE) / 100.0
+             * 1000000 + 0.5) / 1000000.0 AS enc6,
+       CASE WHEN n_g <= 1 THEN NULL
+            ELSE floor((CAST(s_g - v.c AS DOUBLE)
+                        + {TE_SMOOTH}.0 * (CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)))
+                       / CAST(n_g - 1 + {TE_SMOOTH} AS DOUBLE) / 100.0
+                       * 1000000 + 0.5) / 1000000.0
+       END AS loo6
+FROM vals v JOIN g ON v.c_mktsegment = g.c_mktsegment, tot
+WHERE v.c_custkey % {TE_MOD} = 0
+ORDER BY v.c_custkey
+"""
+
+
+def chi2_feature_select(lineitem):
+    """Chi-square feature ranking against the l_returnflag label over
+    four candidate categorical features (linestatus, quantity bucket,
+    discount bucket, ship month) — the univariate filter step of a
+    feature-selection pass, in ONE scan: each row explodes into its
+    four (feature, value, label) observations map-side, one shuffle to
+    the bounded (feature, value, label) cell grain, and everything
+    after runs on that metadata-sized table (margins via tiny
+    aggregates, ranking via a 4-row self-join).
+
+    Exactness: the same exact-root chi-square form as
+    stat_chi2_independence; per-cell contributions are micro-quantized
+    to int64 BEFORE the per-feature sum, so the total never depends on
+    float fold order (the repo-wide partitioning-invariance rule)."""
+    feats = F.array(
+        F.struct(F.lit("linestatus").alias("f"), F.col("l_linestatus").alias("val")),
+        F.struct(
+            F.lit("qty_bucket").alias("f"),
+            F.floor(F.col("l_quantity") / 10).cast("string").alias("val"),
+        ),
+        F.struct(
+            F.lit("disc_bucket").alias("f"),
+            F.floor(
+                F.floor(F.col("l_discount") * 100 + F.lit(0.5)) / 2
+            ).cast("string").alias("val"),
+        ),
+        F.struct(
+            F.lit("ship_month").alias("f"),
+            F.month("l_shipdate").cast("string").alias("val"),
+        ),
+    )
+    obs3 = lineitem.select(
+        F.col("l_returnflag").alias("label"), F.explode(feats).alias("fv")
+    ).select("label", F.col("fv.f").alias("f"), F.col("fv.val").alias("val"))
+    cells = obs3.groupBy("f", "val", "label").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    rt = cells.groupBy("f", "val").agg(F.sum("obs").alias("row_tot"))
+    ct = cells.groupBy("f", "label").agg(F.sum("obs").alias("col_tot"))
+    tt = cells.groupBy("f").agg(F.sum("obs").alias("t_tot"))
+    j = (
+        cells.join(F.broadcast(rt), ["f", "val"])
+        .join(F.broadcast(ct), ["f", "label"])
+        .join(F.broadcast(tt), "f")
+    )
+    root = F.col("obs") * F.col("t_tot") - F.col("row_tot") * F.col("col_tot")
+    contrib_micro = F.floor(
+        root.cast("double")
+        * root.cast("double")
+        / (F.col("t_tot") * F.col("row_tot") * F.col("col_tot")).cast("double")
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    per_f = j.groupBy("f").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("val").alias("n_vals"),
+        F.countDistinct("label").alias("n_labels"),
+        F.sum(contrib_micro).alias("chi2_micro"),
+    )
+    per_f = per_f.select(
+        "f",
+        "n_cells",
+        ((F.col("n_vals") - 1) * (F.col("n_labels") - 1)).alias("dof"),
+        (F.col("chi2_micro") / 1000000.0).alias("chi2_6"),
+        F.col("chi2_micro").alias("_cm"),
+    )
+    a = per_f
+    b = per_f.select(F.col("f").alias("f2"), F.col("_cm").alias("cm2"))
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("cm2") > F.col("_cm"))
+            | ((F.col("cm2") == F.col("_cm")) & (F.col("f2") < F.col("f"))),
+            "left",
+        )
+        .groupBy("f", "n_cells", "dof", "chi2_6")
+        .agg((F.count("f2") + 1).alias("rnk"))
+    )
+    return ranked.orderBy("rnk")
+
+
+def _feature_chi2_select(spark, sf_dir):
+    return chi2_feature_select(t(spark, sf_dir, "lineitem"))
+
+
+_CHI2SEL_SQL = """
+WITH obs3 AS (
+  SELECT l_returnflag AS label, u.f, u.val
+  FROM lineitem, LATERAL (
+    SELECT * FROM (VALUES
+      ('linestatus', l_linestatus),
+      ('qty_bucket', CAST(CAST(floor(l_quantity / 10) AS BIGINT) AS VARCHAR)),
+      ('disc_bucket', CAST(CAST(floor(floor(l_discount * 100 + 0.5) / 2) AS BIGINT) AS VARCHAR)),
+      ('ship_month', CAST(CAST(month(l_shipdate) AS BIGINT) AS VARCHAR))
+    ) AS t(f, val)
+  ) u
+),
+cells AS (
+  SELECT f, val, label, CAST(count(*) AS BIGINT) AS obs
+  FROM obs3 GROUP BY 1, 2, 3
+),
+rt AS (SELECT f, val, CAST(sum(obs) AS BIGINT) AS row_tot FROM cells GROUP BY 1, 2),
+ct AS (SELECT f, label, CAST(sum(obs) AS BIGINT) AS col_tot FROM cells GROUP BY 1, 2),
+tt AS (SELECT f, CAST(sum(obs) AS BIGINT) AS t_tot FROM cells GROUP BY 1),
+contribs AS (
+  SELECT cells.f,
+         CAST(floor(
+           CAST(obs * t_tot - row_tot * col_tot AS DOUBLE)
+           * CAST(obs * t_tot - row_tot * col_tot AS DOUBLE)
+           / CAST(t_tot * row_tot * col_tot AS DOUBLE)
+           * 1000000 + 0.5) AS BIGINT) AS contrib_micro,
+         cells.val, cells.label
+  FROM cells
+  JOIN rt ON cells.f = rt.f AND cells.val = rt.val
+  JOIN ct ON cells.f = ct.f AND cells.label = ct.label
+  JOIN tt ON cells.f = tt.f
+),
+per_f AS (
+  SELECT f, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST((count(DISTINCT val) - 1) * (count(DISTINCT label) - 1) AS BIGINT) AS dof,
+         CAST(sum(contrib_micro) AS BIGINT) AS cm
+  FROM contribs GROUP BY f
+)
+SELECT a.f, a.n_cells, a.dof, a.cm / 1000000.0 AS chi2_6,
+       CAST(1 + count(b.f) AS BIGINT) AS rnk
+FROM per_f a LEFT JOIN per_f b
+  ON b.cm > a.cm OR (b.cm = a.cm AND b.f < a.f)
+GROUP BY a.f, a.n_cells, a.dof, a.cm
+ORDER BY rnk
+"""
+
+
+def onehot_encode(customer, mod: int = OH_MOD):
+    """One-hot encoding of c_mktsegment against the DECLARED segment
+    vocabulary plus a negative-balance indicator, on a deterministic
+    subset.  Scan-only: fixed output schema, zero shuffles, zero joins
+    — the shape a feature-store materialization job has, where the
+    vocabulary is a contract, not a discovery (a data-derived vocab
+    would make the schema data-dependent mid-pipeline).
+
+    Unseen segment values encode as all-zeros (the standard
+    handle-unknown=ignore contract)."""
+    cols = [
+        F.when(F.col("c_mktsegment") == seg, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias(f"seg_{seg.lower()}")
+        for seg in MKT_SEGMENTS
+    ]
+    return (
+        customer.where(F.pmod(F.col("c_custkey"), F.lit(mod)) == 0)
+        .select(
+            "c_custkey",
+            *cols,
+            (cents(F.col("c_acctbal")) < 0).cast("int").alias("bal_neg"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def _feature_onehot_encode(spark, sf_dir):
+    return onehot_encode(t(spark, sf_dir, "customer"))
+
+
+_OH_SQL = f"""
+SELECT c_custkey,
+       {", ".join(f"CAST(CASE WHEN c_mktsegment = '{s}' THEN 1 ELSE 0 END AS INTEGER) AS seg_{s.lower()}" for s in MKT_SEGMENTS)},
+       CAST(CASE WHEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) < 0
+                 THEN 1 ELSE 0 END AS INTEGER) AS bal_neg
+FROM customer WHERE c_custkey % {OH_MOD} = 0 ORDER BY c_custkey
+"""
+
+
+for _q in (
+    QueryDef(
+        "feature_scale_battery", _feature_scale_battery, _SCALE_SQL, ("feature",)
+    ),
+    QueryDef(
+        "feature_target_encode", _feature_target_encode, _TE_SQL, ("feature",)
+    ),
+    QueryDef(
+        "feature_chi2_select", _feature_chi2_select, _CHI2SEL_SQL, ("feature",)
+    ),
+    QueryDef(
+        "feature_onehot_encode", _feature_onehot_encode, _OH_SQL, ("feature",)
+    ),
+):
+    R6_QUERIES[_q.name] = _q

@@ -865,3 +865,21 @@ def test_r6_stat_family_plan_shapes(spark, sf_dir):
 
         for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
             assert m.group(1).strip(), f"{name}: partition-less window\n{plan[:600]}"
+
+
+def test_r6_feature_family_plan_shapes(spark, sf_dir):
+    """Feature keys: no cartesian products; BNLJ only as sanctioned
+    bounded attaches (1-row totals, closed-enum parameter tables, the
+    4-feature rank self-join). feature_onehot_encode must stay
+    scan-only: no join, no aggregate anywhere in its plan (the final
+    sort is presentation order, not computation)."""
+    from fitness_data_ingest_spark.registry_r6 import R6_QUERIES
+
+    for name, q in R6_QUERIES.items():
+        if not name.startswith("feature_"):
+            continue
+        plan = plan_of(q.spark(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+
+    oh = plan_of(R6_QUERIES["feature_onehot_encode"].spark(spark, sf_dir), "simple")
+    assert "Join" not in oh and "Aggregate" not in oh, oh[:600]

@@ -1693,3 +1693,227 @@ def test_bootstrap_ci_matches_bruteforce(spark, prices):
     assert (row["n_boot"], row["point_c2"], row["lo_c2"], row["hi_c2"]) == (
         len(reps), point, lo, hi
     )
+
+
+# --------------------------------------------- round-6 feature family
+
+
+@given(
+    groups=st.lists(
+        st.lists(st.integers(min_value=0, max_value=400), min_size=2, max_size=12),
+        min_size=1,
+        max_size=3,
+    )
+)
+@PROP_SETTINGS
+def test_scale_battery_matches_bruteforce(spark, groups):
+    """Fitted scaler params (exact quartiles, integer moments) and the
+    applied z/minmax/robust values == the Python replay, including the
+    constant-column guards."""
+    import datetime as dt
+    import math
+
+    from fitness_data_ingest_spark.registry_r6 import scale_battery
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (gi * 1000 + i, base, f"t{gi}", c / 100.0)
+        for gi, vals in enumerate(groups)
+        for i, c in enumerate(vals)
+    ]
+    events = spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        r["event_id"]: (r["c"], r["z6"], r["mm6"], r["robust6"])
+        for r in scale_battery(events, mod=3).collect()
+    }
+
+    def q6(x):
+        return math.floor(x * 1000000 + 0.5) / 1000000.0
+
+    want = {}
+    for gi, vals in enumerate(groups):
+        n = len(vals)
+        s, q = sum(vals), sum(c * c for c in vals)
+        cmin, cmax = min(vals), max(vals)
+        sv = sorted(vals)
+
+        def ordstat(mult, k):
+            # smallest v with mult*cum >= k*n
+            cum = 0
+            for v in sv:
+                cum += 1
+                if mult * cum >= k * n:
+                    return v
+            return sv[-1]
+
+        p25, p50, p75 = ordstat(4, 1), ordstat(2, 1), ordstat(4, 3)
+        std = math.sqrt(float(q * n - s * s) / (float(n) * float(n - 1)))
+        mean = float(s) / float(n)
+        for i, c in enumerate(vals):
+            eid = gi * 1000 + i
+            if eid % 3 != 0:
+                continue
+            z = 0.0 if (n < 2 or std == 0.0) else q6((float(c) - mean) / std)
+            mm = 0.0 if cmax == cmin else q6(float(c - cmin) / float(cmax - cmin))
+            rb = 0.0 if p75 == p25 else q6(float(c - p50) / float(p75 - p25))
+            want[eid] = (c, z, mm, rb)
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # segment index
+            st.integers(min_value=-300, max_value=300),  # balance cents
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+@PROP_SETTINGS
+def test_target_encode_matches_bruteforce(spark, rows):
+    """Smoothed m-estimate encoding and the leave-one-out variant ==
+    the Python replay, negative targets included."""
+    import math
+
+    from fitness_data_ingest_spark.registry_r6 import TE_SMOOTH, target_encode
+
+    segs = ["S0", "S1", "S2"]
+    customer = spark.createDataFrame(
+        [(i, segs[s], c / 100.0) for i, (s, c) in enumerate(rows)],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    )
+    got = {
+        r["c_custkey"]: (r["enc6"], r["loo6"])
+        for r in target_encode(customer, mod=2).collect()
+    }
+
+    def q6(x):
+        return math.floor(x * 1000000 + 0.5) / 1000000.0
+
+    tn = len(rows)
+    ts_ = sum(c for _, c in rows)
+    mu = float(ts_) / float(tn)
+    m = TE_SMOOTH
+    want = {}
+    for i, (s, c) in enumerate(rows):
+        if i % 2 != 0:
+            continue
+        n_g = sum(1 for s2, _ in rows if s2 == s)
+        s_g = sum(c2 for s2, c2 in rows if s2 == s)
+        enc = q6((float(s_g) + m * mu) / float(n_g + m) / 100.0)
+        loo = (
+            None
+            if n_g <= 1
+            else q6((float(s_g - c) + m * mu) / float(n_g - 1 + m) / 100.0)
+        )
+        want[i] = (enc, loo)
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # label
+            st.integers(min_value=0, max_value=1),  # feature A value
+            st.integers(min_value=0, max_value=3),  # feature B value
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+@PROP_SETTINGS
+def test_chi2_select_ranks_match_bruteforce(spark, rows):
+    """Per-feature chi² (micro-quantized cell sums) and ranks == the
+    Python replay on a two-feature contingency."""
+    import datetime as dt
+    import math
+
+    from fitness_data_ingest_spark.registry_r6 import chi2_feature_select
+
+    base = dt.datetime(2024, 3, 15)
+    flags = ["A", "N", "R"]
+    li = spark.createDataFrame(
+        [
+            (
+                i,
+                flags[lab],
+                "F" if a == 0 else "O",
+                float(b * 10 + 1),  # qty buckets 0..3
+                0.0,
+                base,
+            )
+            for i, (lab, a, b) in enumerate(rows)
+        ],
+        "l_orderkey long, l_returnflag string, l_linestatus string, "
+        "l_quantity double, l_discount double, l_shipdate timestamp",
+    )
+    got = {
+        r["f"]: (r["n_cells"], r["dof"], r["chi2_6"], r["rnk"])
+        for r in chi2_feature_select(li).collect()
+    }
+
+    feats = {
+        "linestatus": lambda lab, a, b: "F" if a == 0 else "O",
+        "qty_bucket": lambda lab, a, b: str(b),
+        "disc_bucket": lambda lab, a, b: "0",
+        "ship_month": lambda lab, a, b: "3",
+    }
+    per_f = {}
+    for fname, fv in feats.items():
+        cells = {}
+        for lab, a, b in rows:
+            key = (fv(lab, a, b), flags[lab])
+            cells[key] = cells.get(key, 0) + 1
+        T = len(rows)
+        rt = {}
+        ct = {}
+        for (v, lab), o in cells.items():
+            rt[v] = rt.get(v, 0) + o
+            ct[lab] = ct.get(lab, 0) + o
+        cm = 0
+        for (v, lab), o in cells.items():
+            root = o * T - rt[v] * ct[lab]
+            cm += math.floor(
+                float(root) * float(root) / float(T * rt[v] * ct[lab]) * 1000000
+                + 0.5
+            )
+        per_f[fname] = (
+            len(cells),
+            (len(rt) - 1) * (len(ct) - 1),
+            cm,
+        )
+    want = {}
+    for fname, (nc, dof, cm) in per_f.items():
+        rnk = 1 + sum(
+            1
+            for f2, (_, _, cm2) in per_f.items()
+            if cm2 > cm or (cm2 == cm and f2 < fname)
+        )
+        want[fname] = (nc, dof, cm / 1000000.0, rnk)
+    assert got == want
+
+
+def test_onehot_encode_is_exact_and_exclusive(spark):
+    """Every encoded row has exactly one segment indicator set (known
+    vocab) or zero (unseen value), and bal_neg mirrors the sign."""
+    from fitness_data_ingest_spark.registry_r6 import onehot_encode
+
+    customer = spark.createDataFrame(
+        [
+            (0, "AUTOMOBILE", 10.0),
+            (11, "BUILDING", -5.0),
+            (22, "UNSEEN", 3.0),
+            (33, "MACHINERY", 0.0),
+        ],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    )
+    rows = {r["c_custkey"]: r for r in onehot_encode(customer).collect()}
+    assert set(rows) == {0, 11, 22, 33}
+    segcols = [c for c in rows[0].asDict() if c.startswith("seg_")]
+    assert sum(rows[0][c] for c in segcols) == 1 and rows[0]["seg_automobile"] == 1
+    assert rows[11]["seg_building"] == 1 and rows[11]["bal_neg"] == 1
+    assert sum(rows[22][c] for c in segcols) == 0
+    assert rows[33]["bal_neg"] == 0
