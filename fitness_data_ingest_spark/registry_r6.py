@@ -1087,3 +1087,371 @@ for _q in (
     ),
 ):
     R6_QUERIES[_q.name] = _q
+
+
+# =====================================================================
+# Text-quality additions: Gopher rule filter, first-seen n-gram
+# novelty, and CCNet-style perplexity bucketing over the char-trigram
+# LM.  All corpus statistics are integer counts; the single
+# transcendental (ln, for surprisal) is micro-nat-quantized PER TERM to
+# int64 before any aggregation, so no float ever crosses a fold.
+# =====================================================================
+
+GOPHER_STOPWORDS = ("a", "the", "and", "of", "to", "in")
+GOPHER_WC_LO, GOPHER_WC_HI = 20, 1000
+GOPHER_WL_LO, GOPHER_WL_HI = 2, 8  # mean word length bounds
+NOVELTY_SPAN = 5  # tokens per span (matches dedup_span_ngrams)
+PPL_BUCKET = 65536  # coarse-bucket width for the tertile scan
+
+
+def gopher_rules(docs):
+    """Gopher-style quality rule filter (Rae et al. 2021 §A1.1 adapted
+    to the fixture corpus), reported as a per-source rejection audit:
+    how many docs pass all rules, and how many fail each — the
+    dashboard a curation pipeline alarms on per ingest batch.
+
+    Rules (all integer cross-multiplications, no division anywhere):
+    word count in [20, 1000]; mean word length in [2, 8] (as
+    lo·n ≤ Σlen ≤ hi·n); most-frequent-token share ≤ 1/4 (4·max ≤ n);
+    distinct-token ratio ≥ 3/10 (10·distinct ≥ 3·n); ≥ 2 distinct
+    stopwords present.
+
+    Scale shape: ONE shuffle to the (doc, token) grain (the explode is
+    map-side), per-doc flags from that aggregate, then a
+    map-side-combinable rollup to source grain."""
+    toks = _tok(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.explode(toks).alias("tok"),
+    )
+    per_tok = base.groupBy("doc_id", "source", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = per_tok.groupBy("doc_id", "source").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.length("tok") * F.col("cnt")).alias("len_sum"),
+        F.max("cnt").alias("top_cnt"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.when(F.col("tok").isin(*GOPHER_STOPWORDS), 1).otherwise(0)
+        ).alias("n_stop"),
+    )
+    f_wc = (F.col("n") < GOPHER_WC_LO) | (F.col("n") > GOPHER_WC_HI)
+    f_wl = (F.col("len_sum") < GOPHER_WL_LO * F.col("n")) | (
+        F.col("len_sum") > GOPHER_WL_HI * F.col("n")
+    )
+    f_rep = 4 * F.col("top_cnt") > F.col("n")
+    f_dis = 10 * F.col("n_distinct") < 3 * F.col("n")
+    f_stop = F.col("n_stop") < 2
+    flags = per_doc.select(
+        "source",
+        f_wc.cast("int").alias("f_wc"),
+        f_wl.cast("int").alias("f_wl"),
+        f_rep.cast("int").alias("f_rep"),
+        f_dis.cast("int").alias("f_dis"),
+        f_stop.cast("int").alias("f_stop"),
+        (~(f_wc | f_wl | f_rep | f_dis | f_stop)).cast("int").alias("ok"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ok").alias("pass_all"),
+            F.sum("f_wc").alias("fail_wordcount"),
+            F.sum("f_wl").alias("fail_wordlen"),
+            F.sum("f_rep").alias("fail_toprep"),
+            F.sum("f_dis").alias("fail_distinct"),
+            F.sum("f_stop").alias("fail_stopword"),
+        )
+        .orderBy("source")
+    )
+
+
+def _text_gopher_rules(spark, sf_dir):
+    return gopher_rules(t(spark, sf_dir, "documents"))
+
+
+_GOPHER_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+per_tok AS (
+  SELECT doc_id, source, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM base GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(length(tok) * cnt) AS BIGINT) AS len_sum,
+         CAST(max(cnt) AS BIGINT) AS top_cnt,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CASE WHEN tok IN {GOPHER_STOPWORDS} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+  FROM per_tok GROUP BY 1, 2
+),
+flags AS (
+  SELECT source,
+         CASE WHEN n < {GOPHER_WC_LO} OR n > {GOPHER_WC_HI} THEN 1 ELSE 0 END AS f_wc,
+         CASE WHEN len_sum < {GOPHER_WL_LO} * n OR len_sum > {GOPHER_WL_HI} * n THEN 1 ELSE 0 END AS f_wl,
+         CASE WHEN 4 * top_cnt > n THEN 1 ELSE 0 END AS f_rep,
+         CASE WHEN 10 * n_distinct < 3 * n THEN 1 ELSE 0 END AS f_dis,
+         CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop
+  FROM per_doc
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN f_wc + f_wl + f_rep + f_dis + f_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all,
+       CAST(sum(f_wc) AS BIGINT) AS fail_wordcount,
+       CAST(sum(f_wl) AS BIGINT) AS fail_wordlen,
+       CAST(sum(f_rep) AS BIGINT) AS fail_toprep,
+       CAST(sum(f_dis) AS BIGINT) AS fail_distinct,
+       CAST(sum(f_stop) AS BIGINT) AS fail_stopword
+FROM flags GROUP BY source ORDER BY source
+"""
+
+
+def ngram_novelty(docs, w: int = NOVELTY_SPAN):
+    """First-seen n-gram novelty per source: of each doc's DISTINCT
+    w-token spans, how many appear in no earlier doc (global first
+    occurrence by doc_id order)?  This is the memorization/freshness
+    audit that complements dedup_span_ngrams: span dedup counts
+    repeated material, novelty ATTRIBUTES first authorship — sources
+    whose novelty collapses are re-crawls or mirrors.
+
+    Scale shape: span generation is a per-row array transform; one
+    shuffle to the distinct (span, doc) grain, one map-side-combinable
+    aggregate to span grain for the global min doc, one equi-join back
+    (span-keyed, no skew: a span's fanout is its true dup count, the
+    hot-shingle guard argument of the dedup family), then a rollup to
+    source grain."""
+    toks = _tok(F.col("text"))
+    spans = (
+        docs.select("doc_id", "source", toks.alias("toks"))
+        .filter(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - w),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), (i + 1).cast("int"), w), " "
+                    ),
+                )
+            ).alias("span"),
+        )
+        .select("doc_id", "source", _h32(F.col("span")).alias("fp"))
+        .distinct()
+    )
+    first = spans.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    flagged = spans.join(first, "fp").select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") == F.col("first_doc")).cast("long").alias("novel"),
+    )
+    per_src = flagged.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("span_types"),
+        F.sum("novel").alias("novel_types"),
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "span_types",
+        "novel_types",
+        (
+            F.floor(
+                F.col("novel_types")
+                / F.col("span_types").cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("novelty6"),
+    ).orderBy("source")
+
+
+def _text_ngram_novelty(spark, sf_dir):
+    return ngram_novelty(t(spark, sf_dir, "documents"))
+
+
+_NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+spans AS (
+  SELECT DISTINCT doc_id, source,
+         ('0x' || substr(md5(array_to_string(tk[i:i+{NOVELTY_SPAN - 1}], ' ')), 1, 8))::BIGINT AS fp
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, len(tk) - {NOVELTY_SPAN} + 2)) AS i
+  ) u
+  WHERE len(tk) >= {NOVELTY_SPAN}
+),
+first AS (SELECT fp, min(doc_id) AS first_doc FROM spans GROUP BY fp),
+flagged AS (
+  SELECT s.doc_id, s.source,
+         CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END AS novel
+  FROM spans s JOIN first f ON s.fp = f.fp
+)
+SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS span_types,
+       CAST(sum(novel) AS BIGINT) AS novel_types,
+       floor(CAST(sum(novel) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000.0 AS novelty6
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+def perplexity_bucket(docs):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every doc by mean char-trigram surprisal under the corpus's own
+    add-1-smoothed trigram unigram model, split the corpus into
+    head/middle/tail at the EXACT tertiles, and report the
+    source × bucket composition — the table a curation pipeline uses
+    to decide which tail fraction to drop.
+
+    Exactness: the single transcendental term −ln((cnt+1)/(N+V)) is
+    computed from exact int64 inputs and micro-nat-quantized to int64
+    PER TERM before any sum (the repo's fold-order rule); the per-doc
+    mean is pure integer arithmetic ((2s+n) div 2n = half-up), and the
+    tertile thresholds are exact order statistics via the same
+    hierarchical coarse-bucket prefix sum the KS machinery uses.
+
+    Scale shape: trigram vocabulary is charset-bounded (≪ rows), so
+    the count table is broadcastable; one shuffle to trigram grain for
+    counts, one join back, one doc-grain aggregate, and the tertile
+    scan runs at the distinct-score grain."""
+    tris = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) >= 3 THEN"
+                " transform(sequence(1, length(text) - 2),"
+                " i -> substr(text, i, 3))"
+                " ELSE array() END"
+            )
+        ).alias("tri"),
+    )
+    counts = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+    nv = counts.agg(
+        F.sum("cnt").alias("nn"), F.count(F.lit(1)).alias("vv")
+    )
+    terms = tris.join(F.broadcast(counts), "tri").join(F.broadcast(nv))
+    term_micro = F.floor(
+        -F.log(
+            (F.col("cnt") + 1).cast("double")
+            / (F.col("nn") + F.col("vv")).cast("double")
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        terms.select("doc_id", "source", term_micro.alias("tm"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("tm").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "doc_id",
+            "source",
+            F.expr("div(2 * s + n, 2 * n)").alias("sc"),
+        )
+    )
+    grp = per_doc.groupBy("sc").agg(F.count(F.lit(1)).alias("cnt"))
+    grp = grp.withColumn("bkt", F.floor(F.col("sc") / PPL_BUCKET))
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("sc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = grp.select(
+        "sc", "bkt", "cnt", F.sum("cnt").over(w).alias("cin")
+    )
+    btot = grp.groupBy("bkt").agg(F.sum("cnt").alias("bc"))
+    offs = (
+        btot.select(F.col("bkt").alias("k"))
+        .join(btot.select(F.col("bkt").alias("k2"), "bc"), F.col("k2") < F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("bc").alias("off"))
+    )
+    cum = within.join(F.broadcast(offs), within.bkt == offs.k, "left").select(
+        "sc", "cnt", (F.col("cin") + F.coalesce("off", F.lit(0))).alias("cum")
+    )
+    nd = per_doc.agg(F.count(F.lit(1)).alias("nd"))
+    thr = (
+        cum.join(F.broadcast(nd))
+        .agg(
+            F.min(F.when(3 * F.col("cum") >= F.col("nd"), F.col("sc"))).alias("t1"),
+            F.min(F.when(3 * F.col("cum") >= 2 * F.col("nd"), F.col("sc"))).alias(
+                "t2"
+            ),
+        )
+    )
+    bucketed = per_doc.join(F.broadcast(thr)).select(
+        "source",
+        F.when(F.col("sc") <= F.col("t1"), F.lit("head"))
+        .when(F.col("sc") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "bucket")
+    )
+
+
+def _text_perplexity_bucket(spark, sf_dir):
+    return perplexity_bucket(t(spark, sf_dir, "documents"))
+
+
+_PPL_SQL = f"""
+WITH tris AS (
+  SELECT doc_id, source, substr(text, i, 3) AS tri
+  FROM documents, LATERAL (
+    SELECT unnest(range(1, length(text) - 1)) AS i
+  ) u
+  WHERE length(text) >= 3
+),
+counts AS (SELECT tri, CAST(count(*) AS BIGINT) AS cnt FROM tris GROUP BY tri),
+nv AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS vv FROM counts),
+terms AS (
+  SELECT t.doc_id, t.source,
+         CAST(floor(-ln(CAST(c.cnt + 1 AS DOUBLE) / CAST(nv.nn + nv.vv AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS tm
+  FROM tris t JOIN counts c ON t.tri = c.tri, nv
+),
+per_doc AS (
+  SELECT doc_id, source,
+         (2 * CAST(sum(tm) AS BIGINT) + CAST(count(*) AS BIGINT))
+           // (2 * CAST(count(*) AS BIGINT)) AS sc
+  FROM terms GROUP BY doc_id, source
+),
+grp AS (SELECT sc, CAST(count(*) AS BIGINT) AS cnt FROM per_doc GROUP BY sc),
+cum AS (
+  SELECT sc, CAST(sum(cnt) OVER (ORDER BY sc) AS BIGINT) AS cum FROM grp
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM per_doc),
+thr AS (
+  SELECT min(CASE WHEN 3 * cum >= nd THEN sc END) AS t1,
+         min(CASE WHEN 3 * cum >= 2 * nd THEN sc END) AS t2
+  FROM cum, nd
+)
+SELECT source,
+       CASE WHEN sc <= t1 THEN 'head'
+            WHEN sc <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM per_doc, thr
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+for _q in (
+    QueryDef("text_gopher_rules", _text_gopher_rules, _GOPHER_SQL, ("text",)),
+    QueryDef("text_ngram_novelty", _text_ngram_novelty, _NOVELTY_SQL, ("text",)),
+    QueryDef(
+        "text_perplexity_bucket", _text_perplexity_bucket, _PPL_SQL, ("text",)
+    ),
+):
+    R6_QUERIES[_q.name] = _q

@@ -883,3 +883,23 @@ def test_r6_feature_family_plan_shapes(spark, sf_dir):
 
     oh = plan_of(R6_QUERIES["feature_onehot_encode"].spark(spark, sf_dir), "simple")
     assert "Join" not in oh and "Aggregate" not in oh, oh[:600]
+
+
+def test_r6_text_family_plan_shapes(spark, sf_dir):
+    """Round-6 text keys: no cartesian products; BNLJ only as the
+    sanctioned 1-row scalar attaches (trigram N+V, tertile thresholds,
+    doc total). The trigram-count join in perplexity_bucket must
+    broadcast (vocabulary is charset-bounded) and no text key may plan
+    a partition-less window."""
+    import re
+
+    from fitness_data_ingest_spark.registry_r6 import R6_QUERIES
+
+    for name in ("text_gopher_rules", "text_ngram_novelty", "text_perplexity_bucket"):
+        plan = plan_of(R6_QUERIES[name].spark(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+        for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+            assert m.group(1).strip(), f"{name}: partition-less window"
+
+    ppl = plan_of(R6_QUERIES["text_perplexity_bucket"].spark(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in ppl, ppl[:600]

@@ -1917,3 +1917,172 @@ def test_onehot_encode_is_exact_and_exclusive(spark):
     assert rows[11]["seg_building"] == 1 and rows[11]["bal_neg"] == 1
     assert sum(rows[22][c] for c in segcols) == 0
     assert rows[33]["bal_neg"] == 0
+
+
+# ------------------------------------------------ round-6 text family
+
+WORD = st.sampled_from(["the", "a", "of", "xx", "data", "spark", "longword"])
+
+
+@given(
+    docs=st.lists(
+        st.lists(WORD, min_size=1, max_size=12), min_size=1, max_size=8
+    )
+)
+@PROP_SETTINGS
+def test_gopher_rules_match_bruteforce(spark, docs):
+    """Per-source rule-failure counts == the Python replay of the five
+    integer cross-multiplied rules."""
+    from fitness_data_ingest_spark.registry_r6 import (
+        GOPHER_STOPWORDS,
+        GOPHER_WC_HI,
+        GOPHER_WC_LO,
+        GOPHER_WL_HI,
+        GOPHER_WL_LO,
+        gopher_rules,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws), f"s{i % 2}") for i, ws in enumerate(docs)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: (
+            r["n_docs"], r["pass_all"], r["fail_wordcount"], r["fail_wordlen"],
+            r["fail_toprep"], r["fail_distinct"], r["fail_stopword"],
+        )
+        for r in gopher_rules(df).collect()
+    }
+    agg: dict[str, list] = {}
+    for i, ws in enumerate(docs):
+        src = f"s{i % 2}"
+        n = len(ws)
+        len_sum = sum(len(w) for w in ws)
+        top = max(ws.count(w) for w in set(ws))
+        dis = len(set(ws))
+        nstop = sum(1 for w in set(ws) if w in GOPHER_STOPWORDS)
+        f = [
+            n < GOPHER_WC_LO or n > GOPHER_WC_HI,
+            len_sum < GOPHER_WL_LO * n or len_sum > GOPHER_WL_HI * n,
+            4 * top > n,
+            10 * dis < 3 * n,
+            nstop < 2,
+        ]
+        row = agg.setdefault(src, [0] * 7)
+        row[0] += 1
+        row[1] += 0 if any(f) else 1
+        for j, fv in enumerate(f):
+            row[2 + j] += int(fv)
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=3), min_size=5, max_size=10),
+        min_size=1,
+        max_size=8,
+    )
+)
+@PROP_SETTINGS
+def test_ngram_novelty_matches_bruteforce(spark, docs):
+    """Novel span-type counts == the Python first-seen replay over
+    distinct per-doc spans (narrow token domain forces collisions)."""
+    from fitness_data_ingest_spark.registry_r6 import NOVELTY_SPAN, ngram_novelty
+
+    texts = [" ".join(f"w{x}" for x in ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, txt, f"s{i % 2}") for i, txt in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["span_types"], r["novel_types"])
+        for r in ngram_novelty(df).collect()
+    }
+    w = NOVELTY_SPAN
+    doc_spans = []
+    for ws in docs:
+        toks = [f"w{x}" for x in ws]
+        doc_spans.append(
+            {" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)}
+        )
+    first: dict[str, int] = {}
+    for i, spans in enumerate(doc_spans):
+        for s in spans:
+            if s not in first:
+                first[s] = i
+    agg: dict[str, list] = {}
+    for i, spans in enumerate(doc_spans):
+        if not spans:
+            continue
+        src = f"s{i % 2}"
+        row = agg.setdefault(src, [set(), 0, 0])
+        row[0].add(i)
+        row[1] += len(spans)
+        row[2] += sum(1 for s in spans if first[s] == i)
+    assert got == {k: (len(v[0]), v[1], v[2]) for k, v in agg.items()}
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="abcd ", min_size=3, max_size=20),
+        min_size=2,
+        max_size=10,
+    )
+)
+@PROP_SETTINGS
+def test_perplexity_bucket_matches_bruteforce(spark, docs):
+    """Source × bucket composition == the Python replay: identical
+    micro-nat quantization per term, half-up integer mean, exact
+    tertile thresholds."""
+    import math
+
+    from fitness_data_ingest_spark.registry_r6 import perplexity_bucket
+
+    df = spark.createDataFrame(
+        [(i, txt, f"s{i % 2}") for i, txt in enumerate(docs)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source"], r["bucket"]): r["n_docs"]
+        for r in perplexity_bucket(df).collect()
+    }
+
+    counts: dict[str, int] = {}
+    doc_tris = []
+    for txt in docs:
+        tris = [txt[i : i + 3] for i in range(len(txt) - 2)] if len(txt) >= 3 else []
+        doc_tris.append(tris)
+        for tr in tris:
+            counts[tr] = counts.get(tr, 0) + 1
+    nn, vv = sum(counts.values()), len(counts)
+    scores = []
+    for i, tris in enumerate(doc_tris):
+        if not tris:
+            continue
+        s = sum(
+            math.floor(
+                -math.log(float(counts[tr] + 1) / float(nn + vv)) * 1000000 + 0.5
+            )
+            for tr in tris
+        )
+        n = len(tris)
+        scores.append((i, f"s{i % 2}", (2 * s + n) // (2 * n)))
+    nd = len(scores)
+    svals = sorted(sc for _, _, sc in scores)
+
+    def thr(k):
+        cum = 0
+        seen = None
+        for v in sorted(set(svals)):
+            cum = sum(1 for x in svals if x <= v)
+            if 3 * cum >= k * nd:
+                seen = v
+                break
+        return seen
+
+    t1, t2 = thr(1), thr(2)
+    want: dict[tuple, int] = {}
+    for _, src, sc in scores:
+        b = "head" if sc <= t1 else ("middle" if sc <= t2 else "tail")
+        want[(src, b)] = want.get((src, b), 0) + 1
+    assert got == want
