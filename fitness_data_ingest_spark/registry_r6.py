@@ -1455,3 +1455,413 @@ for _q in (
     ),
 ):
     R6_QUERIES[_q.name] = _q
+
+
+# =====================================================================
+# Round-6 misc: HITS hubs/authorities, seasonal decomposition,
+# weighted reproducible sampling, and the batch restatement of
+# dropDuplicatesWithinWatermark.
+# =====================================================================
+
+HITS_ITERS = 3
+HITS_TOPK = 12
+SEASONAL_HALF = 12  # centered moving-average half-width (hours)
+WRS_TOPK = 50
+WRS_WCAP = 8  # weight = 1 + min(n_chars div 64, cap-1)
+DEDUP_DELAY_S = 1800  # dropDuplicatesWithinWatermark horizon
+
+
+def hits_bipartite(edges, iters: int = HITS_ITERS, topk: int = HITS_TOPK):
+    """HITS hubs/authorities (Kleinberg 1999) over a directed bipartite
+    edge list (``hub``, ``auth``), integer-exact: unnormalized scores
+    after k mutual-reinforcement rounds are path COUNTS (hub_k = number
+    of alternating paths of length 2k leaving the hub), so the whole
+    iteration is int64 with no scaling division at all — the same
+    discipline as pagerank_int, minus even the truncating div.
+
+    Top-k per side via TakeOrderedAndProject (limit-then-rank, never a
+    global window); ranks from a 2k-row broadcast self-join.
+
+    Scale shape: the edge table persists once; each half-round is one
+    broadcast join (rank tables are node-grain) + one
+    map-side-combinable aggregate; localCheckpoint truncates the
+    per-round lineage exactly as the PageRank loop does."""
+    ed = edges.persist()
+    hub = ed.select("hub").distinct().select(
+        "hub", F.lit(1).cast("long").alias("hs")
+    )
+    for _ in range(iters):
+        auth = (
+            ed.join(F.broadcast(hub), "hub")
+            .groupBy("auth")
+            .agg(F.sum("hs").alias("as_"))
+        )
+        hub = (
+            ed.join(F.broadcast(auth), "auth")
+            .groupBy("hub")
+            .agg(F.sum("as_").alias("hs"))
+        )
+        hub = hub.localCheckpoint(eager=False)
+        auth = auth.localCheckpoint(eager=False)
+    top_h = (
+        hub.orderBy(F.col("hs").desc(), F.col("hub"))
+        .limit(topk)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("hub").alias("node"),
+            F.col("hs").alias("score"),
+        )
+    )
+    top_a = (
+        auth.orderBy(F.col("as_").desc(), F.col("auth"))
+        .limit(topk)
+        .select(
+            F.lit("auth").alias("side"),
+            F.col("auth").alias("node"),
+            F.col("as_").alias("score"),
+        )
+    )
+    both = top_h.unionByName(top_a)
+    b2 = both.select(
+        F.col("side").alias("s2"), F.col("node").alias("n2"), F.col("score").alias("sc2")
+    )
+    return (
+        both.join(
+            F.broadcast(b2),
+            (F.col("s2") == F.col("side"))
+            & (
+                (F.col("sc2") > F.col("score"))
+                | ((F.col("sc2") == F.col("score")) & (F.col("n2") < F.col("node")))
+            ),
+            "left",
+        )
+        .groupBy("side", "node", "score")
+        .agg((F.count("n2") + 1).alias("rnk"))
+        .orderBy("side", "rnk")
+    )
+
+
+def _graph_hits(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("hub"), F.col("l_partkey").alias("auth")
+    ).distinct()
+    return hits_bipartite(edges)
+
+
+def _hits_sql(iters: int = HITS_ITERS, topk: int = HITS_TOPK) -> str:
+    parts = [
+        "WITH ed AS (SELECT DISTINCT l_suppkey AS hub, l_partkey AS auth"
+        " FROM lineitem),",
+        "h0 AS (SELECT DISTINCT hub, CAST(1 AS BIGINT) AS hs FROM ed)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f", a{i + 1} AS (SELECT ed.auth, CAST(sum(h.hs) AS BIGINT) AS as_"
+            f" FROM ed JOIN h{i} h ON ed.hub = h.hub GROUP BY ed.auth)"
+        )
+        parts.append(
+            f", h{i + 1} AS (SELECT ed.hub, CAST(sum(a.as_) AS BIGINT) AS hs"
+            f" FROM ed JOIN a{i + 1} a ON ed.auth = a.auth GROUP BY ed.hub)"
+        )
+    parts.append(
+        f""", top_h AS (
+  SELECT 'hub' AS side, hub AS node, hs AS score
+  FROM h{iters} ORDER BY hs DESC, hub LIMIT {topk}
+),
+top_a AS (
+  SELECT 'auth' AS side, auth AS node, as_ AS score
+  FROM a{iters} ORDER BY as_ DESC, auth LIMIT {topk}
+),
+both_t AS (SELECT * FROM top_h UNION ALL SELECT * FROM top_a)
+SELECT a.side, a.node, a.score, CAST(1 + count(b.node) AS BIGINT) AS rnk
+FROM both_t a LEFT JOIN both_t b
+  ON b.side = a.side
+ AND (b.score > a.score OR (b.score = a.score AND b.node < a.node))
+GROUP BY a.side, a.node, a.score
+ORDER BY a.side, rnk"""
+    )
+    return "\n".join(parts)
+
+
+def seasonal_decompose(events, half: int = SEASONAL_HALF):
+    """Classical additive seasonal decomposition of the hourly value
+    stream: trend = centered (2·half+1)-hour moving average, seasonal =
+    per hour-of-day mean residual — restated WITHOUT any window or
+    range join: each hour row scatters into the 25 centered windows it
+    belongs to (a map-side ±half explode on the CALENDAR-BOUNDED hour
+    grain), so the moving average is one aggregate.  Only complete
+    windows (all 25 hours present) contribute, the standard edge rule.
+
+    Exactness: residuals stay scaled by the window size
+    (resid25 = 25·tot − Σwindow, exact int64) so the per-hour-of-day
+    mean is a single quantized division of integer sums.
+
+    Scale shape: everything after the first aggregate runs at the hour
+    grain — 8760 rows/year no matter how many events — and the
+    hour-of-day rollup is 24 groups."""
+    width = 2 * half + 1
+    hourly = (
+        events.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("hidx"),
+            cents(F.col("value")).alias("c"),
+        )
+        .groupBy("hidx")
+        .agg(F.sum("c").alias("tot"))
+    )
+    expand = hourly.select(
+        "hidx",
+        "tot",
+        F.explode(F.sequence(F.lit(-half), F.lit(half))).alias("off"),
+    ).select((F.col("hidx") + F.col("off")).alias("tgt"), "tot")
+    win = expand.groupBy("tgt").agg(
+        F.sum("tot").alias("wsum"), F.count(F.lit(1)).alias("wcnt")
+    )
+    j = hourly.join(win, hourly.hidx == win.tgt).where(F.col("wcnt") == width)
+    resid = j.select(
+        F.pmod(F.col("hidx"), F.lit(24)).alias("hour_of_day"),
+        (F.lit(width) * F.col("tot") - F.col("wsum")).alias("resid_w"),
+    )
+    return (
+        resid.groupBy("hour_of_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("resid_w").alias("rs"),
+        )
+        .select(
+            "hour_of_day",
+            "n_obs",
+            F.floor(
+                F.col("rs")
+                * 100.0
+                / (F.lit(width) * F.col("n_obs")).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("seasonal_c2"),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
+def _ts_seasonal_decompose(spark, sf_dir):
+    return seasonal_decompose(t(spark, sf_dir, "events"))
+
+
+_SEASONAL_SQL = f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS hidx,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS tot
+  FROM events GROUP BY 1
+),
+expand AS (
+  SELECT hidx + o.off AS tgt, tot
+  FROM hourly, (SELECT unnest(range(-{SEASONAL_HALF}, {SEASONAL_HALF + 1})) AS off) o
+),
+win AS (
+  SELECT tgt, CAST(sum(tot) AS BIGINT) AS wsum, CAST(count(*) AS BIGINT) AS wcnt
+  FROM expand GROUP BY tgt
+),
+resid AS (
+  SELECT hidx % 24 AS hour_of_day,
+         CAST({2 * SEASONAL_HALF + 1} * tot - wsum AS BIGINT) AS resid_w
+  FROM hourly JOIN win ON hourly.hidx = win.tgt
+  WHERE wcnt = {2 * SEASONAL_HALF + 1}
+)
+SELECT hour_of_day, CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(floor(CAST(sum(resid_w) AS DOUBLE) * 100.0
+                  / CAST({2 * SEASONAL_HALF + 1} * count(*) AS DOUBLE)
+                  + 0.5) AS BIGINT) AS seasonal_c2
+FROM resid GROUP BY hour_of_day ORDER BY hour_of_day
+"""
+
+
+def weighted_sample(docs, topk: int = WRS_TOPK, wcap: int = WRS_WCAP):
+    """Weighted reservoir sampling without replacement (the
+    Efraimidis-Spirakis scheme in its EXACT integer form): an item of
+    integer weight w races w independent md5 unit-draws and keeps the
+    minimum — P(min of w uniforms < t) = 1-(1-t)^w, precisely the
+    A-ES inclusion law — and the global sample is the k smallest
+    per-item minima.  No logarithm, no float key: selection order is a
+    pure int64 hash comparison, so the sample is bit-reproducible
+    across engines, retries, and partitionings (the property RNG-based
+    weighted sampling cannot give).
+
+    Weights derive from doc length (1 + n_chars div 64, capped): the
+    length-proportional sampling a token-budget curator uses.
+
+    Scale shape: the unit explode is bounded by the weight CAP (a
+    constant), the per-doc min rides the same map-side combine, and
+    the global top-k is TakeOrderedAndProject — no global sort, no
+    window."""
+    w = (
+        docs.select(
+            "doc_id",
+            (
+                F.lit(1)
+                + F.least(
+                    F.floor(F.col("n_chars") / 64), F.lit(wcap - 1)
+                )
+            ).cast("long").alias("w"),
+        )
+    )
+    units = w.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.col("w"))).alias("j"),
+    )
+    hmin = (
+        units.select(
+            "doc_id",
+            "w",
+            _h32(
+                F.concat(
+                    F.lit("wrs:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.min("h").alias("hmin"))
+    )
+    top = hmin.orderBy(F.col("hmin"), F.col("doc_id")).limit(topk)
+    t2 = top.select(F.col("hmin").alias("h2"), F.col("doc_id").alias("d2"))
+    return (
+        top.join(
+            F.broadcast(t2),
+            (F.col("h2") < F.col("hmin"))
+            | ((F.col("h2") == F.col("hmin")) & (F.col("d2") < F.col("doc_id"))),
+            "left",
+        )
+        .groupBy("doc_id", "w", "hmin")
+        .agg((F.count("d2") + 1).alias("rnk"))
+        .orderBy("rnk")
+    )
+
+
+def _sample_weighted_units(spark, sf_dir):
+    return weighted_sample(t(spark, sf_dir, "documents"))
+
+
+_WRS_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(1 + least(n_chars // 64, {WRS_WCAP - 1}) AS BIGINT) AS w
+  FROM documents
+),
+units AS (
+  SELECT doc_id, w, u.j
+  FROM w, LATERAL (SELECT unnest(range(1, w + 1)) AS j) u
+),
+hmin AS (
+  SELECT doc_id, w,
+         min(('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR) || ':'
+              || CAST(j AS VARCHAR)), 1, 8))::BIGINT) AS hmin
+  FROM units GROUP BY doc_id, w
+),
+top AS (SELECT * FROM hmin ORDER BY hmin, doc_id LIMIT {WRS_TOPK})
+SELECT a.doc_id, a.w, a.hmin, CAST(1 + count(b.doc_id) AS BIGINT) AS rnk
+FROM top a LEFT JOIN top b
+  ON b.hmin < a.hmin OR (b.hmin = a.hmin AND b.doc_id < a.doc_id)
+GROUP BY a.doc_id, a.w, a.hmin
+ORDER BY rnk
+"""
+
+
+def dedup_within_delay(events, delay_s: int = DEDUP_DELAY_S):
+    """Batch restatement of ``dropDuplicatesWithinWatermark`` semantics
+    (the streaming run is pytest-verified against this): per
+    (user_id, event_type) key, an event is KEPT iff it starts a new
+    epoch — the first event, or the first more than ``delay_s`` after
+    the previously KEPT one.  That recurrence is inherently sequential
+    per key, so it folds INSIDE an array HOF over the key's sorted
+    event times (state bounded per key, zero extra shuffles) — the
+    same in-array discipline as corpus_cdc_chunks.
+
+    Output: per event_type, total events, keys, kept, dropped — the
+    dedup-rate audit a streaming pipeline reports per sink table."""
+    per_key = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.expr("unix_micros(ts) div 1000000").alias("sec"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sort_array(F.collect_list("sec")).alias("arr"),
+        )
+    )
+    init = F.struct(
+        F.lit(-(2**50)).cast("long").alias("last"),
+        F.lit(0).cast("long").alias("cnt"),
+    )
+    kept = F.aggregate(
+        F.col("arr"),
+        init,
+        lambda acc, x: F.when(
+            x > acc.last + delay_s,
+            F.struct(x.alias("last"), (acc.cnt + 1).alias("cnt")),
+        ).otherwise(acc),
+    ).cnt
+    flagged = per_key.select(
+        "event_type", "n_events", kept.alias("n_kept")
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_kept").alias("n_kept"),
+            (F.sum("n_events") - F.sum("n_kept")).alias("n_dropped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _stream_dedup_late(spark, sf_dir):
+    return dedup_within_delay(t(spark, sf_dir, "events"))
+
+
+# DuckDB's list_reduce takes no init value, so the fold state
+# (last_kept_rel, cnt) packs into ONE BIGINT: cnt << 34 | rel_sec,
+# with rel = sec - first + delay + 1 > delay so the sentinel 0 always
+# keeps the first event.  34 bits of rel covers ~540 years.
+_DEDUP_SQL = f"""
+WITH per_key AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+         list_sort(list(epoch_us(ts) // 1000000)) AS arr
+  FROM events GROUP BY 1, 2
+),
+folded AS (
+  SELECT event_type, n_events,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(arr, x -> x - arr[1] + {DEDUP_DELAY_S} + 1)),
+           (acc, x) -> CASE WHEN x > (acc & {(1 << 34) - 1}) + {DEDUP_DELAY_S}
+                            THEN (((acc >> 34) + 1) << 34) | x
+                            ELSE acc END
+         ) >> 34 AS n_kept
+  FROM per_key
+)
+SELECT event_type, CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n_kept) AS BIGINT) AS n_kept,
+       CAST(sum(n_events) - sum(n_kept) AS BIGINT) AS n_dropped
+FROM folded GROUP BY event_type ORDER BY event_type
+"""
+
+
+for _q in (
+    QueryDef("graph_hits", _graph_hits, _hits_sql(), ("graph",)),
+    QueryDef(
+        "ts_seasonal_decompose", _ts_seasonal_decompose, _SEASONAL_SQL, ("ts",)
+    ),
+    QueryDef(
+        "sample_weighted_units", _sample_weighted_units, _WRS_SQL, ("corpus",)
+    ),
+    QueryDef("stream_dedup_late", _stream_dedup_late, _DEDUP_SQL, ("stream",)),
+):
+    R6_QUERIES[_q.name] = _q

@@ -903,3 +903,29 @@ def test_r6_text_family_plan_shapes(spark, sf_dir):
 
     ppl = plan_of(R6_QUERIES["text_perplexity_bucket"].spark(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in ppl, ppl[:600]
+
+
+def test_r6_misc_family_plan_shapes(spark, sf_dir):
+    """Round-6 misc keys: HITS iterates via broadcast joins (rank
+    tables are node-grain) over a persisted edge list; the weighted
+    sample's global top-k is TakeOrderedAndProject (never a global
+    sort/window); seasonal decompose and the dedup fold plan no
+    nested-loop join at all (their only BNLJ-shaped candidates were
+    designed out: the moving average is a scatter aggregate, the fold
+    is in-array)."""
+    from fitness_data_ingest_spark.registry_r6 import R6_QUERIES
+
+    hits = plan_of(R6_QUERIES["graph_hits"].spark(spark, sf_dir), "simple")
+    spark.catalog.clearCache()
+    assert "CartesianProduct" not in hits
+    assert "BroadcastHashJoin" in hits
+
+    wrs = plan_of(R6_QUERIES["sample_weighted_units"].spark(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in wrs, wrs[:600]
+    assert "CartesianProduct" not in wrs
+
+    for name in ("ts_seasonal_decompose", "stream_dedup_late"):
+        plan = plan_of(R6_QUERIES[name].spark(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Window" not in plan, name

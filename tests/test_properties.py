@@ -2086,3 +2086,192 @@ def test_perplexity_bucket_matches_bruteforce(spark, docs):
         b = "head" if sc <= t1 else ("middle" if sc <= t2 else "tail")
         want[(src, b)] = want.get((src, b), 0) + 1
     assert got == want
+
+
+# ------------------------------------------------ round-6 misc family
+
+
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=100, max_value=108),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@PROP_SETTINGS
+def test_hits_matches_path_counts(spark, edges):
+    """Unnormalized integer HITS == brute-force mutual reinforcement
+    (path counting) on any bipartite graph, ranks included."""
+    from fitness_data_ingest_spark.registry_r6 import HITS_ITERS, hits_bipartite
+
+    df = spark.createDataFrame(list(edges), "hub long, auth long")
+    got = {
+        (r["side"], r["node"]): (r["score"], r["rnk"])
+        for r in hits_bipartite(df, topk=50).collect()
+    }
+    spark.catalog.clearCache()
+
+    hubs = {h for h, _ in edges}
+    hs = {h: 1 for h in hubs}
+    for _ in range(HITS_ITERS):
+        as_ = {}
+        for h, a in edges:
+            if h in hs:
+                as_[a] = as_.get(a, 0) + hs[h]
+        hs = {}
+        for h, a in edges:
+            if a in as_:
+                hs[h] = hs.get(h, 0) + as_[a]
+    want = {}
+    for side, scores in (("hub", hs), ("auth", as_)):
+        for n, s in scores.items():
+            rnk = 1 + sum(
+                1
+                for n2, s2 in scores.items()
+                if s2 > s or (s2 == s and n2 < n)
+            )
+            want[(side, n)] = (s, rnk)
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=80),  # hour offset
+            st.integers(min_value=1, max_value=500),  # cents
+        ),
+        min_size=5,
+        max_size=30,
+    )
+)
+@PROP_SETTINGS
+def test_seasonal_decompose_matches_bruteforce(spark, rows):
+    """Hour-of-day seasonal indices == the Python replay: same
+    complete-window rule, same width-scaled integer residuals."""
+    import datetime as dt
+    import math
+
+    from fitness_data_ingest_spark.registry_r6 import SEASONAL_HALF, seasonal_decompose
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + dt.timedelta(hours=h, minutes=7), c / 100.0)
+        for i, (h, c) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(data, "event_id long, ts timestamp, value double")
+    got = {
+        r["hour_of_day"]: (r["n_obs"], r["seasonal_c2"])
+        for r in seasonal_decompose(ev).collect()
+    }
+
+    width = 2 * SEASONAL_HALF + 1
+    hourly: dict[int, int] = {}
+    for _, ts, v in data:
+        hidx = int(ts.replace(tzinfo=dt.timezone.utc).timestamp()) // 3600
+        hourly[hidx] = hourly.get(hidx, 0) + int(math.floor(v * 100 + 0.5))
+    agg: dict[int, list] = {}
+    for hidx, tot in hourly.items():
+        window = [
+            hourly[hidx + o]
+            for o in range(-SEASONAL_HALF, SEASONAL_HALF + 1)
+            if hidx + o in hourly
+        ]
+        if len(window) != width:
+            continue
+        row = agg.setdefault(hidx % 24, [0, 0])
+        row[0] += 1
+        row[1] += width * tot - sum(window)
+    want = {
+        hod: (n, math.floor(float(rs) * 100.0 / float(width * n) + 0.5))
+        for hod, (n, rs) in agg.items()
+    }
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=600)),  # n_chars
+        min_size=1,
+        max_size=25,
+    )
+)
+@PROP_SETTINGS
+def test_weighted_sample_matches_hashlib(spark, docs):
+    """Integer A-ES (min of w unit hashes) == the hashlib replay —
+    selection set, weights, minima, and ranks all exact."""
+    import hashlib
+
+    from fitness_data_ingest_spark.registry_r6 import WRS_WCAP, weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}", nc) for i, (nc,) in enumerate(docs)],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["w"], r["hmin"], r["rnk"])
+        for r in weighted_sample(df, topk=10).collect()
+    }
+
+    per_doc = []
+    for i, (nc,) in enumerate(docs):
+        w = 1 + min(nc // 64, WRS_WCAP - 1)
+        hmin = min(
+            int(hashlib.md5(f"wrs:{i}:{j}".encode()).hexdigest()[:8], 16)
+            for j in range(1, w + 1)
+        )
+        per_doc.append((i, w, hmin))
+    top = sorted(per_doc, key=lambda x: (x[2], x[0]))[:10]
+    want = {}
+    for i, w, hmin in top:
+        rnk = 1 + sum(
+            1 for i2, _, h2 in top if h2 < hmin or (h2 == hmin and i2 < i)
+        )
+        want[i] = (w, hmin, rnk)
+    assert got == want
+
+
+@given(
+    keys=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=10000),  # event seconds
+            min_size=1,
+            max_size=15,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@PROP_SETTINGS
+def test_dedup_within_delay_matches_bruteforce(spark, keys):
+    """Per-key epoch fold == the sequential Python replay for any
+    arrival pattern (duplicate timestamps, long gaps, singletons)."""
+    import datetime as dt
+
+    from fitness_data_ingest_spark.registry_r6 import dedup_within_delay
+
+    delay = 100
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    data = [
+        (ki * 1000 + j, ki, f"t{ki}", base + dt.timedelta(seconds=s))
+        for ki, secs in enumerate(keys)
+        for j, s in enumerate(secs)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r["event_type"]: (r["n_events"], r["n_keys"], r["n_kept"], r["n_dropped"])
+        for r in dedup_within_delay(ev, delay_s=delay).collect()
+    }
+    want = {}
+    for ki, secs in enumerate(keys):
+        kept, last = 0, None
+        for s in sorted(secs):
+            if last is None or s > last + delay:
+                kept += 1
+                last = s
+        want[f"t{ki}"] = (len(secs), 1, kept, len(secs) - kept)
+    assert got == want

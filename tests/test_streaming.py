@@ -679,3 +679,69 @@ def test_fold_spans_pure_unit():
         [(500, 700, 3, 30), (100, 100, 1, 1)], GAP
     )
     assert closed == [(100, 100, 1, 1)] and open_s == (500, 700, 3, 30)
+
+
+def test_stream_dedup_late_epoch_parity(spark, tmp_path):
+    """dropDuplicatesWithinWatermark vs the batch epoch fold (registry
+    key stream_dedup_late): duplicate clusters separated by more than
+    the delay, fed as explicitly-ordered micro-batches with
+    watermark-driver rows between clusters (so per-key state provably
+    evicts before the next cluster arrives) — streaming keeps exactly
+    one row per cluster, the count the batch operator's per-key epoch
+    fold computes.  This is the regime the operator's contract covers:
+    within-delay duplicates always drop; beyond-delay re-keeps require
+    the watermark to have passed the key's expiry."""
+    import datetime as dt
+
+    from fitness_data_ingest_spark.registry_r6 import dedup_within_delay
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+
+    def cluster(eid0, t0):
+        return [
+            (eid0 + k, user, "click", t0 + dt.timedelta(minutes=10 * k))
+            for user in (1, 2)
+            for k in range(3)
+        ]
+
+    c0 = cluster(0, base)
+    c1 = cluster(10, base + dt.timedelta(hours=2))
+    c2 = cluster(20, base + dt.timedelta(hours=4))
+    ev = spark.createDataFrame(c0 + c1 + c2, schema)
+    batch = dedup_within_delay(ev, delay_s=1800).collect()[0]
+    assert (batch["n_events"], batch["n_kept"]) == (18, 6)
+
+    # watermark drivers: distinct key, timestamped between clusters so
+    # the watermark passes the previous cluster's expiry but the next
+    # cluster is never late
+    w1 = [(90, 99, "click", base + dt.timedelta(hours=1, minutes=30))]
+    w2 = [(91, 98, "click", base + dt.timedelta(hours=3, minutes=30))]
+
+    src = tmp_path / "dedup_late_src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .load(str(src) + "/*")
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_late_out")
+        .start()
+    )
+    try:
+        for i, rows in enumerate((c0, w1, c1, w2, c2)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"b{i}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.sql(
+        "SELECT count(*) c FROM dedup_late_out WHERE user_id IN (1, 2)"
+    ).collect()[0]["c"]
+    assert streamed == batch["n_kept"]
