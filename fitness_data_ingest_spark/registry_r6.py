@@ -952,12 +952,19 @@ def chi2_feature_select(lineitem):
         * 1000000
         + F.lit(0.5)
     ).cast("long")
+    # level counts come from the margin tables, NOT countDistinct: two
+    # distinct aggregates in one groupBy trigger RewriteDistinctAggregates,
+    # whose Expand projection order is exprId-dependent (session-order
+    # nondeterminism — the same artifact round 5 fixed in
+    # click_attribution) and whose 3x row multiplication is pure waste
+    # when the margins already exist
     per_f = j.groupBy("f").agg(
         F.count(F.lit(1)).alias("n_cells"),
-        F.countDistinct("val").alias("n_vals"),
-        F.countDistinct("label").alias("n_labels"),
         F.sum(contrib_micro).alias("chi2_micro"),
     )
+    nv = rt.groupBy("f").agg(F.count(F.lit(1)).alias("n_vals"))
+    nl = ct.groupBy("f").agg(F.count(F.lit(1)).alias("n_labels"))
+    per_f = per_f.join(F.broadcast(nv), "f").join(F.broadcast(nl), "f")
     per_f = per_f.select(
         "f",
         "n_cells",
@@ -1865,3 +1872,373 @@ for _q in (
     QueryDef("stream_dedup_late", _stream_dedup_late, _DEDUP_SQL, ("stream",)),
 ):
     R6_QUERIES[_q.name] = _q
+
+
+# =====================================================================
+# Round-6 wave 2: RANGE-frame windows, data-constrained epoch
+# scheduling, hash-randomization permutation test.
+# =====================================================================
+
+RANGE_FRAME_S = 3600  # trailing window width (seconds)
+RANGE_MOD = 17  # output subset (window computed on ALL rows first)
+EPOCH_MAX = 4  # per-source epoch cap (data-constrained scaling)
+EPOCH_BUDGET_X2 = 3  # token budget = total_tokens * 3 / 2
+N_PERM = 128  # hash permutations
+
+
+def range_frame_trailing(events, width_s: int = RANGE_FRAME_S, mod: int = RANGE_MOD):
+    """Per-user trailing-hour aggregate via a true RANGE window frame
+    (``RANGE BETWEEN width PRECEDING AND CURRENT ROW`` over integer
+    event-seconds) — the value-based frame SQL surface the window
+    family hadn't covered (rank/row/value function keys use ROWS
+    frames).  Tie semantics are the RANGE peer rule: same-second
+    events of one user see each other's values, identically in both
+    engines because the ordering key is an exact int64.
+
+    Scale shape: the window partitions by user (natural parallelism —
+    no user's history outgrows a partition at any corpus scale since
+    per-user event counts are product-bounded); the output subset
+    filter applies AFTER the frame so every row's trailing sum is
+    over the full history."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-width_s, 0)
+    )
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+        cents(F.col("value")).alias("c"),
+    )
+    framed = base.select(
+        "event_id",
+        "user_id",
+        F.sum("c").over(w).alias("sum_1h_c"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+    return framed.where(F.pmod(F.col("event_id"), F.lit(mod)) == 0).orderBy(
+        "event_id"
+    )
+
+
+def _window_range_frame(spark, sf_dir):
+    return range_frame_trailing(t(spark, sf_dir, "events"))
+
+
+_RANGE_FRAME_SQL = f"""
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+framed AS (
+  SELECT event_id, user_id,
+         CAST(sum(c) OVER (PARTITION BY user_id ORDER BY sec
+              RANGE BETWEEN {RANGE_FRAME_S} PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sum_1h_c,
+         CAST(count(*) OVER (PARTITION BY user_id ORDER BY sec
+              RANGE BETWEEN {RANGE_FRAME_S} PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_1h
+  FROM base
+)
+SELECT * FROM framed WHERE event_id % {RANGE_MOD} = 0 ORDER BY event_id
+"""
+
+
+def epoch_schedule(docs, max_epochs: int = EPOCH_MAX):
+    """Data-constrained epoch schedule (Muennighoff et al. 2023): given
+    a token budget of 1.5× the corpus and a per-source repeat cap,
+    up-sample small sources toward an equal per-source share — the
+    planning table a mixture trainer materializes before packing.
+    epochs_s = clamp(target_share div tokens_s, 1, cap); everything is
+    integer division of corpus aggregates.
+
+    Scale shape: one token-count scan with map-side combine to the
+    source grain; the budget scalar rides in as the usual broadcast
+    1-row aggregate; all arithmetic runs on the metadata-sized source
+    table."""
+    tok = docs.select(
+        "source", F.size(_tok(F.col("text"))).alias("n_tok")
+    )
+    per_src = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tokens")
+    )
+    tot = per_src.agg(
+        F.sum("tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    j = per_src.join(F.broadcast(tot))
+    budget = F.expr(f"total_tokens * {EPOCH_BUDGET_X2} div 2")
+    target = F.expr(
+        f"(total_tokens * {EPOCH_BUDGET_X2} div 2) div n_sources"
+    )
+    epochs = F.least(
+        F.lit(max_epochs).cast("long"),
+        F.greatest(F.lit(1).cast("long"), F.expr(
+            f"((total_tokens * {EPOCH_BUDGET_X2} div 2) div n_sources)"
+            " div tokens"
+        )),
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "tokens",
+        budget.alias("budget"),
+        target.alias("target_share"),
+        epochs.alias("epochs"),
+        (epochs * F.col("tokens")).alias("allocated_tokens"),
+    ).orderBy("source")
+
+
+def _corpus_epoch_schedule(spark, sf_dir):
+    return epoch_schedule(t(spark, sf_dir, "documents"))
+
+
+_EPOCH_SQL = f"""
+WITH tok AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS tokens
+  FROM tok GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM per_src
+)
+SELECT source, n_docs, tokens,
+       total_tokens * {EPOCH_BUDGET_X2} // 2 AS budget,
+       (total_tokens * {EPOCH_BUDGET_X2} // 2) // n_sources AS target_share,
+       least({EPOCH_MAX}, greatest(1,
+         ((total_tokens * {EPOCH_BUDGET_X2} // 2) // n_sources) // tokens))
+         AS epochs,
+       least({EPOCH_MAX}, greatest(1,
+         ((total_tokens * {EPOCH_BUDGET_X2} // 2) // n_sources) // tokens))
+         * tokens AS allocated_tokens
+FROM per_src, tot ORDER BY source
+"""
+
+
+def permutation_test(events, n_perm: int = N_PERM):
+    """Hash-randomization test for the A/B mean difference (the
+    permutation-test variant where each row's arm flips by an md5 bit
+    per replicate — exchangeable under the null, and REPRODUCIBLE,
+    the same argument as the Poisson bootstrap).  The test statistic
+    |mean_A − mean_B| is micro-quantized from exact integer sums per
+    replicate; the p-value is the add-one rank of the observed
+    statistic among the replicates — pure integer comparison.
+
+    Scale shape: the n_perm× explode collapses to 2·n_perm aggregate
+    rows via map-side combine; the observed statistic rides in as a
+    broadcast 1-row aggregate."""
+    base = events.where(F.col("event_type").isin(KS_A, KS_B)).select(
+        F.col("event_id").cast("string").alias("k"),
+        (F.col("event_type") == KS_A).cast("int").alias("is_a"),
+        cents(F.col("value")).alias("c"),
+    )
+
+    def t_micro(sa, na, sb, nb):
+        # a replicate that flips every row into one arm has no mean
+        # difference to measure — NULL, excluded (cannot occur beyond
+        # toy inputs: P = 2^-rows per replicate)
+        return F.when(
+            (na > 0) & (nb > 0),
+            F.floor(
+                F.abs(
+                    sa.cast("double") / na.cast("double")
+                    - sb.cast("double") / nb.cast("double")
+                )
+                * 10000
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+
+    obs = base.agg(
+        t_micro(
+            F.sum(F.when(F.col("is_a") == 1, F.col("c")).otherwise(0)),
+            F.sum("is_a"),
+            F.sum(F.when(F.col("is_a") == 0, F.col("c")).otherwise(0)),
+            F.sum(1 - F.col("is_a")),
+        ).alias("t_obs")
+    )
+    flip = (
+        F.pmod(
+            _h32(F.concat(F.lit("perm:"), F.col("p").cast("string"), F.lit(":"), F.col("k"))),
+            F.lit(2),
+        )
+        == 0
+    )
+    reps = (
+        base.select(
+            "k", "is_a", "c",
+            F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("p"),
+        )
+        .select(
+            "p",
+            "c",
+            F.when(flip, 1 - F.col("is_a")).otherwise(F.col("is_a")).alias("arm"),
+        )
+        .groupBy("p")
+        .agg(
+            t_micro(
+                F.sum(F.when(F.col("arm") == 1, F.col("c")).otherwise(0)),
+                F.sum("arm"),
+                F.sum(F.when(F.col("arm") == 0, F.col("c")).otherwise(0)),
+                F.sum(1 - F.col("arm")),
+            ).alias("t_p")
+        )
+    )
+    reps = reps.where(F.col("t_p").isNotNull())
+    summary = reps.join(F.broadcast(obs)).agg(
+        F.count(F.lit(1)).alias("n_perm"),
+        F.max("t_obs").alias("t_obs_micro"),
+        F.sum((F.col("t_p") >= F.col("t_obs")).cast("long")).alias("n_ge"),
+    )
+    return summary.select(
+        "n_perm",
+        "t_obs_micro",
+        "n_ge",
+        (
+            F.floor(
+                (F.col("n_ge") + 1).cast("double")
+                / (F.col("n_perm") + 1).cast("double")
+                * 1000000000
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("p9"),
+    )
+
+
+def _stat_permutation_test(spark, sf_dir):
+    return permutation_test(t(spark, sf_dir, "events"))
+
+
+def _perm_flip_sql() -> str:
+    return (
+        "('0x' || substr(md5('perm:' || CAST(p.p AS VARCHAR) || ':' "
+        "|| base.k), 1, 8))::BIGINT % 2 = 0"
+    )
+
+
+_PERM_SQL = f"""
+WITH base AS (
+  SELECT CAST(event_id AS VARCHAR) AS k,
+         CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END AS is_a,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+),
+obs AS (
+  SELECT CAST(floor(abs(
+           CAST(sum(CASE WHEN is_a = 1 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(is_a) AS DOUBLE)
+           - CAST(sum(CASE WHEN is_a = 0 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(1 - is_a) AS DOUBLE)
+         ) * 10000 + 0.5) AS BIGINT) AS t_obs
+  FROM base
+),
+reps AS (
+  SELECT p.p,
+         CAST(floor(abs(
+           CAST(sum(CASE WHEN (CASE WHEN {_perm_flip_sql()} THEN 1 - is_a ELSE is_a END) = 1 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CASE WHEN {_perm_flip_sql()} THEN 1 - is_a ELSE is_a END) AS DOUBLE)
+           - CAST(sum(CASE WHEN (CASE WHEN {_perm_flip_sql()} THEN 1 - is_a ELSE is_a END) = 0 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(1 - (CASE WHEN {_perm_flip_sql()} THEN 1 - is_a ELSE is_a END)) AS DOUBLE)
+         ) * 10000 + 0.5) AS BIGINT) AS t_p
+  FROM base, (SELECT unnest(range(0, {N_PERM})) AS p) p
+  GROUP BY p.p
+  HAVING sum(CASE WHEN {_perm_flip_sql()} THEN 1 - is_a ELSE is_a END) > 0
+     AND sum(CASE WHEN {_perm_flip_sql()} THEN 1 - is_a ELSE is_a END) < count(*)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_perm,
+       max(t_obs) AS t_obs_micro,
+       CAST(sum(CASE WHEN t_p >= t_obs THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+       CAST(floor(CAST(sum(CASE WHEN t_p >= t_obs THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+                  / CAST(count(*) + 1 AS DOUBLE) * 1000000000 + 0.5) AS BIGINT) AS p9
+FROM reps, obs
+GROUP BY t_obs
+"""
+
+
+for _q in (
+    QueryDef(
+        "window_range_frame", _window_range_frame, _RANGE_FRAME_SQL, ("window",)
+    ),
+    QueryDef(
+        "corpus_epoch_schedule", _corpus_epoch_schedule, _EPOCH_SQL, ("corpus",)
+    ),
+    QueryDef(
+        "stat_permutation_test", _stat_permutation_test, _PERM_SQL, ("stat",)
+    ),
+):
+    R6_QUERIES[_q.name] = _q
+
+
+def _multimodal_gif_roundtrip(spark, sf_dir):
+    """Real palette-image decode: every document becomes a genuine
+    LZW-compressed GIF89a via the pure-stdlib codec in ``ext/gif.py``
+    (variable-width codes, clear/EOI, sub-block framing), then decodes
+    back to exact palette-index statistics. GIF's LZW is lossless, so
+    the DuckDB oracle replays the per-pixel LCG relationally and the
+    hash match proves the encode→sub-block→LZW→decode loop is
+    index-exact everywhere. Decoder breadth (extensions, local color
+    tables, KwKwK, mid-stream clears, corruption fuzz) is
+    pytest-covered. Scale shape: two chained Arrow-batched
+    ``mapInPandas``, zero data shuffle (the one exchange moves (id,
+    len) control rows at an explicit partition count — SCALING.md §14)."""
+    from .ext import gif as G
+
+    docs = t(spark, sf_dir, "documents")
+    return G.gif_features(G.synthesize_gif(docs))
+
+
+_GIF_SQL = """
+WITH RECURSIVE pw(k, ak, sk) AS (
+  SELECT 1, CAST(6364136223846793005 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT k + 1,
+         CAST((CAST(6364136223846793005 AS HUGEINT) * ak)
+              % 9223372036854775808 AS BIGINT),
+         CAST((CAST(6364136223846793005 AS HUGEINT) * sk + 1)
+              % 9223372036854775808 AS BIGINT)
+  FROM pw WHERE k < 30
+),
+docs0 AS (
+  SELECT doc_id,
+         CAST(doc_id % 5 + 2 AS BIGINT) AS w,
+         CAST((doc_id // 5) % 4 + 2 AS BIGINT) AS h,
+         CASE WHEN doc_id % 8 = 0 THEN doc_id + n_chars
+              ELSE doc_id END AS sb
+  FROM documents),
+seeds AS (
+  SELECT doc_id, w, h, w * h AS npx,
+         CAST((CAST(sb AS HUGEINT) * 6364136223846793005
+               + 1442695040888963407) % 9223372036854775808 AS BIGINT) AS s0
+  FROM docs0),
+px AS (
+  SELECT d.doc_id, d.w, d.h, d.npx,
+         (CAST((CAST(p.ak AS HUGEINT) * d.s0 + p.sk)
+               % 9223372036854775808 AS BIGINT) // 8589934592) % 8 AS v
+  FROM seeds d JOIN pw p ON p.k <= d.npx)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(npx AS BIGINT) AS n_px,
+       CAST(8 AS INTEGER) AS n_colors,
+       CAST(sum(v) AS BIGINT) AS idx_sum,
+       CAST(min(v) AS INTEGER) AS idx_min,
+       CAST(max(v) AS INTEGER) AS idx_max
+FROM px GROUP BY doc_id, w, h, npx
+"""
+
+
+R6_QUERIES["multimodal_gif_roundtrip"] = QueryDef(
+    "multimodal_gif_roundtrip",
+    _multimodal_gif_roundtrip,
+    _GIF_SQL,
+    ("multimodal",),
+)

@@ -840,3 +840,43 @@ def test_jpeg_decoder_handles_16bit_quant_table():
     d = J.decode_jpeg(wide)
     assert d is not None
     assert d["pixels"] == img.tobytes()
+
+
+def test_gif_decoder_breadth_beyond_encoder():
+    """The GIF decoder accepts streams the encoder never emits:
+    extension blocks before the image, a local color table overriding
+    the global one, and rejects interlaced images (outside the subset)
+    with None rather than garbage."""
+    from fitness_data_ingest_spark.ext.gif import decode_gif, encode_gif
+
+    idx = bytes([i % 4 for i in range(12)])
+    pal = [(0, 0, 0), (80, 80, 80), (160, 160, 160), (240, 240, 240)]
+    g = bytearray(encode_gif(4, 3, idx, pal))
+
+    # splice a Graphic Control Extension + comment before the image
+    img_at = g.index(0x2C, 13)
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    comment = bytes([0x21, 0xFE, 0x03]) + b"abc" + b"\x00"
+    spliced = bytes(g[:img_at]) + gce + comment + bytes(g[img_at:])
+    d = decode_gif(spliced)
+    assert d and d["indices"] == idx and d["palette"] == pal
+
+    # local color table: rebuild the image block with LCT flag + table
+    lct = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    body = bytes(g[img_at + 1 : img_at + 9])  # left/top/w/h
+    lct_bytes = b"".join(bytes(c) for c in lct)
+    with_lct = (
+        bytes(g[:img_at])
+        + bytes([0x2C])
+        + body
+        + bytes([0x81])  # LCT flag, 4 entries
+        + lct_bytes
+        + bytes(g[img_at + 10 :])
+    )
+    d = decode_gif(with_lct)
+    assert d and d["indices"] == idx and d["palette"] == lct
+
+    # interlace flag -> None (subset boundary, not silent garbage)
+    interlaced = bytearray(g)
+    interlaced[img_at + 9] |= 0x40
+    assert decode_gif(bytes(interlaced)) is None

@@ -929,3 +929,27 @@ def test_r6_misc_family_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "Window" not in plan, name
+
+
+def test_r6_wave2_plan_shapes(spark, sf_dir):
+    """Wave-2 keys: window_range_frame's only Window partitions by
+    user (never partition-less); the permutation/epoch keys carry no
+    cartesian product and only bounded-build BNLJ (1-row obs/total
+    scalars); the GIF key plans exactly one exchange of control rows
+    (explicit partition count, SCALING.md §14) and zero joins."""
+    import re
+
+    from fitness_data_ingest_spark.registry_r6 import R6_QUERIES
+
+    wrf = plan_of(R6_QUERIES["window_range_frame"].spark(spark, sf_dir), "simple")
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", wrf):
+        assert m.group(1).strip(), "partition-less window in range frame"
+
+    for name in ("corpus_epoch_schedule", "stat_permutation_test"):
+        plan = plan_of(R6_QUERIES[name].spark(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+
+    gif = plan_of(
+        R6_QUERIES["multimodal_gif_roundtrip"].spark(spark, sf_dir), "simple"
+    )
+    assert "Join" not in gif, gif[:600]

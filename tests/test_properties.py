@@ -2275,3 +2275,174 @@ def test_dedup_within_delay_matches_bruteforce(spark, keys):
                 last = s
         want[f"t{ki}"] = (len(secs), 1, kept, len(secs) - kept)
     assert got == want
+
+
+# --------------------------------------------- round-6 wave-2 family
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user
+            st.integers(min_value=0, max_value=9000),  # second offset
+            st.integers(min_value=1, max_value=300),  # cents
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@PROP_SETTINGS
+def test_range_frame_matches_bruteforce(spark, rows):
+    """RANGE-frame trailing sums == the literal peer-inclusive Python
+    replay (duplicate timestamps within a user see each other)."""
+    import datetime as dt
+
+    from fitness_data_ingest_spark.registry_r6 import range_frame_trailing
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    data = [
+        (i, u, base + dt.timedelta(seconds=s), c / 100.0)
+        for i, (u, s, c) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: (r["sum_1h_c"], r["n_1h"])
+        for r in range_frame_trailing(ev, width_s=3600, mod=1).collect()
+    }
+    want = {}
+    for i, (u, s, c) in enumerate(rows):
+        peers = [
+            c2
+            for (u2, s2, c2) in rows
+            if u2 == u and s - 3600 <= s2 <= s
+        ]
+        want[i] = (sum(peers), len(peers))
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # source
+            st.integers(min_value=1, max_value=40),  # tokens
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@PROP_SETTINGS
+def test_epoch_schedule_matches_bruteforce(spark, docs):
+    """Epoch counts == the integer-division replay; allocation never
+    exceeds cap × tokens and every source gets at least one epoch."""
+    from fitness_data_ingest_spark.registry_r6 import (
+        EPOCH_BUDGET_X2,
+        EPOCH_MAX,
+        epoch_schedule,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), f"s{s}") for i, (s, n) in enumerate(docs)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: (r["tokens"], r["target_share"], r["epochs"], r["allocated_tokens"])
+        for r in epoch_schedule(df).collect()
+    }
+    toks = {}
+    for s, n in docs:
+        toks[f"s{s}"] = toks.get(f"s{s}", 0) + n
+    total = sum(toks.values())
+    budget = total * EPOCH_BUDGET_X2 // 2
+    target = budget // len(toks)
+    want = {}
+    for src, tk in toks.items():
+        ep = min(EPOCH_MAX, max(1, target // tk))
+        want[src] = (tk, target, ep, ep * tk)
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # arm (0=view,1=click)
+            st.integers(min_value=1, max_value=400),  # cents
+        ),
+        min_size=4,
+        max_size=20,
+    ).filter(lambda r: len({a for a, _ in r}) == 2)
+)
+@PROP_SETTINGS
+def test_permutation_test_matches_hashlib(spark, rows):
+    """Hash-randomization replicates == the hashlib replay: same arm
+    flips, same micro-quantized statistics, same add-one p-value."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    from fitness_data_ingest_spark.registry_r6 import permutation_test
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    data = [
+        (i, "click" if a == 1 else "view", base, c / 100.0)
+        for i, (a, c) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, event_type string, ts timestamp, value double"
+    )
+    row = permutation_test(ev, n_perm=16).collect()[0]
+
+    def tmicro(pairs):
+        sa = sum(c for a, c in pairs if a == 1)
+        na = sum(1 for a, _ in pairs if a == 1)
+        sb = sum(c for a, c in pairs if a == 0)
+        nb = sum(1 for a, _ in pairs if a == 0)
+        if na == 0 or nb == 0:
+            return None
+        return math.floor(
+            abs(float(sa) / float(na) - float(sb) / float(nb)) * 10000 + 0.5
+        )
+
+    t_obs = tmicro(list(rows))
+    n_ge = 0
+    n_perm_valid = 0
+    for p in range(16):
+        flipped = []
+        for i, (a, c) in enumerate(rows):
+            u = int(hashlib.md5(f"perm:{p}:{i}".encode()).hexdigest()[:8], 16) % 2
+            flipped.append((1 - a if u == 0 else a, c))
+        tp = tmicro(flipped)
+        if tp is None:
+            continue  # degenerate replicate (all rows one arm) — excluded
+        n_perm_valid += 1
+        if tp >= t_obs:
+            n_ge += 1
+    assert (row["n_perm"], row["t_obs_micro"], row["n_ge"]) == (
+        n_perm_valid, t_obs, n_ge
+    )
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@PROP_SETTINGS
+def test_gif_roundtrip_random(spark, seed):
+    """Any palette image round-trips bit-exactly through the GIF/LZW
+    codec, including table-growth and KwKwK patterns; single-byte
+    corruption never throws."""
+    import random
+
+    from fitness_data_ingest_spark.ext.gif import decode_gif, encode_gif
+
+    rnd = random.Random(seed)
+    w, h = rnd.randint(1, 16), rnd.randint(1, 16)
+    npal = rnd.choice([2, 4, 8, 16])
+    idx = bytes(rnd.randrange(npal) for _ in range(w * h))
+    pal = [(i * 3 % 256, i * 5 % 256, i * 7 % 256) for i in range(npal)]
+    g = encode_gif(w, h, idx, pal)
+    d = decode_gif(g)
+    assert d and d["indices"] == idx and d["palette"] == pal
+    pos = rnd.randrange(len(g))
+    bb = bytearray(g)
+    bb[pos] ^= 0xFF
+    r = decode_gif(bytes(bb))
+    assert r is None or isinstance(r, dict)
