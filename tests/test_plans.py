@@ -953,3 +953,15 @@ def test_r6_wave2_plan_shapes(spark, sf_dir):
         R6_QUERIES["multimodal_gif_roundtrip"].spark(spark, sf_dir), "simple"
     )
     assert "Join" not in gif, gif[:600]
+
+
+def test_r6_wave3_plan_shapes(spark, sf_dir):
+    """Wave-3 keys: the Jaccard wedge join is equi on the capped
+    center (no cartesian; BNLJ only in the bounded top-k rank
+    self-join); blocking_recall runs at the distinct-entity grain with
+    no join wider than the 3-strategy explode."""
+    from fitness_data_ingest_spark.registry_r6 import R6_QUERIES
+
+    for name in ("graph_neighborhood_jaccard", "er_blocking_recall"):
+        plan = plan_of(R6_QUERIES[name].spark(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name

@@ -2446,3 +2446,106 @@ def test_gif_roundtrip_random(spark, seed):
     bb[pos] ^= 0xFF
     r = decode_gif(bytes(bb))
     assert r is None or isinstance(r, dict)
+
+
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=24,
+    )
+)
+@PROP_SETTINGS
+def test_neighborhood_jaccard_matches_bruteforce(spark, edges):
+    """Capped-wedge Jaccard == the Python replay on a symmetric edge
+    list (cap high enough to be inactive on these sizes)."""
+    from fitness_data_ingest_spark.registry_r6 import neighborhood_jaccard
+
+    sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    df = spark.createDataFrame(sorted(sym), "src long, dst long")
+    got = {
+        (r["a"], r["b"]): (r["common"], r["deg_a"], r["deg_b"], r["jacc_micro"])
+        for r in neighborhood_jaccard(df, topk=100, hub_cap=100).collect()
+    }
+
+    nbr: dict[int, set] = {}
+    for a, b in sym:
+        nbr.setdefault(a, set()).add(b)
+    want = {}
+    nodes = sorted(nbr)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            common = len(nbr[a] & nbr[b])
+            if common == 0:
+                continue
+            want[(a, b)] = (
+                common,
+                len(nbr[a]),
+                len(nbr[b]),
+                1000000 * common // (len(nbr[a]) + len(nbr[b]) - common),
+            )
+    assert got == want
+
+
+@given(
+    names=st.sets(
+        st.tuples(
+            st.sampled_from(["red", "blue", "small", "big"]),
+            st.sampled_from(["bolt", "ring", "widget", "gear"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@PROP_SETTINGS
+def test_blocking_recall_matches_bruteforce(spark, names):
+    """Planted-pair recall and candidate cost == the hashlib replay for
+    all three blocking strategies."""
+    import hashlib
+
+    from fitness_data_ingest_spark.registry_r6 import blocking_recall
+
+    nm = sorted(f"{a} {b}" for a, b in names)
+    part = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(nm)], "p_partkey long, p_name string"
+    )
+    got = {
+        r["strategy"]: (r["n_truth"], r["n_found"], r["n_blocks"], r["n_candidates"])
+        for r in blocking_recall(part).collect()
+    }
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def corrupt(n):
+        tk = n.split(" ")
+        ci = h32(f"erb:{n}") % len(tk)
+        tk[ci] = tk[ci][:-1]
+        return " ".join(tk)
+
+    def key(strategy, n):
+        tk = n.split(" ")
+        if strategy == "first_tok":
+            return tk[0]
+        if strategy == "last_tok":
+            return tk[-1]
+        return "".join(t[:1] for t in tk)
+
+    want = {}
+    for s in ("first_tok", "initials", "last_tok"):
+        found = sum(1 for n in nm if key(s, n) == key(s, corrupt(n)))
+        blocks: dict[str, int] = {}
+        for n in nm:
+            for v in (n, corrupt(n)):
+                k = key(s, v)
+                blocks[k] = blocks.get(k, 0) + 1
+        want[s] = (
+            len(nm),
+            found,
+            len(blocks),
+            sum(c * (c - 1) // 2 for c in blocks.values()),
+        )
+    assert got == want
