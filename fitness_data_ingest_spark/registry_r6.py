@@ -2533,3 +2533,481 @@ for _q in (
     QueryDef("er_blocking_recall", _er_blocking_recall, _ERB_SQL, ("ext",)),
 ):
     R6_QUERIES[_q.name] = _q
+
+
+# =====================================================================
+# Round-6 wave 4: equi-width histogram, difference-in-differences,
+# multiple regression (normal equations), class-balanced sampling,
+# Kaplan-Meier survival.
+# =====================================================================
+
+HIST_BINS = 20
+DID_SPLIT_NUM = 1  # post-period starts at min + (max-min)*1/2
+BAL_K = 500  # per-class sample budget
+KM_CENSOR_H = 48  # users active within the last 48h are censored
+KM_BUCKET = 64  # coarse bucket for the duration-grain prefix sum
+
+
+def equiwidth_histogram(orders, bins: int = HIST_BINS):
+    """Equi-width histogram of o_totalprice (the profiling complement
+    of feature_quantile_bin's equi-height bins): bounds ride in as a
+    broadcast 1-row aggregate, bin assignment is one integer
+    expression, and the histogram is a map-side-combinable groupBy
+    onto a constant number of rows.  The max value clamps into the
+    last bin (the standard closed-top rule)."""
+    c = cents(F.col("o_totalprice"))
+    bounds = orders.agg(
+        F.min(c).alias("cmin"), F.max(c).alias("cmax")
+    )
+    j = orders.select(c.alias("c")).join(F.broadcast(bounds))
+    bin_ = F.least(
+        F.lit(bins - 1),
+        F.expr(f"(c - cmin) * {bins} div (cmax - cmin + 1)"),
+    ).cast("long")
+    h = j.select(bin_.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = h.agg(F.sum("n").alias("tot"))
+    return (
+        h.join(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            (
+                F.floor(F.col("n") / F.col("tot").cast("double") * 1000000 + F.lit(0.5))
+                / 1000000.0
+            ).alias("pct6"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _agg_equiwidth_histogram(spark, sf_dir):
+    return equiwidth_histogram(t(spark, sf_dir, "orders"))
+
+
+_HIST_SQL = f"""
+WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders),
+b AS (SELECT min(c) AS cmin, max(c) AS cmax FROM c),
+h AS (
+  SELECT least({HIST_BINS - 1},
+               (c - cmin) * {HIST_BINS} // (cmax - cmin + 1)) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM c, b GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM h)
+SELECT bin, n,
+       floor(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000 + 0.5)
+         / 1000000.0 AS pct6
+FROM h, tot ORDER BY bin
+"""
+
+
+def did_estimator(events):
+    """Difference-in-differences over the event value stream: treatment
+    = user-id parity (the hash-split a real experiment assigns), post
+    = second half of the observation window (boundary from the
+    broadcast min/max — pure integer micros arithmetic).  The four
+    cell means are quantized IEEE divisions of integer cent sums; the
+    DiD estimate is their closed form.  One scan, one 4-row aggregate.
+    """
+    span = events.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    j = events.select(
+        "user_id", "ts", cents(F.col("value")).alias("c")
+    ).join(F.broadcast(span))
+    cut = F.expr(f"lo + (hi - lo) * {DID_SPLIT_NUM} div 2")
+    cells = j.select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("treat"),
+        (F.unix_micros("ts") >= cut).cast("int").alias("post"),
+        "c",
+    ).groupBy("treat", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    named = cells.select(
+        F.concat(F.lit("m"), F.col("treat"), F.col("post")).alias("cell"),
+        m.alias("mean_c"),
+        "n",
+    )
+    wide = named.groupBy().pivot(
+        "cell", ["m00", "m01", "m10", "m11"]
+    ).agg(F.first("mean_c"))
+    q6 = lambda x: F.floor(x * 1000000 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return wide.select(
+        q6(F.col("m00")).alias("ctrl_pre6"),
+        q6(F.col("m01")).alias("ctrl_post6"),
+        q6(F.col("m10")).alias("treat_pre6"),
+        q6(F.col("m11")).alias("treat_post6"),
+        q6(
+            (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+        ).alias("did6"),
+    )
+
+
+def _events_did_estimator(spark, sf_dir):
+    return did_estimator(t(spark, sf_dir, "events"))
+
+
+_DID_SQL = f"""
+WITH span AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+cells AS (
+  SELECT user_id % 2 AS treat,
+         CASE WHEN epoch_us(ts) >= lo + (hi - lo) * {DID_SPLIT_NUM} // 2
+              THEN 1 ELSE 0 END AS post,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM events, span GROUP BY 1, 2
+),
+m AS (
+  SELECT treat, post, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c
+  FROM cells
+)
+SELECT
+  floor(max(CASE WHEN treat = 0 AND post = 0 THEN mean_c END) * 1000000 + 0.5) / 1000000.0 AS ctrl_pre6,
+  floor(max(CASE WHEN treat = 0 AND post = 1 THEN mean_c END) * 1000000 + 0.5) / 1000000.0 AS ctrl_post6,
+  floor(max(CASE WHEN treat = 1 AND post = 0 THEN mean_c END) * 1000000 + 0.5) / 1000000.0 AS treat_pre6,
+  floor(max(CASE WHEN treat = 1 AND post = 1 THEN mean_c END) * 1000000 + 0.5) / 1000000.0 AS treat_post6,
+  floor(((max(CASE WHEN treat = 1 AND post = 1 THEN mean_c END)
+          - max(CASE WHEN treat = 1 AND post = 0 THEN mean_c END))
+         - (max(CASE WHEN treat = 0 AND post = 1 THEN mean_c END)
+            - max(CASE WHEN treat = 0 AND post = 0 THEN mean_c END)))
+        * 1000000 + 0.5) / 1000000.0 AS did6
+FROM m
+"""
+
+
+def multiple_regression(orders):
+    """Two-predictor OLS (y = order value in cents; x1 = order month,
+    x2 = priority rank) solved by Cramer's rule on the normal
+    equations — the closed form that needs ONLY the six integer moment
+    sums of one map-side-combinable aggregate (the multi-feature
+    upgrade of agg_linear_fit).  Determinants are IEEE doubles of
+    exact int64 moments (identical expression tree both engines);
+    betas quantize at the very end.  One scan, 1-row result."""
+    x1 = F.month("o_orderdate").cast("long")
+    x2 = F.substring("o_orderpriority", 1, 1).cast("long")
+    y = cents(F.col("o_totalprice"))
+    m = orders.select(
+        x1.alias("x1"), x2.alias("x2"), y.alias("y")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    def det3(a, b, c, p, q, r, u, v, w):
+        return (
+            a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
+        )
+
+    dd = det3(d("n"), d("s1"), d("s2"), d("s1"), d("s11"), d("s12"), d("s2"), d("s12"), d("s22"))
+    d0 = det3(d("sy"), d("s1"), d("s2"), d("s1y"), d("s11"), d("s12"), d("s2y"), d("s12"), d("s22"))
+    d1 = det3(d("n"), d("sy"), d("s2"), d("s1"), d("s1y"), d("s12"), d("s2"), d("s2y"), d("s22"))
+    d2 = det3(d("n"), d("s1"), d("sy"), d("s1"), d("s11"), d("s1y"), d("s2"), d("s12"), d("s2y"))
+    q6 = lambda x: F.floor(x * 1000000 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return m.select(
+        "n",
+        q6(d0 / dd).alias("beta0_6"),
+        q6(d1 / dd).alias("beta1_6"),
+        q6(d2 / dd).alias("beta2_6"),
+    )
+
+
+def _stat_multiple_regression(spark, sf_dir):
+    return multiple_regression(t(spark, sf_dir, "orders"))
+
+
+_MREG_SQL = """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         CAST(sum(x2 * y) AS BIGINT) AS s2y
+  FROM (
+    SELECT CAST(month(o_orderdate) AS BIGINT) AS x1,
+           CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x2,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+    FROM orders
+  )
+)
+SELECT n,
+  floor((CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+       - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+       + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)))
+      / (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+       - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+       + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+      * 1000000 + 0.5) / 1000000.0 AS beta0_6,
+  floor((CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+       - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+       + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)))
+      / (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+       - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+       + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+      * 1000000 + 0.5) / 1000000.0 AS beta1_6,
+  floor((CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))
+       - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+       + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+      / (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+       - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+       + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)))
+      * 1000000 + 0.5) / 1000000.0 AS beta2_6
+FROM m
+"""
+
+
+def class_balance_sample(events, k: int = BAL_K):
+    """Class-balanced sampling to a fixed per-class budget: each
+    event_type keeps its ``k`` smallest rows by (md5 hash, id) — the
+    deterministic, retry-stable analog of per-class random
+    downsampling, selected through the SALTED two-level grouped_topk
+    (ops/scale.py) so a whale class never funnels through one reducer.
+    Classes below budget keep everything (the standard rule).
+
+    Output is the selected (class, id, h) rows themselves — the
+    manifest a training job joins against — so the oracle's hash match
+    proves the exact selection set, not just its size."""
+    from .ops.scale import grouped_topk
+
+    base = events.select(
+        "event_type",
+        "event_id",
+        _h32(
+            F.concat(F.lit("bal:"), F.col("event_id").cast("string"))
+        ).alias("h"),
+    )
+    picked = grouped_topk(
+        base, "event_type", [("h", "asc"), ("event_id", "asc")], k
+    )
+    return picked.select("event_type", "event_id", "h").orderBy(
+        "event_type", "h", "event_id"
+    )
+
+
+def _sample_class_balance(spark, sf_dir):
+    return class_balance_sample(t(spark, sf_dir, "events"))
+
+
+_BAL_SQL = f"""
+WITH base AS (
+  SELECT event_type, event_id,
+         ('0x' || substr(md5('bal:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, event_id, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+  FROM base
+)
+SELECT event_type, event_id, h FROM ranked WHERE rn <= {BAL_K}
+ORDER BY event_type, h, event_id
+"""
+
+
+def survival_km(events, censor_h: int = KM_CENSOR_H):
+    """Kaplan-Meier survival of user lifetime (hours from first to
+    last event), with users still active in the final ``censor_h``
+    hours of the observation window right-censored — the
+    churn/retention curve at its textbook estimator.
+
+    Exactness: at each distinct event duration t, n_at_risk and
+    d_events are integers from the duration-grain prefix sum
+    (hierarchical, coarse-bucketed — durations are calendar-bounded);
+    the product Π(1 − d/n) is carried in EXACT log space — each
+    factor's −ln quantizes to nano-nats int64 BEFORE the cumulative
+    sum (the per-term rule every ln-using key follows) — and the
+    survival probability is the one exp at the very end.
+
+    Scale shape: one shuffle to user grain, one to the bounded
+    duration grain; everything after is metadata-sized."""
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+    horizon = events.agg(F.max(F.unix_micros("ts")).alias("hmax"))
+    u = per_user.join(F.broadcast(horizon)).select(
+        F.expr("(last_us - first_us) div 3600000000").alias("dur_h"),
+        (
+            F.col("last_us")
+            < F.col("hmax") - censor_h * 3600000000
+        ).cast("long").alias("is_event"),
+    )
+    g = u.groupBy("dur_h").agg(
+        F.count(F.lit(1)).alias("n_at"), F.sum("is_event").alias("d")
+    )
+    tot = g.agg(F.sum("n_at").alias("n_users"))
+    g = g.withColumn("bkt", F.floor(F.col("dur_h") / KM_BUCKET))
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("dur_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = g.select(
+        "dur_h", "bkt", "n_at", "d", F.sum("n_at").over(w).alias("cin")
+    )
+    btot = g.groupBy("bkt").agg(F.sum("n_at").alias("bn"))
+    offs = (
+        btot.select(F.col("bkt").alias("kk"))
+        .join(btot.select(F.col("bkt").alias("k2"), "bn"), F.col("k2") < F.col("kk"))
+        .groupBy("kk")
+        .agg(F.sum("bn").alias("off"))
+    )
+    cum = (
+        within.join(F.broadcast(offs), within.bkt == offs.kk, "left")
+        .join(F.broadcast(tot))
+        .select(
+            "dur_h",
+            "d",
+            (
+                F.col("n_users")
+                - (F.col("cin") + F.coalesce("off", F.lit(0)))
+                + F.col("n_at")
+            ).alias("n_risk"),
+        )
+        .where(F.col("d") > 0)
+    )
+    # per-factor -ln(1 - d/n) in nano-nats, int64 BEFORE any sum
+    term = F.when(F.col("d") >= F.col("n_risk"), F.lit(None)).otherwise(
+        F.floor(
+            -F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1000000000
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    tl = cum.select("dur_h", "d", "n_risk", term.alias("t9"))
+    tl = tl.withColumn("bkt", F.floor(F.col("dur_h") / KM_BUCKET))
+    w2 = (
+        Window.partitionBy("bkt")
+        .orderBy("dur_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within2 = tl.select(
+        "dur_h", "d", "n_risk", "bkt", "t9",
+        F.sum("t9").over(w2).alias("cin9"),
+    )
+    bt2 = tl.groupBy("bkt").agg(F.sum("t9").alias("b9"))
+    offs2 = (
+        bt2.select(F.col("bkt").alias("kk"))
+        .join(bt2.select(F.col("bkt").alias("k2"), "b9"), F.col("k2") < F.col("kk"))
+        .groupBy("kk")
+        .agg(F.sum("b9").alias("off9"))
+    )
+    # a skip-null flat window carries the previous value across NULL
+    # factors; the bucketed form must coalesce each level (NULL only
+    # when NO non-null term exists anywhere in the prefix)
+    out = within2.join(
+        F.broadcast(offs2), within2.bkt == offs2.kk, "left"
+    ).select(
+        "dur_h",
+        "n_risk",
+        "d",
+        F.when(
+            F.col("cin9").isNull() & F.col("off9").isNull(), F.lit(None)
+        )
+        .otherwise(
+            F.coalesce("cin9", F.lit(0)) + F.coalesce("off9", F.lit(0))
+        )
+        .alias("neglog9"),
+    )
+    return out.select(
+        "dur_h",
+        "n_risk",
+        "d",
+        "neglog9",
+        (
+            F.floor(
+                F.exp(-F.col("neglog9").cast("double") / 1000000000.0)
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("s6"),
+    ).orderBy("dur_h")
+
+
+def _events_survival_km(spark, sf_dir):
+    return survival_km(t(spark, sf_dir, "events"))
+
+
+_KM_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT max(epoch_us(ts)) AS hmax FROM events),
+u AS (
+  SELECT (last_us - first_us) // 3600000000 AS dur_h,
+         CASE WHEN last_us < hmax - {KM_CENSOR_H} * 3600000000
+              THEN 1 ELSE 0 END AS is_event
+  FROM per_user, horizon
+),
+g AS (
+  SELECT dur_h, CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(is_event) AS BIGINT) AS d
+  FROM u GROUP BY dur_h
+),
+tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS n_users FROM g),
+cum AS (
+  SELECT dur_h, d,
+         CAST(n_users - sum(n_at) OVER (ORDER BY dur_h) + n_at AS BIGINT)
+           AS n_risk
+  FROM g, tot
+),
+terms AS (
+  SELECT dur_h, d, n_risk,
+         CASE WHEN d >= n_risk THEN NULL
+              ELSE CAST(floor(-ln(CAST(n_risk - d AS DOUBLE)
+                                  / CAST(n_risk AS DOUBLE))
+                              * 1000000000 + 0.5) AS BIGINT)
+         END AS t9
+  FROM cum WHERE d > 0
+)
+SELECT dur_h, n_risk, d,
+       CAST(sum(t9) OVER (ORDER BY dur_h) AS BIGINT) AS neglog9,
+       floor(exp(-CAST(sum(t9) OVER (ORDER BY dur_h) AS DOUBLE) / 1000000000.0)
+             * 1000000 + 0.5) / 1000000.0 AS s6
+FROM terms ORDER BY dur_h
+"""
+
+
+for _q in (
+    QueryDef(
+        "agg_equiwidth_histogram",
+        _agg_equiwidth_histogram,
+        _HIST_SQL,
+        ("agg",),
+    ),
+    QueryDef(
+        "events_did_estimator", _events_did_estimator, _DID_SQL, ("stat",)
+    ),
+    QueryDef(
+        "stat_multiple_regression",
+        _stat_multiple_regression,
+        _MREG_SQL,
+        ("stat",),
+    ),
+    QueryDef(
+        "sample_class_balance", _sample_class_balance, _BAL_SQL, ("corpus",)
+    ),
+    QueryDef("events_survival_km", _events_survival_km, _KM_SQL, ("stat",)),
+):
+    R6_QUERIES[_q.name] = _q

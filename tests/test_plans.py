@@ -965,3 +965,27 @@ def test_r6_wave3_plan_shapes(spark, sf_dir):
     for name in ("graph_neighborhood_jaccard", "er_blocking_recall"):
         plan = plan_of(R6_QUERIES[name].spark(spark, sf_dir), "simple")
         assert "CartesianProduct" not in plan, name
+
+
+def test_r6_wave4_plan_shapes(spark, sf_dir):
+    """Wave-4 keys: histogram/DiD/regression are single-scan
+    aggregates with only 1-row broadcast attaches; class balance must
+    plan the SALTED two-level top-k (no single global window over the
+    fact); survival KM's windows are all coarse-bucket-partitioned."""
+    import re
+
+    from fitness_data_ingest_spark.registry_r6 import R6_QUERIES
+
+    for name in (
+        "agg_equiwidth_histogram",
+        "events_did_estimator",
+        "stat_multiple_regression",
+        "sample_class_balance",
+        "events_survival_km",
+    ):
+        plan = plan_of(R6_QUERIES[name].spark(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+
+    km = plan_of(R6_QUERIES["events_survival_km"].spark(spark, sf_dir), "simple")
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", km):
+        assert m.group(1).strip(), "partition-less window in KM"

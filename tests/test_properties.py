@@ -2549,3 +2549,217 @@ def test_blocking_recall_matches_bruteforce(spark, names):
             sum(c * (c - 1) // 2 for c in blocks.values()),
         )
     assert got == want
+
+
+@given(
+    prices=st.lists(st.integers(min_value=100, max_value=9999), min_size=2, max_size=30)
+)
+@PROP_SETTINGS
+def test_equiwidth_histogram_matches_bruteforce(spark, prices):
+    """Bin assignment (closed-top), counts, and percentages == replay."""
+    import math
+
+    from fitness_data_ingest_spark.registry_r6 import HIST_BINS, equiwidth_histogram
+
+    orders = spark.createDataFrame(
+        [(i, c / 100.0) for i, c in enumerate(prices)],
+        "o_orderkey long, o_totalprice double",
+    )
+    got = {
+        r["bin"]: (r["n"], r["pct6"]) for r in equiwidth_histogram(orders).collect()
+    }
+    lo, hi = min(prices), max(prices)
+    bins: dict[int, int] = {}
+    for c in prices:
+        b = min(HIST_BINS - 1, (c - lo) * HIST_BINS // (hi - lo + 1))
+        bins[b] = bins.get(b, 0) + 1
+    tot = len(prices)
+    want = {
+        b: (n, math.floor(float(n) / float(tot) * 1000000 + 0.5) / 1000000.0)
+        for b, n in bins.items()
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # user
+            st.integers(min_value=0, max_value=1000),  # minute offset
+            st.integers(min_value=1, max_value=400),  # cents
+        ),
+        min_size=4,
+        max_size=25,
+    ).filter(
+        lambda rs: len({(u % 2, 1 if m * 60 * 10**6 >= (min(x[1] for x in rs) * 60 * 10**6 + (max(x[1] for x in rs) - min(x[1] for x in rs)) * 60 * 10**6 // 2) else 0) for u, m, _ in rs for m in [m]}) == 4
+    )
+)
+@PROP_SETTINGS
+def test_did_estimator_matches_bruteforce(spark, rows):
+    """Four cell means and the DiD estimate == the Python replay with
+    the same integer midpoint boundary."""
+    import datetime as dt
+    import math
+
+    from fitness_data_ingest_spark.registry_r6 import did_estimator
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    data = [
+        (i, u, base + dt.timedelta(minutes=m), c / 100.0)
+        for i, (u, m, c) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, value double"
+    )
+    row = did_estimator(ev).collect()[0]
+
+    us = [int((base + dt.timedelta(minutes=m)).timestamp() * 10**6) for _, m, _ in rows]
+    lo, hi = min(us), max(us)
+    cut = lo + (hi - lo) // 2
+    cells: dict[tuple, list] = {}
+    for (u, m, c), t_us in zip(rows, us):
+        cells.setdefault((u % 2, 1 if t_us >= cut else 0), []).append(c)
+
+    def q6(x):
+        return math.floor(x * 1000000 + 0.5) / 1000000.0
+
+    mm = {k: float(sum(v)) / float(len(v)) for k, v in cells.items()}
+    assert row["ctrl_pre6"] == q6(mm[(0, 0)])
+    assert row["ctrl_post6"] == q6(mm[(0, 1)])
+    assert row["treat_pre6"] == q6(mm[(1, 0)])
+    assert row["treat_post6"] == q6(mm[(1, 1)])
+    assert row["did6"] == q6((mm[(1, 1)] - mm[(1, 0)]) - (mm[(0, 1)] - mm[(0, 0)]))
+
+
+def test_multiple_regression_recovers_planted_coefficients(spark):
+    """On noise-free planted data y = b0 + b1*x1 + b2*x2 the normal
+    equations recover the coefficients exactly (and match numpy's
+    least-squares solution)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from fitness_data_ingest_spark.registry_r6 import multiple_regression
+
+    rows = []
+    k = 0
+    for x1 in range(1, 13):
+        for x2 in range(1, 6):
+            y = (500 + 30 * x1 + 70 * x2) / 100.0  # cents -> dollars
+            rows.append((k, f"{x2}-X", dt.datetime(2024, x1, 15), y))
+            k += 1
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp, "
+        "o_totalprice double",
+    )
+    r = multiple_regression(orders).collect()[0]
+    assert (r["beta0_6"], r["beta1_6"], r["beta2_6"]) == (500.0, 30.0, 70.0)
+
+    a = np.array([[1, x1, x2] for x1 in range(1, 13) for x2 in range(1, 6)])
+    y = np.array([500 + 30 * x1 + 70 * x2 for x1 in range(1, 13) for x2 in range(1, 6)])
+    beta = np.linalg.lstsq(a, y, rcond=None)[0]
+    assert np.allclose(beta, [500, 30, 70])
+
+
+@given(
+    classes=st.lists(
+        st.integers(min_value=0, max_value=2),
+        min_size=1,
+        max_size=30,
+    )
+)
+@PROP_SETTINGS
+def test_class_balance_matches_hashlib(spark, classes):
+    """Selected (class, id) set == the hashlib replay of per-class
+    smallest-(h, id) selection with budget k."""
+    import datetime as dt
+    import hashlib
+
+    from fitness_data_ingest_spark.registry_r6 import class_balance_sample
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [(i, f"t{c}", base, 1.0) for i, c in enumerate(classes)],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    k = 4
+    got = {
+        (r["event_type"], r["event_id"], r["h"])
+        for r in class_balance_sample(ev, k=k).collect()
+    }
+    per: dict[str, list] = {}
+    for i, c in enumerate(classes):
+        h = int(hashlib.md5(f"bal:{i}".encode()).hexdigest()[:8], 16)
+        per.setdefault(f"t{c}", []).append((h, i))
+    want = set()
+    for cls, lst in per.items():
+        for h, i in sorted(lst)[:k]:
+            want.add((cls, i, h))
+    assert got == want
+
+
+@given(
+    users=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # first hour
+            st.integers(min_value=0, max_value=200),  # duration hours
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+@PROP_SETTINGS
+def test_survival_km_matches_bruteforce(spark, users):
+    """KM n_at_risk / d / cumulative neg-log == the sequential Python
+    replay, censoring rule included."""
+    import datetime as dt
+    import math
+
+    from fitness_data_ingest_spark.registry_r6 import KM_CENSOR_H, survival_km
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    data = []
+    eid = 0
+    for u, (f0, d0) in enumerate(users):
+        data.append((eid, u, base + dt.timedelta(hours=f0), 1.0)); eid += 1
+        data.append((eid, u, base + dt.timedelta(hours=f0 + d0), 1.0)); eid += 1
+    ev = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = [
+        (r["dur_h"], r["n_risk"], r["d"], r["neglog9"])
+        for r in survival_km(ev).collect()
+    ]
+
+    hmax = max(f0 + d0 for f0, d0 in users)
+    durs = []
+    for f0, d0 in users:
+        is_event = 1 if (f0 + d0) < hmax - KM_CENSOR_H else 0
+        durs.append((d0, is_event))
+    n_users = len(durs)
+    grain: dict[int, list] = {}
+    for d0, e in durs:
+        row = grain.setdefault(d0, [0, 0])
+        row[0] += 1
+        row[1] += e
+    cum = 0
+    acc9 = 0
+    n_terms = 0
+    want = []
+    for t in sorted(grain):
+        n_at, d = grain[t]
+        cum += n_at
+        n_risk = n_users - cum + n_at
+        if d == 0:
+            continue
+        if d < n_risk:
+            acc9 += math.floor(
+                -math.log(float(n_risk - d) / float(n_risk)) * 1000000000 + 0.5
+            )
+            n_terms += 1
+        # a d == n_risk factor (S -> 0) is NULL in log space; windowed
+        # sum() SKIPS nulls identically in both engines, so the running
+        # value simply carries (or stays NULL if no term exists yet)
+        want.append((t, n_risk, d, acc9 if n_terms else None))
+    assert got == want
