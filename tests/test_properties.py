@@ -1677,7 +1677,9 @@ def test_bootstrap_ci_matches_bruteforce(spark, prices):
     for b in range(N_BOOT):
         sb = nb = 0
         for i, c in enumerate(prices):
-            u = int(hashlib.md5(f"boot:{b}:{i}".encode()).hexdigest()[:8], 16) % 1000000
+            hx = hashlib.md5(f"boot:{b // 4}:{i}".encode()).hexdigest()
+            seg = (b % 4) * 8
+            u = int(hx[seg : seg + 8], 16) % 1000000
             w = pois(u)
             sb += w * c
             nb += w
@@ -2410,8 +2412,10 @@ def test_permutation_test_matches_hashlib(spark, rows):
     for p in range(16):
         flipped = []
         for i, (a, c) in enumerate(rows):
-            u = int(hashlib.md5(f"perm:{p}:{i}".encode()).hexdigest()[:8], 16) % 2
-            flipped.append((1 - a if u == 0 else a, c))
+            hx = hashlib.md5(f"perm:{i}".encode()).hexdigest()
+            seg = (p // 32) * 8
+            bit = (int(hx[seg : seg + 8], 16) >> (p % 32)) & 1
+            flipped.append((1 - a if bit == 1 else a, c))
         tp = tmicro(flipped)
         if tp is None:
             continue  # degenerate replicate (all rows one arm) — excluded
