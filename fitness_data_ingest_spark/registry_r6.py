@@ -3027,3 +3027,424 @@ for _q in (
     QueryDef("events_survival_km", _events_survival_km, _KM_SQL, ("stat",)),
 ):
     R6_QUERIES[_q.name] = _q
+
+
+# =====================================================================
+# Round-6 wave 5: ANOVA, Welch t, Theil-Sen robust slope, freshness.
+# =====================================================================
+
+TS_BUCKET2 = 1 << 16  # coarse bucket for the slope/residual medians
+FRESH_STALE_MIN = 60
+
+
+def anova_oneway(events):
+    """One-way ANOVA of value by event_type: between/within sums of
+    squares from the per-group integer moments, each group's term
+    micro-quantized to int64 BEFORE the cross-group sum (the fold-order
+    rule), F assembled from the integer totals at the end.  One
+    map-side-combinable scan; the grand mean rides as a broadcast
+    1-row aggregate."""
+    vals = events.select("event_type", cents(F.col("value")).alias("c"))
+    g = vals.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts"), F.count(F.lit(1)).alias("k")
+    )
+    j = g.join(F.broadcast(tot))
+    mu = F.col("ts").cast("double") / F.col("tn").cast("double")
+    mean_g = F.col("s").cast("double") / F.col("n").cast("double")
+    ssb_term = F.col("n").cast("double") * (mean_g - mu) * (mean_g - mu)
+    ssw_term = (
+        (F.col("q") * F.col("n") - F.col("s") * F.col("s")).cast("double")
+        / F.col("n").cast("double")
+    )
+    per = j.select(
+        "tn",
+        "k",
+        F.floor(ssb_term / 10000.0 + F.lit(0.5)).cast("long").alias("ssb_u"),
+        F.floor(ssw_term / 10000.0 + F.lit(0.5)).cast("long").alias("ssw_u"),
+    )
+    agg = per.groupBy("tn", "k").agg(
+        F.sum("ssb_u").alias("ssb"), F.sum("ssw_u").alias("ssw")
+    )
+    # a zero within-group sum of squares (all groups constant) leaves F
+    # undefined — NULL, mirrored in the oracle (ANSI mode rejects the
+    # IEEE inf shortcut)
+    f6 = F.when(
+        (F.col("ssw") == 0) | (F.col("tn") <= F.col("k")), F.lit(None)
+    ).otherwise(
+        F.floor(
+            (F.col("ssb").cast("double") / (F.col("k") - 1).cast("double"))
+            / (
+                F.col("ssw").cast("double")
+                / (F.col("tn") - F.col("k")).cast("double")
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000.0
+    )
+    return agg.select(
+        F.col("k").alias("n_groups"),
+        F.col("tn").alias("n"),
+        F.col("ssb").alias("ssb_cents2_e4"),
+        F.col("ssw").alias("ssw_cents2_e4"),
+        f6.alias("f6"),
+    )
+
+
+def _stat_anova_oneway(spark, sf_dir):
+    return anova_oneway(t(spark, sf_dir, "events"))
+
+
+_ANOVA_SQL = """
+WITH vals AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+  FROM vals GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(s) AS BIGINT) AS ts,
+         CAST(count(*) AS BIGINT) AS k
+  FROM g
+),
+per AS (
+  SELECT tn, k,
+         CAST(floor(CAST(n AS DOUBLE)
+            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE))
+            / 10000.0 + 0.5) AS BIGINT) AS ssb_u,
+         CAST(floor(CAST(q * n - s * s AS DOUBLE) / CAST(n AS DOUBLE)
+            / 10000.0 + 0.5) AS BIGINT) AS ssw_u
+  FROM g, tot
+),
+agg AS (
+  SELECT tn, k, CAST(sum(ssb_u) AS BIGINT) AS ssb,
+         CAST(sum(ssw_u) AS BIGINT) AS ssw
+  FROM per GROUP BY tn, k
+)
+SELECT k AS n_groups, tn AS n, ssb AS ssb_cents2_e4, ssw AS ssw_cents2_e4,
+       CASE WHEN ssw = 0 OR tn <= k THEN NULL
+            ELSE floor((CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                       / (CAST(ssw AS DOUBLE) / CAST(tn - k AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000.0
+       END AS f6
+FROM agg
+"""
+
+
+def welch_ttest(events):
+    """Welch's unequal-variance t for the A/B arms (the robust default
+    over Student's t): t and the Welch-Satterthwaite df from the two
+    groups' integer moments — one fixed expression tree, no cross-group
+    float fold at all.  Single scan, 1-row result."""
+    vals = events.where(F.col("event_type").isin(KS_A, KS_B)).select(
+        (F.col("event_type") == KS_A).cast("int").alias("is_a"),
+        cents(F.col("value")).alias("c"),
+    )
+    m = vals.agg(
+        F.sum("is_a").alias("na"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("c")).otherwise(0)).alias("sa"),
+        F.sum(
+            F.when(F.col("is_a") == 1, F.col("c") * F.col("c")).otherwise(0)
+        ).alias("qa"),
+        F.sum(1 - F.col("is_a")).alias("nb"),
+        F.sum(F.when(F.col("is_a") == 0, F.col("c")).otherwise(0)).alias("sb"),
+        F.sum(
+            F.when(F.col("is_a") == 0, F.col("c") * F.col("c")).otherwise(0)
+        ).alias("qb"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    va = (d("qa") * d("na") - d("sa") * d("sa")) / (
+        d("na") * d("na") * (d("na") - 1)
+    )
+    vb = (d("qb") * d("nb") - d("sb") * d("sb")) / (
+        d("nb") * d("nb") * (d("nb") - 1)
+    )
+    tstat = (d("sa") / d("na") - d("sb") / d("nb")) / F.sqrt(va + vb)
+    dfw = (va + vb) * (va + vb) / (
+        va * va / (d("na") - 1) + vb * vb / (d("nb") - 1)
+    )
+    q6 = lambda x: F.floor(x * 1000000 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return m.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        q6(tstat).alias("t6"),
+        q6(dfw).alias("df6"),
+    )
+
+
+def _stat_welch_ttest(spark, sf_dir):
+    return welch_ttest(t(spark, sf_dir, "events"))
+
+
+_WELCH_SQL = f"""
+WITH vals AS (
+  SELECT CASE WHEN event_type = '{KS_A}' THEN 1 ELSE 0 END AS is_a,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+),
+m AS (
+  SELECT CAST(sum(is_a) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN is_a = 1 THEN c ELSE 0 END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN is_a = 1 THEN c * c ELSE 0 END) AS BIGINT) AS qa,
+         CAST(sum(1 - is_a) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN is_a = 0 THEN c ELSE 0 END) AS BIGINT) AS sb,
+         CAST(sum(CASE WHEN is_a = 0 THEN c * c ELSE 0 END) AS BIGINT) AS qb
+  FROM vals
+)
+SELECT na AS n_a, nb AS n_b,
+  floor((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+         - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        / sqrt((CAST(qa * na - sa * sa AS DOUBLE)
+                / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE)))
+               + (CAST(qb * nb - sb * sb AS DOUBLE)
+                  / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE))))
+        * 1000000 + 0.5) / 1000000.0 AS t6,
+  floor(((CAST(qa * na - sa * sa AS DOUBLE)
+          / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE)))
+         + (CAST(qb * nb - sb * sb AS DOUBLE)
+            / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE))))
+        * ((CAST(qa * na - sa * sa AS DOUBLE)
+            / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE)))
+           + (CAST(qb * nb - sb * sb AS DOUBLE)
+              / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE))))
+        / ((CAST(qa * na - sa * sa AS DOUBLE)
+            / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE)))
+           * (CAST(qa * na - sa * sa AS DOUBLE)
+              / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE)))
+           / CAST(na - 1 AS DOUBLE)
+           + (CAST(qb * nb - sb * sb AS DOUBLE)
+              / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)))
+           * (CAST(qb * nb - sb * sb AS DOUBLE)
+              / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)))
+           / CAST(nb - 1 AS DOUBLE))
+        * 1000000 + 0.5) / 1000000.0 AS df6
+FROM m
+"""
+
+
+def _median_smallest(df, val_col: str, bucket: int = TS_BUCKET2):
+    """Lower median (smallest v with 2·cum ≥ n) of an integer column,
+    via the hierarchical coarse-bucket prefix sum — returns a 1-row
+    DataFrame with column ``med``.  The grain is the distinct values of
+    ``val_col``; the coarse offset build is bounded by
+    value-range/bucket."""
+    g = df.groupBy(val_col).agg(F.count(F.lit(1)).alias("cnt"))
+    g = g.withColumn("bkt", F.floor(F.col(val_col) / bucket))
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = g.select(
+        val_col, "bkt", "cnt", F.sum("cnt").over(w).alias("cin")
+    )
+    btot = g.groupBy("bkt").agg(F.sum("cnt").alias("bc"))
+    # the coarse table is metadata-sized (value-range/bucket rows) but
+    # its post-shuffle stats are unknown to the planner — broadcast
+    # explicitly so the inequality join is BNLJ-over-bounded-build,
+    # never a cartesian
+    offs = (
+        btot.select(F.col("bkt").alias("kk"))
+        .join(
+            F.broadcast(btot.select(F.col("bkt").alias("k2"), "bc")),
+            F.col("k2") < F.col("kk"),
+        )
+        .groupBy("kk")
+        .agg(F.sum("bc").alias("off"))
+    )
+    n = df.agg(F.count(F.lit(1)).alias("nn"))
+    cum = (
+        within.join(F.broadcast(offs), within.bkt == offs.kk, "left")
+        .join(F.broadcast(n))
+        .select(
+            F.col(val_col).alias("v"),
+            (F.col("cin") + F.coalesce("off", F.lit(0))).alias("cum"),
+            "nn",
+        )
+    )
+    return cum.agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("nn"), F.col("v"))).alias("med")
+    )
+
+
+def theil_sen(events):
+    """Theil-Sen robust trend of the hourly value series: the median of
+    all pairwise slopes, then the median residual intercept — the
+    estimator that shrugs off the outliers OLS chases.  The pair join
+    is a self-join of the CALENDAR-BOUNDED hour grain (8760 rows/year
+    regardless of event count — the seasonal_decompose argument), and
+    both medians are EXACT order statistics over milli-quantized
+    integer slopes via the hierarchical prefix machinery.
+
+    Output: point/pair counts, median slope (milli-cents per hour),
+    median intercept (milli-cents at hour 0 of the series)."""
+    hourly = (
+        events.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("hidx"),
+            cents(F.col("value")).alias("c"),
+        )
+        .groupBy("hidx")
+        .agg(F.sum("c").alias("tot"))
+    )
+    h0 = hourly.agg(F.min("hidx").alias("h0"))
+    hh = hourly.join(F.broadcast(h0)).select(
+        (F.col("hidx") - F.col("h0")).alias("x"), "tot"
+    )
+    a = hh.select(F.col("x").alias("xa"), F.col("tot").alias("ya"))
+    b = hh.select(F.col("x").alias("xb"), F.col("tot").alias("yb"))
+    # codegen can evaluate the projection before the nested-loop join's
+    # condition filters xa == xb rows — guard the division inside the
+    # expression (the CASE arm never survives to the output)
+    pairs = a.join(b, F.col("xa") < F.col("xb")).select(
+        F.expr(
+            "CASE WHEN xb > xa THEN div(1000 * (yb - ya), xb - xa) END"
+        ).alias("slope_m")
+    )
+    med_slope = _median_smallest(pairs, "slope_m")
+    resid = hh.join(F.broadcast(med_slope)).select(
+        (1000 * F.col("tot") - F.col("med") * F.col("x")).alias("r_m")
+    )
+    med_int = _median_smallest(resid, "r_m").select(
+        F.col("med").alias("intercept_m")
+    )
+    counts = hh.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2).cast("long").alias(
+            "n_pairs"
+        ),
+    )
+    return (
+        counts.join(F.broadcast(med_slope))
+        .join(F.broadcast(med_int))
+        .select(
+            "n_points",
+            "n_pairs",
+            F.col("med").alias("slope_milli"),
+            "intercept_m",
+        )
+    )
+
+
+def _ts_theil_sen(spark, sf_dir):
+    return theil_sen(t(spark, sf_dir, "events"))
+
+
+_THEIL_SQL = """
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS hidx,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS tot
+  FROM events GROUP BY 1
+),
+h0 AS (SELECT min(hidx) AS h0 FROM hourly),
+hh AS (SELECT hidx - h0 AS x, tot FROM hourly, h0),
+pairs AS (
+  SELECT (1000 * (b.tot - a.tot)) // (b.x - a.x) AS slope_m
+  FROM hh a JOIN hh b ON a.x < b.x
+),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+cums AS (
+  SELECT slope_m AS v,
+         CAST(sum(count(*)) OVER (ORDER BY slope_m) AS BIGINT) AS cum
+  FROM pairs GROUP BY slope_m
+),
+med_s AS (
+  SELECT min(CASE WHEN 2 * cum >= n_pairs THEN v END) AS med
+  FROM cums, np
+),
+resid AS (
+  SELECT 1000 * tot - med * x AS r_m FROM hh, med_s
+),
+nr AS (SELECT CAST(count(*) AS BIGINT) AS n_r FROM resid),
+cumr AS (
+  SELECT r_m AS v, CAST(sum(count(*)) OVER (ORDER BY r_m) AS BIGINT) AS cum
+  FROM resid GROUP BY r_m
+),
+med_i AS (
+  SELECT min(CASE WHEN 2 * cum >= n_r THEN v END) AS intercept_m
+  FROM cumr, nr
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM hh) AS n_points,
+       (SELECT n_pairs FROM np) AS n_pairs,
+       med AS slope_milli, intercept_m
+FROM med_s, med_i
+"""
+
+
+def freshness_audit(events, stale_min: int = FRESH_STALE_MIN):
+    """Per-stream freshness audit: last event time, lag behind the
+    freshest stream (minutes), last-24h volume, and the stale flag the
+    on-call alarm fires on.  One scan to the stream grain; the global
+    horizon rides as a broadcast 1-row aggregate — the operational
+    counterpart of stream_lateness_sweep."""
+    per = events.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    hor = per.agg(F.max("last_us").alias("hmax"))
+    last24 = (
+        events.join(F.broadcast(hor))
+        .where(F.unix_micros("ts") >= F.col("hmax") - 24 * 3600000000)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_last24h"))
+    )
+    lag_min = F.expr("(hmax - last_us) div 60000000")
+    return (
+        per.join(F.broadcast(hor))
+        .join(last24, "event_type", "left")
+        .select(
+            "event_type",
+            "n_total",
+            F.coalesce("n_last24h", F.lit(0)).alias("n_last24h"),
+            lag_min.alias("lag_min"),
+            (lag_min > stale_min).alias("stale"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _dq_freshness_audit(spark, sf_dir):
+    return freshness_audit(t(spark, sf_dir, "events"))
+
+
+_FRESH_SQL = f"""
+WITH per AS (
+  SELECT event_type, max(epoch_us(ts)) AS last_us,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM events GROUP BY event_type
+),
+hor AS (SELECT max(last_us) AS hmax FROM per),
+l24 AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_last24h
+  FROM events, hor
+  WHERE epoch_us(ts) >= hmax - 24 * 3600000000
+  GROUP BY event_type
+)
+SELECT per.event_type, n_total,
+       COALESCE(n_last24h, 0) AS n_last24h,
+       (hmax - last_us) // 60000000 AS lag_min,
+       (hmax - last_us) // 60000000 > {FRESH_STALE_MIN} AS stale
+FROM per LEFT JOIN l24 ON per.event_type = l24.event_type, hor
+ORDER BY per.event_type
+"""
+
+
+for _q in (
+    QueryDef("stat_anova_oneway", _stat_anova_oneway, _ANOVA_SQL, ("stat",)),
+    QueryDef("stat_welch_ttest", _stat_welch_ttest, _WELCH_SQL, ("stat",)),
+    QueryDef("ts_theil_sen", _ts_theil_sen, _THEIL_SQL, ("ts",)),
+    QueryDef("dq_freshness_audit", _dq_freshness_audit, _FRESH_SQL, ("dq",)),
+):
+    R6_QUERIES[_q.name] = _q

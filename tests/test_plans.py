@@ -989,3 +989,27 @@ def test_r6_wave4_plan_shapes(spark, sf_dir):
     km = plan_of(R6_QUERIES["events_survival_km"].spark(spark, sf_dir), "simple")
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", km):
         assert m.group(1).strip(), "partition-less window in KM"
+
+
+def test_r6_wave5_plan_shapes(spark, sf_dir):
+    """Wave-5 keys: ANOVA/Welch/freshness are single-scan aggregates
+    with 1-row broadcast attaches; Theil-Sen's pair join is the
+    sanctioned calendar-bounded self-join of the HOUR-grain aggregate
+    (never the raw events), and its median machinery plans only
+    bucket-partitioned windows."""
+    import re
+
+    from fitness_data_ingest_spark.registry_r6 import R6_QUERIES
+
+    for name in (
+        "stat_anova_oneway",
+        "stat_welch_ttest",
+        "dq_freshness_audit",
+        "ts_theil_sen",
+    ):
+        plan = plan_of(R6_QUERIES[name].spark(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+
+    ts = plan_of(R6_QUERIES["ts_theil_sen"].spark(spark, sf_dir), "simple")
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", ts):
+        assert m.group(1).strip(), "partition-less window in theil_sen"

@@ -2767,3 +2767,185 @@ def test_survival_km_matches_bruteforce(spark, users):
         # value simply carries (or stays NULL if no term exists yet)
         want.append((t, n_risk, d, acc9 if n_terms else None))
     assert got == want
+
+
+@given(
+    groups=st.lists(
+        st.lists(st.integers(min_value=1, max_value=500), min_size=2, max_size=10),
+        min_size=2,
+        max_size=5,
+    )
+)
+@PROP_SETTINGS
+def test_anova_matches_bruteforce(spark, groups):
+    """Micro-quantized SSB/SSW group terms and F == the Python replay."""
+    import datetime as dt
+    import math
+
+    from fitness_data_ingest_spark.registry_r6 import anova_oneway
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (gi * 1000 + i, base, f"t{gi}", c / 100.0)
+        for gi, vals in enumerate(groups)
+        for i, c in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string, value double"
+    )
+    row = anova_oneway(ev).collect()[0]
+
+    tn = sum(len(v) for v in groups)
+    ts_ = sum(sum(v) for v in groups)
+    k = len(groups)
+    mu = float(ts_) / float(tn)
+    ssb = ssw = 0
+    for vals in groups:
+        n, s, q = len(vals), sum(vals), sum(c * c for c in vals)
+        mg = float(s) / float(n)
+        ssb += math.floor(float(n) * (mg - mu) * (mg - mu) / 10000.0 + 0.5)
+        ssw += math.floor(float(q * n - s * s) / float(n) / 10000.0 + 0.5)
+    f6 = (
+        math.floor(
+            (float(ssb) / float(k - 1)) / (float(ssw) / float(tn - k)) * 1000000
+            + 0.5
+        )
+        / 1000000.0
+        if ssw and tn > k
+        else None
+    )
+    assert (row["n_groups"], row["n"], row["ssb_cents2_e4"],
+            row["ssw_cents2_e4"], row["f6"]) == (k, tn, ssb, ssw, f6)
+
+
+@given(
+    avals=st.lists(st.integers(min_value=1, max_value=500), min_size=3, max_size=15),
+    bvals=st.lists(st.integers(min_value=1, max_value=500), min_size=3, max_size=15),
+)
+@PROP_SETTINGS
+def test_welch_matches_bruteforce(spark, avals, bvals):
+    """Welch t and Satterthwaite df == the Python replay of the same
+    moment expressions (skipping degenerate zero-variance draws)."""
+    import math
+
+    from fitness_data_ingest_spark.registry_r6 import welch_ttest
+
+    na, sa, qa = len(avals), sum(avals), sum(c * c for c in avals)
+    nb, sb, qb = len(bvals), sum(bvals), sum(c * c for c in bvals)
+    va = float(qa * na - sa * sa) / (float(na) * float(na) * float(na - 1))
+    vb = float(qb * nb - sb * sb) / (float(nb) * float(nb) * float(nb - 1))
+    if va + vb == 0.0 or (va == 0.0 and vb == 0.0):
+        return  # degenerate: both samples constant
+    ev = _mk_ab_events(spark, avals, bvals)
+    row = welch_ttest(ev).collect()[0]
+
+    def q6(x):
+        return math.floor(x * 1000000 + 0.5) / 1000000.0
+
+    tstat = (float(sa) / na - float(sb) / nb) / math.sqrt(va + vb)
+    dfw = (va + vb) ** 2 / (
+        (va * va / (na - 1)) + (vb * vb / (nb - 1))
+    )
+    assert (row["n_a"], row["n_b"], row["t6"], row["df6"]) == (
+        na, nb, q6(tstat), q6(dfw)
+    )
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=48),  # hour
+            st.integers(min_value=1, max_value=400),  # cents
+        ),
+        min_size=2,
+        max_size=15,
+    ).filter(lambda p: len({h for h, _ in p}) >= 2)
+)
+@PROP_SETTINGS
+def test_theil_sen_matches_bruteforce(spark, pts):
+    """Median pairwise slope and median residual intercept == the
+    sorted-replay, including the hourly pre-aggregation and lower-median
+    tie rule."""
+    import datetime as dt
+
+    from fitness_data_ingest_spark.registry_r6 import theil_sen
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    data = [
+        (i, base + dt.timedelta(hours=h, minutes=13), c / 100.0)
+        for i, (h, c) in enumerate(pts)
+    ]
+    ev = spark.createDataFrame(data, "event_id long, ts timestamp, value double")
+    row = theil_sen(ev).collect()[0]
+
+    hourly: dict[int, int] = {}
+    for h, c in pts:
+        hourly[h] = hourly.get(h, 0) + c
+    xs = sorted(hourly)
+    x0 = xs[0]
+    pairs = []
+    for i, xa in enumerate(xs):
+        for xb in xs[i + 1 :]:
+            num = 1000 * (hourly[xb] - hourly[xa])
+            d = xb - xa
+            pairs.append(num // d if (num >= 0) == (d >= 0) or num % d == 0 else -((-num) // d))
+    # div() in Spark/DuckDB truncates toward zero for mixed signs? both
+    # use floor semantics for // in DuckDB and div truncates in Spark —
+    # mirror Spark div (truncation):
+    pairs = []
+    for i, xa in enumerate(xs):
+        for xb in xs[i + 1 :]:
+            num = 1000 * (hourly[xb] - hourly[xa])
+            d = xb - xa
+            q = abs(num) // abs(d)
+            pairs.append(q if num >= 0 else -q)
+    ps = sorted(pairs)
+    n = len(ps)
+
+    def lower_median(sorted_vals):
+        cnt = 0
+        seen = {}
+        for v in sorted_vals:
+            seen[v] = seen.get(v, 0) + 1
+        cum = 0
+        for v in sorted(seen):
+            cum += seen[v]
+            if 2 * cum >= len(sorted_vals):
+                return v
+        return sorted_vals[-1]
+
+    slope = lower_median(ps)
+    resid = sorted(1000 * hourly[x] - slope * (x - x0) for x in xs)
+    intercept = lower_median(resid)
+    assert (row["n_points"], row["n_pairs"], row["slope_milli"], row["intercept_m"]) == (
+        len(xs), len(xs) * (len(xs) - 1) // 2, slope, intercept
+    )
+
+
+def test_freshness_audit_flags_stale_stream(spark):
+    """A stream whose last event lags beyond the threshold flags stale;
+    the freshest stream never does; last-24h counts are exact."""
+    import datetime as dt
+
+    from fitness_data_ingest_spark.registry_r6 import freshness_audit
+
+    base = dt.datetime(2024, 1, 10, tzinfo=dt.timezone.utc)
+    rows = [
+        (0, "fresh", base, 1.0),
+        (1, "fresh", base - dt.timedelta(hours=30), 1.0),
+        (2, "stale", base - dt.timedelta(minutes=90), 1.0),
+        (3, "stale", base - dt.timedelta(hours=50), 1.0),
+        (4, "edge", base - dt.timedelta(minutes=60), 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    got = {
+        r["event_type"]: (r["n_total"], r["n_last24h"], r["lag_min"], r["stale"])
+        for r in freshness_audit(ev, stale_min=60).collect()
+    }
+    assert got == {
+        "fresh": (2, 1, 0, False),
+        "stale": (2, 1, 90, True),
+        "edge": (1, 1, 60, False),
+    }
