@@ -26,6 +26,7 @@ from .registry_r4 import R4_QUERIES
 from .registry_r5 import R5_QUERIES
 from .registry_r5b import R5B_QUERIES
 from .registry_r6 import R6_QUERIES
+from .registry_r6b import R6B_QUERIES
 from .registry_sql4 import SQL4_QUERIES
 from .registry_stream import STREAM_QUERIES
 from .registry_tpch2 import TPCH2_QUERIES
@@ -326,6 +327,7 @@ def all_queries() -> dict[str, QueryDef]:
         R5_QUERIES,
         R5B_QUERIES,
         R6_QUERIES,
+        R6B_QUERIES,
     ):
         merged.update(family)
     verified = _driver_verified()

@@ -1,0 +1,884 @@
+"""Round-6 continuation families (r6b): warehouse data-quality audits
+(referential integrity, key-uniqueness, Benford first-digit screen),
+model-evaluation operators (threshold sweep, decile lift/gains,
+calibration bins, naive-Bayes train/apply/confusion), spatial
+grid-bucketed joins, vocabulary-law statistics (Zipf, Heaps), embedding
+random projection and MMR diversity selection, shard packing, BFS hop
+labeling, and changepoint detection.
+
+Exactness discipline (house rules, registry_util): every statistic is
+either pure int64 arithmetic, or an IEEE-754 expression whose inputs
+are exactly-representable int64 casts — both engines evaluate the
+identical float expression tree — and every exported float/ln term is
+quantized ``floor(x*10^k + 0.5)/10^k`` per term BEFORE any cross-row
+sum (the fold-order rule).
+
+Reference parity note: the reference repo (pandas/requests ETL —
+``services/fitbit/fitbit_utils.py``, ``services/strava/utils.py``) has
+no DQ/evaluation layer; these extend SURVEY.md §2's LLM-pipeline axis
+(pipeline self-auditing, model-based curation QA, spatial/blocking
+joins) the same way the round-4/5/6 families do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry_util import QueryDef, cents, t
+
+R6B_QUERIES: dict[str, QueryDef] = {}
+
+
+def _h32(col):
+    """Engine-portable 32-bit hash (md5 prefix as int64) — same literal
+    definition as registry_r5/r5b/r6, re-declared per family file so
+    each file's SQL oracles pair with the Spark expression beside
+    them."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _tok(col):
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+# =====================================================================
+# DQ wave: the audits a warehouse runs over its own star schema.
+# =====================================================================
+
+# The fixture schema's four FK edges (child.fk -> parent.pk).
+_FK_EDGES = (
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+)
+
+
+def referential_integrity(tables: dict):
+    """Referential-integrity audit over every FK edge of the star
+    schema: orphan child rows (FK with no parent), childless parent
+    keys, and key cardinalities — the nightly gate a warehouse runs
+    before publishing a snapshot.
+
+    Scale shape: per edge, the child collapses to its FK-key grain with
+    ONE partial-aggregated groupBy (the key domain, not the row count),
+    the parent to its PK grain, and the audit is a single full-outer
+    join of the two key-grain tables. Counts aggregate to one row per
+    edge; no row-grain join ever happens. The four edges union into a
+    4-row report."""
+    outs = []
+    for edge, child, fk, parent, pk, in _FK_EDGES:
+        ck = (
+            tables[child]
+            .groupBy(F.col(fk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        pkeys = tables[parent].select(F.col(pk).alias("k")).distinct()
+        j = ck.join(
+            pkeys.withColumn("has_parent", F.lit(1)), "k", "full_outer"
+        )
+        outs.append(
+            j.agg(
+                F.lit(edge).alias("edge"),
+                F.sum(F.coalesce("n_rows", F.lit(0))).alias("n_child_rows"),
+                F.count(F.col("n_rows")).alias("n_child_keys"),
+                F.sum(
+                    F.when(F.col("has_parent").isNull(), F.col("n_rows"))
+                    .otherwise(0)
+                ).alias("n_orphan_rows"),
+                F.count(
+                    F.when(
+                        F.col("has_parent").isNull() & F.col("n_rows").isNotNull(),
+                        1,
+                    )
+                ).alias("n_orphan_keys"),
+                F.count(F.col("has_parent")).alias("n_parent_keys"),
+                F.count(
+                    F.when(
+                        F.col("n_rows").isNull() & F.col("has_parent").isNotNull(),
+                        1,
+                    )
+                ).alias("n_childless_keys"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("edge")
+
+
+def _dq_referential_integrity(spark, sf_dir):
+    tabs = {
+        n: t(spark, sf_dir, n)
+        for n in ("orders", "customer", "lineitem", "part", "supplier")
+    }
+    return referential_integrity(tabs)
+
+
+def _ri_edge_sql(edge, child, fk, parent, pk):
+    return f"""
+SELECT '{edge}' AS edge,
+       CAST(sum(COALESCE(n_rows, 0)) AS BIGINT) AS n_child_rows,
+       CAST(count(n_rows) AS BIGINT) AS n_child_keys,
+       CAST(sum(CASE WHEN has_parent IS NULL THEN n_rows ELSE 0 END)
+            AS BIGINT) AS n_orphan_rows,
+       CAST(count(CASE WHEN has_parent IS NULL AND n_rows IS NOT NULL
+                  THEN 1 END) AS BIGINT) AS n_orphan_keys,
+       CAST(count(has_parent) AS BIGINT) AS n_parent_keys,
+       CAST(count(CASE WHEN n_rows IS NULL AND has_parent IS NOT NULL
+                  THEN 1 END) AS BIGINT) AS n_childless_keys
+FROM (SELECT {fk} AS k, CAST(count(*) AS BIGINT) AS n_rows
+      FROM {child} GROUP BY 1) ck
+FULL OUTER JOIN (SELECT DISTINCT {pk} AS k, 1 AS has_parent
+                 FROM {parent}) pk USING (k)
+"""
+
+
+_RI_SQL = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        "(" + _ri_edge_sql(*e) + ")" for e in _FK_EDGES
+    )
+    + ") ORDER BY edge"
+)
+
+
+# Audited candidate keys: (entity label, table, key expr pair).
+_UNIQ_KEYS = (
+    ("customer.c_custkey", "customer", ("c_custkey",)),
+    ("documents.doc_id", "documents", ("doc_id",)),
+    ("events.event_id", "events", ("event_id",)),
+    ("lineitem.l_orderkey:l_linenumber", "lineitem",
+     ("l_orderkey", "l_linenumber")),
+    ("orders.o_orderkey", "orders", ("o_orderkey",)),
+    ("part.p_partkey", "part", ("p_partkey",)),
+    ("supplier.s_suppkey", "supplier", ("s_suppkey",)),
+)
+
+
+def uniqueness_audit(tables: dict):
+    """Candidate-key uniqueness audit: for each declared key (including
+    lineitem's composite key), row count, null-key rows, distinct keys,
+    the worst duplicate multiplicity, and the number of duplicated
+    keys — the contract check every MERGE/SCD2 upstream depends on.
+
+    Scale shape: one partial-aggregated groupBy per table AT THE KEY
+    GRAIN, then a second aggregate over key groups to one row. Nothing
+    ever leaves aggregate space; the 7 audits union into a 7-row
+    report. Composite keys concatenate with a null-propagating concat
+    so a null component audits as a null key."""
+    outs = []
+    for entity, table, cols in _UNIQ_KEYS:
+        if len(cols) == 1:
+            k = F.col(cols[0]).cast("string")
+        else:
+            k = F.concat(
+                F.col(cols[0]).cast("string"),
+                F.lit(":"),
+                F.col(cols[1]).cast("string"),
+            )
+        g = (
+            tables[table]
+            .groupBy(k.alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        outs.append(
+            g.agg(
+                F.lit(entity).alias("entity"),
+                F.sum("cnt").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("k").isNull(), F.col("cnt")).otherwise(0)
+                ).alias("n_null_rows"),
+                F.count(F.col("k")).alias("n_distinct"),
+                F.max(
+                    F.when(F.col("k").isNotNull(), F.col("cnt"))
+                ).alias("max_mult"),
+                F.count(
+                    F.when(F.col("k").isNotNull() & (F.col("cnt") > 1), 1)
+                ).alias("n_dup_keys"),
+            ).select(
+                "*",
+                (
+                    (F.col("n_dup_keys") == 0) & (F.col("n_null_rows") == 0)
+                ).alias("unique_ok"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("entity")
+
+
+def _dq_uniqueness_audit(spark, sf_dir):
+    tabs = {
+        n: t(spark, sf_dir, n)
+        for n in (
+            "customer", "documents", "events", "lineitem", "orders",
+            "part", "supplier",
+        )
+    }
+    return uniqueness_audit(tabs)
+
+
+def _uniq_one_sql(entity, table, cols):
+    if len(cols) == 1:
+        kexpr = f"CAST({cols[0]} AS VARCHAR)"
+    else:
+        kexpr = (
+            f"CAST({cols[0]} AS VARCHAR) || ':' || CAST({cols[1]} AS VARCHAR)"
+        )
+    return f"""
+SELECT '{entity}' AS entity,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN k IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_null_rows,
+       CAST(count(k) AS BIGINT) AS n_distinct,
+       max(CASE WHEN k IS NOT NULL THEN cnt END) AS max_mult,
+       CAST(count(CASE WHEN k IS NOT NULL AND cnt > 1 THEN 1 END)
+            AS BIGINT) AS n_dup_keys,
+       (count(CASE WHEN k IS NOT NULL AND cnt > 1 THEN 1 END) = 0
+        AND sum(CASE WHEN k IS NULL THEN cnt ELSE 0 END) = 0) AS unique_ok
+FROM (SELECT {kexpr} AS k, CAST(count(*) AS BIGINT) AS cnt
+      FROM {table} GROUP BY 1) g
+"""
+
+
+_UNIQ_SQL = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        "(" + _uniq_one_sql(*u) + ")" for u in _UNIQ_KEYS
+    )
+    + ") ORDER BY entity"
+)
+
+
+# Benford expected first-digit proportions, log10(1 + 1/d), nano-
+# quantized ONCE here as shared literals — both engines compare against
+# the identical integers, so no engine ever evaluates log10.
+_BENFORD_NANO = (
+    (1, 301029996),
+    (2, 176091259),
+    (3, 124938737),
+    (4, 96910013),
+    (5, 79181246),
+    (6, 66946790),
+    (7, 57991947),
+    (8, 51152522),
+    (9, 45757491),
+)
+
+
+def benford_digits(orders):
+    """Benford first-significant-digit screen over order totals: the
+    classic fabricated-data / unit-mix detector a DQ pipeline runs on
+    monetary columns. Observed digit counts vs the Benford expectation
+    (nano-quantized literal constants, so neither engine evaluates a
+    log), with the chi-square contribution per digit micro-quantized
+    from exact int64 inputs before the 9-term sum (fold-order rule).
+
+    Scale shape: ONE scan collapsing to the 9-digit grain (first digit
+    read from the decimal string of the exact cents value — no float
+    log10); the expectation join is a 9x9 broadcast of literals and the
+    chi-square total is a broadcast 1-row aggregate."""
+    digits = orders.select(
+        F.substring(cents(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    exp = F.broadcast(
+        orders.sparkSession.createDataFrame(
+            list(_BENFORD_NANO), "digit int, p_nano long"
+        )
+    )
+    n_tot = obs.agg(F.sum("n_obs").alias("n_tot"))
+    terms = (
+        obs.join(exp, "digit")
+        .join(F.broadcast(n_tot))
+        .select(
+            "digit",
+            "n_obs",
+            (F.col("n_tot") * F.col("p_nano")).alias("exp_nano"),
+            F.floor(
+                (
+                    (F.col("n_obs") * F.lit(1000000000) - F.col("n_tot") * F.col("p_nano"))
+                    .cast("double")
+                    * (F.col("n_obs") * F.lit(1000000000) - F.col("n_tot") * F.col("p_nano"))
+                    .cast("double")
+                )
+                / (F.col("n_tot") * F.col("p_nano")).cast("double")
+                / 1.0e9
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("term_micro"),
+        )
+    )
+    chi = terms.agg(F.sum("term_micro").alias("chi2_micro"))
+    return (
+        terms.join(F.broadcast(chi))
+        .select("digit", "n_obs", "exp_nano", "term_micro", "chi2_micro")
+        .orderBy("digit")
+    )
+
+
+def _dq_benford_digits(spark, sf_dir):
+    return benford_digits(t(spark, sf_dir, "orders"))
+
+
+_BENFORD_VALUES = ", ".join(f"({d}, {p})" for d, p in _BENFORD_NANO)
+
+_BENFORD_SQL = f"""
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1
+),
+exp(digit, p_nano) AS (VALUES {_BENFORD_VALUES}),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_tot FROM obs),
+terms AS (
+  SELECT obs.digit, n_obs,
+         CAST(n_tot * p_nano AS BIGINT) AS exp_nano,
+         CAST(floor(
+           CAST(n_obs * 1000000000 - n_tot * p_nano AS DOUBLE)
+           * CAST(n_obs * 1000000000 - n_tot * p_nano AS DOUBLE)
+           / CAST(n_tot * p_nano AS DOUBLE) / 1.0e9 * 1000000 + 0.5
+         ) AS BIGINT) AS term_micro
+  FROM obs JOIN exp ON obs.digit = exp.digit, tot
+),
+chi AS (SELECT CAST(sum(term_micro) AS BIGINT) AS chi2_micro FROM terms)
+SELECT digit, n_obs, exp_nano, term_micro, chi2_micro
+FROM terms, chi ORDER BY digit
+"""
+
+
+for _q in (
+    QueryDef(
+        "dq_referential_integrity",
+        _dq_referential_integrity,
+        _RI_SQL,
+        ("dq",),
+    ),
+    QueryDef("dq_uniqueness_audit", _dq_uniqueness_audit, _UNIQ_SQL, ("dq",)),
+    QueryDef("dq_benford_digits", _dq_benford_digits, _BENFORD_SQL, ("dq",)),
+):
+    R6B_QUERIES[_q.name] = _q
+
+
+# =====================================================================
+# Model-evaluation wave: the operators that grade a scoring model (or
+# a heuristic curation rule) against observed labels. Labels/scores
+# reuse the statistics family's A/B convention: positives are 'click'
+# events, negatives 'view', the score is the exact cents value.
+# =====================================================================
+
+ML_POS = "click"
+ML_NEG = "view"
+
+# Literal score thresholds (cents) for the confusion sweep — the grid a
+# deployment chooses its operating point from.
+ML_THRESHOLDS = (500, 1000, 2000, 4000, 6000, 8000, 12000, 20000)
+
+
+def _pos_neg_grain(events):
+    """Distinct-score-grain counts (v, pos_cnt, neg_cnt) with broadcast
+    totals (n_pos, n_neg) attached — the shared input of the evaluation
+    family. One shuffle keyed on the bounded score domain."""
+    pn = events.where(F.col("event_type").isin(ML_POS, ML_NEG)).select(
+        cents(F.col("value")).alias("v"),
+        F.when(F.col("event_type") == ML_POS, 1).otherwise(0).alias("p"),
+        F.when(F.col("event_type") == ML_NEG, 1).otherwise(0).alias("n"),
+    )
+    g = pn.groupBy("v").agg(
+        F.sum("p").alias("pos_cnt"), F.sum("n").alias("neg_cnt")
+    )
+    tot = g.agg(
+        F.sum("pos_cnt").alias("n_pos"), F.sum("neg_cnt").alias("n_neg")
+    )
+    return g.join(F.broadcast(tot))
+
+
+_PN_CTE = f"""
+pn AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN event_type = '{ML_POS}' THEN 1 ELSE 0 END AS p,
+         CASE WHEN event_type = '{ML_NEG}' THEN 1 ELSE 0 END AS n
+  FROM events WHERE event_type IN ('{ML_POS}', '{ML_NEG}')
+),
+g AS (
+  SELECT v, CAST(sum(p) AS BIGINT) AS pos_cnt,
+         CAST(sum(n) AS BIGINT) AS neg_cnt
+  FROM pn GROUP BY v
+),
+tot AS (
+  SELECT CAST(sum(pos_cnt) AS BIGINT) AS n_pos,
+         CAST(sum(neg_cnt) AS BIGINT) AS n_neg
+  FROM g
+)
+"""
+
+
+def threshold_sweep(events, thresholds=ML_THRESHOLDS):
+    """Confusion-matrix sweep: TP/FP/FN/TN and micro-quantized
+    precision/recall/F1/accuracy at each literal score threshold
+    (predict positive when score >= T) — the operating-point table
+    behind every curation-rule tuning decision.
+
+    All metrics are PURE integer arithmetic (floor division on int64
+    counts); nothing float ever crosses an aggregate. Scale shape: the
+    distinct-score grain expands by the fixed |thresholds| factor and
+    collapses immediately to one row per threshold — bounded by the
+    score domain, never the row count."""
+    g = _pos_neg_grain(events)
+    thr = F.explode(
+        F.array([F.lit(x).cast("long") for x in thresholds])
+    ).alias("thr_cents")
+    per = g.select("v", "pos_cnt", "neg_cnt", "n_pos", "n_neg", thr)
+    agg = per.groupBy("thr_cents", "n_pos", "n_neg").agg(
+        F.sum(F.when(F.col("v") >= F.col("thr_cents"), F.col("pos_cnt")).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("v") >= F.col("thr_cents"), F.col("neg_cnt")).otherwise(0)).alias("fp"),
+    )
+    return agg.select(
+        "thr_cents",
+        "tp",
+        "fp",
+        (F.col("n_pos") - F.col("tp")).alias("fn"),
+        (F.col("n_neg") - F.col("fp")).alias("tn"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("(1000000 * tp) div (tp + fp)"),
+        ).alias("precision_micro"),
+        F.expr("(1000000 * tp) div n_pos").alias("recall_micro"),
+        F.when(
+            2 * F.col("tp") + (F.col("n_pos") - F.col("tp")) + F.col("fp") > 0,
+            F.expr("(2000000 * tp) div (2 * tp + (n_pos - tp) + fp)"),
+        ).alias("f1_micro"),
+        F.expr(
+            "(1000000 * (tp + (n_neg - fp))) div (n_pos + n_neg)"
+        ).alias("accuracy_micro"),
+    ).orderBy("thr_cents")
+
+
+def _ml_threshold_sweep(spark, sf_dir):
+    return threshold_sweep(t(spark, sf_dir, "events"))
+
+
+_THR_LIST = ", ".join(f"CAST({x} AS BIGINT)" for x in ML_THRESHOLDS)
+
+_THR_SQL = f"""
+WITH {_PN_CTE},
+per AS (
+  SELECT g.*, tot.n_pos, tot.n_neg, u.thr_cents
+  FROM g, tot, unnest([{_THR_LIST}]) AS u(thr_cents)
+),
+agg AS (
+  SELECT thr_cents, n_pos, n_neg,
+         CAST(sum(CASE WHEN v >= thr_cents THEN pos_cnt ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN v >= thr_cents THEN neg_cnt ELSE 0 END) AS BIGINT) AS fp
+  FROM per GROUP BY 1, 2, 3
+)
+SELECT thr_cents, tp, fp,
+       n_pos - tp AS fn, n_neg - fp AS tn,
+       CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp) END
+           AS precision_micro,
+       (1000000 * tp) // n_pos AS recall_micro,
+       CASE WHEN 2 * tp + (n_pos - tp) + fp > 0
+            THEN (2000000 * tp) // (2 * tp + (n_pos - tp) + fp) END
+           AS f1_micro,
+       (1000000 * (tp + (n_neg - fp))) // (n_pos + n_neg) AS accuracy_micro
+FROM agg ORDER BY thr_cents
+"""
+
+
+def lift_gains(events):
+    """Decile lift/gains table: rank the scored population by score
+    descending, split into 10 rank deciles (a tied score group lands
+    wholly in the decile of its last member — deterministic on both
+    engines), and report per-decile positives, cumulative gains, and
+    lift vs the base rate — the campaign-targeting curve.
+
+    Exactness: decile assignment and gains are pure int64; lift is the
+    one quantized division, computed double-from-exact-ints so it can
+    never overflow at any scale. Scale shape: descending cumulative
+    counts come from the ascending distinct-score grain by reflection
+    (n_tot - cum + group), the decile collapse is a 10-row aggregate,
+    and the cumulative-over-deciles step is a triangular self-join of
+    the 10-row table — no partition-less window anywhere."""
+    g = _pos_neg_grain(events)
+    # ascending cumulative totals at the distinct-score grain via the
+    # coarse-bucket hierarchical prefix (value domain-bounded)
+    from pyspark.sql import Window
+
+    g = g.withColumn("bkt", F.floor(F.col("v") / 4096))
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = g.select(
+        "v", "bkt", "pos_cnt", "neg_cnt", "n_pos", "n_neg",
+        F.sum(F.col("pos_cnt") + F.col("neg_cnt")).over(w).alias("c_in"),
+    )
+    btot = g.groupBy("bkt").agg(
+        F.sum(F.col("pos_cnt") + F.col("neg_cnt")).alias("bn")
+    )
+    offs = (
+        btot.select(F.col("bkt").alias("k"))
+        .join(btot.select(F.col("bkt").alias("k2"), "bn"), F.col("k2") < F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("bn").alias("off"))
+    )
+    cum = within.join(F.broadcast(offs), within.bkt == offs.k, "left").select(
+        "v", "pos_cnt", "neg_cnt", "n_pos", "n_neg",
+        (F.col("c_in") + F.coalesce("off", F.lit(0))).alias("cum_le"),
+    )
+    dec = cum.select(
+        "pos_cnt", "neg_cnt", "n_pos", "n_neg",
+        F.expr(
+            "((n_pos + n_neg - cum_le + pos_cnt + neg_cnt - 1) * 10)"
+            " div (n_pos + n_neg)"
+        ).alias("decile"),
+    )
+    per = dec.groupBy("decile", "n_pos", "n_neg").agg(
+        F.sum(F.col("pos_cnt") + F.col("neg_cnt")).alias("n"),
+        F.sum("pos_cnt").alias("pos"),
+    )
+    cumd = (
+        per.select(F.col("decile").alias("d"), "n_pos", "n_neg", "n", "pos")
+        .join(
+            per.select(F.col("decile").alias("d2"), F.col("pos").alias("p2")),
+            F.col("d2") <= F.col("d"),
+        )
+        .groupBy("d", "n_pos", "n_neg", "n", "pos")
+        .agg(F.sum("p2").alias("cum_pos"))
+    )
+    return cumd.select(
+        F.col("d").alias("decile"),
+        "n",
+        "pos",
+        "cum_pos",
+        F.expr("(1000000 * cum_pos) div n_pos").alias("gain_micro"),
+        (
+            F.floor(
+                F.col("pos").cast("double")
+                * (F.col("n_pos") + F.col("n_neg")).cast("double")
+                / (F.col("n").cast("double") * F.col("n_pos").cast("double"))
+                * 1000000
+                + F.lit(0.5)
+            )
+        ).alias("lift_micro"),
+    ).orderBy("decile")
+
+
+def _ml_lift_gains(spark, sf_dir):
+    return lift_gains(t(spark, sf_dir, "events"))
+
+
+_LIFT_SQL = f"""
+WITH {_PN_CTE},
+cum AS (
+  SELECT v, pos_cnt, neg_cnt,
+         CAST(sum(pos_cnt + neg_cnt) OVER (ORDER BY v) AS BIGINT) AS cum_le
+  FROM g
+),
+dec AS (
+  SELECT pos_cnt, neg_cnt,
+         ((n_pos + n_neg - cum_le + pos_cnt + neg_cnt - 1) * 10)
+             // (n_pos + n_neg) AS decile,
+         n_pos, n_neg
+  FROM cum, tot
+),
+per AS (
+  SELECT decile, n_pos, n_neg,
+         CAST(sum(pos_cnt + neg_cnt) AS BIGINT) AS n,
+         CAST(sum(pos_cnt) AS BIGINT) AS pos
+  FROM dec GROUP BY 1, 2, 3
+),
+cumd AS (
+  SELECT a.decile, a.n_pos, a.n_neg, a.n, a.pos,
+         CAST(sum(b.pos) AS BIGINT) AS cum_pos
+  FROM per a JOIN per b ON b.decile <= a.decile
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT decile, n, pos, cum_pos,
+       (1000000 * cum_pos) // n_pos AS gain_micro,
+       CAST(floor(CAST(pos AS DOUBLE) * CAST(n_pos + n_neg AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n_pos AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS lift_micro
+FROM cumd ORDER BY decile
+"""
+
+
+CALIB_BIN_CENTS = 4000
+CALIB_MAX_BIN = 9
+
+
+def calibration_bins(events, width: int = CALIB_BIN_CENTS):
+    """Calibration/reliability table: equal-width score bins (top bin
+    open-ended), empirical positive rate per bin vs the global base
+    rate, and the signed gap — how far the score is from being a
+    calibrated probability proxy per region of its range.
+
+    Pure integer rates (micro floor-division); one scan to the bounded
+    bin grain plus a broadcast 1-row base rate."""
+    pn = events.where(F.col("event_type").isin(ML_POS, ML_NEG)).select(
+        F.least(
+            F.floor(cents(F.col("value")) / width), F.lit(CALIB_MAX_BIN)
+        ).cast("long").alias("bin"),
+        F.when(F.col("event_type") == ML_POS, 1).otherwise(0).alias("p"),
+    )
+    per = pn.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("p").alias("pos")
+    )
+    tot = per.agg(
+        F.sum("n").alias("n_tot"), F.sum("pos").alias("pos_tot")
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.expr("(1000000 * pos) div n").alias("rate_micro"),
+            F.expr("(1000000 * pos_tot) div n_tot").alias("base_micro"),
+            (
+                F.expr("(1000000 * pos) div n")
+                - F.expr("(1000000 * pos_tot) div n_tot")
+            ).alias("gap_micro"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _ml_calibration_bins(spark, sf_dir):
+    return calibration_bins(t(spark, sf_dir, "events"))
+
+
+_CALIB_SQL = f"""
+WITH pn AS (
+  SELECT least(CAST(floor(value * 100 + 0.5) AS BIGINT) // {CALIB_BIN_CENTS},
+               {CALIB_MAX_BIN}) AS bin,
+         CASE WHEN event_type = '{ML_POS}' THEN 1 ELSE 0 END AS p
+  FROM events WHERE event_type IN ('{ML_POS}', '{ML_NEG}')
+),
+per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS pos
+  FROM pn GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tot, CAST(sum(pos) AS BIGINT) AS pos_tot
+  FROM per
+)
+SELECT bin, n, pos,
+       (1000000 * pos) // n AS rate_micro,
+       (1000000 * pos_tot) // n_tot AS base_micro,
+       (1000000 * pos) // n - (1000000 * pos_tot) // n_tot AS gap_micro
+FROM per, tot ORDER BY bin
+"""
+
+
+# --------------------------------------------------------- NAIVE BAYES
+
+NB_SMOOTH = 1  # add-1 Laplace
+
+
+def naive_bayes_confusion(docs):
+    """Multinomial naive Bayes trained on even doc_ids (source as the
+    class label, whitespace tokens as features, add-1 smoothing) and
+    applied to odd doc_ids; output is the test confusion matrix — the
+    model-based source-attribution QA a curation pipeline runs to
+    detect label leakage or source drift.
+
+    Exactness: each log-likelihood term ln((cnt+1)/(n_c+V)) is computed
+    from exact int64 counts and micro-nat-quantized PER TERM before the
+    integer (count-weighted) per-doc sum, and the class prior joins the
+    same way — the argmax compares identical int64 scores on both
+    engines (ties break to the smallest class index).
+
+    Scale shape: the model is (class x vocab) — charset/vocabulary-
+    bounded, hence broadcastable; training is one shuffle to the
+    (class, token) grain; scoring fans the (doc, token) grain out by
+    the bounded class count through broadcast joins and collapses with
+    one doc-grain aggregate. No windows, no row-grain joins."""
+    toks = docs.select(
+        "doc_id",
+        F.substring("source", 4, 8).cast("int").alias("src_idx"),
+        F.explode(_tok(F.col("text"))).alias("tok"),
+    )
+    train = toks.where(F.col("doc_id") % 2 == 0)
+    test = toks.where(F.col("doc_id") % 2 == 1)
+
+    tc = train.groupBy("src_idx", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    ct = tc.groupBy("src_idx").agg(F.sum("cnt").alias("n_tok_c"))
+    vocab = tc.select("tok").distinct().agg(F.count(F.lit(1)).alias("vv"))
+    prior = (
+        train.select("doc_id", "src_idx")
+        .distinct()
+        .groupBy("src_idx")
+        .agg(F.count(F.lit(1)).alias("n_docs_c"))
+    )
+    n_train = prior.agg(F.sum("n_docs_c").alias("n_train"))
+
+    dt = test.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c_t"))
+    classes = ct.select("src_idx", "n_tok_c")
+    grid = (
+        dt.join(F.broadcast(classes.select(F.col("src_idx").alias("cls"), "n_tok_c")))
+        .join(
+            F.broadcast(tc.select(F.col("src_idx").alias("cls"), "tok", "cnt")),
+            ["cls", "tok"],
+            "left",
+        )
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "cls",
+            (
+                F.col("c_t")
+                * F.floor(
+                    F.log(
+                        (F.coalesce("cnt", F.lit(0)) + NB_SMOOTH).cast("double")
+                        / (F.col("n_tok_c") + F.col("vv")).cast("double")
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("term_micro"),
+        )
+    )
+    scores = grid.groupBy("doc_id", "cls").agg(
+        F.sum("term_micro").alias("ll_micro")
+    )
+    prior_m = (
+        prior.join(F.broadcast(n_train))
+        .select(
+            F.col("src_idx").alias("cls"),
+            F.floor(
+                F.log(
+                    F.col("n_docs_c").cast("double")
+                    / F.col("n_train").cast("double")
+                )
+                * 1000000
+                + F.lit(0.5)
+            ).cast("long").alias("prior_micro"),
+        )
+    )
+    total = scores.join(F.broadcast(prior_m), "cls").select(
+        "doc_id",
+        "cls",
+        (F.col("ll_micro") + F.col("prior_micro")).alias("score_micro"),
+    )
+    pred = total.groupBy("doc_id").agg(
+        F.max(
+            F.struct(F.col("score_micro"), (-F.col("cls")).alias("nc"))
+        ).alias("m")
+    ).select("doc_id", (-F.col("m.nc")).alias("pred_idx"))
+    truth = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.substring("source", 4, 8).cast("int").alias("true_idx")
+    )
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("true_idx", "pred_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(F.lit("src"), F.col("true_idx").cast("string")).alias(
+                "true_source"
+            ),
+            F.concat(F.lit("src"), F.col("pred_idx").cast("string")).alias(
+                "pred_source"
+            ),
+            "n",
+        )
+        .orderBy("true_source", "pred_source")
+    )
+
+
+def _ml_naive_bayes(spark, sf_dir):
+    return naive_bayes_confusion(t(spark, sf_dir, "documents"))
+
+
+_NB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(substr(source, 4, 8) AS INTEGER) AS src_idx,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM toks WHERE doc_id % 2 = 1),
+tc AS (
+  SELECT src_idx, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM train GROUP BY 1, 2
+),
+ct AS (
+  SELECT src_idx, CAST(sum(cnt) AS BIGINT) AS n_tok_c FROM tc GROUP BY 1
+),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vv FROM tc),
+prior AS (
+  SELECT src_idx, CAST(count(*) AS BIGINT) AS n_docs_c
+  FROM (SELECT DISTINCT doc_id, src_idx FROM train) GROUP BY 1
+),
+n_train AS (SELECT CAST(sum(n_docs_c) AS BIGINT) AS n_train FROM prior),
+dt AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c_t
+  FROM test GROUP BY 1, 2
+),
+grid AS (
+  SELECT dt.doc_id, ct.src_idx AS cls,
+         c_t * CAST(floor(
+           ln(CAST(COALESCE(tc.cnt, 0) + {NB_SMOOTH} AS DOUBLE)
+              / CAST(ct.n_tok_c + vocab.vv AS DOUBLE)) * 1000000 + 0.5
+         ) AS BIGINT) AS term_micro
+  FROM dt
+  CROSS JOIN ct
+  LEFT JOIN tc ON tc.src_idx = ct.src_idx AND tc.tok = dt.tok
+  CROSS JOIN vocab
+),
+scores AS (
+  SELECT doc_id, cls, CAST(sum(term_micro) AS BIGINT) AS ll_micro
+  FROM grid GROUP BY 1, 2
+),
+prior_m AS (
+  SELECT src_idx AS cls,
+         CAST(floor(ln(CAST(n_docs_c AS DOUBLE) / CAST(n_train AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS prior_micro
+  FROM prior, n_train
+),
+total AS (
+  SELECT doc_id, cls, ll_micro + prior_micro AS score_micro
+  FROM scores JOIN prior_m USING (cls)
+),
+best AS (
+  SELECT doc_id, max(score_micro) AS ms FROM total GROUP BY doc_id
+),
+pred AS (
+  SELECT t.doc_id, min(t.cls) AS pred_idx
+  FROM total t JOIN best b ON t.doc_id = b.doc_id AND t.score_micro = b.ms
+  GROUP BY t.doc_id
+),
+truth AS (
+  SELECT doc_id, CAST(substr(source, 4, 8) AS INTEGER) AS true_idx
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT 'src' || CAST(true_idx AS VARCHAR) AS true_source,
+       'src' || CAST(pred_idx AS VARCHAR) AS pred_source,
+       CAST(count(*) AS BIGINT) AS n
+FROM truth JOIN pred USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+for _q in (
+    QueryDef("ml_threshold_sweep", _ml_threshold_sweep, _THR_SQL, ("ml",)),
+    QueryDef("ml_lift_gains", _ml_lift_gains, _LIFT_SQL, ("ml",)),
+    QueryDef(
+        "ml_calibration_bins", _ml_calibration_bins, _CALIB_SQL, ("ml",)
+    ),
+    QueryDef("ml_naive_bayes", _ml_naive_bayes, _NB_SQL, ("ml",)),
+):
+    R6B_QUERIES[_q.name] = _q
