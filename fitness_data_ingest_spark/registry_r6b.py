@@ -882,3 +882,593 @@ for _q in (
     QueryDef("ml_naive_bayes", _ml_naive_bayes, _NB_SQL, ("ml",)),
 ):
     R6B_QUERIES[_q.name] = _q
+
+
+# =====================================================================
+# Spatial wave: grid-bucketed spatial joins. Coordinates derive from
+# the portable md5 hash; the grid side count is floor(sqrt(n)) cells
+# (sqrt is IEEE-correctly-rounded on both engines), so point density
+# per cell is ~1 AT ANY SCALE — the 3x3 neighborhood candidate set
+# stays O(1) per query from sf0.001 to 100 TB. This is the standard
+# uniform-grid spatial index re-expressed as an equi-join.
+# =====================================================================
+
+GEO_CELL = 1000          # cell side length in coordinate units
+GEO_R2 = 1000 * 1000     # radius^2 (radius = one cell side)
+GEO_QUERY_MOD = 20       # every 20th part is a query point
+
+
+def _geo_points(part):
+    """(id, x, y, cell_x, cell_y) for every part, on a coordinate
+    domain of floor(sqrt(n)) cells per side (broadcast 1-row n)."""
+    base = part.select(F.col("p_partkey").alias("id"))
+    n1 = base.agg(F.count(F.lit(1)).alias("npts"))
+    return (
+        base.join(F.broadcast(n1))
+        .select(
+            "id",
+            F.greatest(
+                F.lit(1), F.floor(F.sqrt(F.col("npts").cast("double")))
+            ).cast("long").alias("dcells"),
+            (_h32(F.concat(F.col("id").cast("string"), F.lit("gx")))).alias("hx"),
+            (_h32(F.concat(F.col("id").cast("string"), F.lit("gy")))).alias("hy"),
+        )
+        .select(
+            "id",
+            (F.col("hx") % (F.col("dcells") * GEO_CELL)).alias("x"),
+            (F.col("hy") % (F.col("dcells") * GEO_CELL)).alias("y"),
+        )
+        .select(
+            "id", "x", "y",
+            F.expr(f"x div {GEO_CELL}").alias("cell_x"),
+            F.expr(f"y div {GEO_CELL}").alias("cell_y"),
+        )
+    )
+
+
+_GEO_PTS_CTE = f"""
+npts AS (SELECT CAST(count(*) AS BIGINT) AS npts FROM part),
+pts0 AS (
+  SELECT p_partkey AS id,
+         greatest(1, CAST(floor(sqrt(CAST(npts AS DOUBLE))) AS BIGINT))
+             AS dcells,
+         ('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || 'gx'), 1, 8))::BIGINT AS hx,
+         ('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || 'gy'), 1, 8))::BIGINT AS hy
+  FROM part, npts
+),
+pts AS (
+  SELECT id, hx % (dcells * {GEO_CELL}) AS x, hy % (dcells * {GEO_CELL}) AS y,
+         (hx % (dcells * {GEO_CELL})) // {GEO_CELL} AS cell_x,
+         (hy % (dcells * {GEO_CELL})) // {GEO_CELL} AS cell_y
+  FROM pts0
+)
+"""
+
+
+def geo_grid_knn(part):
+    """Radius-bounded nearest-neighbor spatial join: for every sampled
+    query point, the count of points within radius R and the nearest
+    one, found by probing only the 3x3 grid neighborhood (R = one cell
+    side, so the neighborhood provably covers the ball).
+
+    Scale shape: candidates come from ONE composite-key equi-join on
+    (cell_x, cell_y) after a fixed 9-way offset expansion of the query
+    side — never a distance cross-join. With floor(sqrt(n)) cells per
+    side the expected occupancy is 1 point/cell at every SF, so
+    per-query candidate work is O(1); the argmin is a max(struct)
+    aggregate, and no-neighbor queries re-attach with one left join at
+    the query grain."""
+    pts = _geo_points(part)
+    q = pts.where(F.col("id") % GEO_QUERY_MOD == 0)
+    qx = (
+        q.select(
+            F.col("id").alias("qid"),
+            F.col("x").alias("qx"),
+            F.col("y").alias("qy"),
+            "cell_x",
+            "cell_y",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx"),
+        )
+        .select(
+            "qid", "qx", "qy", "cell_y",
+            (F.col("cell_x") + F.col("dx")).alias("pcx"),
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy"),
+        )
+        .select(
+            "qid", "qx", "qy", "pcx",
+            (F.col("cell_y") + F.col("dy")).alias("pcy"),
+        )
+    )
+    cand = (
+        qx.join(
+            pts,
+            (qx.pcx == pts.cell_x) & (qx.pcy == pts.cell_y),
+        )
+        .where(F.col("id") != F.col("qid"))
+        .select(
+            "qid",
+            "id",
+            (
+                (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+                + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy"))
+            ).alias("d2"),
+        )
+        .where(F.col("d2") <= GEO_R2)
+    )
+    agg = cand.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_within_r"),
+        F.max(
+            F.struct((-F.col("d2")).alias("nd"), (-F.col("id")).alias("ni"))
+        ).alias("m"),
+    )
+    return (
+        q.select(F.col("id").alias("qid"))
+        .join(agg, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce("n_within_r", F.lit(0)).alias("n_within_r"),
+            (-F.col("m.ni")).alias("nn_id"),
+            (-F.col("m.nd")).alias("nn_d2"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _geo_grid_knn(spark, sf_dir):
+    return geo_grid_knn(t(spark, sf_dir, "part"))
+
+
+_GEO_KNN_SQL = f"""
+WITH {_GEO_PTS_CTE},
+q AS (SELECT * FROM pts WHERE id % {GEO_QUERY_MOD} = 0),
+cand AS (
+  SELECT q.id AS qid, p.id AS id,
+         (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS d2
+  FROM q, unnest([-1, 0, 1]) AS u1(dx), unnest([-1, 0, 1]) AS u2(dy)
+  JOIN pts p
+    ON p.cell_x = q.cell_x + u1.dx AND p.cell_y = q.cell_y + u2.dy
+  WHERE p.id <> q.id
+    AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) <= {GEO_R2}
+),
+agg AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_within_r,
+         min(d2) AS md2
+  FROM cand GROUP BY qid
+),
+nn AS (
+  SELECT c.qid, min(c.id) AS nn_id
+  FROM cand c JOIN agg a ON c.qid = a.qid AND c.d2 = a.md2
+  GROUP BY c.qid
+)
+SELECT q.id AS query_id,
+       COALESCE(a.n_within_r, 0) AS n_within_r,
+       nn.nn_id, a.md2 AS nn_d2
+FROM q LEFT JOIN agg a ON q.id = a.qid LEFT JOIN nn ON q.id = nn.qid
+ORDER BY query_id
+"""
+
+
+GEO_BOX_MAXHALF = 2000  # max rectangle half-side (covers <= 3 cells/axis)
+
+
+def geo_bbox_contain(part, supplier):
+    """Spatial containment join: deterministic hash-derived rectangles
+    (one per supplier) against the part point cloud; per rectangle, the
+    number of contained points. The rectangle explodes to the grid
+    cells it covers (bounded by the literal max half-side / cell size,
+    i.e. <= 5x5 cells), candidates come from the same (cell_x, cell_y)
+    equi-join as the kNN key, and exact containment filters after —
+    the textbook grid variant of an R-tree probe, in one shuffle."""
+    pts = _geo_points(part)
+    npts = part.agg(F.count(F.lit(1)).alias("npts"))
+    rects = (
+        supplier.select(F.col("s_suppkey").alias("rid"))
+        .join(F.broadcast(npts))
+        .select(
+            "rid",
+            F.greatest(
+                F.lit(1), F.floor(F.sqrt(F.col("npts").cast("double")))
+            ).cast("long").alias("dcells"),
+            _h32(F.concat(F.col("rid").cast("string"), F.lit("bx"))).alias("hx"),
+            _h32(F.concat(F.col("rid").cast("string"), F.lit("by"))).alias("hy"),
+            (
+                500 + _h32(F.concat(F.col("rid").cast("string"), F.lit("bw")))
+                % (GEO_BOX_MAXHALF - 500)
+            ).alias("hw"),
+            (
+                500 + _h32(F.concat(F.col("rid").cast("string"), F.lit("bh")))
+                % (GEO_BOX_MAXHALF - 500)
+            ).alias("hh"),
+        )
+        .select(
+            "rid", "hw", "hh", "dcells",
+            (F.col("hx") % (F.col("dcells") * GEO_CELL)).alias("cx"),
+            (F.col("hy") % (F.col("dcells") * GEO_CELL)).alias("cy"),
+        )
+    )
+    cells = rects.select(
+        "rid", "cx", "cy", "hw", "hh", "dcells",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.expr(f"(cx - hw) div {GEO_CELL}")),
+                F.least(
+                    F.col("dcells") - 1, F.expr(f"(cx + hw) div {GEO_CELL}")
+                ),
+            )
+        ).alias("ccx"),
+    ).select(
+        "rid", "cx", "cy", "hw", "hh", "ccx",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.expr(f"(cy - hh) div {GEO_CELL}")),
+                F.least(
+                    F.col("dcells") - 1, F.expr(f"(cy + hh) div {GEO_CELL}")
+                ),
+            )
+        ).alias("ccy"),
+    )
+    hits = (
+        cells.join(
+            _geo_points(part),
+            (cells.ccx == F.col("cell_x")) & (cells.ccy == F.col("cell_y")),
+        )
+        .where(
+            (F.abs(F.col("x") - F.col("cx")) <= F.col("hw"))
+            & (F.abs(F.col("y") - F.col("cy")) <= F.col("hh"))
+        )
+        .groupBy("rid")
+        .agg(F.count(F.lit(1)).alias("n_contained"))
+    )
+    return (
+        rects.select("rid", "cx", "cy", "hw", "hh")
+        .join(hits, "rid", "left")
+        .select(
+            F.col("rid").alias("rect_id"),
+            "cx", "cy", "hw", "hh",
+            F.coalesce("n_contained", F.lit(0)).alias("n_contained"),
+        )
+        .orderBy("rect_id")
+    )
+
+
+def _geo_bbox_contain(spark, sf_dir):
+    return geo_bbox_contain(
+        t(spark, sf_dir, "part"), t(spark, sf_dir, "supplier")
+    )
+
+
+_GEO_BBOX_SQL = f"""
+WITH {_GEO_PTS_CTE},
+rects AS (
+  SELECT s_suppkey AS rid,
+         greatest(1, CAST(floor(sqrt(CAST(npts AS DOUBLE))) AS BIGINT))
+             AS dcells,
+         ('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || 'bx'), 1, 8))::BIGINT
+             % (greatest(1, CAST(floor(sqrt(CAST(npts AS DOUBLE))) AS BIGINT))
+                * {GEO_CELL}) AS cx,
+         ('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || 'by'), 1, 8))::BIGINT
+             % (greatest(1, CAST(floor(sqrt(CAST(npts AS DOUBLE))) AS BIGINT))
+                * {GEO_CELL}) AS cy,
+         500 + ('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || 'bw'), 1, 8))::BIGINT
+             % ({GEO_BOX_MAXHALF} - 500) AS hw,
+         500 + ('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || 'bh'), 1, 8))::BIGINT
+             % ({GEO_BOX_MAXHALF} - 500) AS hh
+  FROM supplier, npts
+),
+cells AS (
+  SELECT rid, cx, cy, hw, hh, u1.ccx, u2.ccy
+  FROM rects,
+       unnest(range(greatest(0, (cx - hw) // {GEO_CELL}),
+                    least(dcells - 1, (cx + hw) // {GEO_CELL}) + 1)) AS u1(ccx),
+       unnest(range(greatest(0, (cy - hh) // {GEO_CELL}),
+                    least(dcells - 1, (cy + hh) // {GEO_CELL}) + 1)) AS u2(ccy)
+),
+hits AS (
+  SELECT rid, CAST(count(*) AS BIGINT) AS n_contained
+  FROM cells JOIN pts p ON p.cell_x = cells.ccx AND p.cell_y = cells.ccy
+  WHERE abs(p.x - cells.cx) <= cells.hw AND abs(p.y - cells.cy) <= cells.hh
+  GROUP BY rid
+)
+SELECT rects.rid AS rect_id, cx, cy, hw, hh,
+       COALESCE(n_contained, 0) AS n_contained
+FROM rects LEFT JOIN hits ON rects.rid = hits.rid
+ORDER BY rect_id
+"""
+
+
+for _q in (
+    QueryDef("geo_grid_knn", _geo_grid_knn, _GEO_KNN_SQL, ("geo",)),
+    QueryDef("geo_bbox_contain", _geo_bbox_contain, _GEO_BBOX_SQL, ("geo",)),
+):
+    R6B_QUERIES[_q.name] = _q
+
+
+# =====================================================================
+# Vocabulary-law wave: the two classic corpus-statistics fits a
+# language-data pipeline monitors across snapshots — Zipf's rank-
+# frequency law and Heaps' vocabulary-growth law.
+# =====================================================================
+
+
+def zipf_fit(docs):
+    """Zipf rank-frequency fit: rank tokens by frequency (ties broken
+    lexicographically), regress ln(freq) on ln(rank) by OLS, and report
+    the exponent (Zipf predicts slope ~ -1), intercept, and R^2 — the
+    drift alarm for tokenizer or source-mix changes.
+
+    Exactness: ln(rank)/ln(freq) are micro-nat-quantized PER TOKEN from
+    exact int64 inputs; the five OLS sums are int64 (cross products
+    pre-scaled by 1e6 inside the term, the fold-order rule), and the
+    final slope/intercept/R^2 are identical double expressions over
+    those exact sums, micro-quantized.
+
+    Scale shape: one shuffle to the token grain; ranks come from
+    frequency-CLASS offsets (a triangular self-join at the distinct-
+    count grain, bounded by the count domain) plus a row_number
+    partitioned by frequency class — no global window; the fit is one
+    5-sum aggregate."""
+    from pyspark.sql import Window
+
+    tc = (
+        docs.select(F.explode(_tok(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cls = tc.groupBy("cnt").agg(F.count(F.lit(1)).alias("m"))
+    offs = (
+        cls.select(F.col("cnt").alias("c"))
+        .join(cls.select(F.col("cnt").alias("c2"), "m"), F.col("c2") > F.col("c"))
+        .groupBy("c")
+        .agg(F.sum("m").alias("off"))
+    )
+    w = Window.partitionBy("cnt").orderBy("tok")
+    ranked = (
+        tc.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(offs), tc.cnt == offs.c, "left")
+        .select(
+            "tok",
+            "cnt",
+            (F.coalesce("off", F.lit(0)) + F.col("rn")).alias("rank"),
+        )
+    )
+    terms = ranked.select(
+        F.floor(F.log(F.col("rank").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    sums = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("(x * y) div 1000000")).alias("sxy"),
+        F.sum(F.expr("(x * x) div 1000000")).alias("sxx"),
+        F.sum(F.expr("(y * y) div 1000000")).alias("syy"),
+    )
+    num = (
+        F.col("n").cast("double") * F.col("sxy").cast("double") * 1.0e6
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    den = (
+        F.col("n").cast("double") * F.col("sxx").cast("double") * 1.0e6
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    deny = (
+        F.col("n").cast("double") * F.col("syy").cast("double") * 1.0e6
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return sums.select(
+        F.col("n").alias("n_vocab"),
+        F.floor(num / den * 1000000 + F.lit(0.5)).alias("slope_micro"),
+        F.floor(
+            (
+                F.col("sy").cast("double") / F.col("n").cast("double")
+                - num / den * F.col("sx").cast("double") / F.col("n").cast("double")
+            )
+            + F.lit(0.5)
+        ).alias("intercept_micro"),
+        F.floor(num * num / (den * deny) * 1000000 + F.lit(0.5)).alias(
+            "r2_micro"
+        ),
+    )
+
+
+def _text_zipf_fit(spark, sf_dir):
+    return zipf_fit(t(spark, sf_dir, "documents"))
+
+
+_ZIPF_SQL = """
+WITH tc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS tok
+        FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT tok, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT)
+             AS rank
+  FROM tc
+),
+terms AS (
+  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM ranked
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum((x * y) // 1000000) AS BIGINT) AS sxy,
+         CAST(sum((x * x) // 1000000) AS BIGINT) AS sxx,
+         CAST(sum((y * y) // 1000000) AS BIGINT) AS syy
+  FROM terms
+)
+SELECT n AS n_vocab,
+       CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) * 1.0e6
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) * 1.0e6
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS slope_micro,
+       CAST(floor((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) * 1.0e6
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) * 1.0e6
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 0.5) AS BIGINT) AS intercept_micro,
+       CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) * 1.0e6
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) * 1.0e6
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) * 1.0e6
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) * 1.0e6
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT) AS r2_micro
+FROM sums
+"""
+
+
+HEAPS_CHECKPOINTS = 10
+
+
+def heaps_law(docs, k: int = HEAPS_CHECKPOINTS):
+    """Heaps'-law vocabulary growth curve: stream the corpus in a
+    deterministic md5 order and report, at each of k corpus-fraction
+    checkpoints, cumulative token count and distinct-vocabulary size —
+    the curve that predicts how much new vocabulary the next 10x of
+    data buys.
+
+    Scale shape: corpus positions come from a 256-bucket hash-prefix
+    hierarchical prefix sum (bucket offsets via a triangular join of a
+    256-row table, ranks via windows partitioned by bucket), first
+    occurrence per token is a min aggregate, and each checkpoint
+    evaluation is a bounded k-way expansion collapsing immediately —
+    the same shape as the repo's threshold sweeps."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id",
+        F.size(_tok(F.col("text"))).alias("n_toks"),
+        F.md5(F.concat(F.lit("hp:"), F.col("doc_id").cast("string"))).alias(
+            "hkey"
+        ),
+    ).withColumn(
+        "bkt", F.conv(F.substring("hkey", 1, 2), 16, 10).cast("long")
+    )
+    w = Window.partitionBy("bkt").orderBy("hkey")
+    within = base.withColumn("rn", F.row_number().over(w))
+    bcnt = base.groupBy("bkt").agg(F.count(F.lit(1)).alias("bn"))
+    offs = (
+        bcnt.select(F.col("bkt").alias("k"))
+        .join(bcnt.select(F.col("bkt").alias("k2"), "bn"), F.col("k2") < F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("bn").alias("off"))
+    )
+    pos = within.join(F.broadcast(offs), within.bkt == offs.k, "left").select(
+        "doc_id",
+        "n_toks",
+        (F.coalesce("off", F.lit(0)) + F.col("rn")).alias("pos"),
+    )
+    nd = pos.agg(F.count(F.lit(1)).alias("n_docs"))
+    chk = (
+        pos.sparkSession.range(1, k + 1)
+        .select(F.col("id").cast("long").alias("chk"))
+        .join(F.broadcast(nd))
+        .select("chk", F.expr(f"(chk * n_docs) div {k}").alias("thr"))
+    )
+    tok_first = (
+        docs.select("doc_id", F.explode(_tok(F.col("text"))).alias("tok"))
+        .join(pos.select("doc_id", "pos"), "doc_id")
+        .groupBy("tok")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    vocab_k = (
+        tok_first.join(F.broadcast(chk))
+        .groupBy("chk", "thr")
+        .agg(
+            F.sum(
+                F.when(F.col("first_pos") <= F.col("thr"), 1).otherwise(0)
+            ).alias("vocab_size")
+        )
+    )
+    toks_k = (
+        pos.join(F.broadcast(chk))
+        .groupBy("chk")
+        .agg(
+            F.sum(
+                F.when(F.col("pos") <= F.col("thr"), F.col("n_toks")).otherwise(0)
+            ).alias("n_tokens_cum")
+        )
+    )
+    return (
+        vocab_k.join(toks_k, "chk")
+        .select(
+            F.col("chk").alias("checkpoint"),
+            F.col("thr").alias("n_docs_le"),
+            "n_tokens_cum",
+            "vocab_size",
+        )
+        .orderBy("checkpoint")
+    )
+
+
+def _text_heaps_law(spark, sf_dir):
+    return heaps_law(t(spark, sf_dir, "documents"))
+
+
+_HEAPS_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_toks,
+         md5('hp:' || CAST(doc_id AS VARCHAR)) AS hkey
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n_toks,
+         CAST(row_number() OVER (ORDER BY hkey) AS BIGINT) AS pos
+  FROM base
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM pos),
+chk AS (
+  SELECT CAST(u.chk AS BIGINT) AS chk,
+         (u.chk * n_docs) // {HEAPS_CHECKPOINTS} AS thr
+  FROM nd, unnest(range(1, {HEAPS_CHECKPOINTS} + 1)) AS u(chk)
+),
+tok_first AS (
+  SELECT tok, min(pos) AS first_pos
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS tok
+        FROM documents) tk
+  JOIN pos USING (doc_id)
+  GROUP BY tok
+),
+vocab_k AS (
+  SELECT chk, thr,
+         CAST(sum(CASE WHEN first_pos <= thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS vocab_size
+  FROM tok_first, chk GROUP BY 1, 2
+),
+toks_k AS (
+  SELECT chk,
+         CAST(sum(CASE WHEN pos <= thr THEN n_toks ELSE 0 END) AS BIGINT)
+             AS n_tokens_cum
+  FROM pos, chk GROUP BY 1
+)
+SELECT vocab_k.chk AS checkpoint, thr AS n_docs_le, n_tokens_cum, vocab_size
+FROM vocab_k JOIN toks_k ON vocab_k.chk = toks_k.chk
+ORDER BY checkpoint
+"""
+
+
+for _q in (
+    QueryDef("text_zipf_fit", _text_zipf_fit, _ZIPF_SQL, ("text",)),
+    QueryDef("text_heaps_law", _text_heaps_law, _HEAPS_SQL, ("text",)),
+):
+    R6B_QUERIES[_q.name] = _q
