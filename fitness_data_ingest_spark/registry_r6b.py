@@ -1472,3 +1472,532 @@ for _q in (
     QueryDef("text_heaps_law", _text_heaps_law, _HEAPS_SQL, ("text",)),
 ):
     R6B_QUERIES[_q.name] = _q
+
+
+# =====================================================================
+# Embedding wave: Johnson-Lindenstrauss random projection with a
+# distance-distortion audit, over the SQ8 integer codes (so every
+# distance is exact int64 on both engines).
+# =====================================================================
+
+RP_OUT_DIMS = 16
+RP_IN_DIMS = 64
+RP_PAIR_MOD = 10
+RP_HIST_BUCKET = 250000  # ratio histogram bucket width (micro units)
+
+# The +-1 sign matrix as a portable md5 expression, shared by both
+# engines: sign(j, i) = +1 iff h32('rp:j:i') is even.
+_SGN_SPARK = (
+    f"transform(sequence(0, {RP_OUT_DIMS - 1}, 1), j -> "
+    f"transform(sequence(0, {RP_IN_DIMS - 1}, 1), i -> "
+    "CASE WHEN CAST(conv(substring(md5(concat('rp:', CAST(j AS STRING), "
+    "':', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 "
+    "THEN 1L ELSE -1L END))"
+)
+
+
+def random_projection_audit(embeddings):
+    """Johnson-Lindenstrauss +-1 random projection (Achlioptas 2003):
+    project the 64-dim SQ8 integer codes to 16 dims with a
+    hash-derived sign matrix and audit distance preservation on a
+    deterministic pair sample — the dimensionality-reduction QA a
+    100 TB vector pipeline runs before switching its ANN index to the
+    compact representation.
+
+    Exactness: the sign matrix, projections, and both distances are
+    pure int64; the distortion ratio d2_proj/(k/d-scaled d2_orig) is
+    integer micro floor-division. Scale shape: the 16x64 sign matrix
+    builds ONCE as a 1-row broadcast (never per row); projection is a
+    per-row array fold; the audit pairs come from an equi-join on
+    adjacent sampled ids, and the histogram collapses to the bounded
+    bucket grain."""
+    from .ext.similarity import sq8_codes
+
+    codes = sq8_codes(embeddings)
+    signs = F.broadcast(
+        embeddings.sparkSession.range(1).select(
+            F.expr(_SGN_SPARK).alias("sgn")
+        )
+    )
+    proj = codes.crossJoin(signs).select(
+        "vec_id",
+        "c",
+        F.expr(
+            f"transform(sequence(0, {RP_OUT_DIMS - 1}, 1), j -> "
+            "aggregate(zip_with(c, element_at(sgn, j + 1), (x, s) -> x * s), "
+            "0L, (acc, v) -> acc + v))"
+        ).alias("p"),
+    )
+    a = proj.where(F.col("vec_id") % RP_PAIR_MOD == 0).select(
+        F.col("vec_id").alias("aid"),
+        F.col("c").alias("ac"),
+        F.col("p").alias("ap"),
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("aid"),
+        F.col("c").alias("bc"),
+        F.col("p").alias("bp"),
+    )
+    d2 = "aggregate(zip_with({x}, {y}, (u, v) -> (u - v) * (u - v)), 0L, (s, e) -> s + e)"
+    pairs = (
+        a.join(b, "aid")
+        .select(
+            "aid",
+            F.expr(d2.format(x="ac", y="bc")).alias("d2o"),
+            F.expr(d2.format(x="ap", y="bp")).alias("d2p"),
+        )
+        .where(F.col("d2o") > 0)
+        .select(
+            "aid",
+            F.expr(
+                f"(1000000 * d2p) div ({RP_OUT_DIMS} * d2o)"
+            ).alias("ratio_micro"),
+        )
+    )
+    tot = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("sum(ratio_micro) div count(1)").alias("mean_ratio_micro"),
+    )
+    return (
+        pairs.groupBy(
+            F.expr(f"ratio_micro div {RP_HIST_BUCKET}").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(tot))
+        .select("bucket", "n", "n_pairs", "mean_ratio_micro")
+        .orderBy("bucket")
+    )
+
+
+def _embed_random_projection(spark, sf_dir):
+    return random_projection_audit(t(spark, sf_dir, "embeddings"))
+
+
+_RP_SQL = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+idx AS (SELECT vec_id, v, unnest(range(1, len(v)+1)) AS i FROM e),
+d AS (SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx FROM idx GROUP BY 1),
+b AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM d),
+codes AS (SELECT vec_id,
+  list_transform(range(1, len(v)+1), i ->
+    CASE WHEN b.mx[i] > b.mn[i]
+         THEN CAST(floor((v[i] - b.mn[i]) / (b.mx[i] - b.mn[i]) * 255 + 0.5)
+                   AS BIGINT)
+         ELSE 0 END) AS c
+  FROM e CROSS JOIN b),
+sgn AS (SELECT list_transform(range(0, {RP_OUT_DIMS}), j ->
+          list_transform(range(0, {RP_IN_DIMS}), i ->
+            CASE WHEN ('0x' || substr(md5('rp:' || CAST(j AS VARCHAR) || ':'
+                       || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)) AS m),
+proj AS (SELECT vec_id, c,
+  list_transform(range(1, {RP_OUT_DIMS} + 1), j ->
+    CAST(list_sum(list_transform(range(1, {RP_IN_DIMS} + 1),
+                                 i -> c[i] * sgn.m[j][i])) AS BIGINT)) AS p
+  FROM codes CROSS JOIN sgn),
+pairs AS (
+  SELECT a.vec_id AS aid,
+         CAST(list_sum(list_transform(range(1, {RP_IN_DIMS} + 1),
+              i -> (a.c[i] - bb.c[i]) * (a.c[i] - bb.c[i]))) AS BIGINT) AS d2o,
+         CAST(list_sum(list_transform(range(1, {RP_OUT_DIMS} + 1),
+              j -> (a.p[j] - bb.p[j]) * (a.p[j] - bb.p[j]))) AS BIGINT) AS d2p
+  FROM proj a JOIN proj bb ON bb.vec_id = a.vec_id + 1
+  WHERE a.vec_id % {RP_PAIR_MOD} = 0
+),
+ratios AS (
+  SELECT aid, (1000000 * d2p) // ({RP_OUT_DIMS} * d2o) AS ratio_micro
+  FROM pairs WHERE d2o > 0
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(ratio_micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+             AS mean_ratio_micro
+  FROM ratios
+)
+SELECT ratio_micro // {RP_HIST_BUCKET} AS bucket,
+       CAST(count(*) AS BIGINT) AS n, n_pairs, mean_ratio_micro
+FROM ratios, tot
+GROUP BY 1, 3, 4 ORDER BY bucket
+"""
+
+
+# =====================================================================
+# Shard-packing wave: deterministic byte-budget shard assignment (the
+# WebDataset-style layout step that turns a curated corpus into
+# fixed-size training shards).
+# =====================================================================
+
+SHARD_BUDGET_BYTES = 4096
+
+
+def shard_pack(docs, budget: int = SHARD_BUDGET_BYTES):
+    """Byte-budget shard packing: stream documents in deterministic md5
+    order and assign each to shard floor(cum_bytes_before / budget)
+    (next-fit by prefix — a doc belongs to the shard where it starts);
+    emit the shard manifest (docs, bytes, position range) a training
+    loader consumes.
+
+    Scale shape: the running byte offset is the 256-bucket hash-prefix
+    hierarchical prefix sum (bucket sums via one 256-row triangular
+    join, within-bucket windows) — no global window, no sequential
+    scan; the manifest is one aggregate at the shard grain."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("nb"),
+        F.md5(F.concat(F.lit("sh:"), F.col("doc_id").cast("string"))).alias(
+            "hkey"
+        ),
+    ).withColumn(
+        "bkt", F.conv(F.substring("hkey", 1, 2), 16, 10).cast("long")
+    )
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("hkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("bkt").orderBy("hkey")
+    within = base.select(
+        "doc_id",
+        "nb",
+        "bkt",
+        F.row_number().over(wr).alias("rn"),
+        (F.sum("nb").over(w) - F.col("nb")).alias("cb_in"),
+    )
+    bagg = base.groupBy("bkt").agg(
+        F.sum("nb").alias("bb"), F.count(F.lit(1)).alias("bn")
+    )
+    offs = (
+        bagg.select(F.col("bkt").alias("k"))
+        .join(
+            bagg.select(F.col("bkt").alias("k2"), "bb", "bn"),
+            F.col("k2") < F.col("k"),
+        )
+        .groupBy("k")
+        .agg(F.sum("bb").alias("boff"), F.sum("bn").alias("noff"))
+    )
+    pos = within.join(F.broadcast(offs), within.bkt == offs.k, "left").select(
+        "doc_id",
+        "nb",
+        (F.coalesce("noff", F.lit(0)) + F.col("rn")).alias("pos"),
+        (F.coalesce("boff", F.lit(0)) + F.col("cb_in")).alias("cum_before"),
+    )
+    return (
+        pos.select(
+            "doc_id", "nb", "pos",
+            F.expr(f"cum_before div {budget}").alias("shard"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nb").alias("n_bytes"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _corpus_shard_pack(spark, sf_dir):
+    return shard_pack(t(spark, sf_dir, "documents"))
+
+
+_SHARD_SQL = f"""
+WITH base AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS nb,
+         md5('sh:' || CAST(doc_id AS VARCHAR)) AS hkey
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, nb,
+         CAST(row_number() OVER (ORDER BY hkey) AS BIGINT) AS pos,
+         CAST(sum(nb) OVER (ORDER BY hkey) - nb AS BIGINT) AS cum_before
+  FROM base
+)
+SELECT cum_before // {SHARD_BUDGET_BYTES} AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nb) AS BIGINT) AS n_bytes,
+       min(pos) AS first_pos, max(pos) AS last_pos
+FROM pos GROUP BY 1 ORDER BY shard
+"""
+
+
+for _q in (
+    QueryDef(
+        "embed_random_projection",
+        _embed_random_projection,
+        _RP_SQL,
+        ("embed",),
+    ),
+    QueryDef("corpus_shard_pack", _corpus_shard_pack, _SHARD_SQL, ("corpus",)),
+):
+    R6B_QUERIES[_q.name] = _q
+
+
+# ------------------------------------------------- MMR DIVERSITY SELECT
+
+MMR_K = 5
+MMR_CAND_MOD = 13
+# MMR score (x10 integer weights): score = 3*min_d2(selected) - 7*d2(query)
+# == lambda*rel - (1-lambda)*max_sim with lambda=0.7 and sim = -L2^2.
+MMR_W_REL = 7
+MMR_W_DIV = 3
+
+_D2_EXPR = (
+    "aggregate(zip_with({a}, {b}, (u, v) -> (u - v) * (u - v)), "
+    "0L, (s, e) -> s + e)"
+)
+
+
+def mmr_select(embeddings, k: int = MMR_K):
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedily pick k items maximizing lambda*relevance -
+    (1-lambda)*similarity-to-already-selected — the diversity-aware
+    retrieval/curation step that keeps a training batch or RAG context
+    from filling with near-duplicates. Query = vector 0; candidates are
+    a deterministic id sample; all distances are exact int64 over SQ8
+    codes, so the greedy argmax (score, then smallest id) is bit-stable.
+
+    Scale shape: the k rounds unroll statically (the graph_hits
+    pattern); every round is candidate-scan x broadcast-selected
+    (<= k-1 rows) -> one aggregate argmax. The candidate table is
+    lineage-truncated once with localCheckpoint so round r does not
+    re-derive rounds 1..r-1. In production the candidate set is the
+    ANN top-N, so per-query work is O(k * N)."""
+    from .ext.similarity import sq8_codes
+
+    codes = sq8_codes(embeddings)
+    q = codes.where(F.col("vec_id") == 0).select(F.col("c").alias("qc"))
+    cand = (
+        codes.where((F.col("vec_id") % MMR_CAND_MOD == 1))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "c",
+            F.expr(_D2_EXPR.format(a="c", b="qc")).alias("d2q"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pick1 = cand.agg(
+        F.min(F.struct("d2q", "vec_id")).alias("m")
+    ).select(
+        F.lit(1).alias("rank"),
+        F.col("m.vec_id").alias("vec_id"),
+        F.col("m.d2q").alias("d2_query"),
+        F.lit(None).cast("long").alias("min_d2_selected"),
+        (-MMR_W_REL * F.col("m.d2q")).alias("score10"),
+    )
+    picks = [pick1]
+    for r in range(2, k + 1):
+        sel_ids = picks[0].select("vec_id")
+        for p in picks[1:]:
+            sel_ids = sel_ids.unionAll(p.select("vec_id"))
+        selc = cand.join(F.broadcast(sel_ids), "vec_id").select(
+            F.col("c").alias("sc")
+        )
+        rem = cand.join(F.broadcast(sel_ids), "vec_id", "left_anti")
+        scored = (
+            rem.join(F.broadcast(selc))
+            .select(
+                "vec_id",
+                "d2q",
+                F.expr(_D2_EXPR.format(a="c", b="sc")).alias("d2s"),
+            )
+            .groupBy("vec_id", "d2q")
+            .agg(F.min("d2s").alias("mind"))
+        )
+        picks.append(
+            scored.select(
+                "vec_id",
+                "d2q",
+                "mind",
+                (
+                    MMR_W_DIV * F.col("mind") - MMR_W_REL * F.col("d2q")
+                ).alias("s10"),
+            )
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("s10"), (-F.col("vec_id")).alias("nid")
+                    )
+                ).alias("m"),
+                F.max(
+                    F.struct(
+                        F.col("s10"),
+                        (-F.col("vec_id")).alias("nid"),
+                        F.col("d2q"),
+                        F.col("mind"),
+                    )
+                ).alias("mm"),
+            )
+            .select(
+                F.lit(r).alias("rank"),
+                (-F.col("m.nid")).alias("vec_id"),
+                F.col("mm.d2q").alias("d2_query"),
+                F.col("mm.mind").alias("min_d2_selected"),
+                F.col("m.s10").alias("score10"),
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("rank")
+
+
+def _embed_mmr_select(spark, sf_dir):
+    return mmr_select(t(spark, sf_dir, "embeddings"))
+
+
+def _mmr_sql(k: int = MMR_K) -> str:
+    d2 = (
+        "CAST(list_sum(list_transform(range(1, {n} + 1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+    parts = [
+        """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+idx AS (SELECT vec_id, v, unnest(range(1, len(v)+1)) AS i FROM e),
+d AS (SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx FROM idx GROUP BY 1),
+b AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM d),
+codes AS (SELECT vec_id,
+  list_transform(range(1, len(v)+1), i ->
+    CASE WHEN b.mx[i] > b.mn[i]
+         THEN CAST(floor((v[i] - b.mn[i]) / (b.mx[i] - b.mn[i]) * 255 + 0.5)
+                   AS BIGINT)
+         ELSE 0 END) AS c
+  FROM e CROSS JOIN b),
+q AS (SELECT c AS qc FROM codes WHERE vec_id = 0),
+cand AS (SELECT vec_id, c, """
+        + d2.format(n=RP_IN_DIMS, a="c", b="qc")
+        + f""" AS d2q
+        FROM codes, q WHERE vec_id % {MMR_CAND_MOD} = 1),
+sel1 AS (SELECT vec_id, c, d2q FROM cand ORDER BY d2q ASC, vec_id ASC LIMIT 1)"""
+    ]
+    prev_sel = "sel1"
+    all_sels = ["sel1"]
+    for r in range(2, k + 1):
+        union_sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM {s}" for s in all_sels
+        )
+        pair_d2 = d2.format(n=RP_IN_DIMS, a="r.c", b="s.c")
+        parts.append(
+            f""",
+ids{r} AS ({union_sel}),
+selc{r} AS (SELECT c FROM cand WHERE vec_id IN (SELECT vec_id FROM ids{r})),
+sc{r} AS (
+  SELECT r.vec_id, r.c, r.d2q, min({pair_d2}) AS mind
+  FROM (SELECT * FROM cand
+        WHERE vec_id NOT IN (SELECT vec_id FROM ids{r})) r,
+       selc{r} s
+  GROUP BY r.vec_id, r.c, r.d2q
+),
+sel{r} AS (
+  SELECT vec_id, c, d2q, mind
+  FROM sc{r}
+  ORDER BY {MMR_W_DIV} * mind - {MMR_W_REL} * d2q DESC, vec_id ASC
+  LIMIT 1
+)"""
+        )
+        prev_sel = f"sel{r}"
+        all_sels.append(prev_sel)
+    finals = [
+        f"""SELECT 1 AS rank, vec_id, d2q AS d2_query,
+       CAST(NULL AS BIGINT) AS min_d2_selected,
+       {-MMR_W_REL} * d2q AS score10
+FROM sel1"""
+    ]
+    for r in range(2, k + 1):
+        finals.append(
+            f"""SELECT {r} AS rank, vec_id, d2q AS d2_query,
+       mind AS min_d2_selected,
+       {MMR_W_DIV} * mind - {MMR_W_REL} * d2q AS score10
+FROM sel{r}"""
+        )
+    parts.append(
+        "\nSELECT * FROM ("
+        + " UNION ALL ".join(f"({s})" for s in finals)
+        + ") ORDER BY rank"
+    )
+    return "".join(parts)
+
+
+R6B_QUERIES["embed_mmr_select"] = QueryDef(
+    "embed_mmr_select", _embed_mmr_select, _mmr_sql(), ("embed",)
+)
+
+
+# ------------------------------------------------------ TAR SHARD CODEC
+
+
+def _multimodal_tar_shards(spark, sf_dir):
+    """Real archive-container decode: every document becomes a genuine
+    ustar (POSIX tar) archive via the pure-stdlib codec in
+    ``ext/tar.py`` — the WebDataset shard format — then parses back to
+    per-member metadata and exact payload statistics. tar is lossless
+    framing, so the DuckDB oracle replays the per-byte LCG relationally
+    and the hash match proves the header/checksum/padding/terminator
+    loop is byte-exact everywhere. Parser breadth (stdlib
+    interoperability both directions, signed/unsigned checksums,
+    corruption + truncation fuzz) is pytest-covered. Scale shape: two
+    chained Arrow-batched ``mapInPandas``, zero data shuffle (the one
+    exchange moves id control rows at an explicit partition count —
+    SCALING.md §14)."""
+    from .ext import tar as T
+
+    docs = t(spark, sf_dir, "documents")
+    return T.tar_features(T.synthesize_tar(docs))
+
+
+_TAR_SQL = """
+WITH RECURSIVE pw(k, ak, sk) AS (
+  SELECT 1, CAST(6364136223846793005 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT k + 1,
+         CAST((CAST(6364136223846793005 AS HUGEINT) * ak)
+              % 9223372036854775808 AS BIGINT),
+         CAST((CAST(6364136223846793005 AS HUGEINT) * sk + 1)
+              % 9223372036854775808 AS BIGINT)
+  FROM pw WHERE k < 110
+),
+mems AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 + 1 AS INTEGER) AS n_members,
+         CAST(u.m AS INTEGER) AS member_idx
+  FROM documents, unnest(range(0, 3)) AS u(m)
+  WHERE u.m < doc_id % 3 + 1
+),
+seeds AS (
+  SELECT doc_id, n_members, member_idx,
+         CAST(10 + (doc_id + 13 * member_idx) % 100 AS BIGINT) AS size,
+         CAST((CAST(doc_id * 31 + member_idx AS HUGEINT)
+               * 6364136223846793005 + 1442695040888963407)
+              % 9223372036854775808 AS BIGINT) AS s0
+  FROM mems
+),
+bytes AS (
+  SELECT d.doc_id, d.n_members, d.member_idx, d.size,
+         CAST(((CAST((CAST(p.ak AS HUGEINT) * d.s0 + p.sk)
+                     % 9223372036854775808 AS BIGINT)) // 8589934592) % 256
+              AS BIGINT) AS v
+  FROM seeds d JOIN pw p ON p.k <= d.size
+)
+SELECT doc_id AS media_id, n_members, member_idx,
+       CAST(doc_id AS VARCHAR) || '/' || CAST(member_idx AS VARCHAR)
+           || '.bin' AS name,
+       size,
+       CAST(sum(v) AS BIGINT) AS byte_sum,
+       CAST(min(v) AS INTEGER) AS byte_min,
+       CAST(max(v) AS INTEGER) AS byte_max
+FROM bytes GROUP BY doc_id, n_members, member_idx, size
+"""
+
+
+R6B_QUERIES["multimodal_tar_shards"] = QueryDef(
+    "multimodal_tar_shards",
+    _multimodal_tar_shards,
+    _TAR_SQL,
+    ("multimodal",),
+)

@@ -880,3 +880,102 @@ def test_gif_decoder_breadth_beyond_encoder():
     interlaced = bytearray(g)
     interlaced[img_at + 9] |= 0x40
     assert decode_gif(bytes(interlaced)) is None
+
+
+# ------------------------------------------------------------ tar codec
+
+
+def test_tar_roundtrip_and_stdlib_interop_both_directions():
+    """Our ustar writer round-trips through our parser AND through
+    stdlib tarfile (both directions) — the strongest spec check
+    available without golden files."""
+    import io
+    import tarfile
+
+    from fitness_data_ingest_spark.ext import tar as T
+
+    for mid in list(range(40)) + [997, 54321]:
+        members = [
+            (f"{mid}/{m}.bin", T._member_payload(mid, m))
+            for m in range(T._member_count(mid))
+        ]
+        arc = T.encode_tar(members)
+        assert len(arc) % T.BLOCK == 0
+        dec = T.decode_tar(arc)
+        assert dec is not None and [
+            (d["name"], d["payload"]) for d in dec
+        ] == members
+        tf = tarfile.open(fileobj=io.BytesIO(arc))
+        assert [
+            (m.name, tf.extractfile(m).read()) for m in tf.getmembers()
+        ] == members
+
+    # stdlib-written archive parses through OUR decoder
+    buf = io.BytesIO()
+    tf = tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT)
+    data = b"payload bytes" * 41
+    ti = tarfile.TarInfo("dir/file.txt")
+    ti.size = len(data)
+    tf.addfile(ti, io.BytesIO(data))
+    tf.close()
+    dec = T.decode_tar(buf.getvalue())
+    assert dec and dec[0]["name"] == "dir/file.txt"
+    assert dec[0]["payload"] == data
+
+
+def test_tar_parser_breadth_beyond_writer():
+    """The parser accepts what the writer never emits: non-regular
+    members are skipped (their payload blocks honored), a missing
+    double-zero terminator at exact EOF is tolerated, and signed
+    checksums are accepted."""
+    from fitness_data_ingest_spark.ext import tar as T
+
+    reg = T.encode_tar([("keep.bin", b"x" * 20)])
+
+    # splice in a directory-type member before the regular one
+    dirhdr = bytearray(T._header("somedir/", 0))
+    dirhdr[156] = ord("5")
+    chk = sum(dirhdr) - sum(dirhdr[148:156]) + 8 * 0x20
+    dirhdr[148:156] = (
+        format(chk, "o").rjust(6, "0").encode() + b"\0 "
+    )
+    spliced = bytes(dirhdr) + reg
+    dec = T.decode_tar(spliced)
+    assert dec is not None and [d["name"] for d in dec] == ["keep.bin"]
+
+    # truncate the terminator entirely: exact-EOF tolerance
+    no_term = reg[: -2 * T.BLOCK]
+    dec = T.decode_tar(no_term)
+    assert dec is not None and dec[0]["name"] == "keep.bin"
+
+    # signed-checksum variant: rewrite chksum using the signed sum
+    h = bytearray(reg[: T.BLOCK])
+    h[0] = 0xE9  # high-bit byte in the name makes signed != unsigned
+    signed = (
+        sum(b if b < 128 else b - 256 for b in h[:148])
+        + 8 * 0x20
+        + sum(b if b < 128 else b - 256 for b in h[156:])
+    )
+    h[148:156] = format(signed, "o").rjust(6, "0").encode() + b"\0 "
+    patched = bytes(h) + reg[T.BLOCK :]
+    dec = T.decode_tar(patched)
+    assert dec is not None and len(dec) == 1
+
+
+def test_tar_corruption_and_truncation_fuzz_never_throws():
+    """Any single-byte flip or truncation either parses to a valid
+    prefix or returns None — never an exception (the mapInPandas
+    null-row contract depends on this)."""
+    from fitness_data_ingest_spark.ext import tar as T
+
+    arc = T.encode_tar(
+        [("a.bin", bytes(range(256))), ("b.bin", b"q" * 77)]
+    )
+    for i in range(len(arc)):
+        b = bytearray(arc)
+        b[i] ^= 0xFF
+        T.decode_tar(bytes(b))  # must not raise
+    for cut in range(0, len(arc), 97):
+        out = T.decode_tar(arc[:cut])
+        if cut % T.BLOCK != 0:
+            assert out is None
