@@ -435,3 +435,105 @@ def kcore_oracle_sql(edges_cte: str, k: int = 4, rounds: int = 3) -> str:
     ]
     parts.append(" UNION ALL ".join(selects) + " ORDER BY round")
     return "\n".join(parts)
+
+
+def bfs_hops(
+    edges: DataFrame, seed_mod: int = 37, seed_rem: int = 1, rounds: int = 4
+) -> DataFrame:
+    """Synchronous multi-source BFS frontier expansion: seeds are the
+    graph nodes with ``node % seed_mod == seed_rem``; each round the
+    frontier advances one hop and newly-reached nodes join the visited
+    set. Reports the per-hop reachability profile (round, newly reached
+    count, id-sum of the new frontier, cumulative visited) — the
+    connectivity/expansion audit behind contamination-spread and
+    blast-radius questions.
+
+    Scale shape — the kcore_peel discipline: edges persist
+    pre-partitioned by ``dst`` ONCE; each round's hop is a BROADCAST
+    join of the (node-grain) frontier on ``src`` that preserves the dst
+    partitioning, so the dst-grain dedup aggregate inserts no exchange;
+    the visited exclusion is a broadcast anti-join on the same
+    partitioning, and frontiers localCheckpoint between rounds (the
+    lineage-doubling fix). Per-round stats combine as 1-row broadcast
+    attaches."""
+    ed = edges.repartition("dst").persist()
+    seeds = (
+        ed.select(F.col("src").alias("node"))
+        .distinct()
+        .where(F.col("node") % seed_mod == seed_rem)
+        .localCheckpoint(eager=False)
+    )
+    frontier = seeds
+    visited = seeds
+    outs = []
+    for r in range(rounds):
+        row = frontier.agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.coalesce(F.sum("node"), F.lit(0)).alias("sum_new"),
+        ).join(
+            F.broadcast(visited.agg(F.count(F.lit(1)).alias("n_visited")))
+        ).select(
+            F.lit(r).cast("int").alias("hop"),
+            "n_new",
+            "sum_new",
+            "n_visited",
+        )
+        outs.append(row)
+        if r == rounds - 1:
+            break
+        nxt = (
+            ed.join(
+                F.broadcast(frontier.select(F.col("node").alias("_f"))),
+                F.col("src") == F.col("_f"),
+            )
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(F.col("dst").alias("node"))
+            .join(
+                F.broadcast(visited.select(F.col("node").alias("_v"))),
+                F.col("node") == F.col("_v"),
+                "left_anti",
+            )
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("hop")
+
+
+def bfs_oracle_sql(
+    edges_cte: str, seed_mod: int = 37, seed_rem: int = 1, rounds: int = 4
+) -> str:
+    """Unrolled ANSI-SQL mirror of :func:`bfs_hops` — one (frontier,
+    visited) CTE pair per hop, per-hop stat rows UNION ALL'd (the
+    kcore_oracle_sql pattern)."""
+    parts = [
+        f"WITH edges AS ({edges_cte}),",
+        f"f0 AS (SELECT DISTINCT src AS node FROM edges"
+        f" WHERE src % {seed_mod} = {seed_rem}),",
+        "v0 AS (SELECT node FROM f0),",
+    ]
+    for r in range(1, rounds):
+        parts.append(
+            f"f{r} AS (SELECT DISTINCT e.dst AS node FROM edges e"
+            f" JOIN f{r - 1} f ON f.node = e.src"
+            f" WHERE e.dst NOT IN (SELECT node FROM v{r - 1})),"
+        )
+        parts.append(
+            f"v{r} AS (SELECT node FROM v{r - 1}"
+            f" UNION ALL SELECT node FROM f{r}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    selects = [
+        f"SELECT CAST({r} AS INTEGER) AS hop,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM f{r}) AS n_new,"
+        f" (SELECT CAST(COALESCE(sum(node), 0) AS BIGINT) FROM f{r})"
+        f" AS sum_new,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM v{r}) AS n_visited"
+        for r in range(rounds)
+    ]
+    parts.append(" UNION ALL ".join(selects) + " ORDER BY hop")
+    return "\n".join(parts)

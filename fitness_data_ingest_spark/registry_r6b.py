@@ -2001,3 +2001,245 @@ R6B_QUERIES["multimodal_tar_shards"] = QueryDef(
     _TAR_SQL,
     ("multimodal",),
 )
+
+
+# ----------------------------------------------------------- BFS HOPS
+
+BFS_SEED_MOD = 37
+BFS_SEED_REM = 1
+BFS_ROUNDS = 4
+
+_BFS_EDGES_CTE = """
+SELECT a.i AS src, b.i AS dst
+FROM (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem) b
+  ON a.g = b.g AND a.i <> b.i
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def _graph_bfs_hops(spark, sf_dir):
+    """Multi-source BFS hop profile over the part co-occurrence graph
+    (the pagerank/triangles/kcore edge set) — see ops.graph.bfs_hops
+    for the zero-per-round-exchange argument. The per-hop newly-reached
+    curve is the blast-radius number: how fast influence (or
+    contamination) spreads from the seed set."""
+    from .ops import graph as G
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_groups=2)
+    return G.bfs_hops(
+        edges, seed_mod=BFS_SEED_MOD, seed_rem=BFS_SEED_REM,
+        rounds=BFS_ROUNDS,
+    )
+
+
+def _bfs_sql() -> str:
+    from .ops import graph as G
+
+    return G.bfs_oracle_sql(
+        _BFS_EDGES_CTE, seed_mod=BFS_SEED_MOD, seed_rem=BFS_SEED_REM,
+        rounds=BFS_ROUNDS,
+    )
+
+
+R6B_QUERIES["graph_bfs_hops"] = QueryDef(
+    "graph_bfs_hops", _graph_bfs_hops, _bfs_sql(), ("graph",)
+)
+
+
+# -------------------------------------------------------- CHANGEPOINT
+
+CP_BUCKET = 64  # coarse hour-bucket width for the hierarchical prefix
+
+
+def changepoint_sse(events):
+    """Single best changepoint by least squares (the binary-segmentation
+    primitive, Scott & Knott 1974): over the hourly value series, find
+    the split minimizing SSE_left + SSE_right and report both segment
+    means — the level-shift detector a pipeline runs on its own volume
+    and quality metrics.
+
+    Exactness: hourly totals are int64 dollars; every candidate's cost
+    is the identical double expression over exact int64 prefix sums
+    (sum, sum-of-squares, count per side), micro-quantized BEFORE the
+    argmin, so the argmin compares int64. Scale shape: one shuffle to
+    the calendar-bounded hour grain, prefix sums via the coarse-bucket
+    hierarchical identity (no partition-less window), candidate
+    evaluation is embarrassingly per-row, and the argmin is one
+    max(struct) aggregate."""
+    from pyspark.sql import Window
+
+    hourly = (
+        events.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("hidx"),
+            cents(F.col("value")).alias("cts"),
+        )
+        .groupBy("hidx")
+        .agg(F.expr("sum(cts) div 100").alias("y"))
+    )
+    hourly = hourly.withColumn("bkt", F.expr(f"hidx div {CP_BUCKET}"))
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("hidx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = hourly.select(
+        "hidx",
+        "y",
+        "bkt",
+        F.count(F.lit(1)).over(w).alias("c_in"),
+        F.sum("y").over(w).alias("sy_in"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy_in"),
+    )
+    bagg = hourly.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("bc"),
+        F.sum("y").alias("bsy"),
+        F.sum(F.col("y") * F.col("y")).alias("bsyy"),
+    )
+    offs = (
+        bagg.select(F.col("bkt").alias("k"))
+        .join(
+            bagg.select(F.col("bkt").alias("k2"), "bc", "bsy", "bsyy"),
+            F.col("k2") < F.col("k"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("bc").alias("oc"),
+            F.sum("bsy").alias("osy"),
+            F.sum("bsyy").alias("osyy"),
+        )
+    )
+    cum = within.join(F.broadcast(offs), within.bkt == offs.k, "left").select(
+        "hidx",
+        "y",
+        (F.coalesce("oc", F.lit(0)) + F.col("c_in")).alias("cum_n"),
+        (F.coalesce("osy", F.lit(0)) + F.col("sy_in")).alias("cum_sy"),
+        (F.coalesce("osyy", F.lit(0)) + F.col("syy_in")).alias("cum_syy"),
+    )
+    g = hourly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cand = (
+        cum.join(F.broadcast(g))
+        .select(
+            "hidx",
+            (F.col("cum_n") - 1).alias("nl"),
+            (F.col("cum_sy") - F.col("y")).alias("syl"),
+            (F.col("cum_syy") - F.col("y") * F.col("y")).alias("syyl"),
+            (F.col("n") - F.col("cum_n") + 1).alias("nr"),
+            (F.col("sy") - F.col("cum_sy") + F.col("y")).alias("syr"),
+            (
+                F.col("syy") - F.col("cum_syy") + F.col("y") * F.col("y")
+            ).alias("syyr"),
+            "n",
+            "sy",
+            "syy",
+        )
+        .where((F.col("nl") >= 1) & (F.col("nr") >= 1))
+        .select(
+            "*",
+            F.floor(
+                (
+                    F.col("syyl").cast("double")
+                    - F.col("syl").cast("double")
+                    * F.col("syl").cast("double")
+                    / F.col("nl").cast("double")
+                    + F.col("syyr").cast("double")
+                    - F.col("syr").cast("double")
+                    * F.col("syr").cast("double")
+                    / F.col("nr").cast("double")
+                )
+                * 1000000
+                + F.lit(0.5)
+            ).alias("cost_micro"),
+        )
+    )
+    best = cand.groupBy("n", "sy", "syy").agg(
+        F.min(
+            F.struct(
+                "cost_micro", "hidx", "nl", "nr", "syl", "syr"
+            )
+        ).alias("m")
+    )
+    return best.select(
+        F.col("n").alias("n_hours"),
+        F.col("m.hidx").alias("best_split_hidx"),
+        F.col("m.nl").alias("n_left"),
+        F.col("m.nr").alias("n_right"),
+        F.expr("(1000 * m.syl) div m.nl").alias("mean_left_milli"),
+        F.expr("(1000 * m.syr) div m.nr").alias("mean_right_milli"),
+        F.col("m.cost_micro").alias("cost_micro"),
+        F.floor(
+            (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double")
+                * F.col("sy").cast("double")
+                / F.col("n").cast("double")
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).alias("sse_total_micro"),
+    )
+
+
+def _ts_changepoint_sse(spark, sf_dir):
+    return changepoint_sse(t(spark, sf_dir, "events"))
+
+
+_CP_SQL = """
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS hidx,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             // 100 AS y
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT hidx, y,
+         CAST(count(*) OVER (ORDER BY hidx) AS BIGINT) AS cum_n,
+         CAST(sum(y) OVER (ORDER BY hidx) AS BIGINT) AS cum_sy,
+         CAST(sum(y * y) OVER (ORDER BY hidx) AS BIGINT) AS cum_syy
+  FROM hourly
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM hourly
+),
+cand AS (
+  SELECT hidx,
+         cum_n - 1 AS nl, cum_sy - y AS syl, cum_syy - y * y AS syyl,
+         n - cum_n + 1 AS nr, sy - cum_sy + y AS syr,
+         syy - cum_syy + y * y AS syyr,
+         n, sy, syy
+  FROM cum, g
+  WHERE cum_n - 1 >= 1 AND n - cum_n + 1 >= 1
+),
+scored AS (
+  SELECT *,
+         CAST(floor((CAST(syyl AS DOUBLE)
+                     - CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE)
+                       / CAST(nl AS DOUBLE)
+                     + CAST(syyr AS DOUBLE)
+                     - CAST(syr AS DOUBLE) * CAST(syr AS DOUBLE)
+                       / CAST(nr AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             AS cost_micro
+  FROM cand
+)
+SELECT n AS n_hours, hidx AS best_split_hidx, nl AS n_left, nr AS n_right,
+       (1000 * syl) // nl AS mean_left_milli,
+       (1000 * syr) // nr AS mean_right_milli,
+       cost_micro,
+       CAST(floor((CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                     / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS sse_total_micro
+FROM scored ORDER BY cost_micro ASC, hidx ASC LIMIT 1
+"""
+
+
+R6B_QUERIES["ts_changepoint_sse"] = QueryDef(
+    "ts_changepoint_sse", _ts_changepoint_sse, _CP_SQL, ("ts",)
+)
