@@ -2243,3 +2243,432 @@ FROM scored ORDER BY cost_micro ASC, hidx ASC LIMIT 1
 R6B_QUERIES["ts_changepoint_sse"] = QueryDef(
     "ts_changepoint_sse", _ts_changepoint_sse, _CP_SQL, ("ts",)
 )
+
+
+# ------------------------------------------------------------- BM25
+
+BM25_QUERY = ("hash", "join", "spark", "vector")
+BM25_TOPK = 15
+# k1 = 1.2, b = 0.75 as exact double literals shared by both engines.
+
+
+def bm25_topk(docs, topk: int = BM25_TOPK):
+    """BM25 retrieval scoring (Robertson et al., Okapi / the Lucene
+    ln(1+...) idf variant) of a literal token query against the corpus,
+    returning the top-k documents — the lexical half of every RAG
+    retrieval stack beside the ANN keys.
+
+    Exactness: tf, df, dl, N are exact int64; each (doc, term)
+    contribution idf*saturation is ONE double expression over those
+    ints, micro-quantized per term before the integer per-doc sum
+    (fold-order rule). avgdl enters as exact milli-tokens.
+
+    Scale shape: the per-term df table is query-sized (broadcast); the
+    scan touches only rows containing a query token via the exploded
+    (doc, term, tf) grain; the top-k is the window-free
+    TakeOrdered+rank-by-aggregate of ops.scale.ranked_topk."""
+    from .ops.scale import ranked_topk
+
+    qlit = F.array([F.lit(x) for x in BM25_QUERY])
+    toks = docs.select(
+        "doc_id",
+        F.size(_tok(F.col("text"))).alias("dl"),
+        F.explode(_tok(F.col("text"))).alias("tok"),
+    )
+    nd = docs.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum(F.size(_tok(F.col("text")))).alias("ntok"),
+    ).select("nn", F.expr("(1000 * ntok) div nn").alias("avgdl_milli"))
+    qt = toks.where(F.array_contains(qlit, F.col("tok")))
+    tf = qt.groupBy("doc_id", "dl", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = qt.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    term = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "dl",
+            F.floor(
+                F.log(
+                    1.0
+                    + (F.col("nn").cast("double") - F.col("df").cast("double") + 0.5)
+                    / (F.col("df").cast("double") + 0.5)
+                )
+                * (
+                    F.col("tf").cast("double")
+                    * 2.2
+                    / (
+                        F.col("tf").cast("double")
+                        + 1.2
+                        * (
+                            0.25
+                            + 0.75
+                            * (F.col("dl") * 1000).cast("double")
+                            / F.col("avgdl_milli").cast("double")
+                        )
+                    )
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("t_micro"),
+        )
+    )
+    scores = term.groupBy("doc_id", "dl").agg(
+        F.sum("t_micro").alias("score_micro")
+    )
+    return ranked_topk(
+        scores.select("doc_id", "dl", "score_micro"),
+        [("score_micro", "desc"), ("doc_id", "asc")],
+        topk,
+        rank_name="rnk",
+    ).select("rnk", "doc_id", "dl", "score_micro")
+
+
+def _text_bm25_topk(spark, sf_dir):
+    return bm25_topk(t(spark, sf_dir, "documents"))
+
+
+_BM25_QLIST = ", ".join(f"'{x}'" for x in BM25_QUERY)
+
+_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS dl,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+),
+nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS nn,
+         (1000 * CAST(sum(len(list_filter(string_split(text, ' '),
+                                          x -> x <> ''))) AS BIGINT))
+             // CAST(count(*) AS BIGINT) AS avgdl_milli
+  FROM documents
+),
+qt AS (SELECT * FROM toks WHERE tok IN ({_BM25_QLIST})),
+tf AS (
+  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM qt GROUP BY 1, 2, 3
+),
+df_t AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM qt GROUP BY 1
+),
+term AS (
+  SELECT doc_id, dl,
+         CAST(floor(
+           ln(1.0 + (CAST(nn AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE) * 2.2
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(dl * 1000 AS DOUBLE)
+                                 / CAST(avgdl_milli AS DOUBLE))))
+           * 1000000 + 0.5) AS BIGINT) AS t_micro
+  FROM tf JOIN df_t USING (tok), nd
+),
+scores AS (
+  SELECT doc_id, dl, CAST(sum(t_micro) AS BIGINT) AS score_micro
+  FROM term GROUP BY 1, 2
+)
+SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+            AS BIGINT) AS rnk,
+       doc_id, dl, score_micro
+FROM scores
+ORDER BY score_micro DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
+# ------------------------------------------------------ K-FOLD ASSIGN
+
+KFOLD_K = 5
+
+
+def kfold_assign(events, k: int = KFOLD_K):
+    """Deterministic k-fold cross-validation assignment manifest: fold
+    = md5-hash of the row key mod k, reported as per-(fold, class)
+    counts with the fold-internal class share — the split audit that
+    proves folds are balanced and assignment is reproducible across
+    engines and reruns. One scan to the (k x classes)-bounded grain."""
+    per = (
+        events.select(
+            (
+                _h32(F.concat(F.lit("kf:"), F.col("event_id").cast("string")))
+                % k
+            ).alias("fold"),
+            "event_type",
+        )
+        .groupBy("fold", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ftot = per.groupBy("fold").agg(F.sum("n").alias("fold_n"))
+    return (
+        per.join(F.broadcast(ftot), "fold")
+        .select(
+            "fold",
+            "event_type",
+            "n",
+            "fold_n",
+            F.expr("(1000000 * n) div fold_n").alias("share_micro"),
+        )
+        .orderBy("fold", "event_type")
+    )
+
+
+def _sample_kfold_assign(spark, sf_dir):
+    return kfold_assign(t(spark, sf_dir, "events"))
+
+
+_KFOLD_SQL = f"""
+WITH per AS (
+  SELECT ('0x' || substr(md5('kf:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+             % {KFOLD_K} AS fold,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ftot AS (SELECT fold, CAST(sum(n) AS BIGINT) AS fold_n FROM per GROUP BY 1)
+SELECT per.fold, event_type, n, fold_n,
+       (1000000 * n) // fold_n AS share_micro
+FROM per JOIN ftot ON per.fold = ftot.fold
+ORDER BY per.fold, event_type
+"""
+
+
+# --------------------------------------------------- PROFILE DRIFT DQ
+
+
+def profile_drift(events):
+    """Snapshot-profile drift audit: split the stream at the integer
+    midpoint of its time range (the did_estimator split) and compare,
+    per event type, the early vs late halves on volume share, value
+    mean, and distinct-user reach — the nightly "did the data change
+    shape" report between two ingest windows.
+
+    All drift numbers are exact integer (micro shares, milli-cent
+    means); two scans' worth of aggregates at the bounded type grain,
+    with the midpoint riding as a broadcast 1-row aggregate."""
+    rng = events.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    ).select(F.expr("t0 + (t1 - t0) div 2").alias("mid"))
+    lab = events.join(F.broadcast(rng)).select(
+        "event_type",
+        "user_id",
+        cents(F.col("value")).alias("v"),
+        (F.unix_micros("ts") < F.col("mid")).alias("early"),
+    )
+    per = lab.groupBy("event_type", "early").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.count_distinct("user_id").alias("nu"),
+    )
+    halves = per.groupBy("early").agg(F.sum("n").alias("half_n"))
+    wide = (
+        per.join(F.broadcast(halves), "early")
+        .select(
+            "event_type",
+            F.when(F.col("early"), F.col("n")).otherwise(0).alias("n_e"),
+            F.when(~F.col("early"), F.col("n")).otherwise(0).alias("n_l"),
+            F.when(F.col("early"), F.expr("(1000000 * n) div half_n"))
+            .otherwise(0).alias("sh_e"),
+            F.when(~F.col("early"), F.expr("(1000000 * n) div half_n"))
+            .otherwise(0).alias("sh_l"),
+            F.when(F.col("early"), F.expr("(10 * sv) div n"))
+            .otherwise(0).alias("m_e"),
+            F.when(~F.col("early"), F.expr("(10 * sv) div n"))
+            .otherwise(0).alias("m_l"),
+            F.when(F.col("early"), F.col("nu")).otherwise(0).alias("u_e"),
+            F.when(~F.col("early"), F.col("nu")).otherwise(0).alias("u_l"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_e").alias("n_early"),
+            F.sum("n_l").alias("n_late"),
+            F.sum("sh_e").alias("share_early_micro"),
+            F.sum("sh_l").alias("share_late_micro"),
+            F.sum("m_e").alias("mean_early_millicent"),
+            F.sum("m_l").alias("mean_late_millicent"),
+            F.sum("u_e").alias("users_early"),
+            F.sum("u_l").alias("users_late"),
+        )
+    )
+    return wide.select(
+        "*",
+        (
+            F.col("share_late_micro") - F.col("share_early_micro")
+        ).alias("share_drift_micro"),
+    ).orderBy("event_type")
+
+
+def _dq_profile_drift(spark, sf_dir):
+    return profile_drift(t(spark, sf_dir, "events"))
+
+
+_DRIFT_SQL = """
+WITH rng AS (
+  SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2
+             AS mid
+  FROM events
+),
+lab AS (
+  SELECT event_type, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         epoch_us(ts) < mid AS early
+  FROM events, rng
+),
+per AS (
+  SELECT event_type, early, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS sv,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+  FROM lab GROUP BY 1, 2
+),
+halves AS (SELECT early, CAST(sum(n) AS BIGINT) AS half_n FROM per GROUP BY 1),
+wide AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN early THEN n ELSE 0 END) AS BIGINT) AS n_early,
+         CAST(sum(CASE WHEN NOT early THEN n ELSE 0 END) AS BIGINT) AS n_late,
+         CAST(sum(CASE WHEN early THEN (1000000 * n) // half_n ELSE 0 END)
+              AS BIGINT) AS share_early_micro,
+         CAST(sum(CASE WHEN NOT early THEN (1000000 * n) // half_n ELSE 0 END)
+              AS BIGINT) AS share_late_micro,
+         CAST(sum(CASE WHEN early THEN (10 * sv) // n ELSE 0 END)
+              AS BIGINT) AS mean_early_millicent,
+         CAST(sum(CASE WHEN NOT early THEN (10 * sv) // n ELSE 0 END)
+              AS BIGINT) AS mean_late_millicent,
+         CAST(sum(CASE WHEN early THEN nu ELSE 0 END) AS BIGINT)
+             AS users_early,
+         CAST(sum(CASE WHEN NOT early THEN nu ELSE 0 END) AS BIGINT)
+             AS users_late
+  FROM per JOIN halves USING (early)
+  GROUP BY event_type
+)
+SELECT *, share_late_micro - share_early_micro AS share_drift_micro
+FROM wide ORDER BY event_type
+"""
+
+
+for _q in (
+    QueryDef("text_bm25_topk", _text_bm25_topk, _BM25_SQL, ("text",)),
+    QueryDef(
+        "sample_kfold_assign", _sample_kfold_assign, _KFOLD_SQL, ("sample",)
+    ),
+    QueryDef("dq_profile_drift", _dq_profile_drift, _DRIFT_SQL, ("dq",)),
+):
+    R6B_QUERIES[_q.name] = _q
+
+
+# ------------------------------------------------- SEQUENCE PATTERN (CEP)
+
+SEQ_A = "view"
+SEQ_B = "purchase"
+SEQ_NOT = "error"
+SEQ_WINDOW_S = 7 * 86400
+SEQ_BUCKET_S = 86400
+
+
+def seq_pattern(events):
+    """Complex-event sequence matcher: per user, occurrences of
+    "A then B within W, with NO C strictly between" (view -> purchase
+    within 7 days, uninterrupted by an error) at the seconds grain —
+    the MATCH_RECOGNIZE-style pattern a funnel with a veto condition
+    needs, which plain funnels and last-touch attribution cannot
+    express.
+
+    Semantics: for each A event, the EARLIEST qualifying B; the match
+    survives iff no C lands in the open interval (tsA, tsB). Output is
+    the per-user match profile (count, min/max gap seconds).
+
+    Scale shape: both the A->B candidate step and the C-veto step are
+    the repo's bucketed interval equi-join (ops.relational.
+    range_join_bucketed — day buckets, <= 8 expansion rows per
+    interval, residual filter after an equi match; never a nested-loop
+    time join); earliest-B is one aggregate at the A grain and the veto
+    is one anti-join on the match key."""
+    from .ops.relational import range_join_bucketed
+
+    base = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("ts_s"),
+    )
+    a = base.where(F.col("event_type") == SEQ_A).select(
+        "user_id",
+        F.col("event_id").alias("aid"),
+        F.col("ts_s").alias("ta"),
+        (F.col("ts_s") + 1).alias("s0"),
+        (F.col("ts_s") + SEQ_WINDOW_S + 1).alias("s1"),
+    )
+    b = base.where(F.col("event_type") == SEQ_B).select(
+        "user_id", F.col("ts_s").alias("es")
+    )
+    firstb = (
+        range_join_bucketed(a, b, "user_id", SEQ_BUCKET_S)
+        .groupBy("user_id", "aid", "ta")
+        .agg(F.min("es").alias("tb"))
+    )
+    veto_iv = firstb.select(
+        "user_id",
+        "aid",
+        (F.col("ta") + 1).alias("s0"),
+        F.col("tb").alias("s1"),
+    )
+    c = base.where(F.col("event_type") == SEQ_NOT).select(
+        "user_id", F.col("ts_s").alias("es")
+    )
+    vetoed = range_join_bucketed(veto_iv, c, "user_id", SEQ_BUCKET_S).select(
+        "user_id", "aid"
+    ).distinct()
+    good = firstb.join(vetoed, ["user_id", "aid"], "left_anti")
+    return (
+        good.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min(F.col("tb") - F.col("ta")).alias("min_gap_s"),
+            F.max(F.col("tb") - F.col("ta")).alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _events_seq_pattern(spark, sf_dir):
+    return seq_pattern(t(spark, sf_dir, "events"))
+
+
+_SEQ_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) // 1000000 AS ts_s
+  FROM events
+),
+a AS (SELECT user_id, event_id AS aid, ts_s AS ta FROM base
+      WHERE event_type = '{SEQ_A}'),
+b AS (SELECT user_id, ts_s AS tb FROM base WHERE event_type = '{SEQ_B}'),
+c AS (SELECT user_id, ts_s AS tc FROM base WHERE event_type = '{SEQ_NOT}'),
+firstb AS (
+  SELECT a.user_id, a.aid, a.ta, min(b.tb) AS tb
+  FROM a JOIN b ON b.user_id = a.user_id
+   AND b.tb > a.ta AND b.tb <= a.ta + {SEQ_WINDOW_S}
+  GROUP BY 1, 2, 3
+),
+good AS (
+  SELECT f.* FROM firstb f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = f.user_id AND c.tc > f.ta AND c.tc < f.tb
+  )
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+       min(tb - ta) AS min_gap_s, max(tb - ta) AS max_gap_s
+FROM good GROUP BY user_id ORDER BY user_id
+"""
+
+
+R6B_QUERIES["events_seq_pattern"] = QueryDef(
+    "events_seq_pattern", _events_seq_pattern, _SEQ_SQL, ("events",)
+)
