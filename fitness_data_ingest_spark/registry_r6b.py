@@ -2672,3 +2672,617 @@ FROM good GROUP BY user_id ORDER BY user_id
 R6B_QUERIES["events_seq_pattern"] = QueryDef(
     "events_seq_pattern", _events_seq_pattern, _SEQ_SQL, ("events",)
 )
+
+
+# --------------------------------------------------- KENDALL TAU-B
+
+KT_XMAX = 511  # dollar-bucket clamp (values top out ~330; clamp keeps
+#                the dense grid a literal constant on both engines)
+KT_YMAX = 23
+
+
+def kendall_tau(events):
+    """Kendall tau-b rank correlation between value (dollar buckets)
+    and hour-of-day, tie-corrected — the monotone-association test for
+    bounded-domain pairs (is spend higher later in the day?).
+
+    Concordant/discordant pair counts come from 2D PREFIX SUMS over the
+    DENSIFIED (x, y) contingency grid: C = sum n_cell * cum2d(x-1, y-1)
+    and D = sum n_cell * (colcum(x-1) - cum2d(x-1, y)), all exact
+    int64; tau-b is the one quantized division at the end (with its
+    sqrt of exact integers — IEEE-correctly-rounded on both engines).
+
+    Scale shape: ONE shuffle collapses the fact table to the bounded
+    cell grid (512 x 24 literal domain); densification is a broadcast
+    literal-grid left join; the two chained prefix passes are windows
+    partitioned by one bounded axis; every pair count is an aggregate —
+    no pair ever materializes. Int64 headroom: C, D <= n^2/2, safe to
+    n ~ 4e9 rows per audited slice (shard the audit above that)."""
+    from pyspark.sql import Window
+
+    spark = events.sparkSession
+    cells = (
+        events.select(
+            F.least(
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 100"),
+                F.lit(KT_XMAX),
+            ).alias("x"),
+            F.expr("hour(ts)").cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        spark.range(0, KT_XMAX + 1)
+        .select(F.col("id").alias("x"))
+        .crossJoin(
+            spark.range(0, KT_YMAX + 1).select(F.col("id").alias("y"))
+        )
+    )
+    dense = grid.join(cells, ["x", "y"], "left").select(
+        "x", "y", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    wx = (
+        Window.partitionBy("y")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rowc = dense.select(
+        "x", "y", "n", F.sum("n").over(wx).alias("cx_le")
+    )
+    wy = (
+        Window.partitionBy("x")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum2 = rowc.select(
+        "x", "y", "n", "cx_le", F.sum("cx_le").over(wy).alias("c2_le")
+    )
+    # per-cell dominance counts by shifting the cumulative grid:
+    # T(x,y) = c2_le(x-1, y-1); U(x,y) = colcum_lt(x) - c2_le(x-1, y)
+    shifted_t = cum2.select(
+        (F.col("x") + 1).alias("x"),
+        (F.col("y") + 1).alias("y"),
+        F.col("c2_le").alias("t_lt"),
+    )
+    shifted_u = cum2.select(
+        (F.col("x") + 1).alias("x"),
+        F.col("y").alias("y"),
+        F.col("c2_le").alias("u_le"),
+    )
+    xmarg = dense.groupBy("x").agg(F.sum("n").alias("tx"))
+    # the x-margin prefix runs over the 512-row literal domain — use the
+    # triangular-join identity to stay window-free even there
+    xcum = (
+        xmarg.select(F.col("x").alias("xa"), F.col("tx").alias("ta"))
+        .join(
+            xmarg.select(F.col("x").alias("xb"), F.col("tx").alias("tb")),
+            F.col("xb") < F.col("xa"),
+            "left",
+        )
+        .groupBy("xa", "ta")
+        .agg(F.coalesce(F.sum("tb"), F.lit(0)).alias("colcum_lt"))
+        .select(F.col("xa").alias("x"), "ta", "colcum_lt")
+    )
+    scored = (
+        cells.join(shifted_t, ["x", "y"], "left")
+        .join(shifted_u, ["x", "y"], "left")
+        .join(F.broadcast(xcum.select("x", "colcum_lt")), "x")
+        .select(
+            "n",
+            "x",
+            "y",
+            (F.col("n") * F.coalesce("t_lt", F.lit(0))).alias("c_term"),
+            (
+                F.col("n")
+                * (F.col("colcum_lt") - F.coalesce("u_le", F.lit(0)))
+            ).alias("d_term"),
+        )
+    )
+    ymarg = dense.groupBy("y").agg(F.sum("n").alias("ty"))
+    sums = scored.agg(
+        F.sum("n").alias("nn"),
+        F.sum("c_term").alias("c_pairs"),
+        F.sum("d_term").alias("d_pairs"),
+    )
+    t1 = xmarg.agg(
+        F.expr("sum(tx * (tx - 1)) div 2").alias("n1")
+    )
+    t2 = ymarg.agg(
+        F.expr("sum(ty * (ty - 1)) div 2").alias("n2")
+    )
+    return (
+        sums.join(F.broadcast(t1))
+        .join(F.broadcast(t2))
+        .select(
+            F.col("nn").alias("n_rows"),
+            F.col("c_pairs"),
+            F.col("d_pairs"),
+            "n1",
+            "n2",
+            F.floor(
+                (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+                / F.sqrt(
+                    (
+                        F.expr("nn * (nn - 1) div 2") - F.col("n1")
+                    ).cast("double")
+                    * (
+                        F.expr("nn * (nn - 1) div 2") - F.col("n2")
+                    ).cast("double")
+                )
+                * 1000000
+                + F.lit(0.5)
+            ).alias("tau_b_micro"),
+        )
+    )
+
+
+def _stat_kendall_tau(spark, sf_dir):
+    return kendall_tau(t(spark, sf_dir, "events"))
+
+
+_KT_SQL = f"""
+WITH cells AS (
+  SELECT least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 100,
+               {KT_XMAX}) AS x,
+         CAST(hour(ts) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT CAST(u1.x AS BIGINT) AS x, CAST(u2.y AS BIGINT) AS y
+  FROM unnest(range(0, {KT_XMAX} + 1)) AS u1(x),
+       unnest(range(0, {KT_YMAX} + 1)) AS u2(y)
+),
+dense AS (
+  SELECT grid.x, grid.y, COALESCE(n, 0) AS n
+  FROM grid LEFT JOIN cells ON grid.x = cells.x AND grid.y = cells.y
+),
+cum2 AS (
+  SELECT x, y, n,
+         CAST(sum(sum_x) OVER (PARTITION BY x ORDER BY y) AS BIGINT) AS c2_le
+  FROM (SELECT x, y, n,
+               CAST(sum(n) OVER (PARTITION BY y ORDER BY x) AS BIGINT)
+                   AS sum_x
+        FROM dense)
+),
+xmarg AS (SELECT x, CAST(sum(n) AS BIGINT) AS tx FROM dense GROUP BY 1),
+xcum AS (
+  SELECT x, tx,
+         CAST(sum(tx) OVER (ORDER BY x) - tx AS BIGINT) AS colcum_lt
+  FROM xmarg
+),
+ymarg AS (SELECT y, CAST(sum(n) AS BIGINT) AS ty FROM dense GROUP BY 1),
+scored AS (
+  SELECT c.n,
+         c.n * COALESCE(t.c2_le, 0) AS c_term,
+         c.n * (xc.colcum_lt - COALESCE(u.c2_le, 0)) AS d_term
+  FROM cells c
+  LEFT JOIN cum2 t ON t.x = c.x - 1 AND t.y = c.y - 1
+  LEFT JOIN cum2 u ON u.x = c.x - 1 AND u.y = c.y
+  JOIN xcum xc ON xc.x = c.x
+),
+sums AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(c_term) AS BIGINT) AS c_pairs,
+         CAST(sum(d_term) AS BIGINT) AS d_pairs
+  FROM scored
+),
+t1 AS (SELECT CAST(sum(tx * (tx - 1)) // 2 AS BIGINT) AS n1 FROM xmarg),
+t2 AS (SELECT CAST(sum(ty * (ty - 1)) // 2 AS BIGINT) AS n2 FROM ymarg)
+SELECT nn AS n_rows, c_pairs, d_pairs, n1, n2,
+       CAST(floor(CAST(c_pairs - d_pairs AS DOUBLE)
+                  / sqrt(CAST(nn * (nn - 1) // 2 - n1 AS DOUBLE)
+                         * CAST(nn * (nn - 1) // 2 - n2 AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS tau_b_micro
+FROM sums, t1, t2
+"""
+
+
+R6B_QUERIES["stat_kendall_tau"] = QueryDef(
+    "stat_kendall_tau", _stat_kendall_tau, _KT_SQL, ("stat",)
+)
+
+
+# ---------------------------------------------- BROWN-FORSYTHE LEVENE
+
+
+def brown_forsythe(events):
+    """Brown-Forsythe variance-homogeneity test (Levene with group
+    MEDIANS, the robust default): F over the absolute deviations
+    z = |x - median_g| across the event-type arms — the
+    equal-variance gate before pooled t-tests, and a scale-drift alarm
+    in its own right.
+
+    Exactness: group medians are exact lower-median order statistics
+    at the distinct-cents grain; z and its first moment stay int64;
+    each group's SSB/SSW contribution is ONE double expression over
+    exact int64 moments, micro-quantized per group before the k-term
+    sums (the stat_anova_oneway rule). Scale shape: everything after
+    the first shuffle runs at the (group x distinct-value) grain —
+    bounded by the value domain — with within-group windows only;
+    deviations are re-aggregated AT THAT GRAIN with multiplicities, so
+    the fact table is scanned once."""
+    from pyspark.sql import Window
+
+    gv = (
+        events.select(
+            F.col("event_type").alias("g"), cents(F.col("value")).alias("v")
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = gv.select(
+        "g", "v", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    ng = gv.groupBy("g").agg(F.sum("cnt").alias("n_g"))
+    med = (
+        cum.join(F.broadcast(ng), "g")
+        .where(2 * F.col("cum") >= F.col("n_g"))
+        .groupBy("g")
+        .agg(F.min("v").alias("med"))
+    )
+    z = gv.join(F.broadcast(med), "g").select(
+        "g", "cnt", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    grp = z.groupBy("g").agg(
+        F.sum("cnt").alias("n_g"),
+        F.sum(F.col("cnt") * F.col("z")).alias("sz"),
+        F.sum(F.col("cnt") * F.col("z") * F.col("z")).alias("szz"),
+    )
+    terms = grp.select(
+        "g",
+        "n_g",
+        "sz",
+        F.floor(
+            F.col("sz").cast("double")
+            * F.col("sz").cast("double")
+            / F.col("n_g").cast("double")
+            * 1000000
+            + F.lit(0.5)
+        ).alias("q_micro"),
+        F.floor(
+            (
+                F.col("szz").cast("double")
+                - F.col("sz").cast("double")
+                * F.col("sz").cast("double")
+                / F.col("n_g").cast("double")
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).alias("ssw_micro"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("nn"),
+        F.sum("sz").alias("sz_all"),
+        F.sum("q_micro").alias("sq"),
+        F.sum("ssw_micro").alias("ssw"),
+    )
+    return agg.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_total"),
+        (F.col("k") - 1).alias("df1"),
+        (F.col("nn") - F.col("k")).alias("df2"),
+        F.floor(
+            (
+                F.col("sq").cast("double")
+                - F.col("sz_all").cast("double")
+                * F.col("sz_all").cast("double")
+                / F.col("nn").cast("double")
+                * 1.0e6
+            )
+            * (F.col("nn") - F.col("k")).cast("double")
+            / (
+                F.col("ssw").cast("double")
+                * (F.col("k") - 1).cast("double")
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).alias("bf_f_micro"),
+    )
+
+
+def _stat_brown_forsythe(spark, sf_dir):
+    return brown_forsythe(t(spark, sf_dir, "events"))
+
+
+_BF_LEVENE_SQL = """
+WITH gv AS (
+  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, v, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+  FROM gv
+),
+ng AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g FROM gv GROUP BY 1),
+med AS (
+  SELECT cum.g, min(v) AS med
+  FROM cum JOIN ng ON cum.g = ng.g
+  WHERE 2 * cum >= n_g GROUP BY 1
+),
+z AS (
+  SELECT gv.g, cnt, abs(v - med) AS z
+  FROM gv JOIN med ON gv.g = med.g
+),
+grp AS (
+  SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g,
+         CAST(sum(cnt * z) AS BIGINT) AS sz,
+         CAST(sum(cnt * z * z) AS BIGINT) AS szz
+  FROM z GROUP BY 1
+),
+terms AS (
+  SELECT g, n_g, sz,
+         CAST(floor(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                    / CAST(n_g AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             AS q_micro,
+         CAST(floor((CAST(szz AS DOUBLE)
+                     - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                       / CAST(n_g AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+             AS ssw_micro
+  FROM grp
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS nn,
+         CAST(sum(sz) AS BIGINT) AS sz_all,
+         CAST(sum(q_micro) AS BIGINT) AS sq,
+         CAST(sum(ssw_micro) AS BIGINT) AS ssw
+  FROM terms
+)
+SELECT k AS n_groups, nn AS n_total, k - 1 AS df1, nn - k AS df2,
+       CAST(floor((CAST(sq AS DOUBLE)
+                   - CAST(sz_all AS DOUBLE) * CAST(sz_all AS DOUBLE)
+                     / CAST(nn AS DOUBLE) * 1.0e6)
+                  * CAST(nn - k AS DOUBLE)
+                  / (CAST(ssw AS DOUBLE) * CAST(k - 1 AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS bf_f_micro
+FROM agg
+"""
+
+
+R6B_QUERIES["stat_brown_forsythe"] = QueryDef(
+    "stat_brown_forsythe", _stat_brown_forsythe, _BF_LEVENE_SQL, ("stat",)
+)
+
+
+# ------------------------------------------------------ CDC LOG REPLAY
+
+
+def cdc_apply(customer, events):
+    """CDC log replay (Debezium full-image semantics): the event stream
+    is an ordered change log over the customer dimension — signup/
+    purchase rows are UPSERTs carrying a new balance, error rows are
+    DELETEs — and only each key's LAST operation (by ts, then event_id)
+    matters. Reports the replay digest: inserts vs updates vs deletes
+    vs no-ops, final row count, and the final balance checksum.
+
+    This is the ordered-log counterpart of merge_upsert (one unordered
+    batch) and scd2_merge (history-keeping): last-op election is ONE
+    max(struct) aggregate at the key grain, the apply is ONE full-outer
+    key-grain join, and the digest one aggregate row — three shuffles
+    total, none at the fact grain after the election."""
+    lastop = (
+        events.where(
+            F.col("event_type").isin("signup", "purchase", "error")
+        )
+        .select(
+            F.col("user_id").alias("k"),
+            F.struct(
+                F.unix_micros("ts").alias("ts_us"),
+                F.col("event_id").alias("eid"),
+                F.when(F.col("event_type") == "error", F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                cents(F.col("value")).alias("new_bal"),
+            ).alias("s"),
+        )
+        .groupBy("k")
+        .agg(F.max("s").alias("m"))
+        .select("k", F.col("m.op").alias("op"), F.col("m.new_bal").alias("new_bal"))
+    )
+    base = customer.select(
+        F.col("c_custkey").alias("k"),
+        cents(F.col("c_acctbal")).alias("bal"),
+    )
+    j = base.join(lastop, "k", "full_outer")
+    return j.agg(
+        F.count(F.col("bal")).alias("n_base"),
+        F.count(F.col("op")).alias("n_log_keys"),
+        F.count(
+            F.when(F.col("bal").isNull() & (F.col("op") == "U"), 1)
+        ).alias("n_inserted"),
+        F.count(
+            F.when(F.col("bal").isNotNull() & (F.col("op") == "U"), 1)
+        ).alias("n_updated"),
+        F.count(
+            F.when(F.col("bal").isNotNull() & (F.col("op") == "D"), 1)
+        ).alias("n_deleted"),
+        F.count(
+            F.when(F.col("bal").isNull() & (F.col("op") == "D"), 1)
+        ).alias("n_delete_noop"),
+        F.count(
+            F.when(F.col("bal").isNotNull() & F.col("op").isNull(), 1)
+        ).alias("n_unchanged"),
+        F.sum(
+            F.when(F.col("op") == "U", F.col("new_bal")).when(
+                F.col("op").isNull(), F.col("bal")
+            )
+        ).alias("final_balance_cents"),
+        (
+            F.count(F.when(F.col("op") == "U", 1))
+            + F.count(F.when(F.col("bal").isNotNull() & F.col("op").isNull(), 1))
+        ).alias("final_count"),
+    )
+
+
+def _warehouse_cdc_apply(spark, sf_dir):
+    return cdc_apply(t(spark, sf_dir, "customer"), t(spark, sf_dir, "events"))
+
+
+_CDC_SQL = """
+WITH lg AS (
+  SELECT user_id AS k,
+         epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS new_bal
+  FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+),
+mx AS (
+  SELECT k, max(struct_pack(ts_us := ts_us, event_id := event_id,
+                            op := op, new_bal := new_bal)) AS m
+  FROM lg GROUP BY k
+),
+lastop AS (
+  SELECT k, m['op'] AS op, m['new_bal'] AS new_bal FROM mx
+),
+base AS (
+  SELECT c_custkey AS k,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+  FROM customer
+),
+j AS (
+  SELECT base.k AS bk, lastop.k AS lk, bal, op, new_bal
+  FROM base FULL OUTER JOIN lastop ON base.k = lastop.k
+)
+SELECT CAST(count(bal) AS BIGINT) AS n_base,
+       CAST(count(op) AS BIGINT) AS n_log_keys,
+       CAST(count(CASE WHEN bal IS NULL AND op = 'U' THEN 1 END) AS BIGINT)
+           AS n_inserted,
+       CAST(count(CASE WHEN bal IS NOT NULL AND op = 'U' THEN 1 END)
+            AS BIGINT) AS n_updated,
+       CAST(count(CASE WHEN bal IS NOT NULL AND op = 'D' THEN 1 END)
+            AS BIGINT) AS n_deleted,
+       CAST(count(CASE WHEN bal IS NULL AND op = 'D' THEN 1 END) AS BIGINT)
+           AS n_delete_noop,
+       CAST(count(CASE WHEN bal IS NOT NULL AND op IS NULL THEN 1 END)
+            AS BIGINT) AS n_unchanged,
+       CAST(sum(CASE WHEN op = 'U' THEN new_bal
+                     WHEN op IS NULL THEN bal END) AS BIGINT)
+           AS final_balance_cents,
+       CAST(count(CASE WHEN op = 'U' THEN 1 END)
+            + count(CASE WHEN bal IS NOT NULL AND op IS NULL THEN 1 END)
+            AS BIGINT) AS final_count
+FROM j
+"""
+
+
+R6B_QUERIES["warehouse_cdc_apply"] = QueryDef(
+    "warehouse_cdc_apply", _warehouse_cdc_apply, _CDC_SQL, ("warehouse",)
+)
+
+
+# ------------------------------------------------- HYBRID RRF FUSION
+
+RRF_C = 60
+RRF_LIST_K = 15
+RRF_OUT_K = 10
+
+
+def hybrid_rrf(docs, embeddings):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the two
+    retrieval modalities: the lexical BM25 top-k and the dense SQ8-ANN
+    top-k (query = vector 0) merge by rrf(id) = sum over lists of
+    1e6 div (60 + rank) — the standard hybrid-search combiner of every
+    RAG stack, exact in int64 by construction.
+
+    Scale shape: both input lists are k-bounded (each produced by the
+    window-free ranked_topk), so the fusion is a k-row full-outer join
+    plus one more ranked_topk — everything after the two retrieval
+    scans is metadata-sized."""
+    from .ext.similarity import sq8_codes
+    from .ops.scale import ranked_topk
+
+    bm = bm25_topk(docs, topk=RRF_LIST_K).select(
+        F.col("doc_id").alias("id"), F.col("rnk").alias("bm25_rnk")
+    )
+    codes = sq8_codes(embeddings)
+    q = codes.where(F.col("vec_id") == 0).select(F.col("c").alias("qc"))
+    dists = (
+        codes.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr(_D2_EXPR.format(a="c", b="qc")).alias("d2"),
+        )
+    )
+    ann = ranked_topk(
+        dists, [("d2", "asc"), ("vec_id", "asc")], RRF_LIST_K
+    ).select(F.col("vec_id").alias("id"), F.col("rnk").alias("ann_rnk"))
+    fused = bm.join(ann, "id", "full_outer").select(
+        "id",
+        "bm25_rnk",
+        "ann_rnk",
+        (
+            F.coalesce(
+                F.expr(f"1000000 div ({RRF_C} + bm25_rnk)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 div ({RRF_C} + ann_rnk)"), F.lit(0)
+            )
+        ).alias("rrf_micro"),
+    )
+    return ranked_topk(
+        fused, [("rrf_micro", "desc"), ("id", "asc")], RRF_OUT_K,
+        rank_name="fused_rank",
+    ).select("fused_rank", "id", "rrf_micro", "bm25_rnk", "ann_rnk")
+
+
+def _rag_hybrid_rrf(spark, sf_dir):
+    return hybrid_rrf(
+        t(spark, sf_dir, "documents"), t(spark, sf_dir, "embeddings")
+    )
+
+
+_RRF_SQL = f"""
+WITH bm AS (
+  SELECT doc_id AS id, rnk AS bm25_rnk FROM ({_BM25_SQL})
+),
+e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+idx AS (SELECT vec_id, v, unnest(range(1, len(v)+1)) AS i FROM e),
+d AS (SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx FROM idx GROUP BY 1),
+b AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM d),
+codes AS (SELECT vec_id,
+  list_transform(range(1, len(v)+1), i ->
+    CASE WHEN b.mx[i] > b.mn[i]
+         THEN CAST(floor((v[i] - b.mn[i]) / (b.mx[i] - b.mn[i]) * 255 + 0.5)
+                   AS BIGINT)
+         ELSE 0 END) AS c
+  FROM e CROSS JOIN b),
+qv AS (SELECT c AS qc FROM codes WHERE vec_id = 0),
+dists AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(1, {RP_IN_DIMS} + 1),
+              i -> (c[i] - qc[i]) * (c[i] - qc[i]))) AS BIGINT) AS d2
+  FROM codes, qv WHERE vec_id <> 0
+),
+ann AS (
+  SELECT vec_id AS id,
+         CAST(row_number() OVER (ORDER BY d2 ASC, vec_id ASC) AS BIGINT)
+             AS ann_rnk
+  FROM dists ORDER BY d2 ASC, vec_id ASC LIMIT {RRF_LIST_K}
+),
+fused AS (
+  SELECT COALESCE(bm.id, ann.id) AS id, bm25_rnk, ann_rnk,
+         COALESCE(1000000 // ({RRF_C} + bm25_rnk), 0)
+         + COALESCE(1000000 // ({RRF_C} + ann_rnk), 0) AS rrf_micro
+  FROM bm FULL OUTER JOIN ann ON bm.id = ann.id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf_micro DESC, id ASC) AS BIGINT)
+           AS fused_rank,
+       id, rrf_micro, bm25_rnk, ann_rnk
+FROM fused ORDER BY rrf_micro DESC, id ASC LIMIT {RRF_OUT_K}
+"""
+
+
+R6B_QUERIES["rag_hybrid_rrf"] = QueryDef(
+    "rag_hybrid_rrf", _rag_hybrid_rrf, _RRF_SQL, ("rag",)
+)
