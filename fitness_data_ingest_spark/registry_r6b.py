@@ -3286,3 +3286,469 @@ FROM fused ORDER BY rrf_micro DESC, id ASC LIMIT {RRF_OUT_K}
 R6B_QUERIES["rag_hybrid_rrf"] = QueryDef(
     "rag_hybrid_rrf", _rag_hybrid_rrf, _RRF_SQL, ("rag",)
 )
+
+
+# ------------------------------------------- KNESER-NEY CROSS-ENTROPY
+
+# Absolute discount d = 0.75 enters as the literal double 0.75 in one
+# shared expression — never a subtraction inside an aggregate.
+
+
+def kneser_ney_xent(docs):
+    """Interpolated Kneser-Ney bigram cross-entropy per source (Kneser
+    & Ney 1995; Chen & Goodman 1999 eq. 4.25) — the standard smoothed
+    n-gram LM, one rung above the repo's add-1 char-trigram model:
+    p(w|v) = max(c(vw)-d, 0)/c(v) + d*N1+(v.)/c(v) * N1+(.w)/N1+(..).
+    Per-source cross-entropy under the corpus-wide model is the
+    source-quality / domain-shift score CCNet-style pipelines bucket
+    on.
+
+    Exactness: every count is int64; -ln p is ONE double expression
+    over those ints, micro-nat-quantized PER DISTINCT BIGRAM before the
+    count-weighted integer per-source sum (fold-order rule).
+
+    Scale shape: the model lives at the distinct-bigram grain (vocab^2
+    bound, far below the token count); source scoring joins the
+    (source, bigram) counts to the model and collapses with one
+    aggregate. Three shuffles: bigram counts, source-bigram counts, the
+    final source rollup."""
+    bi = (
+        docs.select(
+            "source", _tok(F.col("text")).alias("toks")
+        )
+        .where(F.size("toks") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(element_at(toks, i) AS v, "
+                    "element_at(toks, i + 1) AS w))"
+                )
+            ).alias("b"),
+        )
+        .select("source", F.col("b.v").alias("v"), F.col("b.w").alias("w"))
+    )
+    cvw = bi.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c"))
+    cv = cvw.groupBy("v").agg(
+        F.sum("c").alias("cv"), F.count(F.lit(1)).alias("n1p_v")
+    )
+    cw = cvw.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_w"))
+    n1p_tot = cvw.agg(F.count(F.lit(1)).alias("n1p_tot"))
+    model = (
+        cvw.join(F.broadcast(cv), "v")
+        .join(F.broadcast(cw), "w")
+        .join(F.broadcast(n1p_tot))
+        .select(
+            "v",
+            "w",
+            F.floor(
+                -F.log(
+                    (F.col("c").cast("double") - 0.75)
+                    / F.col("cv").cast("double")
+                    + 0.75
+                    * F.col("n1p_v").cast("double")
+                    / F.col("cv").cast("double")
+                    * F.col("n1p_w").cast("double")
+                    / F.col("n1p_tot").cast("double")
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    src = bi.groupBy("source", "v", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        src.join(F.broadcast(model), ["v", "w"])
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.expr("sum(cnt * nll_micro) div sum(cnt)").alias("xent_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+def _text_kneser_ney_xent(spark, sf_dir):
+    return kneser_ney_xent(t(spark, sf_dir, "documents"))
+
+
+_KN_SQL = """
+WITH dt AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+bi AS (
+  SELECT source, toks[i] AS v, toks[i + 1] AS w
+  FROM (SELECT source, toks, unnest(range(1, len(toks))) AS i
+        FROM dt WHERE len(toks) >= 2)
+),
+cvw AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1, 2),
+cv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+              CAST(count(*) AS BIGINT) AS n1p_v
+       FROM cvw GROUP BY 1),
+cw AS (SELECT w, CAST(count(*) AS BIGINT) AS n1p_w FROM cvw GROUP BY 1),
+n1p AS (SELECT CAST(count(*) AS BIGINT) AS n1p_tot FROM cvw),
+model AS (
+  SELECT cvw.v, cvw.w,
+         CAST(floor(-ln((CAST(c AS DOUBLE) - 0.75) / CAST(cv AS DOUBLE)
+                        + 0.75 * CAST(n1p_v AS DOUBLE) / CAST(cv AS DOUBLE)
+                          * CAST(n1p_w AS DOUBLE) / CAST(n1p_tot AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS nll_micro
+  FROM cvw JOIN cv ON cvw.v = cv.v JOIN cw ON cvw.w = cw.w, n1p
+),
+src AS (
+  SELECT source, v, w, CAST(count(*) AS BIGINT) AS cnt
+  FROM bi GROUP BY 1, 2, 3
+)
+SELECT source, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       CAST(sum(cnt * nll_micro) AS BIGINT) // CAST(sum(cnt) AS BIGINT)
+           AS xent_micro
+FROM src JOIN model ON src.v = model.v AND src.w = model.w
+GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------- CUPED A/B
+
+
+def cuped_adjust(events):
+    """CUPED variance-reduced A/B effect (Deng et al. 2013): users hash
+    into two arms; the pre-period metric (spend before the stream's
+    integer midpoint) is the control covariate for the post-period
+    metric; theta = cov(pre,post)/var(pre) pooled, and the adjusted
+    effect is mean_A(post - theta*(pre - mean(pre))) minus the same for
+    B — the experiment-sensitivity booster every mature A/B platform
+    ships.
+
+    Exactness: user-grain pre/post sums are int64 DOLLARS (cents div
+    100 keeps the cross-moment sum inside int64 at 1000x the fixture
+    scale); theta quantizes to micro before it touches the arm means,
+    so both engines adjust with the identical rational theta; outputs
+    are milli-quantized doubles over exact sums. Scale shape: one
+    shuffle to the user grain, one to the (arm) grain, moments combine
+    as broadcast 1-row aggregates."""
+    mid = events.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    ).select(F.expr("t0 + (t1 - t0) div 2").alias("mid"))
+    per_user = (
+        events.join(F.broadcast(mid))
+        .select(
+            "user_id",
+            F.when(
+                F.unix_micros("ts") < F.col("mid"),
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 100"),
+            )
+            .otherwise(0)
+            .alias("pre_d"),
+            F.when(
+                F.unix_micros("ts") >= F.col("mid"),
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 100"),
+            )
+            .otherwise(0)
+            .alias("post_d"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("pre_d").alias("pre"), F.sum("post_d").alias("post"))
+        .select(
+            "user_id",
+            "pre",
+            "post",
+            (
+                _h32(F.concat(F.lit("arm:"), F.col("user_id").cast("string")))
+                % 2
+            ).alias("arm"),
+        )
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre").alias("sp"),
+        F.sum("post").alias("sq"),
+        F.sum(F.col("pre") * F.col("pre")).alias("spp"),
+        F.sum(F.col("pre") * F.col("post")).alias("spq"),
+    ).select(
+        "*",
+        F.floor(
+            (
+                F.col("n").cast("double") * F.col("spq").cast("double")
+                - F.col("sp").cast("double") * F.col("sq").cast("double")
+            )
+            / (
+                F.col("n").cast("double") * F.col("spp").cast("double")
+                - F.col("sp").cast("double") * F.col("sp").cast("double")
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).alias("theta_micro"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.sum("pre").alias("sp_a"),
+        F.sum("post").alias("sq_a"),
+    )
+    wide = (
+        arms.join(F.broadcast(mom))
+        .select(
+            "arm",
+            "n_a",
+            (
+                F.col("sq_a").cast("double") / F.col("n_a").cast("double")
+                - F.col("theta_micro").cast("double")
+                / 1.0e6
+                * (
+                    F.col("sp_a").cast("double") / F.col("n_a").cast("double")
+                    - F.col("sp").cast("double") / F.col("n").cast("double")
+                )
+            ).alias("adj_mean"),
+            (
+                F.col("sq_a").cast("double") / F.col("n_a").cast("double")
+            ).alias("raw_mean"),
+            "theta_micro",
+            "n",
+        )
+    )
+    return (
+        wide.groupBy("theta_micro", "n")
+        .agg(
+            F.sum("n_a").alias("n_users"),
+            F.floor(
+                F.sum(
+                    F.when(F.col("arm") == 0, F.col("raw_mean")).otherwise(
+                        -F.col("raw_mean")
+                    )
+                )
+                * 1000
+                + F.lit(0.5)
+            ).alias("raw_diff_milli"),
+            F.floor(
+                F.sum(
+                    F.when(F.col("arm") == 0, F.col("adj_mean")).otherwise(
+                        -F.col("adj_mean")
+                    )
+                )
+                * 1000
+                + F.lit(0.5)
+            ).alias("cuped_diff_milli"),
+        )
+        .select(
+            "n_users", "theta_micro", "raw_diff_milli", "cuped_diff_milli"
+        )
+    )
+
+
+def _events_cuped_adjust(spark, sf_dir):
+    return cuped_adjust(t(spark, sf_dir, "events"))
+
+
+_CUPED_SQL = """
+WITH mid AS (
+  SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2
+             AS mid
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN epoch_us(ts) < mid
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT) // 100
+                  ELSE 0 END) AS BIGINT) AS pre,
+         CAST(sum(CASE WHEN epoch_us(ts) >= mid
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT) // 100
+                  ELSE 0 END) AS BIGINT) AS post
+  FROM events, mid GROUP BY user_id
+),
+armed AS (
+  SELECT *,
+         ('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+             % 2 AS arm
+  FROM per_user
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pre) AS BIGINT) AS sp, CAST(sum(post) AS BIGINT) AS sq,
+         CAST(sum(pre * pre) AS BIGINT) AS spp,
+         CAST(sum(pre * post) AS BIGINT) AS spq
+  FROM armed
+),
+theta AS (
+  SELECT *,
+         CAST(floor((CAST(n AS DOUBLE) * CAST(spq AS DOUBLE)
+                     - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                       - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS theta_micro
+  FROM mom
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_a,
+         CAST(sum(pre) AS BIGINT) AS sp_a, CAST(sum(post) AS BIGINT) AS sq_a
+  FROM armed GROUP BY arm
+),
+wide AS (
+  SELECT arm, n_a, theta_micro, n,
+         CAST(sq_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS raw_mean,
+         CAST(sq_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - CAST(theta_micro AS DOUBLE) / 1.0e6
+           * (CAST(sp_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)) AS adj_mean
+  FROM arms, theta
+)
+SELECT CAST(sum(n_a) AS BIGINT) AS n_users,
+       theta_micro,
+       CAST(floor(sum(CASE WHEN arm = 0 THEN raw_mean ELSE -raw_mean END)
+                  * 1000 + 0.5) AS BIGINT) AS raw_diff_milli,
+       CAST(floor(sum(CASE WHEN arm = 0 THEN adj_mean ELSE -adj_mean END)
+                  * 1000 + 0.5) AS BIGINT) AS cuped_diff_milli
+FROM wide GROUP BY theta_micro, n
+"""
+
+
+# --------------------------------------------------- NEYMAN ALLOCATION
+
+NEYMAN_BUDGET = 10000
+
+
+def neyman_alloc(events, budget: int = NEYMAN_BUDGET):
+    """Neyman-optimal stratified sample allocation (Neyman 1934):
+    allocate a fixed budget across strata proportionally to N_h * S_h
+    (stratum size times value stddev), with Hamilton largest-remainder
+    integer rounding — the survey/eval-set design step that minimizes
+    estimator variance for a fixed labeling budget.
+
+    Exactness: N_h and the moment sums are int64; the weight, shares,
+    and remainders are the identical double expressions on both
+    engines; the final integer allocation comes from floor + a
+    remainder rank computed by a triangular self-join at the bounded
+    stratum grain (no window)."""
+    grp = (
+        events.select(
+            F.col("event_type").alias("g"), cents(F.col("value")).alias("v")
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_h"),
+            F.sum("v").alias("sv"),
+            F.sum(F.col("v") * F.col("v")).alias("svv"),
+        )
+        .select(
+            "g",
+            "n_h",
+            (
+                F.col("n_h").cast("double")
+                * F.sqrt(
+                    (
+                        F.col("n_h").cast("double") * F.col("svv").cast("double")
+                        - F.col("sv").cast("double") * F.col("sv").cast("double")
+                    )
+                    / (
+                        F.col("n_h").cast("double")
+                        * (F.col("n_h") - 1).cast("double")
+                    )
+                )
+            ).alias("wgt"),
+        )
+    )
+    tot = grp.agg(F.sum("wgt").alias("wtot"))
+    shares = grp.join(F.broadcast(tot)).select(
+        "g",
+        "n_h",
+        F.floor(F.lit(budget) * F.col("wgt") / F.col("wtot")).alias("base"),
+        (
+            F.lit(budget) * F.col("wgt") / F.col("wtot")
+            - F.floor(F.lit(budget) * F.col("wgt") / F.col("wtot"))
+        ).alias("rem"),
+        F.floor(
+            F.col("wgt") / F.col("wtot") * 1000000 + F.lit(0.5)
+        ).alias("share_micro"),
+    )
+    short = shares.agg(
+        (F.lit(budget) - F.sum("base")).alias("short")
+    )
+    ranked = (
+        shares.select(F.col("g").alias("ga"), F.col("rem").alias("ra"))
+        .join(
+            shares.select(F.col("g").alias("gb"), F.col("rem").alias("rb")),
+            (F.col("rb") > F.col("ra"))
+            | ((F.col("rb") == F.col("ra")) & (F.col("gb") < F.col("ga"))),
+            "left",
+        )
+        .groupBy("ga", "ra")
+        .agg(F.count(F.col("gb")).alias("n_ahead"))
+        .select(F.col("ga").alias("g"), "n_ahead")
+    )
+    return (
+        shares.join(ranked, "g")
+        .join(F.broadcast(short))
+        .select(
+            "g",
+            "n_h",
+            "share_micro",
+            (
+                F.col("base")
+                + F.when(F.col("n_ahead") < F.col("short"), 1).otherwise(0)
+            ).cast("long").alias("alloc"),
+        )
+        .orderBy("g")
+    )
+
+
+def _sample_neyman_alloc(spark, sf_dir):
+    return neyman_alloc(t(spark, sf_dir, "events"))
+
+
+_NEYMAN_SQL = f"""
+WITH grp AS (
+  SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_h,
+         CAST(count(*) AS BIGINT) * sqrt(
+           (CAST(count(*) AS BIGINT)
+              * CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         * CAST(floor(value * 100 + 0.5) AS BIGINT))
+                     AS DOUBLE)
+            - CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+              * CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE))
+           / (CAST(count(*) AS BIGINT)
+              * CAST(count(*) - 1 AS DOUBLE))) AS wgt
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(wgt) AS wtot FROM grp),
+shares AS (
+  SELECT g, n_h,
+         floor({NEYMAN_BUDGET} * wgt / wtot) AS base,
+         {NEYMAN_BUDGET} * wgt / wtot
+             - floor({NEYMAN_BUDGET} * wgt / wtot) AS rem,
+         CAST(floor(wgt / wtot * 1000000 + 0.5) AS BIGINT) AS share_micro
+  FROM grp, tot
+),
+short AS (
+  SELECT CAST({NEYMAN_BUDGET} - sum(base) AS BIGINT) AS short FROM shares
+),
+ranked AS (
+  SELECT a.g, CAST(count(b.g) AS BIGINT) AS n_ahead
+  FROM shares a LEFT JOIN shares b
+    ON b.rem > a.rem OR (b.rem = a.rem AND b.g < a.g)
+  GROUP BY a.g
+)
+SELECT shares.g, n_h, share_micro,
+       CAST(base + CASE WHEN n_ahead < short THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc
+FROM shares JOIN ranked ON shares.g = ranked.g, short
+ORDER BY shares.g
+"""
+
+
+for _q in (
+    QueryDef(
+        "text_kneser_ney_xent", _text_kneser_ney_xent, _KN_SQL, ("text",)
+    ),
+    QueryDef(
+        "events_cuped_adjust", _events_cuped_adjust, _CUPED_SQL, ("events",)
+    ),
+    QueryDef(
+        "sample_neyman_alloc", _sample_neyman_alloc, _NEYMAN_SQL, ("sample",)
+    ),
+):
+    R6B_QUERIES[_q.name] = _q
