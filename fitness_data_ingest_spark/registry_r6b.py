@@ -2800,18 +2800,22 @@ def kendall_tau(events):
             F.col("d_pairs"),
             "n1",
             "n2",
-            F.floor(
-                (F.col("c_pairs") - F.col("d_pairs")).cast("double")
-                / F.sqrt(
-                    (
-                        F.expr("nn * (nn - 1) div 2") - F.col("n1")
-                    ).cast("double")
-                    * (
-                        F.expr("nn * (nn - 1) div 2") - F.col("n2")
-                    ).cast("double")
-                )
-                * 1000000
-                + F.lit(0.5)
+            F.when(
+                (F.expr("nn * (nn - 1) div 2") > F.col("n1"))
+                & (F.expr("nn * (nn - 1) div 2") > F.col("n2")),
+                F.floor(
+                    (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+                    / F.sqrt(
+                        (
+                            F.expr("nn * (nn - 1) div 2") - F.col("n1")
+                        ).cast("double")
+                        * (
+                            F.expr("nn * (nn - 1) div 2") - F.col("n2")
+                        ).cast("double")
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                ),
             ).alias("tau_b_micro"),
         )
     )
@@ -2871,10 +2875,11 @@ sums AS (
 t1 AS (SELECT CAST(sum(tx * (tx - 1)) // 2 AS BIGINT) AS n1 FROM xmarg),
 t2 AS (SELECT CAST(sum(ty * (ty - 1)) // 2 AS BIGINT) AS n2 FROM ymarg)
 SELECT nn AS n_rows, c_pairs, d_pairs, n1, n2,
-       CAST(floor(CAST(c_pairs - d_pairs AS DOUBLE)
-                  / sqrt(CAST(nn * (nn - 1) // 2 - n1 AS DOUBLE)
-                         * CAST(nn * (nn - 1) // 2 - n2 AS DOUBLE))
-                  * 1000000 + 0.5) AS BIGINT) AS tau_b_micro
+       CASE WHEN nn * (nn - 1) // 2 > n1 AND nn * (nn - 1) // 2 > n2
+            THEN CAST(floor(CAST(c_pairs - d_pairs AS DOUBLE)
+                       / sqrt(CAST(nn * (nn - 1) // 2 - n1 AS DOUBLE)
+                              * CAST(nn * (nn - 1) // 2 - n2 AS DOUBLE))
+                       * 1000000 + 0.5) AS BIGINT) END AS tau_b_micro
 FROM sums, t1, t2
 """
 

@@ -2949,3 +2949,280 @@ def test_freshness_audit_flags_stale_stream(spark):
         "stale": (2, 1, 90, True),
         "edge": (1, 1, 60, False),
     }
+
+
+# ---------------------------------------------------- r6b property mirrors
+
+
+def _h32_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=400),
+        min_size=3, max_size=25, unique=True,
+    )
+)
+@PROP_SETTINGS
+def test_geo_grid_knn_matches_bruteforce(spark, ids):
+    """Grid-probe result == brute-force within-radius scan for every
+    sampled query point (count, nearest id, nearest d2)."""
+    import math
+
+    from fitness_data_ingest_spark.registry_r6b import (
+        GEO_CELL, GEO_QUERY_MOD, GEO_R2, geo_grid_knn,
+    )
+
+    part = spark.createDataFrame([(int(i),) for i in ids], "p_partkey long")
+    got = {
+        r["query_id"]: (r["n_within_r"], r["nn_id"], r["nn_d2"])
+        for r in geo_grid_knn(part).collect()
+    }
+
+    n = len(ids)
+    d = max(1, int(math.floor(math.sqrt(float(n)))))
+    dom = d * GEO_CELL
+    pts = {
+        i: (_h32_py(f"{i}gx") % dom, _h32_py(f"{i}gy") % dom) for i in ids
+    }
+    for q in ids:
+        if q % GEO_QUERY_MOD != 0:
+            continue
+        qx, qy = pts[q]
+        cands = []
+        for o in ids:
+            if o == q:
+                continue
+            d2 = (pts[o][0] - qx) ** 2 + (pts[o][1] - qy) ** 2
+            if d2 <= GEO_R2:
+                cands.append((d2, o))
+        if cands:
+            best = min(cands)
+            assert got[q] == (len(cands), best[1], best[0]), q
+        else:
+            assert got[q] == (0, None, None), q
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60000),
+            st.integers(min_value=0, max_value=23),
+        ),
+        min_size=2, max_size=25,
+    )
+)
+@PROP_SETTINGS
+def test_kendall_tau_matches_bruteforce(spark, rows):
+    """2D-prefix concordance counts == the O(n^2) pair scan, ties from
+    margins, on the same dollar/hour bucketing."""
+    import datetime as dt
+
+    from fitness_data_ingest_spark.registry_r6b import KT_XMAX, kendall_tau
+
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(hours=int(h)), c / 100.0)
+            for i, (c, h) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, value double",
+    )
+    r = kendall_tau(ev).collect()[0]
+
+    xy = [(min(c // 100, KT_XMAX), h) for c, h in rows]
+    c_pairs = d_pairs = 0
+    for i in range(len(xy)):
+        for j in range(len(xy)):
+            if xy[i][0] < xy[j][0] and xy[i][1] < xy[j][1]:
+                c_pairs += 1
+            if xy[i][0] < xy[j][0] and xy[i][1] > xy[j][1]:
+                d_pairs += 1
+    from collections import Counter
+
+    tx = Counter(x for x, _ in xy)
+    ty = Counter(y for _, y in xy)
+    n1 = sum(v * (v - 1) // 2 for v in tx.values())
+    n2 = sum(v * (v - 1) // 2 for v in ty.values())
+    assert (r["n_rows"], r["c_pairs"], r["d_pairs"], r["n1"], r["n2"]) == (
+        len(xy), c_pairs, d_pairs, n1, n2,
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=0, max_value=50000),
+        ),
+        min_size=2, max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+@PROP_SETTINGS
+def test_changepoint_matches_bruteforce(spark, rows):
+    """Best SSE split == the exhaustive split scan on hourly dollars
+    (same micro quantization, same (cost, hidx) tie-break)."""
+    import datetime as dt
+    import math
+
+    from fitness_data_ingest_spark.registry_r6b import changepoint_sse
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(hours=int(h), minutes=7), c / 100.0)
+            for i, (h, c) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, value double",
+    )
+    got = changepoint_sse(ev).collect()[0]
+
+    hourly: dict[int, int] = {}
+    h0 = int(base.timestamp()) // 3600
+    for h, c in rows:
+        hourly[h0 + h] = hourly.get(h0 + h, 0) + c
+    ys = sorted((h, tot // 100) for h, tot in hourly.items())
+    n = len(ys)
+    best = None
+    for split in range(1, n):
+        left = [y for _, y in ys[:split]]
+        right = [y for _, y in ys[split:]]
+        cost = (
+            sum(v * v for v in left) - sum(left) ** 2 / len(left)
+            + sum(v * v for v in right) - sum(right) ** 2 / len(right)
+        )
+        cost_micro = math.floor(cost * 1000000 + 0.5)
+        key = (cost_micro, ys[split][0])
+        if best is None or key < best:
+            best = key
+    if n < 2:
+        return
+    assert (got["cost_micro"], got["best_split_hidx"]) == best
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),       # user
+            st.sampled_from(["view", "purchase", "error", "click"]),
+            st.integers(min_value=0, max_value=12 * 86400),  # seconds
+        ),
+        min_size=1, max_size=30,
+        unique_by=lambda t: (t[0], t[2]),
+    )
+)
+@PROP_SETTINGS
+def test_seq_pattern_matches_bruteforce(spark, evs):
+    """Bucketed CEP matcher == the literal per-user replay of
+    'A then earliest B within W, no C strictly between'."""
+    import datetime as dt
+
+    from fitness_data_ingest_spark.registry_r6b import (
+        SEQ_WINDOW_S, seq_pattern,
+    )
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [
+            (i, int(u), ty, base + dt.timedelta(seconds=int(s)), 1.0)
+            for i, (u, ty, s) in enumerate(evs)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    )
+    got = {
+        r["user_id"]: (r["n_matches"], r["min_gap_s"], r["max_gap_s"])
+        for r in seq_pattern(ev).collect()
+    }
+
+    t0 = int(base.timestamp())
+    per: dict[int, list[tuple[str, int]]] = {}
+    for u, ty, s in evs:
+        per.setdefault(u, []).append((ty, t0 + s))
+    want = {}
+    for u, items in per.items():
+        a_ts = sorted(s for ty, s in items if ty == "view")
+        b_ts = sorted(s for ty, s in items if ty == "purchase")
+        c_ts = sorted(s for ty, s in items if ty == "error")
+        gaps = []
+        for ta in a_ts:
+            bs = [tb for tb in b_ts if ta < tb <= ta + SEQ_WINDOW_S]
+            if not bs:
+                continue
+            tb = min(bs)
+            if any(ta < tc < tb for tc in c_ts):
+                continue
+            gaps.append(tb - ta)
+        if gaps:
+            want[u] = (len(gaps), min(gaps), max(gaps))
+    assert got == want
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31))
+@PROP_SETTINGS
+def test_mmr_select_matches_greedy_replay(spark, seed):
+    """Unrolled MMR rounds == a literal Python greedy over the same
+    SQ8 codes (relevance/diversity weights, tie-breaks and all)."""
+    import random
+
+    from fitness_data_ingest_spark.registry_r6b import (
+        MMR_CAND_MOD, MMR_W_DIV, MMR_W_REL, mmr_select,
+    )
+
+    rng = random.Random(seed)
+    ids = [0] + [1 + MMR_CAND_MOD * i for i in range(8)]
+    vecs = {
+        i: [rng.randrange(0, 100) / 2.0 for _ in range(6)] for i in ids
+    }
+    emb = spark.createDataFrame(
+        [(i, vecs[i]) for i in ids], "vec_id long, embedding array<double>"
+    )
+    got = [
+        (r["rank"], r["vec_id"], r["d2_query"], r["min_d2_selected"])
+        for r in mmr_select(emb).collect()
+    ]
+
+    # replicate sq8_codes: per-dim corpus bounds -> 0..255 codes
+    import math
+
+    dims = len(next(iter(vecs.values())))
+    mn = [min(v[d] for v in vecs.values()) for d in range(dims)]
+    mx = [max(v[d] for v in vecs.values()) for d in range(dims)]
+    codes = {
+        i: [
+            int(math.floor((v[d] - mn[d]) / (mx[d] - mn[d]) * 255 + 0.5))
+            if mx[d] > mn[d]
+            else 0
+            for d in range(dims)
+        ]
+        for i, v in vecs.items()
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(codes[a], codes[b]))
+
+    cands = sorted(i for i in ids if i % MMR_CAND_MOD == 1)
+    want = []
+    sel: list[int] = []
+    for r in range(1, 6):
+        rem = [c for c in cands if c not in sel]
+        if not rem:
+            break
+        if r == 1:
+            pick = min(rem, key=lambda c: (d2(c, 0), c))
+            want.append((1, pick, d2(pick, 0), None))
+        else:
+            def score(c):
+                mind = min(d2(c, s) for s in sel)
+                return (MMR_W_DIV * mind - MMR_W_REL * d2(c, 0), -c)
+
+            pick = max(rem, key=score)
+            want.append(
+                (r, pick, d2(pick, 0), min(d2(pick, s) for s in sel))
+            )
+        sel.append(pick)
+    assert got == want
