@@ -552,7 +552,11 @@ def lift_gains(events):
     cumd = (
         per.select(F.col("decile").alias("d"), "n_pos", "n_neg", "n", "pos")
         .join(
-            per.select(F.col("decile").alias("d2"), F.col("pos").alias("p2")),
+            F.broadcast(
+                per.select(
+                    F.col("decile").alias("d2"), F.col("pos").alias("p2")
+                )
+            ),
             F.col("d2") <= F.col("d"),
         )
         .groupBy("d", "n_pos", "n_neg", "n", "pos")

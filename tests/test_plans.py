@@ -1013,3 +1013,31 @@ def test_r6_wave5_plan_shapes(spark, sf_dir):
     ts = plan_of(R6_QUERIES["ts_theil_sen"].spark(spark, sf_dir), "simple")
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", ts):
         assert m.group(1).strip(), "partition-less window in theil_sen"
+
+
+def test_r6b_family_plan_shapes(spark, sf_dir):
+    """Round-6b (r6b) keys: no cartesian products; every
+    BroadcastNestedLoopJoin is a sanctioned bounded-build attach (1-row
+    totals/midpoint/signs scalars, the <=256-row bucket-offset
+    triangular joins, the stratum/decile-grain rank self-joins, the
+    <=k-row MMR selected set); no row-at-a-time Python UDFs (the tar
+    codec's mapInPandas is Arrow-batched ArrowEvalPython, which is the
+    allowed node); and no partition-less windows anywhere except the
+    none-existent — every window in the family is coarse-bucket- or
+    group-partitioned by construction."""
+    import re
+
+    from fitness_data_ingest_spark.registry_r6b import R6B_QUERIES
+
+    spark.catalog.clearCache()
+    for name, q in R6B_QUERIES.items():
+        df = q.spark(spark, sf_dir)
+        plan = plan_of(df, "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        formatted = plan_of(df, "formatted")
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", formatted):
+            first = m.group(1).split(",")[0].strip()
+            assert not (
+                first.endswith(" ASC") or first.endswith(" DESC")
+            ), f"{name}: partition-less window: {m.group(0)[:160]}"
