@@ -3761,3 +3761,392 @@ for _q in (
     ),
 ):
     R6B_QUERIES[_q.name] = _q
+
+
+# ------------------------------------------------ DEGREE ASSORTATIVITY
+
+
+def assortativity(edges):
+    """Degree-assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees across edges — do hubs link to hubs
+    (r > 0) or to leaves (r < 0)? The one-number structural fingerprint
+    that distinguishes social-style from web-style co-occurrence
+    graphs.
+
+    Exactness: all six moment sums are int64 over exact degrees; r is
+    one double expression over them, micro-quantized. Scale shape: one
+    degree aggregate at the node grain, two node-grain equi-joins to
+    tag each edge with (deg_src, deg_dst), one moment aggregate — the
+    edge table is scanned once after the degree build."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    tagged = (
+        edges.join(deg.select(F.col("src").alias("_s"), F.col("d").alias("dj")),
+                   F.col("src") == F.col("_s"))
+        .join(deg.select(F.col("src").alias("_t"), F.col("d").alias("dk")),
+              F.col("dst") == F.col("_t"))
+        .select("dj", "dk")
+    )
+    mom = tagged.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dj").alias("sj"),
+        F.sum("dk").alias("sk"),
+        F.sum(F.col("dj") * F.col("dj")).alias("sjj"),
+        F.sum(F.col("dk") * F.col("dk")).alias("skk"),
+        F.sum(F.col("dj") * F.col("dk")).alias("sjk"),
+    )
+    num = (
+        F.col("m").cast("double") * F.col("sjk").cast("double")
+        - F.col("sj").cast("double") * F.col("sk").cast("double")
+    )
+    den = F.sqrt(
+        (
+            F.col("m").cast("double") * F.col("sjj").cast("double")
+            - F.col("sj").cast("double") * F.col("sj").cast("double")
+        )
+        * (
+            F.col("m").cast("double") * F.col("skk").cast("double")
+            - F.col("sk").cast("double") * F.col("sk").cast("double")
+        )
+    )
+    return mom.select(
+        F.col("m").alias("n_edges"),
+        "sj",
+        "sjk",
+        F.when(
+            (
+                F.col("m") * F.col("sjj") - F.col("sj") * F.col("sj") > 0
+            )
+            & (F.col("m") * F.col("skk") - F.col("sk") * F.col("sk") > 0),
+            F.floor(num / den * 1000000 + F.lit(0.5)),
+        ).alias("assort_micro"),
+    )
+
+
+def _graph_assortativity(spark, sf_dir):
+    from .ops import graph as G
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_groups=2)
+    return assortativity(edges)
+
+
+_ASSORT_SQL = f"""
+WITH edges AS ({_BFS_EDGES_CTE}),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+tagged AS (
+  SELECT a.d AS dj, b.d AS dk
+  FROM edges e JOIN deg a ON e.src = a.src JOIN deg b ON e.dst = b.src
+),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(dj) AS BIGINT) AS sj, CAST(sum(dk) AS BIGINT) AS sk,
+         CAST(sum(dj * dj) AS BIGINT) AS sjj,
+         CAST(sum(dk * dk) AS BIGINT) AS skk,
+         CAST(sum(dj * dk) AS BIGINT) AS sjk
+  FROM tagged
+)
+SELECT m AS n_edges, sj, sjk,
+       CASE WHEN m * sjj - sj * sj > 0 AND m * skk - sk * sk > 0
+            THEN CAST(floor((CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+                             - CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE))
+                            / sqrt((CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+                                    - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+                                   * (CAST(m AS DOUBLE) * CAST(skk AS DOUBLE)
+                                      - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)))
+                            * 1000000 + 0.5) AS BIGINT) END AS assort_micro
+FROM mom
+"""
+
+
+R6B_QUERIES["graph_assortativity"] = QueryDef(
+    "graph_assortativity", _graph_assortativity, _ASSORT_SQL, ("graph",)
+)
+
+
+# ------------------------------------------------------- LJUNG-BOX
+
+LB_MAX_LAG = 6
+
+
+def ljung_box(events, max_lag: int = LB_MAX_LAG):
+    """Ljung-Box portmanteau test over the hourly value series:
+    calendar-lag autocorrelations r_1..r_h and the Q statistic
+    n(n+2) * sum r_k^2/(n-k) — the is-this-white-noise gate run on
+    forecast residuals and on the stream's own volume series.
+
+    Exactness: each lag's numerator expands around the exact rational
+    mean (sy/n), so it needs only int64 sums (sum y_t*y_{t-k} and the
+    overlap head/tail sums); r_k micro-quantizes per lag and Q sums the
+    quantized lags. Scale shape: lags are EQUI self-joins on
+    (hidx - k) at the calendar-bounded hour grain — no window at all —
+    and the k lags expand by the literal max_lag factor before one
+    grouped aggregate."""
+    hourly = (
+        events.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("hidx"),
+            cents(F.col("value")).alias("cts"),
+        )
+        .groupBy("hidx")
+        .agg(F.expr("sum(cts) div 100").alias("y"))
+    )
+    g = hourly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    lags = hourly.select(
+        "hidx",
+        "y",
+        F.explode(
+            F.array([F.lit(k) for k in range(1, max_lag + 1)])
+        ).alias("k"),
+    )
+    paired = lags.alias("a").join(
+        hourly.alias("b"),
+        F.expr("a.hidx - a.k = b.hidx"),
+    ).select(
+        F.col("a.k").alias("k"),
+        F.col("a.y").alias("yt"),
+        F.col("b.y").alias("ytk"),
+    )
+    per_k = paired.groupBy("k").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("yt") * F.col("ytk")).alias("ck"),
+        F.sum("yt").alias("sh"),
+        F.sum("ytk").alias("st"),
+    )
+    rk = (
+        per_k.join(F.broadcast(g))
+        .select(
+            "k",
+            "m",
+            F.floor(
+                (
+                    F.col("ck").cast("double")
+                    - F.col("sy").cast("double")
+                    / F.col("n").cast("double")
+                    * (F.col("sh") + F.col("st")).cast("double")
+                    + F.col("m").cast("double")
+                    * F.col("sy").cast("double")
+                    * F.col("sy").cast("double")
+                    / F.col("n").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / (
+                    F.col("syy").cast("double")
+                    - F.col("sy").cast("double")
+                    * F.col("sy").cast("double")
+                    / F.col("n").cast("double")
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("r_micro"),
+            "n",
+        )
+    )
+    q = rk.agg(
+        F.floor(
+            F.sum(
+                F.col("r_micro").cast("double")
+                * F.col("r_micro").cast("double")
+                / 1.0e6
+                / (F.col("n") - F.col("k")).cast("double")
+            )
+            * F.expr("any_value(n * (n + 2))").cast("double")
+            / 1.0e6
+            * 1000000
+            + F.lit(0.5)
+        ).alias("q_lb_micro")
+    )
+    return (
+        rk.join(F.broadcast(q))
+        .select("k", "m", "r_micro", "q_lb_micro")
+        .orderBy("k")
+    )
+
+
+def _ts_ljung_box(spark, sf_dir):
+    return ljung_box(t(spark, sf_dir, "events"))
+
+
+_LB_SQL = f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS hidx,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             // 100 AS y
+  FROM events GROUP BY 1
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM hourly
+),
+paired AS (
+  SELECT u.k, a.y AS yt, b.y AS ytk
+  FROM hourly a, unnest(range(1, {LB_MAX_LAG} + 1)) AS u(k)
+  JOIN hourly b ON a.hidx - u.k = b.hidx
+),
+per_k AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(yt * ytk) AS BIGINT) AS ck,
+         CAST(sum(yt) AS BIGINT) AS sh, CAST(sum(ytk) AS BIGINT) AS st
+  FROM paired GROUP BY 1
+),
+rk AS (
+  SELECT CAST(k AS BIGINT) AS k, m,
+         CAST(floor((CAST(ck AS DOUBLE)
+                     - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                       * CAST(sh + st AS DOUBLE)
+                     + CAST(m AS DOUBLE) * CAST(sy AS DOUBLE)
+                       * CAST(sy AS DOUBLE)
+                       / CAST(n AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS r_micro,
+         n
+  FROM per_k, g
+),
+q AS (
+  SELECT CAST(floor(sum(CAST(r_micro AS DOUBLE) * CAST(r_micro AS DOUBLE)
+                        / 1.0e6 / CAST(n - k AS DOUBLE))
+                    * CAST(any_value(n * (n + 2)) AS DOUBLE) / 1.0e6
+                    * 1000000 + 0.5) AS BIGINT) AS q_lb_micro
+  FROM rk
+)
+SELECT k, m, r_micro, q_lb_micro FROM rk, q ORDER BY k
+"""
+
+
+R6B_QUERIES["ts_ljung_box"] = QueryDef(
+    "ts_ljung_box", _ts_ljung_box, _LB_SQL, ("ts",)
+)
+
+
+# --------------------------------------------- MATRYOSHKA RECALL EVAL
+
+MRL_PREFIX_DIMS = 16
+MRL_QUERY_MOD = 50
+MRL_QUERY_REM = 3
+MRL_K = 10
+
+
+def matryoshka_recall(embeddings):
+    """Matryoshka-representation evaluation (Kusupati et al. 2022):
+    for each sampled query, the top-k neighbor overlap between the full
+    64-dim SQ8 distance and the 16-dim PREFIX distance — the number
+    that says whether truncated embeddings are good enough to serve
+    retrieval at a fraction of the memory.
+
+    Exactness: both distances are int64 over the same SQ8 codes; the
+    per-query top-k rank is a window partitioned BY QUERY (queries are
+    the parallelism — the embed_knn_graph discipline) with (d2, id)
+    tie-breaks; overlap is an integer count. One candidate equi-join
+    per representation, bounded by the sampled query count."""
+    from pyspark.sql import Window
+
+    from .ext.similarity import sq8_codes
+
+    codes = sq8_codes(embeddings)
+    q = codes.where(
+        F.col("vec_id") % MRL_QUERY_MOD == MRL_QUERY_REM
+    ).select(F.col("vec_id").alias("qid"), F.col("c").alias("qc"))
+    cand = codes.select(F.col("vec_id").alias("cid"), F.col("c").alias("cc"))
+    pairs = (
+        cand.join(F.broadcast(q))
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            F.expr(_D2_EXPR.format(a="qc", b="cc")).alias("d2_full"),
+            F.expr(
+                "aggregate(zip_with(slice(qc, 1, {p}), slice(cc, 1, {p}), "
+                "(u, v) -> (u - v) * (u - v)), 0L, (s, e) -> s + e)".format(
+                    p=MRL_PREFIX_DIMS
+                )
+            ).alias("d2_pre"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy("d2_full", "cid")
+    wp = Window.partitionBy("qid").orderBy("d2_pre", "cid")
+    ranked = pairs.select(
+        "qid",
+        "cid",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    per_q = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when((F.col("rf") <= MRL_K) & (F.col("rp") <= MRL_K), 1).otherwise(0)
+        ).alias("n_overlap")
+    )
+    tot = per_q.agg(
+        F.expr(f"(1000000 * sum(n_overlap)) div (count(1) * {MRL_K})").alias(
+            "recall_micro"
+        )
+    )
+    return (
+        per_q.join(F.broadcast(tot))
+        .select("qid", "n_overlap", "recall_micro")
+        .orderBy("qid")
+    )
+
+
+def _embed_matryoshka_recall(spark, sf_dir):
+    return matryoshka_recall(t(spark, sf_dir, "embeddings"))
+
+
+_MRL_SQL = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+idx AS (SELECT vec_id, v, unnest(range(1, len(v)+1)) AS i FROM e),
+d AS (SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx FROM idx GROUP BY 1),
+b AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM d),
+codes AS (SELECT vec_id,
+  list_transform(range(1, len(v)+1), i ->
+    CASE WHEN b.mx[i] > b.mn[i]
+         THEN CAST(floor((v[i] - b.mn[i]) / (b.mx[i] - b.mn[i]) * 255 + 0.5)
+                   AS BIGINT)
+         ELSE 0 END) AS c
+  FROM e CROSS JOIN b),
+pairs AS (
+  SELECT q.vec_id AS qid, c2.vec_id AS cid,
+         CAST(list_sum(list_transform(range(1, {RP_IN_DIMS} + 1),
+              i -> (q.c[i] - c2.c[i]) * (q.c[i] - c2.c[i]))) AS BIGINT)
+             AS d2_full,
+         CAST(list_sum(list_transform(range(1, {MRL_PREFIX_DIMS} + 1),
+              i -> (q.c[i] - c2.c[i]) * (q.c[i] - c2.c[i]))) AS BIGINT)
+             AS d2_pre
+  FROM (SELECT * FROM codes
+        WHERE vec_id % {MRL_QUERY_MOD} = {MRL_QUERY_REM}) q
+  JOIN codes c2 ON c2.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY d2_full, cid) AS rf,
+         row_number() OVER (PARTITION BY qid ORDER BY d2_pre, cid) AS rp
+  FROM pairs
+),
+per_q AS (
+  SELECT qid,
+         CAST(sum(CASE WHEN rf <= {MRL_K} AND rp <= {MRL_K} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_overlap
+  FROM ranked GROUP BY qid
+),
+tot AS (
+  SELECT (1000000 * CAST(sum(n_overlap) AS BIGINT))
+             // (CAST(count(*) AS BIGINT) * {MRL_K}) AS recall_micro
+  FROM per_q
+)
+SELECT qid, n_overlap, recall_micro FROM per_q, tot ORDER BY qid
+"""
+
+
+R6B_QUERIES["embed_matryoshka_recall"] = QueryDef(
+    "embed_matryoshka_recall",
+    _embed_matryoshka_recall,
+    _MRL_SQL,
+    ("embed",),
+)
