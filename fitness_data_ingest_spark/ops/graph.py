@@ -537,3 +537,59 @@ def bfs_oracle_sql(
     ]
     parts.append(" UNION ALL ".join(selects) + " ORDER BY hop")
     return "\n".join(parts)
+
+
+def lpa_labels(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Per-node community labels after ``rounds`` synchronous LPA
+    updates — the label table :func:`label_propagation` profiles,
+    exposed for downstream composition (modularity scoring). Identical
+    update rule and scale shape (dst-partitioned persisted edges,
+    broadcast label table, zero-per-round-exchange aggregate +
+    min(struct) argmax, localCheckpoint between rounds)."""
+    ed = edges.repartition("dst").persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    for _ in range(rounds):
+        nb = ed.join(F.broadcast(labels), ed.src == labels.node).select(
+            "dst", "lbl"
+        )
+        cnt = nb.groupBy("dst", "lbl").agg(F.count(F.lit(1)).alias("n"))
+        labels = (
+            cnt.select(
+                "dst",
+                F.struct(
+                    (-F.col("n")).alias("neg"), F.col("lbl").alias("lbl")
+                ).alias("s"),
+            )
+            .groupBy("dst")
+            .agg(F.min("s").alias("m"))
+            .select(F.col("dst").alias("node"), F.col("m.lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def lpa_labels_oracle_cte(edges_cte: str, rounds: int = 3) -> str:
+    """The CTE prefix of :func:`label_propagation_oracle_sql` ending at
+    the per-node label table ``l{rounds}`` — for oracles that compose
+    on the labels (modularity). Returns the text up to and including
+    the last CTE (caller appends its own final SELECT after a comma)."""
+    parts = [
+        f"WITH edges AS ({edges_cte}),",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges),",
+        "l0 AS (SELECT node, node AS lbl FROM nodes),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"c{r} AS (SELECT e.dst, l.lbl, CAST(count(*) AS BIGINT) AS n"
+            f" FROM edges e JOIN l{r} l ON l.node = e.src GROUP BY e.dst, l.lbl),"
+        )
+        parts.append(
+            f"l{r + 1} AS (SELECT dst AS node, lbl FROM ("
+            f"SELECT dst, lbl, row_number() OVER (PARTITION BY dst"
+            f" ORDER BY n DESC, lbl ASC) AS rn FROM c{r}) WHERE rn = 1),"
+        )
+    return "\n".join(parts)

@@ -4150,3 +4150,114 @@ R6B_QUERIES["embed_matryoshka_recall"] = QueryDef(
     _MRL_SQL,
     ("embed",),
 )
+
+
+# ------------------------------------------------------- MODULARITY
+
+MOD_ROUNDS = 3
+
+
+def modularity(edges, labels):
+    """Newman modularity Q of a community assignment over a symmetric
+    edge list: Q = sum_c (e_c/m2 - (d_c/m2)^2), with e_c the
+    within-community directed-edge count and d_c the community degree
+    sum — the number that says whether the detected communities are
+    real structure or noise (Q ~ 0).
+
+    Exactness: e_c and d_c are int64; each community's term is ONE
+    double expression over them, micro-quantized per community before
+    the sum (fold-order rule). Scale shape: two broadcast label joins
+    tag every edge, one aggregate per grain — the edge table is
+    scanned once, and the label table is node-grain (broadcast like
+    LPA's own rounds)."""
+    m2 = edges.agg(F.count(F.lit(1)).alias("m2"))
+    tagged = (
+        edges.join(
+            F.broadcast(
+                labels.select(F.col("node").alias("_s"), F.col("lbl").alias("ls"))
+            ),
+            F.col("src") == F.col("_s"),
+        )
+        .join(
+            F.broadcast(
+                labels.select(F.col("node").alias("_t"), F.col("lbl").alias("lt"))
+            ),
+            F.col("dst") == F.col("_t"),
+        )
+        .select("ls", "lt")
+    )
+    per_c = tagged.groupBy(F.col("ls").alias("c")).agg(
+        F.count(F.lit(1)).alias("d_c"),
+        F.sum(F.when(F.col("lt") == F.col("ls"), 1).otherwise(0)).alias("e_c"),
+    )
+    terms = per_c.join(F.broadcast(m2)).select(
+        "c",
+        "d_c",
+        "e_c",
+        F.floor(
+            (
+                F.col("e_c").cast("double") / F.col("m2").cast("double")
+                - F.col("d_c").cast("double")
+                / F.col("m2").cast("double")
+                * F.col("d_c").cast("double")
+                / F.col("m2").cast("double")
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).alias("term_micro"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.max("d_c").alias("max_degree_sum"),
+        F.sum("e_c").alias("intra_edges"),
+        F.sum("term_micro").alias("q_micro"),
+    )
+
+
+def _graph_modularity(spark, sf_dir):
+    from .ops import graph as G
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_groups=2)
+    return modularity(edges, G.lpa_labels(edges, rounds=MOD_ROUNDS))
+
+
+def _modularity_sql() -> str:
+    from .ops import graph as G
+
+    prefix = G.lpa_labels_oracle_cte(_BFS_EDGES_CTE, rounds=MOD_ROUNDS)
+    return (
+        prefix
+        + f"""
+m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM edges),
+tagged AS (
+  SELECT a.lbl AS ls, b.lbl AS lt
+  FROM edges e
+  JOIN l{MOD_ROUNDS} a ON e.src = a.node
+  JOIN l{MOD_ROUNDS} b ON e.dst = b.node
+),
+per_c AS (
+  SELECT ls AS c, CAST(count(*) AS BIGINT) AS d_c,
+         CAST(sum(CASE WHEN lt = ls THEN 1 ELSE 0 END) AS BIGINT) AS e_c
+  FROM tagged GROUP BY 1
+),
+terms AS (
+  SELECT c, d_c, e_c,
+         CAST(floor((CAST(e_c AS DOUBLE) / CAST(m2 AS DOUBLE)
+                     - CAST(d_c AS DOUBLE) / CAST(m2 AS DOUBLE)
+                       * CAST(d_c AS DOUBLE) / CAST(m2 AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS term_micro
+  FROM per_c, m2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(max(d_c) AS BIGINT) AS max_degree_sum,
+       CAST(sum(e_c) AS BIGINT) AS intra_edges,
+       CAST(sum(term_micro) AS BIGINT) AS q_micro
+FROM terms
+"""
+    )
+
+
+R6B_QUERIES["graph_modularity"] = QueryDef(
+    "graph_modularity", _graph_modularity, _modularity_sql(), ("graph",)
+)
