@@ -3226,3 +3226,165 @@ def test_mmr_select_matches_greedy_replay(spark, seed):
             )
         sel.append(pick)
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["hash", "join", "spark", "vector", "the", "a"]),
+            min_size=1, max_size=12,
+        ),
+        min_size=1, max_size=12,
+    )
+)
+@PROP_SETTINGS
+def test_bm25_matches_bruteforce(spark, docs):
+    """BM25 scores == the textbook formula replayed in Python (same
+    idf variant, same saturation, same micro quantization)."""
+    import math
+
+    from fitness_data_ingest_spark.registry_r6b import (
+        BM25_QUERY, bm25_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["score_micro"], r["dl"])
+        for r in bm25_topk(df, topk=50).collect()
+    }
+
+    nn = len(docs)
+    avgdl_milli = 1000 * sum(len(d) for d in docs) // nn
+    dfreq: dict[str, int] = {}
+    for d in docs:
+        for tk in set(d) & set(BM25_QUERY):
+            dfreq[tk] = dfreq.get(tk, 0) + 1
+    want = {}
+    for i, d in enumerate(docs):
+        dl = len(d)
+        score = 0
+        hit = False
+        for tk in set(d) & set(BM25_QUERY):
+            tf = d.count(tk)
+            idf = math.log(
+                1.0 + (float(nn) - float(dfreq[tk]) + 0.5)
+                / (float(dfreq[tk]) + 0.5)
+            )
+            sat = tf * 2.2 / (
+                tf + 1.2 * (0.25 + 0.75 * float(dl * 1000) / float(avgdl_milli))
+            )
+            score += math.floor(idf * sat * 1000000 + 0.5)
+            hit = True
+        if hit:
+            want[i] = (score, dl)
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=30000),
+        ),
+        min_size=6, max_size=30,
+    )
+)
+@PROP_SETTINGS
+def test_neyman_alloc_matches_bruteforce(spark, rows):
+    """Hamilton rounding of Neyman weights == the literal replay
+    (same float expressions, same tie-break)."""
+    import datetime as dt
+    import math
+
+    from fitness_data_ingest_spark.registry_r6b import (
+        NEYMAN_BUDGET, neyman_alloc,
+    )
+
+    # need >= 2 rows per stratum for S_h; pad deterministically
+    rows = rows + [("a", 100), ("a", 200), ("b", 300), ("b", 50),
+                   ("c", 10), ("c", 20)]
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [
+            (i, g, base, c / 100.0)
+            for i, (g, c) in enumerate(rows)
+        ],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    got = {r["g"]: r["alloc"] for r in neyman_alloc(ev).collect()}
+
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for g, c in rows:
+        vals[g].append(c)
+    wgt = {}
+    for g, vs in vals.items():
+        n = len(vs)
+        sv, svv = sum(vs), sum(v * v for v in vs)
+        wgt[g] = n * math.sqrt((n * svv - sv * sv) / (n * (n - 1)))
+    wtot = sum(wgt.values())
+    base_a = {g: math.floor(NEYMAN_BUDGET * w / wtot) for g, w in wgt.items()}
+    rem = {
+        g: NEYMAN_BUDGET * w / wtot - base_a[g] for g, w in wgt.items()
+    }
+    short = NEYMAN_BUDGET - sum(base_a.values())
+    order = sorted(rem, key=lambda g: (-rem[g], g))
+    want = {
+        g: int(base_a[g] + (1 if order.index(g) < short else 0))
+        for g in wgt
+    }
+    assert got == want
+
+
+def test_assortativity_and_modularity_match_bruteforce(spark):
+    """Fixture-free cross-check on a hand-built two-community graph:
+    assortativity r and modularity Q equal the literal formulas."""
+    import math
+
+    from fitness_data_ingest_spark.ops.graph import lpa_labels
+    from fitness_data_ingest_spark.registry_r6b import (
+        assortativity, modularity,
+    )
+
+    # two triangles joined by one bridge (symmetric edge list)
+    und = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+
+    r = assortativity(edges).collect()[0]
+    deg = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    dj = [deg[a] for a, b in sym]
+    dk = [deg[b] for a, b in sym]
+    m = len(sym)
+    num = m * sum(j * k for j, k in zip(dj, dk)) - sum(dj) * sum(dk)
+    den = math.sqrt(
+        (m * sum(j * j for j in dj) - sum(dj) ** 2)
+        * (m * sum(k * k for k in dk) - sum(dk) ** 2)
+    )
+    assert r["assort_micro"] == math.floor(num / den * 1000000 + 0.5)
+
+    labels = {
+        row["node"]: row["lbl"] for row in lpa_labels(edges, 3).collect()
+    }
+    q = modularity(edges, lpa_labels(edges, 3)).collect()[0]
+    from collections import defaultdict
+
+    d_c = defaultdict(int)
+    e_c = defaultdict(int)
+    for a, b in sym:
+        d_c[labels[a]] += 1
+        if labels[a] == labels[b]:
+            e_c[labels[a]] += 1
+    want_q = sum(
+        math.floor(
+            (e_c[c] / m - (d_c[c] / m) * (d_c[c] / m)) * 1000000 + 0.5
+        )
+        for c in d_c
+    )
+    assert q["q_micro"] == want_q
