@@ -4261,3 +4261,69 @@ FROM terms
 R6B_QUERIES["graph_modularity"] = QueryDef(
     "graph_modularity", _graph_modularity, _modularity_sql(), ("graph",)
 )
+
+
+# ------------------------------------------------------ BMP RLE8 CODEC
+
+
+def _multimodal_bmp_rle(spark, sf_dir):
+    """Real run-length decode: every document becomes a genuine
+    BI_RLE8-compressed BMP via the pure-stdlib codec in ``ext/bmp.py``
+    (run packets, end-of-line/bitmap escapes, bottom-up rows), then
+    decodes back to exact palette-index statistics — the fourth real
+    compression family beside LZW/DCT/Rice. RLE8 is lossless, so the
+    DuckDB oracle replays the per-pixel LCG relationally and the hash
+    match proves the encode→escape→decode loop is index-exact
+    everywhere. Decoder breadth (absolute-mode packets with word
+    padding, delta rejection, corruption + truncation fuzz) is
+    pytest-covered. Scale shape: two chained Arrow-batched
+    ``mapInPandas``, zero data shuffle."""
+    from .ext import bmp as B
+
+    docs = t(spark, sf_dir, "documents")
+    return B.bmp_features(B.synthesize_bmp(docs))
+
+
+_BMP_SQL = """
+WITH RECURSIVE pw(k, ak, sk) AS (
+  SELECT 1, CAST(6364136223846793005 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT k + 1,
+         CAST((CAST(6364136223846793005 AS HUGEINT) * ak)
+              % 9223372036854775808 AS BIGINT),
+         CAST((CAST(6364136223846793005 AS HUGEINT) * sk + 1)
+              % 9223372036854775808 AS BIGINT)
+  FROM pw WHERE k < 35
+),
+docs0 AS (
+  SELECT doc_id,
+         CAST(doc_id % 6 + 2 AS BIGINT) AS w,
+         CAST((doc_id // 6) % 4 + 2 AS BIGINT) AS h,
+         CASE WHEN doc_id % 9 = 0 THEN doc_id + n_chars
+              ELSE doc_id END AS sb
+  FROM documents),
+seeds AS (
+  SELECT doc_id, w, h, w * h AS npx,
+         CAST((CAST(sb AS HUGEINT) * 6364136223846793005
+               + 1442695040888963407) % 9223372036854775808 AS BIGINT) AS s0
+  FROM docs0),
+px AS (
+  SELECT d.doc_id, d.w, d.h, d.npx,
+         (CAST((CAST(p.ak AS HUGEINT) * d.s0 + p.sk)
+               % 9223372036854775808 AS BIGINT) // 8589934592) % 16 AS v
+  FROM seeds d JOIN pw p ON p.k <= d.npx)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(npx AS BIGINT) AS n_px,
+       CAST(16 AS INTEGER) AS n_colors,
+       CAST(sum(v) AS BIGINT) AS idx_sum,
+       CAST(min(v) AS INTEGER) AS idx_min,
+       CAST(max(v) AS INTEGER) AS idx_max
+FROM px GROUP BY doc_id, w, h, npx
+"""
+
+
+R6B_QUERIES["multimodal_bmp_rle"] = QueryDef(
+    "multimodal_bmp_rle", _multimodal_bmp_rle, _BMP_SQL, ("multimodal",)
+)

@@ -979,3 +979,76 @@ def test_tar_corruption_and_truncation_fuzz_never_throws():
         out = T.decode_tar(arc[:cut])
         if cut % T.BLOCK != 0:
             assert out is None
+
+
+# ------------------------------------------------------------ bmp codec
+
+
+def test_bmp_rle8_roundtrip_pixel_exact():
+    """Encode->decode is pixel-exact for every synthesizer shape and
+    for adversarial runs (all-same, alternating, max-run-length)."""
+    from fitness_data_ingest_spark.ext import bmp as B
+
+    for mid in list(range(60)) + [999, 54321]:
+        w, h = mid % 6 + 2, (mid // 6) % 4 + 2
+        seed = (mid * B._LCG_A + B._SEED_MIX) % B._M63
+        idx = bytearray()
+        for _ in range(w * h):
+            seed = (seed * B._LCG_A + 1) % B._M63
+            idx.append((seed >> 33) % 16)
+        d = B.decode_bmp_rle8(B.encode_bmp_rle8(w, h, bytes(idx), B._GRAYS))
+        assert d and (d["width"], d["height"]) == (w, h)
+        assert d["indices"] == bytes(idx) and d["palette"] == B._GRAYS
+
+    # adversarial rows: constant, alternating, and a 300-px run that
+    # must split into 255+45 packets
+    for row in (b"\x05" * 300, bytes([1, 2] * 150), b"\x00" * 2):
+        w, h = len(row), 1
+        d = B.decode_bmp_rle8(B.encode_bmp_rle8(w, h, row, B._GRAYS))
+        assert d and d["indices"] == row
+
+
+def test_bmp_decoder_breadth_absolute_mode_and_delta_rejection():
+    """The decoder consumes absolute-mode packets (with word padding)
+    the encoder never emits, and rejects delta escapes with None."""
+    import struct
+
+    from fitness_data_ingest_spark.ext import bmp as B
+
+    base = B.encode_bmp_rle8(4, 1, bytes([1, 2, 3, 4]), B._GRAYS)
+    body_start = 14 + 40 + 4 * 16
+    hdrs = base[14:body_start]
+
+    def with_body(body: bytes) -> bytes:
+        fh = struct.pack(
+            "<2sIHHI", b"BM", body_start + len(body), 0, 0, body_start
+        )
+        return fh + hdrs + body
+
+    # even-length absolute packet
+    d = B.decode_bmp_rle8(with_body(bytes([0, 4, 1, 2, 3, 4, 0, 1])))
+    assert d and d["indices"] == bytes([1, 2, 3, 4])
+    # odd-length absolute packet (pad byte) + run packet
+    d = B.decode_bmp_rle8(
+        with_body(bytes([0, 3, 7, 8, 9, 0, 1, 4, 0, 1]))
+    )
+    assert d and d["indices"] == bytes([7, 8, 9, 4])
+    # delta escape -> None (outside the subset, never garbage)
+    assert B.decode_bmp_rle8(with_body(bytes([0, 2, 1, 1, 0, 1]))) is None
+    # missing EOB at exact end-of-data tolerated
+    d = B.decode_bmp_rle8(with_body(bytes([4, 6, 0, 0])))
+    assert d and d["indices"] == bytes([6, 6, 6, 6])
+
+
+def test_bmp_corruption_and_truncation_fuzz_never_throws():
+    from fitness_data_ingest_spark.ext import bmp as B
+
+    arc = B.encode_bmp_rle8(
+        5, 3, bytes([i % 16 for i in range(15)]), B._GRAYS
+    )
+    for i in range(len(arc)):
+        b = bytearray(arc)
+        b[i] ^= 0xFF
+        B.decode_bmp_rle8(bytes(b))  # must not raise
+    for cut in range(len(arc)):
+        B.decode_bmp_rle8(arc[:cut])
