@@ -4327,3 +4327,532 @@ FROM px GROUP BY doc_id, w, h, npx
 R6B_QUERIES["multimodal_bmp_rle"] = QueryDef(
     "multimodal_bmp_rle", _multimodal_bmp_rle, _BMP_SQL, ("multimodal",)
 )
+
+
+# ---------------------------------------------------- SPEARMAN RHO
+
+
+def spearman_corr(events):
+    """Spearman rank correlation (tie-averaged ranks) between value
+    (dollar buckets) and hour-of-day — the monotone-association
+    companion to stat_kendall_tau, sensitive to different alternatives.
+
+    Ranks come from margin prefix sums at the bounded bucket grain
+    (average rank of a tie class = cum_lt + (t+1)/2, carried DOUBLED to
+    stay int64); each cell's covariance/variance contribution is one
+    double expression over exact ints, micro-quantized per cell
+    (normalized ranks in [0,1], so terms are O(n_cell) — no n^3 blowup
+    at any scale). One shuffle to the cell grid; margins and prefix
+    sums are triangular joins at the literal domain grain."""
+    cells = (
+        events.select(
+            F.least(
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 100"),
+                F.lit(KT_XMAX),
+            ).alias("x"),
+            F.expr("hour(ts)").cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def marg_ranks(col):
+        m = cells.groupBy(col).agg(F.sum("n").alias("t"))
+        cum = (
+            m.select(F.col(col).alias("a"), F.col("t").alias("ta"))
+            .join(
+                F.broadcast(
+                    m.select(F.col(col).alias("b"), F.col("t").alias("tb"))
+                ),
+                F.col("b") < F.col("a"),
+                "left",
+            )
+            .groupBy("a", "ta")
+            .agg(F.coalesce(F.sum("tb"), F.lit(0)).alias("lt"))
+        )
+        # doubled average rank: 2*lt + t + 1 (int64)
+        return cum.select(
+            F.col("a").alias(col),
+            (2 * F.col("lt") + F.col("ta") + 1).alias(f"r2_{col}"),
+        )
+
+    rx = marg_ranks("x")
+    ry = marg_ranks("y")
+    tot = cells.agg(F.sum("n").alias("nn"))
+    terms = (
+        cells.join(F.broadcast(rx), "x")
+        .join(F.broadcast(ry), "y")
+        .join(F.broadcast(tot))
+        .select(
+            # normalized centered ranks u = r2/(2n) - (n+1)/(2n)
+            F.floor(
+                F.col("n").cast("double")
+                * (
+                    F.col("r2_x").cast("double")
+                    - (F.col("nn") + 1).cast("double")
+                )
+                / (2.0 * F.col("nn").cast("double"))
+                * (
+                    F.col("r2_y").cast("double")
+                    - (F.col("nn") + 1).cast("double")
+                )
+                / (2.0 * F.col("nn").cast("double"))
+                * 1000000
+                + F.lit(0.5)
+            ).alias("sxy_micro"),
+            F.floor(
+                F.col("n").cast("double")
+                * (
+                    (
+                        F.col("r2_x").cast("double")
+                        - (F.col("nn") + 1).cast("double")
+                    )
+                    / (2.0 * F.col("nn").cast("double"))
+                )
+                * (
+                    (
+                        F.col("r2_x").cast("double")
+                        - (F.col("nn") + 1).cast("double")
+                    )
+                    / (2.0 * F.col("nn").cast("double"))
+                )
+                * 1000000
+                + F.lit(0.5)
+            ).alias("sxx_micro"),
+            F.floor(
+                F.col("n").cast("double")
+                * (
+                    (
+                        F.col("r2_y").cast("double")
+                        - (F.col("nn") + 1).cast("double")
+                    )
+                    / (2.0 * F.col("nn").cast("double"))
+                )
+                * (
+                    (
+                        F.col("r2_y").cast("double")
+                        - (F.col("nn") + 1).cast("double")
+                    )
+                    / (2.0 * F.col("nn").cast("double"))
+                )
+                * 1000000
+                + F.lit(0.5)
+            ).alias("syy_micro"),
+            "nn",
+        )
+    )
+    agg = terms.groupBy("nn").agg(
+        F.sum("sxy_micro").alias("sxy"),
+        F.sum("sxx_micro").alias("sxx"),
+        F.sum("syy_micro").alias("syy"),
+    )
+    return agg.select(
+        F.col("nn").alias("n_rows"),
+        "sxy",
+        "sxx",
+        "syy",
+        F.when(
+            (F.col("sxx") > 0) & (F.col("syy") > 0),
+            F.floor(
+                F.col("sxy").cast("double")
+                / F.sqrt(
+                    F.col("sxx").cast("double") * F.col("syy").cast("double")
+                )
+                * 1000000
+                + F.lit(0.5)
+            ),
+        ).alias("rho_micro"),
+    )
+
+
+def _stat_spearman_corr(spark, sf_dir):
+    return spearman_corr(t(spark, sf_dir, "events"))
+
+
+_SPEAR_SQL = f"""
+WITH cells AS (
+  SELECT least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 100,
+               {KT_XMAX}) AS x,
+         CAST(hour(ts) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+mx AS (SELECT x, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY 1),
+rx AS (
+  SELECT x, CAST(2 * (sum(t) OVER (ORDER BY x) - t) + t + 1 AS BIGINT)
+             AS r2_x
+  FROM mx
+),
+my AS (SELECT y, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY 1),
+ry AS (
+  SELECT y, CAST(2 * (sum(t) OVER (ORDER BY y) - t) + t + 1 AS BIGINT)
+             AS r2_y
+  FROM my
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+terms AS (
+  SELECT
+    CAST(floor(CAST(n AS DOUBLE)
+               * (CAST(r2_x AS DOUBLE) - CAST(nn + 1 AS DOUBLE))
+                 / (2.0 * CAST(nn AS DOUBLE))
+               * (CAST(r2_y AS DOUBLE) - CAST(nn + 1 AS DOUBLE))
+                 / (2.0 * CAST(nn AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS sxy_micro,
+    CAST(floor(CAST(n AS DOUBLE)
+               * ((CAST(r2_x AS DOUBLE) - CAST(nn + 1 AS DOUBLE))
+                  / (2.0 * CAST(nn AS DOUBLE)))
+               * ((CAST(r2_x AS DOUBLE) - CAST(nn + 1 AS DOUBLE))
+                  / (2.0 * CAST(nn AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS sxx_micro,
+    CAST(floor(CAST(n AS DOUBLE)
+               * ((CAST(r2_y AS DOUBLE) - CAST(nn + 1 AS DOUBLE))
+                  / (2.0 * CAST(nn AS DOUBLE)))
+               * ((CAST(r2_y AS DOUBLE) - CAST(nn + 1 AS DOUBLE))
+                  / (2.0 * CAST(nn AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS syy_micro,
+    nn
+  FROM cells JOIN rx USING (x) JOIN ry USING (y), tot
+),
+agg AS (
+  SELECT nn, CAST(sum(sxy_micro) AS BIGINT) AS sxy,
+         CAST(sum(sxx_micro) AS BIGINT) AS sxx,
+         CAST(sum(syy_micro) AS BIGINT) AS syy
+  FROM terms GROUP BY nn
+)
+SELECT nn AS n_rows, sxy, sxx, syy,
+       CASE WHEN sxx > 0 AND syy > 0
+            THEN CAST(floor(CAST(sxy AS DOUBLE)
+                            / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))
+                            * 1000000 + 0.5) AS BIGINT) END AS rho_micro
+FROM agg
+"""
+
+
+R6B_QUERIES["stat_spearman_corr"] = QueryDef(
+    "stat_spearman_corr", _stat_spearman_corr, _SPEAR_SQL, ("stat",)
+)
+
+
+# ------------------------------------------- CONVERSION LAG PERCENTILES
+
+
+def conversion_lag_pct(events):
+    """Exact conversion-lag percentiles: the view->purchase gaps of the
+    CEP matcher (earliest qualifying B, no veto) pooled across users,
+    with p50/p90/p99 as EXACT order statistics over the distinct-gap
+    grain — the SLA curve of the funnel, not just its count.
+
+    One extra aggregate ladder over seq_pattern's verified match set:
+    gaps collapse to the (distinct gap-second) grain, the percentile
+    thresholds come from the standard 2*cum >= k*n lower-order-statistic
+    rule (the repo's exact-percentile identity), and everything heavy
+    stays on the bounded gap domain."""
+    from pyspark.sql import Window
+
+    from .ops.relational import range_join_bucketed
+
+    base = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("ts_s"),
+    )
+    a = base.where(F.col("event_type") == SEQ_A).select(
+        "user_id",
+        F.col("event_id").alias("aid"),
+        F.col("ts_s").alias("ta"),
+        (F.col("ts_s") + 1).alias("s0"),
+        (F.col("ts_s") + SEQ_WINDOW_S + 1).alias("s1"),
+    )
+    b = base.where(F.col("event_type") == SEQ_B).select(
+        "user_id", F.col("ts_s").alias("es")
+    )
+    firstb = (
+        range_join_bucketed(a, b, "user_id", SEQ_BUCKET_S)
+        .groupBy("user_id", "aid", "ta")
+        .agg(F.min("es").alias("tb"))
+    )
+    veto_iv = firstb.select(
+        "user_id", "aid",
+        (F.col("ta") + 1).alias("s0"), F.col("tb").alias("s1"),
+    )
+    c = base.where(F.col("event_type") == SEQ_NOT).select(
+        "user_id", F.col("ts_s").alias("es")
+    )
+    vetoed = range_join_bucketed(
+        veto_iv, c, "user_id", SEQ_BUCKET_S
+    ).select("user_id", "aid").distinct()
+    gaps = (
+        firstb.join(vetoed, ["user_id", "aid"], "left_anti")
+        .select((F.col("tb") - F.col("ta")).alias("gap_s"))
+        .groupBy("gap_s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    g = gaps.withColumn("bkt", F.expr("gap_s div 86400"))
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = g.select(
+        "gap_s", "bkt", "cnt", F.sum("cnt").over(w).alias("c_in")
+    )
+    btot = g.groupBy("bkt").agg(F.sum("cnt").alias("bn"))
+    offs = (
+        btot.select(F.col("bkt").alias("k"))
+        .join(
+            F.broadcast(btot.select(F.col("bkt").alias("k2"), "bn")),
+            F.col("k2") < F.col("k"),
+        )
+        .groupBy("k")
+        .agg(F.sum("bn").alias("off"))
+    )
+    cum = within.join(F.broadcast(offs), within.bkt == offs.k, "left").select(
+        "gap_s",
+        (F.coalesce("off", F.lit(0)) + F.col("c_in")).alias("cum"),
+    )
+    tot = gaps.agg(F.sum("cnt").alias("n"))
+    pcts = cum.join(F.broadcast(tot)).agg(
+        F.max(F.col("n")).alias("n_conversions"),
+        F.min(
+            F.when(100 * F.col("cum") >= 50 * F.col("n"), F.col("gap_s"))
+        ).alias("p50_s"),
+        F.min(
+            F.when(100 * F.col("cum") >= 90 * F.col("n"), F.col("gap_s"))
+        ).alias("p90_s"),
+        F.min(
+            F.when(100 * F.col("cum") >= 99 * F.col("n"), F.col("gap_s"))
+        ).alias("p99_s"),
+    )
+    return pcts
+
+
+def _events_conversion_lag(spark, sf_dir):
+    return conversion_lag_pct(t(spark, sf_dir, "events"))
+
+
+_CONVLAG_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) // 1000000 AS ts_s
+  FROM events
+),
+a AS (SELECT user_id, event_id AS aid, ts_s AS ta FROM base
+      WHERE event_type = '{SEQ_A}'),
+b AS (SELECT user_id, ts_s AS tb FROM base WHERE event_type = '{SEQ_B}'),
+c AS (SELECT user_id, ts_s AS tc FROM base WHERE event_type = '{SEQ_NOT}'),
+firstb AS (
+  SELECT a.user_id, a.aid, a.ta, min(b.tb) AS tb
+  FROM a JOIN b ON b.user_id = a.user_id
+   AND b.tb > a.ta AND b.tb <= a.ta + {SEQ_WINDOW_S}
+  GROUP BY 1, 2, 3
+),
+good AS (
+  SELECT f.* FROM firstb f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = f.user_id AND c.tc > f.ta AND c.tc < f.tb
+  )
+),
+gaps AS (
+  SELECT tb - ta AS gap_s, CAST(count(*) AS BIGINT) AS cnt
+  FROM good GROUP BY 1
+),
+cum AS (
+  SELECT gap_s, CAST(sum(cnt) OVER (ORDER BY gap_s) AS BIGINT) AS cum
+  FROM gaps
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM gaps)
+SELECT max(n) AS n_conversions,
+       min(CASE WHEN 100 * cum >= 50 * n THEN gap_s END) AS p50_s,
+       min(CASE WHEN 100 * cum >= 90 * n THEN gap_s END) AS p90_s,
+       min(CASE WHEN 100 * cum >= 99 * n THEN gap_s END) AS p99_s
+FROM cum, tot
+"""
+
+
+R6B_QUERIES["events_conversion_lag"] = QueryDef(
+    "events_conversion_lag", _events_conversion_lag, _CONVLAG_SQL, ("events",)
+)
+
+
+# ---------------------------------------------------- CHAR ENTROPY
+
+
+def char_entropy(docs):
+    """Per-source character-unigram Shannon entropy (bits) — the
+    cheapest gibberish/encoding-drift detector a text pipeline runs:
+    natural language sits in a narrow entropy band, base64 blobs and
+    mojibake fall outside it.
+
+    Exactness: char counts are int64 at the (source x charset-bounded
+    char) grain; each char's -p*log2(p) term is one double expression
+    over exact counts, micro-quantized per char before the per-source
+    sum. Two shuffles: the char-grain count and the source rollup."""
+    chars = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.col("text"), "")).alias("ch"),
+        )
+        .where(F.col("ch") != "")
+        .groupBy("source", "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = chars.groupBy("source").agg(F.sum("cnt").alias("n_chars"))
+    return (
+        chars.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "n_chars",
+            F.floor(
+                -(
+                    F.col("cnt").cast("double") / F.col("n_chars").cast("double")
+                )
+                * F.log2(
+                    F.col("cnt").cast("double") / F.col("n_chars").cast("double")
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("term_micro"),
+        )
+        .groupBy("source", "n_chars")
+        .agg(F.sum("term_micro").alias("entropy_bits_micro"))
+        .orderBy("source")
+    )
+
+
+def _text_char_entropy(spark, sf_dir):
+    return char_entropy(t(spark, sf_dir, "documents"))
+
+
+_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT source, ch, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT source, unnest(string_split_regex(text, '')) AS ch
+        FROM documents)
+  WHERE ch <> ''
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chars
+        FROM chars GROUP BY 1)
+SELECT source, n_chars,
+       CAST(sum(CAST(floor(
+         -(CAST(cnt AS DOUBLE) / CAST(n_chars AS DOUBLE))
+         * log2(CAST(cnt AS DOUBLE) / CAST(n_chars AS DOUBLE))
+         * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_bits_micro
+FROM chars JOIN tot USING (source)
+GROUP BY source, n_chars ORDER BY source
+"""
+
+
+R6B_QUERIES["text_char_entropy"] = QueryDef(
+    "text_char_entropy", _text_char_entropy, _ENTROPY_SQL, ("text",)
+)
+
+
+# ------------------------------------------------- EMBEDDING DRIFT
+
+
+def embed_drift(embeddings):
+    """Embedding-distribution drift between the label-0 and label-1
+    halves: per-dimension mean shift (SQ8-code units) and the overall
+    centroid L2 distance — the retrain/reindex alarm a vector store
+    monitors between snapshots.
+
+    Exactness: per-dim code sums are int64; the per-dim normalized
+    shift n0*n1-cross-multiplied stays integer (no division until the
+    final micro-quantized distance). Scale shape: one posexplode
+    shuffle to the (dim x label) grain — bounded by dims — then a
+    dim-grain join and one 1-row rollup."""
+    from .ext.similarity import sq8_codes
+
+    lab = embeddings.select("vec_id", (F.col("vec_id") % 2).alias("lab"))
+    codes = sq8_codes(embeddings).join(lab, "vec_id")
+    dims = codes.select(
+        "lab", F.posexplode(F.col("c")).alias("pos", "v")
+    )
+    per = dims.groupBy("pos", "lab").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    wide = (
+        per.groupBy("pos")
+        .agg(
+            F.sum(F.when(F.col("lab") == 0, F.col("n"))).alias("n0"),
+            F.sum(F.when(F.col("lab") == 0, F.col("sv"))).alias("s0"),
+            F.sum(F.when(F.col("lab") == 1, F.col("n"))).alias("n1"),
+            F.sum(F.when(F.col("lab") == 1, F.col("sv"))).alias("s1"),
+        )
+        .select(
+            "pos",
+            # mean shift in milli-code units, integer cross-multiplied
+            F.expr(
+                "(1000 * (s0 * n1 - s1 * n0)) div (n0 * n1)"
+            ).alias("shift_milli"),
+        )
+    )
+    return wide.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.max(F.abs(F.col("shift_milli"))).alias("max_abs_shift_milli"),
+        F.floor(
+            F.sqrt(
+                F.sum(
+                    F.col("shift_milli").cast("double")
+                    * F.col("shift_milli").cast("double")
+                )
+                / 1.0e6
+            )
+            * 1000
+            + F.lit(0.5)
+        ).alias("centroid_l2_milli"),
+    )
+
+
+def _embed_drift_centroid(spark, sf_dir):
+    return embed_drift(t(spark, sf_dir, "embeddings"))
+
+
+_DRIFT_EMB_SQL = """
+WITH e AS (SELECT vec_id, vec_id % 2 AS lab,
+                  list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+idx AS (SELECT vec_id, v, unnest(range(1, len(v)+1)) AS i FROM e),
+d AS (SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx FROM idx GROUP BY 1),
+b AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM d),
+codes AS (SELECT vec_id, lab,
+  list_transform(range(1, len(v)+1), i ->
+    CASE WHEN b.mx[i] > b.mn[i]
+         THEN CAST(floor((v[i] - b.mn[i]) / (b.mx[i] - b.mn[i]) * 255 + 0.5)
+                   AS BIGINT)
+         ELSE 0 END) AS c
+  FROM e CROSS JOIN b),
+dims AS (
+  SELECT lab, u.i - 1 AS pos, c[u.i] AS v
+  FROM codes, unnest(range(1, len(c) + 1)) AS u(i)
+),
+per AS (
+  SELECT pos, lab, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sv
+  FROM dims GROUP BY 1, 2
+),
+wide AS (
+  SELECT pos,
+         (1000 * (sum(CASE WHEN lab = 0 THEN sv END)
+                  * sum(CASE WHEN lab = 1 THEN n END)
+                  - sum(CASE WHEN lab = 1 THEN sv END)
+                    * sum(CASE WHEN lab = 0 THEN n END)))
+             // (sum(CASE WHEN lab = 0 THEN n END)
+                 * sum(CASE WHEN lab = 1 THEN n END)) AS shift_milli
+  FROM per GROUP BY pos
+)
+SELECT CAST(count(*) AS BIGINT) AS n_dims,
+       CAST(max(abs(shift_milli)) AS BIGINT) AS max_abs_shift_milli,
+       CAST(floor(sqrt(sum(CAST(shift_milli AS DOUBLE)
+                           * CAST(shift_milli AS DOUBLE)) / 1.0e6)
+                  * 1000 + 0.5) AS BIGINT) AS centroid_l2_milli
+FROM wide
+"""
+
+
+R6B_QUERIES["embed_drift_centroid"] = QueryDef(
+    "embed_drift_centroid", _embed_drift_centroid, _DRIFT_EMB_SQL, ("embed",)
+)
