@@ -4856,3 +4856,455 @@ FROM wide
 R6B_QUERIES["embed_drift_centroid"] = QueryDef(
     "embed_drift_centroid", _embed_drift_centroid, _DRIFT_EMB_SQL, ("embed",)
 )
+
+
+# ------------------------------------------------- AVERAGE PRECISION
+
+
+def average_precision(events):
+    """Average precision (the exact area under the stepwise PR curve):
+    AP = sum over descending distinct scores of
+    (tp_gain/n_pos) * precision-at-that-threshold — the
+    threshold-free ranking metric that complements ml_threshold_sweep's
+    fixed operating points (same click/view arms, same cents score;
+    ties enter as one step, the standard tie-aware AP).
+
+    Exactness: cumulative tp/fp come from the reflected hierarchical
+    prefix at the distinct-score grain; each step's term is one double
+    expression over exact int64 counts, micro-quantized per step before
+    the sum. Everything heavy stays on the bounded score domain."""
+    cum = _pos_neg_grain(events)
+    from pyspark.sql import Window
+
+    g = cum.withColumn("bkt", F.floor(F.col("v") / 4096))
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = g.select(
+        "v", "bkt", "pos_cnt", "neg_cnt", "n_pos", "n_neg",
+        F.sum("pos_cnt").over(w).alias("cp_in"),
+        F.sum("neg_cnt").over(w).alias("cn_in"),
+    )
+    btot = g.groupBy("bkt").agg(
+        F.sum("pos_cnt").alias("bp"), F.sum("neg_cnt").alias("bn")
+    )
+    offs = (
+        btot.select(F.col("bkt").alias("k"))
+        .join(
+            F.broadcast(btot.select(F.col("bkt").alias("k2"), "bp", "bn")),
+            F.col("k2") < F.col("k"),
+        )
+        .groupBy("k")
+        .agg(F.sum("bp").alias("op"), F.sum("bn").alias("on"))
+    )
+    steps = within.join(
+        F.broadcast(offs), within.bkt == offs.k, "left"
+    ).select(
+        "pos_cnt",
+        "n_pos",
+        # descending cumulative INCLUSIVE of this score group
+        (
+            F.col("n_pos")
+            - (F.coalesce("op", F.lit(0)) + F.col("cp_in"))
+            + F.col("pos_cnt")
+        ).alias("tp"),
+        (
+            F.col("n_neg")
+            - (F.coalesce("on", F.lit(0)) + F.col("cn_in"))
+            + F.col("neg_cnt")
+        ).alias("fp"),
+    )
+    terms = steps.where(F.col("pos_cnt") > 0).select(
+        "n_pos",
+        F.floor(
+            F.col("pos_cnt").cast("double")
+            / F.col("n_pos").cast("double")
+            * F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double")
+            * 1000000000
+            + F.lit(0.5)
+        ).alias("term_nano"),
+    )
+    return terms.groupBy("n_pos").agg(
+        F.expr("CAST(sum(term_nano) div 1000 AS BIGINT)").alias("ap_micro"),
+        F.count(F.lit(1)).alias("n_steps"),
+    ).select("n_pos", "n_steps", "ap_micro")
+
+
+def _ml_average_precision(spark, sf_dir):
+    return average_precision(t(spark, sf_dir, "events"))
+
+
+_AP_SQL = f"""
+WITH {_PN_CTE},
+cums AS (
+  SELECT v, pos_cnt, neg_cnt,
+         CAST(sum(pos_cnt) OVER (ORDER BY v) AS BIGINT) AS cp,
+         CAST(sum(neg_cnt) OVER (ORDER BY v) AS BIGINT) AS cn
+  FROM g
+),
+steps AS (
+  SELECT pos_cnt, n_pos,
+         n_pos - cp + pos_cnt AS tp,
+         n_neg - cn + neg_cnt AS fp
+  FROM cums, tot
+),
+terms AS (
+  SELECT n_pos,
+         CAST(floor(CAST(pos_cnt AS DOUBLE) / CAST(n_pos AS DOUBLE)
+                    * CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                    * 1000000000 + 0.5) AS BIGINT) AS term_nano
+  FROM steps WHERE pos_cnt > 0
+)
+SELECT n_pos, CAST(count(*) AS BIGINT) AS n_steps,
+       CAST(sum(term_nano) // 1000 AS BIGINT) AS ap_micro
+FROM terms GROUP BY n_pos
+"""
+
+
+R6B_QUERIES["ml_average_precision"] = QueryDef(
+    "ml_average_precision", _ml_average_precision, _AP_SQL, ("ml",)
+)
+
+
+# ------------------------------------------------------- NDCG @ K
+
+NDCG_K = 10
+NDCG_QUERY_MOD = 50
+NDCG_QUERY_REM = 7
+# log2 discounts 1/log2(rank+1) for ranks 1..10, nano-quantized ONCE as
+# shared literals — neither engine evaluates a log.
+_NDCG_DISC_NANO = (
+    (1, 1000000000),
+    (2, 630929754),
+    (3, 500000000),
+    (4, 430676558),
+    (5, 386852807),
+    (6, 356207187),
+    (7, 333333333),
+    (8, 315464877),
+    (9, 301029996),
+    (10, 289064826),
+)
+
+
+def ndcg_ann(embeddings, k: int = NDCG_K):
+    """NDCG@k of SQ8-ANN retrieval with label-match relevance: each
+    sampled query retrieves its k nearest codes; a hit whose ``label``
+    equals the query's counts relevance 1. DCG uses the standard
+    1/log2(rank+1) discounts (nano-quantized literal constants — no log
+    evaluated anywhere); IDCG is the same table truncated to the
+    query's attainable hit count, so NDCG is exact integer division of
+    two int64 sums.
+
+    Scale shape: candidates scan once against the broadcast query
+    sample, per-query ranks are windows partitioned by query (queries
+    are the parallelism), and the discount join is a k-row literal
+    broadcast."""
+    from pyspark.sql import Window
+
+    from .ext.similarity import sq8_codes
+
+    lab = embeddings.select("vec_id", F.col("label").cast("long").alias("lb"))
+    codes = sq8_codes(embeddings).join(lab, "vec_id")
+    q = codes.where(
+        F.col("vec_id") % NDCG_QUERY_MOD == NDCG_QUERY_REM
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("c").alias("qc"),
+        F.col("lb").alias("qlb"),
+    )
+    pairs = (
+        codes.join(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlb",
+            F.col("vec_id").alias("cid"),
+            F.col("lb").alias("clb"),
+            F.expr(_D2_EXPR.format(a="qc", b="c")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("d2", "cid")
+    topk = pairs.select(
+        "qid", "qlb", "clb", F.row_number().over(w).alias("rnk")
+    ).where(F.col("rnk") <= k)
+    disc = F.broadcast(
+        embeddings.sparkSession.createDataFrame(
+            list(_NDCG_DISC_NANO), "rnk int, disc_nano long"
+        )
+    )
+    per_q = (
+        topk.join(disc, "rnk")
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(F.col("clb") == F.col("qlb"), F.col("disc_nano")).otherwise(0)
+            ).alias("dcg_nano"),
+            F.sum(
+                F.when(F.col("clb") == F.col("qlb"), 1).otherwise(0)
+            ).alias("n_hits"),
+        )
+    )
+    # IDCG = sum of the first n_hits discounts (prefix sums of the
+    # literal table, joined by hit count)
+    idcg_rows = []
+    acc = 0
+    for r, dn in _NDCG_DISC_NANO:
+        acc += dn
+        idcg_rows.append((r, acc))
+    idcg = F.broadcast(
+        embeddings.sparkSession.createDataFrame(
+            idcg_rows, "n_hits int, idcg_nano long"
+        )
+    )
+    return (
+        per_q.join(idcg, per_q.n_hits == idcg.n_hits, "left")
+        .select(
+            "qid",
+            per_q.n_hits.alias("n_hits"),
+            "dcg_nano",
+            F.when(
+                F.col("idcg_nano").isNotNull(),
+                F.expr("(1000000 * dcg_nano) div idcg_nano"),
+            )
+            .otherwise(F.lit(None).cast("long"))
+            .alias("ndcg_micro"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _ml_ndcg_ann(spark, sf_dir):
+    return ndcg_ann(t(spark, sf_dir, "embeddings"))
+
+
+_NDCG_DISC_VALUES = ", ".join(f"({r}, {d})" for r, d in _NDCG_DISC_NANO)
+
+
+def _idcg_values() -> str:
+    acc, rows = 0, []
+    for r, d in _NDCG_DISC_NANO:
+        acc += d
+        rows.append(f"({r}, {acc})")
+    return ", ".join(rows)
+
+
+_NDCG_IDCG_VALUES = _idcg_values()
+
+_NDCG_SQL = f"""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+idx AS (SELECT vec_id, v, unnest(range(1, len(v)+1)) AS i FROM e),
+d AS (SELECT i AS pos, min(v[i]) AS mn, max(v[i]) AS mx FROM idx GROUP BY 1),
+b AS (SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx FROM d),
+codes AS (SELECT vec_id, CAST(label AS BIGINT) AS lb,
+  list_transform(range(1, len(v)+1), i ->
+    CASE WHEN b.mx[i] > b.mn[i]
+         THEN CAST(floor((v[i] - b.mn[i]) / (b.mx[i] - b.mn[i]) * 255 + 0.5)
+                   AS BIGINT)
+         ELSE 0 END) AS c
+  FROM e CROSS JOIN b),
+q AS (SELECT vec_id AS qid, c AS qc, lb AS qlb FROM codes
+      WHERE vec_id % {NDCG_QUERY_MOD} = {NDCG_QUERY_REM}),
+pairs AS (
+  SELECT q.qid, q.qlb, c2.vec_id AS cid, c2.lb AS clb,
+         CAST(list_sum(list_transform(range(1, {RP_IN_DIMS} + 1),
+              i -> (q.qc[i] - c2.c[i]) * (q.qc[i] - c2.c[i]))) AS BIGINT)
+             AS d2
+  FROM q JOIN codes c2 ON c2.vec_id <> q.qid
+),
+topk AS (
+  SELECT qid, qlb, clb,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rnk
+  FROM pairs QUALIFY rnk <= {NDCG_K}
+),
+disc(rnk, disc_nano) AS (VALUES {_NDCG_DISC_VALUES}),
+per_q AS (
+  SELECT qid,
+         CAST(sum(CASE WHEN clb = qlb THEN disc_nano ELSE 0 END) AS BIGINT)
+             AS dcg_nano,
+         CAST(sum(CASE WHEN clb = qlb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits
+  FROM topk JOIN disc USING (rnk) GROUP BY qid
+),
+idcg(n_hits, idcg_nano) AS (VALUES {_NDCG_IDCG_VALUES})
+SELECT qid, per_q.n_hits AS n_hits, dcg_nano,
+       CASE WHEN idcg_nano IS NOT NULL
+            THEN (1000000 * dcg_nano) // idcg_nano END AS ndcg_micro
+FROM per_q LEFT JOIN idcg ON per_q.n_hits = idcg.n_hits
+ORDER BY qid
+"""
+
+
+R6B_QUERIES["ml_ndcg_ann"] = QueryDef(
+    "ml_ndcg_ann", _ml_ndcg_ann, _NDCG_SQL, ("ml",)
+)
+
+
+# ------------------------------------------------------ RUNS TEST
+
+
+def runs_test(events):
+    """Wald-Wolfowitz runs test on the hourly series: signs relative to
+    the series' exact lower median, runs counted by calendar-adjacency
+    (an equi self-join on hidx-1 — consecutive PRESENT hours), and the
+    large-sample z-score from the exact (n_plus, n_minus, n_runs)
+    triple — the randomness check behind is-my-metric-oscillating
+    alarms.
+
+    Exactness: the median is an exact order statistic, sign/run counts
+    are int64, and z is one micro-quantized double expression over
+    them. All work at the calendar-bounded hour grain."""
+    from pyspark.sql import Window
+
+    hourly = (
+        events.select(
+            F.expr("unix_micros(ts) div 3600000000").alias("hidx"),
+            cents(F.col("value")).alias("cts"),
+        )
+        .groupBy("hidx")
+        .agg(F.sum("cts").alias("y"))
+    )
+    # exact lower median of y over hours (value-grain cum)
+    vg = hourly.groupBy("y").agg(F.count(F.lit(1)).alias("cnt"))
+    n1 = vg.agg(F.sum("cnt").alias("n"))
+    cumv = (
+        vg.select(F.col("y").alias("a"), F.col("cnt").alias("ca"))
+        .join(
+            F.broadcast(vg.select(F.col("y").alias("b"), F.col("cnt").alias("cb"))),
+            F.col("b") <= F.col("a"),
+        )
+        .groupBy("a")
+        .agg(F.sum("cb").alias("cum"))
+    )
+    med = (
+        cumv.join(F.broadcast(n1))
+        .where(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("a").alias("med"))
+    )
+    signed = hourly.join(F.broadcast(med)).select(
+        "hidx", (F.col("y") > F.col("med")).alias("up")
+    )
+    # runs: sign changes across calendar-adjacent present hours
+    adj = signed.alias("l").join(
+        signed.alias("r"), F.expr("l.hidx + 1 = r.hidx")
+    ).select(
+        F.col("l.up").alias("u0"), F.col("r.up").alias("u1")
+    )
+    counts = signed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("up"), 1).otherwise(0)).alias("n_plus"),
+    )
+    breaks = adj.agg(
+        F.count(F.lit(1)).alias("n_adj"),
+        F.sum(F.when(F.col("u0") != F.col("u1"), 1).otherwise(0)).alias(
+            "n_changes"
+        ),
+    )
+    # runs = segments over adjacency: n - n_adj components merge... a
+    # run ends at every sign change AND at every calendar gap, so
+    # n_runs = (n - n_adj) + n_changes  (gaps split runs by definition)
+    return (
+        counts.join(F.broadcast(breaks))
+        .select(
+            "n",
+            "n_plus",
+            (F.col("n") - F.col("n_plus")).alias("n_minus"),
+            (F.col("n") - F.col("n_adj") + F.col("n_changes")).alias("n_runs"),
+            F.floor(
+                (
+                    (
+                        F.col("n") - F.col("n_adj") + F.col("n_changes")
+                    ).cast("double")
+                    - (
+                        2.0
+                        * F.col("n_plus").cast("double")
+                        * (F.col("n") - F.col("n_plus")).cast("double")
+                        / F.col("n").cast("double")
+                        + 1.0
+                    )
+                )
+                / F.sqrt(
+                    2.0
+                    * F.col("n_plus").cast("double")
+                    * (F.col("n") - F.col("n_plus")).cast("double")
+                    * (
+                        2.0
+                        * F.col("n_plus").cast("double")
+                        * (F.col("n") - F.col("n_plus")).cast("double")
+                        - F.col("n").cast("double")
+                    )
+                    / (
+                        F.col("n").cast("double")
+                        * F.col("n").cast("double")
+                        * (F.col("n") - 1).cast("double")
+                    )
+                )
+                * 1000000
+                + F.lit(0.5)
+            ).alias("z_micro"),
+        )
+    )
+
+
+def _stat_runs_test(spark, sf_dir):
+    return runs_test(t(spark, sf_dir, "events"))
+
+
+_RUNS_SQL = """
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS hidx,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+vg AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM hourly GROUP BY 1),
+n1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vg),
+cumv AS (
+  SELECT y, CAST(sum(cnt) OVER (ORDER BY y) AS BIGINT) AS cum FROM vg
+),
+med AS (
+  SELECT min(y) AS med FROM cumv, n1 WHERE 2 * cum >= n
+),
+signed AS (
+  SELECT hidx, y > med AS up FROM hourly, med
+),
+adj AS (
+  SELECT l.up AS u0, r.up AS u1
+  FROM signed l JOIN signed r ON l.hidx + 1 = r.hidx
+),
+counts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n_plus
+  FROM signed
+),
+brk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_adj,
+         CAST(sum(CASE WHEN u0 <> u1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changes
+  FROM adj
+)
+SELECT n, n_plus, n - n_plus AS n_minus,
+       n - n_adj + n_changes AS n_runs,
+       CAST(floor((CAST(n - n_adj + n_changes AS DOUBLE)
+                   - (2.0 * CAST(n_plus AS DOUBLE)
+                      * CAST(n - n_plus AS DOUBLE) / CAST(n AS DOUBLE)
+                      + 1.0))
+                  / sqrt(2.0 * CAST(n_plus AS DOUBLE)
+                         * CAST(n - n_plus AS DOUBLE)
+                         * (2.0 * CAST(n_plus AS DOUBLE)
+                            * CAST(n - n_plus AS DOUBLE)
+                            - CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                            * CAST(n - 1 AS DOUBLE)))
+                  * 1000000 + 0.5) AS BIGINT) AS z_micro
+FROM counts, brk
+"""
+
+
+R6B_QUERIES["stat_runs_test"] = QueryDef(
+    "stat_runs_test", _stat_runs_test, _RUNS_SQL, ("stat",)
+)
