@@ -5308,3 +5308,255 @@ FROM counts, brk
 R6B_QUERIES["stat_runs_test"] = QueryDef(
     "stat_runs_test", _stat_runs_test, _RUNS_SQL, ("stat",)
 )
+
+
+# ------------------------------------------- POSITION-BASED ATTRIBUTION
+
+ATTR_LOOKBACK_S = 7 * 86400
+ATTR_BUCKET_S = 86400
+
+
+def attribution_position(events):
+    """U-shaped (position-based) multi-touch attribution: every
+    purchase distributes 1000 milli-credits over the view/click touches
+    of the preceding 7 days — 40% first touch, 40% last, 20% split
+    across the middles (100% / 50-50 for 1- and 2-touch paths; integer
+    division drops the sub-milli remainder deterministically). The
+    standard marketing-mix complement to last-touch and Markov
+    attribution.
+
+    Scale shape: the conversion-window touch match is the bucketed
+    interval equi-join; first/last election is ONE max/min(struct) per
+    conversion (never a window over touches); credit assignment joins
+    that 2-struct summary back and the rollup is channel-grain."""
+    from .ops.relational import range_join_bucketed
+
+    base = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("ts_s"),
+    )
+    conv = base.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("cid"),
+        (F.col("ts_s") - ATTR_LOOKBACK_S).alias("s0"),
+        F.col("ts_s").alias("s1"),
+    )
+    touch = base.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+        F.col("ts_s").alias("es"),
+    )
+    matched = range_join_bucketed(conv, touch, "user_id", ATTR_BUCKET_S)
+    summ = matched.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.min(F.struct("es", "tid")).alias("first_k"),
+        F.max(F.struct("es", "tid")).alias("last_k"),
+    )
+    credited = matched.join(F.broadcast(summ), "cid").select(
+        "channel",
+        F.when(F.col("k") == 1, 1000)
+        .when(
+            (F.col("es") == F.col("first_k.es"))
+            & (F.col("tid") == F.col("first_k.tid")),
+            F.when(F.col("k") == 2, 500).otherwise(400),
+        )
+        .when(
+            (F.col("es") == F.col("last_k.es"))
+            & (F.col("tid") == F.col("last_k.tid")),
+            F.when(F.col("k") == 2, 500).otherwise(400),
+        )
+        .otherwise(F.expr("200 div (k - 2)"))
+        .alias("credit_milli"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_milli").alias("credit_milli"),
+        )
+        .orderBy("channel")
+    )
+
+
+def _events_attribution_position(spark, sf_dir):
+    return attribution_position(t(spark, sf_dir, "events"))
+
+
+_ATTRPOS_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) // 1000000 AS ts_s
+  FROM events
+),
+conv AS (
+  SELECT user_id, event_id AS cid, ts_s - {ATTR_LOOKBACK_S} AS s0,
+         ts_s AS s1
+  FROM base WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_id AS tid, event_type AS channel, ts_s AS es
+  FROM base WHERE event_type IN ('view', 'click')
+),
+matched AS (
+  SELECT c.cid, t.tid, t.channel, t.es
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id AND t.es >= c.s0 AND t.es < c.s1
+),
+summ AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS k,
+         min(struct_pack(es := es, tid := tid)) AS first_k,
+         max(struct_pack(es := es, tid := tid)) AS last_k
+  FROM matched GROUP BY cid
+),
+credited AS (
+  SELECT m.channel,
+         CASE WHEN k = 1 THEN 1000
+              WHEN m.es = first_k['es'] AND m.tid = first_k['tid']
+                   THEN CASE WHEN k = 2 THEN 500 ELSE 400 END
+              WHEN m.es = last_k['es'] AND m.tid = last_k['tid']
+                   THEN CASE WHEN k = 2 THEN 500 ELSE 400 END
+              ELSE 200 // (k - 2) END AS credit_milli
+  FROM matched m JOIN summ USING (cid)
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(credit_milli) AS BIGINT) AS credit_milli
+FROM credited GROUP BY channel ORDER BY channel
+"""
+
+
+R6B_QUERIES["events_attribution_position"] = QueryDef(
+    "events_attribution_position",
+    _events_attribution_position,
+    _ATTRPOS_SQL,
+    ("events",),
+)
+
+
+# ------------------------------------------------------ BOT SCORING
+
+BOT_RATE_MILLI = 2000   # > 2 events per active hour
+BOT_NIGHT_MICRO = 400000  # > 40% of activity in hours 0-5
+BOT_DUP_TS = 1          # any same-second double-fire
+
+
+def bot_score(events):
+    """Rule-based bot/abuse screen at the user grain: activity rate per
+    active hour, same-second double-fires, and night-hour share each
+    trip an integer rule flag; the score is their weighted sum and the
+    output is the flagged-user audit — the traffic-quality gate run
+    before any engagement metric is trusted.
+
+    All features and flags are exact integers (milli rates, micro
+    shares) from two user-grain aggregates; the active-hour count
+    reuses the (user, hour) grain, and nothing exceeds the user
+    domain."""
+    base = events.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("hidx"),
+        F.expr("unix_micros(ts) div 1000000").alias("ts_s"),
+        F.expr("hour(ts)").alias("hod"),
+    )
+    per_hour = base.groupBy("user_id", "hidx").agg(
+        F.count(F.lit(1)).alias("nh")
+    )
+    hours = per_hour.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_active_hours"),
+        F.sum("nh").alias("n_events"),
+    )
+    dup = (
+        base.groupBy("user_id", "ts_s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0)).alias(
+                "n_dup_ts"
+            )
+        )
+    )
+    night = base.groupBy("user_id").agg(
+        F.sum(F.when(F.col("hod") <= 5, 1).otherwise(0)).alias("n_night")
+    )
+    feats = (
+        hours.join(dup, "user_id")
+        .join(night, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "n_active_hours",
+            F.expr("(1000 * n_events) div n_active_hours").alias("rate_milli"),
+            "n_dup_ts",
+            F.expr("(1000000 * n_night) div n_events").alias("night_micro"),
+        )
+    )
+    scored = feats.select(
+        "*",
+        (
+            F.when(F.col("rate_milli") > BOT_RATE_MILLI, 2).otherwise(0)
+            + F.when(F.col("n_dup_ts") >= BOT_DUP_TS, 3).otherwise(0)
+            + F.when(F.col("night_micro") > BOT_NIGHT_MICRO, 1).otherwise(0)
+        ).cast("long").alias("bot_score"),
+    )
+    return scored.where(F.col("bot_score") > 0).orderBy("user_id")
+
+
+def _events_bot_score(spark, sf_dir):
+    return bot_score(t(spark, sf_dir, "events"))
+
+
+_BOT_SQL = f"""
+WITH base AS (
+  SELECT user_id,
+         epoch_us(ts) // 3600000000 AS hidx,
+         epoch_us(ts) // 1000000 AS ts_s,
+         hour(ts) AS hod
+  FROM events
+),
+per_hour AS (
+  SELECT user_id, hidx, CAST(count(*) AS BIGINT) AS nh
+  FROM base GROUP BY 1, 2
+),
+hours AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_active_hours,
+         CAST(sum(nh) AS BIGINT) AS n_events
+  FROM per_hour GROUP BY 1
+),
+dup AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_ts
+  FROM (SELECT user_id, ts_s, CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2)
+  GROUP BY 1
+),
+night AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN hod <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_night
+  FROM base GROUP BY 1
+),
+feats AS (
+  SELECT hours.user_id, n_events, n_active_hours,
+         (1000 * n_events) // n_active_hours AS rate_milli,
+         n_dup_ts,
+         (1000000 * n_night) // n_events AS night_micro
+  FROM hours JOIN dup ON hours.user_id = dup.user_id
+             JOIN night ON hours.user_id = night.user_id
+)
+SELECT *,
+       CAST(CASE WHEN rate_milli > {BOT_RATE_MILLI} THEN 2 ELSE 0 END
+            + CASE WHEN n_dup_ts >= {BOT_DUP_TS} THEN 3 ELSE 0 END
+            + CASE WHEN night_micro > {BOT_NIGHT_MICRO} THEN 1 ELSE 0 END
+            AS BIGINT) AS bot_score
+FROM feats
+WHERE CASE WHEN rate_milli > {BOT_RATE_MILLI} THEN 2 ELSE 0 END
+      + CASE WHEN n_dup_ts >= {BOT_DUP_TS} THEN 3 ELSE 0 END
+      + CASE WHEN night_micro > {BOT_NIGHT_MICRO} THEN 1 ELSE 0 END > 0
+ORDER BY user_id
+"""
+
+
+R6B_QUERIES["events_bot_score"] = QueryDef(
+    "events_bot_score", _events_bot_score, _BOT_SQL, ("events",)
+)
