@@ -1784,14 +1784,19 @@ def mmr_select(embeddings, k: int = MMR_K):
         )
         .localCheckpoint(eager=False)
     )
-    pick1 = cand.agg(
-        F.min(F.struct("d2q", "vec_id")).alias("m")
-    ).select(
-        F.lit(1).alias("rank"),
-        F.col("m.vec_id").alias("vec_id"),
-        F.col("m.d2q").alias("d2_query"),
-        F.lit(None).cast("long").alias("min_d2_selected"),
-        (-MMR_W_REL * F.col("m.d2q")).alias("score10"),
+    pick1 = (
+        cand.agg(F.min(F.struct("d2q", "vec_id")).alias("m"))
+        .select(
+            F.lit(1).alias("rank"),
+            F.col("m.vec_id").alias("vec_id"),
+            F.col("m.d2q").alias("d2_query"),
+            F.lit(None).cast("long").alias("min_d2_selected"),
+            (-MMR_W_REL * F.col("m.d2q")).alias("score10"),
+        )
+        # each pick is 1 row but feeds every LATER round's selected set:
+        # without truncation round r re-evaluates picks 1..r-1's
+        # aggregates (triangular re-derivation, measured ~2x wall)
+        .localCheckpoint(eager=False)
     )
     picks = [pick1]
     for r in range(2, k + 1):
@@ -1843,6 +1848,7 @@ def mmr_select(embeddings, k: int = MMR_K):
                 F.col("mm.mind").alias("min_d2_selected"),
                 F.col("m.s10").alias("score10"),
             )
+            .localCheckpoint(eager=False)
         )
     out = picks[0]
     for p in picks[1:]:
@@ -5560,3 +5566,266 @@ ORDER BY user_id
 R6B_QUERIES["events_bot_score"] = QueryDef(
     "events_bot_score", _events_bot_score, _BOT_SQL, ("events",)
 )
+
+
+# -------------------------------------------- PARTITION LAYOUT ADVISOR
+
+
+def partition_advisor(events):
+    """Partition-layout advisor: evaluate the candidate partition keys
+    a warehouse actually argues about (day, event_type, user-hash
+    bucket, day x type) on partition count, max-partition skew, and
+    mean rows per partition — the physical-layout decision as a query.
+
+    Each candidate is one partial-aggregated groupBy at its key grain
+    collapsed to a 1-row verdict; four candidates union into the
+    4-row report. Skew and means are integer micro/floor divisions."""
+
+    def verdict(label, keyed):
+        per = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        return per.agg(
+            F.lit(label).alias("candidate"),
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.max("n").alias("max_rows"),
+            F.sum("n").alias("n_rows"),
+        ).select(
+            "candidate",
+            "n_partitions",
+            "max_rows",
+            F.expr("n_rows div n_partitions").alias("mean_rows"),
+            F.expr("(1000000 * max_rows) div n_rows").alias("skew_micro"),
+        )
+
+    day = events.select(F.expr("CAST(ts AS DATE)").cast("string").alias("k"))
+    typ = events.select(F.col("event_type").alias("k"))
+    ub = events.select((F.col("user_id") % 64).cast("string").alias("k"))
+    daytyp = events.select(
+        F.concat(
+            F.expr("CAST(ts AS DATE)").cast("string"),
+            F.lit("|"),
+            F.col("event_type"),
+        ).alias("k")
+    )
+    out = (
+        verdict("day", day)
+        .unionAll(verdict("day_x_type", daytyp))
+        .unionAll(verdict("event_type", typ))
+        .unionAll(verdict("user_bucket_64", ub))
+    )
+    return out.orderBy("candidate")
+
+
+def _layout_partition_advisor(spark, sf_dir):
+    return partition_advisor(t(spark, sf_dir, "events"))
+
+
+def _advisor_one_sql(label, kexpr):
+    return f"""
+SELECT '{label}' AS candidate,
+       CAST(count(*) AS BIGINT) AS n_partitions,
+       CAST(max(n) AS BIGINT) AS max_rows,
+       CAST(sum(n) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_rows,
+       (1000000 * CAST(max(n) AS BIGINT)) // CAST(sum(n) AS BIGINT)
+           AS skew_micro
+FROM (SELECT {kexpr} AS k, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1)
+"""
+
+
+_ADVISOR_SQL = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        "(" + _advisor_one_sql(lbl, kx) + ")"
+        for lbl, kx in (
+            ("day", "CAST(CAST(ts AS DATE) AS VARCHAR)"),
+            (
+                "day_x_type",
+                "CAST(CAST(ts AS DATE) AS VARCHAR) || '|' || event_type",
+            ),
+            ("event_type", "event_type"),
+            ("user_bucket_64", "CAST(user_id % 64 AS VARCHAR)"),
+        )
+    )
+    + ") ORDER BY candidate"
+)
+
+
+# ------------------------------------------------- MDE POWER ANALYSIS
+
+# z_{0.975} and z_{0.80} as micro literals — no quantile function runs.
+Z_ALPHA_MICRO = 1959964
+Z_POWER_MICRO = 841621
+
+
+def mde_power(events):
+    """Minimum detectable effect for the hash-armed A/B split at
+    alpha=0.05 (two-sided), power=0.80: MDE = (z_a + z_b) *
+    sqrt(var * (1/n_a + 1/n_b)) over the cents metric — the
+    experiment-sizing number every A/B platform prints next to its
+    results. Normal quantiles enter as micro literals; variance comes
+    from exact int64 moments; one user-grain shuffle and 1-row math."""
+    per_user = (
+        events.select(
+            "user_id", cents(F.col("value")).alias("v")
+        )
+        .groupBy("user_id")
+        .agg(F.sum("v").alias("m"))
+        .select(
+            "m",
+            (
+                _h32(F.concat(F.lit("arm:"), F.col("user_id").cast("string")))
+                % 2
+            ).alias("arm"),
+        )
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("s"),
+        F.sum(F.col("m") * F.col("m")).alias("ss"),
+    )
+    var = (
+        F.col("n").cast("double") * F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (
+        F.col("n").cast("double") * (F.col("n") - 1).cast("double")
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.floor(var + F.lit(0.5)).alias("var_cents2"),
+        F.floor(
+            (F.lit(Z_ALPHA_MICRO + Z_POWER_MICRO).cast("double") / 1.0e6)
+            * F.sqrt(
+                var
+                * (
+                    1.0 / F.col("n_a").cast("double")
+                    + 1.0 / F.col("n_b").cast("double")
+                )
+            )
+            * 1000
+            + F.lit(0.5)
+        ).alias("mde_millicents"),
+    )
+
+
+def _stat_mde_power(spark, sf_dir):
+    return mde_power(t(spark, sf_dir, "events"))
+
+
+_MDE_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m,
+         ('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+             % 2 AS arm
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(m) AS BIGINT) AS s,
+         CAST(sum(m * m) AS BIGINT) AS ss
+  FROM per_user
+)
+SELECT n_a, n_b,
+       CAST(floor((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) + 0.5)
+            AS BIGINT) AS var_cents2,
+       CAST(floor(CAST({Z_ALPHA_MICRO + Z_POWER_MICRO} AS DOUBLE) / 1.0e6
+                  * sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                         * (1.0 / CAST(n_a AS DOUBLE)
+                            + 1.0 / CAST(n_b AS DOUBLE)))
+                  * 1000 + 0.5) AS BIGINT) AS mde_millicents
+FROM agg
+"""
+
+
+# --------------------------------------------------------- SRM GUARD
+
+SRM_CHI2_CRIT_MICRO = 3841459  # chi2_{0.95, df=1}, micro literal
+
+
+def srm_check(events):
+    """Sample-ratio-mismatch guard: chi-square of the hash-armed user
+    split against the designed 50/50 — the first thing a trustworthy
+    A/B readout checks, because a biased split invalidates everything
+    downstream. chi2 = (n_a - n_b)^2 / n exactly; the critical value is
+    a micro literal. One user-grain aggregate, 1-row output."""
+    arms = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            (
+                _h32(F.concat(F.lit("arm:"), F.col("user_id").cast("string")))
+                % 2
+            ).alias("arm")
+        )
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        )
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        F.floor(
+            (F.col("n_a") - F.col("n_b")).cast("double")
+            * (F.col("n_a") - F.col("n_b")).cast("double")
+            / (F.col("n_a") + F.col("n_b")).cast("double")
+            * 1000000
+            + F.lit(0.5)
+        ).alias("chi2_micro"),
+        (
+            F.floor(
+                (F.col("n_a") - F.col("n_b")).cast("double")
+                * (F.col("n_a") - F.col("n_b")).cast("double")
+                / (F.col("n_a") + F.col("n_b")).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            > SRM_CHI2_CRIT_MICRO
+        ).alias("srm_flag"),
+    )
+
+
+def _stat_srm_check(spark, sf_dir):
+    return srm_check(t(spark, sf_dir, "events"))
+
+
+_SRM_SQL = f"""
+WITH arms AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM (SELECT DISTINCT user_id,
+               ('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 2 AS arm
+        FROM events)
+)
+SELECT n_a, n_b,
+       CAST(floor(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+                  / CAST(n_a + n_b AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS chi2_micro,
+       CAST(floor(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+                  / CAST(n_a + n_b AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           > {SRM_CHI2_CRIT_MICRO} AS srm_flag
+FROM arms
+"""
+
+
+for _q in (
+    QueryDef(
+        "layout_partition_advisor",
+        _layout_partition_advisor,
+        _ADVISOR_SQL,
+        ("warehouse",),
+    ),
+    QueryDef("stat_mde_power", _stat_mde_power, _MDE_SQL, ("stat",)),
+    QueryDef("stat_srm_check", _stat_srm_check, _SRM_SQL, ("stat",)),
+):
+    R6B_QUERIES[_q.name] = _q
