@@ -3388,3 +3388,189 @@ def test_assortativity_and_modularity_match_bruteforce(spark):
         for c in d_c
     )
     assert q["q_micro"] == want_q
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(min_value=0, max_value=10 * 86400),
+        ),
+        min_size=2, max_size=25,
+        unique_by=lambda t: (t[0], t[2]),
+    )
+)
+@PROP_SETTINGS
+def test_attribution_position_matches_bruteforce(spark, evs):
+    """U-shaped credit == the literal per-conversion replay (first/last
+    election with (ts, id) tie-break, k=1/k=2 special cases, integer
+    middle split)."""
+    import datetime as dt
+
+    from fitness_data_ingest_spark.registry_r6b import (
+        ATTR_LOOKBACK_S, attribution_position,
+    )
+
+    base = dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [
+            (i, int(u), ty, base + dt.timedelta(seconds=int(s)), 1.0)
+            for i, (u, ty, s) in enumerate(evs)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    )
+    got = {
+        r["channel"]: (r["n_touches"], r["credit_milli"])
+        for r in attribution_position(ev).collect()
+    }
+
+    t0 = int(base.timestamp())
+    rows = [
+        (i, u, ty, t0 + s) for i, (u, ty, s) in enumerate(evs)
+    ]
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0])
+    for cid, cu, cty, cts in rows:
+        if cty != "purchase":
+            continue
+        touches = [
+            (tid, ch, ts)
+            for tid, tu, ch, ts in rows
+            if tu == cu and ch in ("view", "click")
+            and cts - ATTR_LOOKBACK_S <= ts < cts
+        ]
+        k = len(touches)
+        if k == 0:
+            continue
+        keyed = sorted((ts, tid, ch) for tid, ch, ts in touches)
+        first, last = keyed[0], keyed[-1]
+        for ts, tid, ch in keyed:
+            if k == 1:
+                c = 1000
+            elif (ts, tid) == (first[0], first[1]):
+                c = 500 if k == 2 else 400
+            elif (ts, tid) == (last[0], last[1]):
+                c = 500 if k == 2 else 400
+            else:
+                c = 200 // (k - 2)
+            want[ch][0] += 1
+            want[ch][1] += c
+    assert got == {ch: tuple(v) for ch, v in want.items()}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60000),
+            st.integers(min_value=0, max_value=23),
+        ),
+        min_size=3, max_size=25,
+    )
+)
+@PROP_SETTINGS
+def test_spearman_matches_bruteforce(spark, rows):
+    """Grid Spearman == Pearson over tie-averaged ranks computed the
+    textbook way (same bucketing, same per-cell micro quantization)."""
+    import datetime as dt
+    import math
+
+    from fitness_data_ingest_spark.registry_r6b import (
+        KT_XMAX, spearman_corr,
+    )
+
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(hours=int(h)), c / 100.0)
+            for i, (c, h) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, value double",
+    )
+    r = spearman_corr(ev).collect()[0]
+
+    from collections import Counter
+
+    xy = [(min(c // 100, KT_XMAX), h) for c, h in rows]
+    n = len(xy)
+
+    def doubled_avg_ranks(vals):
+        cnt = Counter(vals)
+        out = {}
+        lt = 0
+        for v in sorted(cnt):
+            out[v] = 2 * lt + cnt[v] + 1
+            lt += cnt[v]
+        return out
+
+    rx = doubled_avg_ranks([x for x, _ in xy])
+    ry = doubled_avg_ranks([y for _, y in xy])
+    cells = Counter(xy)
+    sxy = sxx = syy = 0
+    for (x, y), w in cells.items():
+        ux = (rx[x] - (n + 1)) / (2.0 * n)
+        uy = (ry[y] - (n + 1)) / (2.0 * n)
+        sxy += math.floor(w * ux * uy * 1000000 + 0.5)
+        sxx += math.floor(w * ux * ux * 1000000 + 0.5)
+        syy += math.floor(w * uy * uy * 1000000 + 0.5)
+    assert (r["sxy"], r["sxx"], r["syy"]) == (sxy, sxx, syy)
+    if sxx > 0 and syy > 0:
+        assert r["rho_micro"] == math.floor(
+            sxy / math.sqrt(sxx * syy) * 1000000 + 0.5
+        )
+    else:
+        assert r["rho_micro"] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=40000),
+        ),
+        min_size=8, max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+@PROP_SETTINGS
+def test_ljung_box_matches_bruteforce(spark, rows):
+    """Calendar-lag ACF == the literal replay on present hours (same
+    rational-mean expansion, same per-lag micro quantization)."""
+    import datetime as dt
+    import math
+
+    from fitness_data_ingest_spark.registry_r6b import LB_MAX_LAG, ljung_box
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(hours=int(h), minutes=3), c / 100.0)
+            for i, (h, c) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, value double",
+    )
+    got = {r["k"]: (r["m"], r["r_micro"]) for r in ljung_box(ev).collect()}
+
+    h0 = int(base.timestamp()) // 3600
+    hourly = {}
+    for h, c in rows:
+        hourly[h0 + h] = hourly.get(h0 + h, 0) + c
+    ys = {h: tot // 100 for h, tot in hourly.items()}
+    n = len(ys)
+    sy = sum(ys.values())
+    syy = sum(v * v for v in ys.values())
+    den = syy - sy * sy / n
+    for k in range(1, LB_MAX_LAG + 1):
+        pairs = [(ys[h], ys[h - k]) for h in ys if h - k in ys]
+        m = len(pairs)
+        if m == 0:
+            assert k not in got
+            continue
+        ck = sum(a * b for a, b in pairs)
+        sh = sum(a for a, _ in pairs)
+        stt = sum(b for _, b in pairs)
+        num = ck - sy / n * (sh + stt) + m * sy * sy / n / n
+        r_micro = math.floor(num / den * 1000000 + 0.5)
+        assert got[k] == (m, r_micro), k
