@@ -5829,3 +5829,315 @@ for _q in (
     QueryDef("stat_srm_check", _stat_srm_check, _SRM_SQL, ("stat",)),
 ):
     R6B_QUERIES[_q.name] = _q
+
+
+# ---------------------------------------------- WINSORIZED/TRIMMED MEAN
+
+WINSOR_PCT = 5  # clip at p05 / p95
+
+
+def winsorized_mean(events, pct: int = WINSOR_PCT):
+    """Winsorized and trimmed means of the value stream per event type:
+    clip (or drop) beyond the EXACT p05/p95 order statistics — the
+    robust location estimates a metrics pipeline publishes beside the
+    raw mean so a single whale or glitch cannot move the dashboard.
+
+    Exactness: thresholds are exact lower order statistics from the
+    per-group distinct-value cumulative (windows partitioned by group
+    at the value-domain grain); clipped sums stay int64 cents and the
+    means are the only quantized divisions. One shuffle to the
+    (group x distinct-value) grain, everything else grain-local."""
+    from pyspark.sql import Window
+
+    gv = (
+        events.select(
+            F.col("event_type").alias("g"), cents(F.col("value")).alias("v")
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = gv.select("g", "v", "cnt", F.sum("cnt").over(w).alias("cum"))
+    ng = gv.groupBy("g").agg(F.sum("cnt").alias("n_g"))
+    lo = (
+        cum.join(F.broadcast(ng), "g")
+        .where(100 * F.col("cum") >= pct * F.col("n_g"))
+        .groupBy("g")
+        .agg(F.min("v").alias("lo"))
+    )
+    hi = (
+        cum.join(F.broadcast(ng), "g")
+        .where(100 * F.col("cum") >= (100 - pct) * F.col("n_g"))
+        .groupBy("g")
+        .agg(F.min("v").alias("hi"))
+    )
+    clipped = (
+        gv.join(F.broadcast(lo), "g")
+        .join(F.broadcast(hi), "g")
+        .select(
+            "g",
+            "cnt",
+            "lo",
+            "hi",
+            F.greatest(F.least(F.col("v"), F.col("hi")), F.col("lo")).alias(
+                "vw"
+            ),
+            F.when(
+                (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
+                F.col("v"),
+            ).alias("vt"),
+        )
+    )
+    return (
+        clipped.groupBy("g", "lo", "hi")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.expr("(10 * sum(cnt * vw)) div sum(cnt)").alias(
+                "winsor_mean_millicent"
+            ),
+            F.expr(
+                "(10 * sum(CASE WHEN vt IS NOT NULL THEN cnt * vt END))"
+                " div sum(CASE WHEN vt IS NOT NULL THEN cnt END)"
+            ).alias("trim_mean_millicent"),
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            "n",
+            F.col("lo").alias("p05_cents"),
+            F.col("hi").alias("p95_cents"),
+            "winsor_mean_millicent",
+            "trim_mean_millicent",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _agg_winsorized_mean(spark, sf_dir):
+    return winsorized_mean(t(spark, sf_dir, "events"))
+
+
+_WINSOR_SQL = f"""
+WITH gv AS (
+  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, v, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+  FROM gv
+),
+ng AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g FROM gv GROUP BY 1),
+lo AS (
+  SELECT cum.g, min(v) AS lo FROM cum JOIN ng ON cum.g = ng.g
+  WHERE 100 * cum >= {WINSOR_PCT} * n_g GROUP BY 1
+),
+hi AS (
+  SELECT cum.g, min(v) AS hi FROM cum JOIN ng ON cum.g = ng.g
+  WHERE 100 * cum >= {100 - WINSOR_PCT} * n_g GROUP BY 1
+),
+clipped AS (
+  SELECT gv.g, cnt, lo, hi,
+         greatest(least(v, hi), lo) AS vw,
+         CASE WHEN v >= lo AND v <= hi THEN v END AS vt
+  FROM gv JOIN lo ON gv.g = lo.g JOIN hi ON gv.g = hi.g
+)
+SELECT g AS event_type, CAST(sum(cnt) AS BIGINT) AS n,
+       lo AS p05_cents, hi AS p95_cents,
+       (10 * CAST(sum(cnt * vw) AS BIGINT)) // CAST(sum(cnt) AS BIGINT)
+           AS winsor_mean_millicent,
+       (10 * CAST(sum(CASE WHEN vt IS NOT NULL THEN cnt * vt END) AS BIGINT))
+           // CAST(sum(CASE WHEN vt IS NOT NULL THEN cnt END) AS BIGINT)
+           AS trim_mean_millicent
+FROM clipped GROUP BY g, lo, hi ORDER BY event_type
+"""
+
+
+# ------------------------------------------------- TOKEN BURSTINESS
+
+
+BURST_TOPK_DF = 100  # analyze tokens present in >= this many docs
+
+
+def burstiness_vmr(docs, min_df: int = BURST_TOPK_DF):
+    """Token burstiness (Church & Gale 1995): the variance-to-mean
+    ratio (Fano factor) of per-document counts for every common token —
+    VMR ~ 1 is Poisson background vocabulary, VMR >> 1 is bursty
+    content-bearing vocabulary; the signal keyword extractors and
+    spam/template detectors key on.
+
+    Exactness: per-(token, doc) counts and the corpus doc count are
+    int64; zero-docs enter the moments in closed form (only presence
+    rows materialize), and VMR is one micro-quantized double over the
+    exact sums. Shuffles: (doc, token) counts then the token rollup —
+    both bounded by the presence list, never docs x vocab."""
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    dt = (
+        docs.select("doc_id", F.explode(_tok(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_tok = dt.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    return (
+        per_tok.where(F.col("df") >= min_df)
+        .join(F.broadcast(n_docs))
+        .select(
+            "tok",
+            "df",
+            "s",
+            # mean over ALL docs (absent docs contribute 0)
+            F.floor(
+                (
+                    (
+                        F.col("ss").cast("double")
+                        - F.col("s").cast("double")
+                        * F.col("s").cast("double")
+                        / F.col("nd").cast("double")
+                    )
+                    / (F.col("nd") - 1).cast("double")
+                )
+                / (F.col("s").cast("double") / F.col("nd").cast("double"))
+                * 1000000
+                + F.lit(0.5)
+            ).alias("vmr_micro"),
+        )
+        .orderBy("tok")
+    )
+
+
+def _text_burstiness_vmr(spark, sf_dir):
+    return burstiness_vmr(t(spark, sf_dir, "documents"))
+
+
+_BURST_SQL = f"""
+WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+dt AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS tok
+        FROM documents)
+  GROUP BY 1, 2
+),
+per_tok AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM dt GROUP BY 1
+)
+SELECT tok, df, s,
+       CAST(floor(((CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(nd AS DOUBLE)) / CAST(nd - 1 AS DOUBLE))
+                  / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS vmr_micro
+FROM per_tok, nd
+WHERE df >= {BURST_TOPK_DF}
+ORDER BY tok
+"""
+
+
+# -------------------------------------------------- POWER-LAW ALPHA
+
+
+def powerlaw_alpha(edges):
+    """Discrete power-law exponent MLE for the degree distribution
+    (Clauset, Shalizi & Newman 2009 eq. 3.7 continuous approximation):
+    alpha = 1 + n / sum ln(d / (dmin - 1/2)) over nodes with degree >=
+    dmin — the one-number tail-heaviness fingerprint that says whether
+    a co-occurrence graph has hubs worth special-casing.
+
+    Exactness: degrees are int64; each node's ln term is
+    micro-nat-quantized at the DEGREE-VALUE grain (one term per
+    distinct degree, weighted by its node count) before the sum. One
+    degree aggregate, one degree-histogram aggregate, 1-row math."""
+    dmin = 2
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    hist = (
+        deg.where(F.col("d") >= dmin)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    terms = hist.select(
+        "m",
+        (
+            F.col("m")
+            * F.floor(
+                F.log(
+                    F.col("d").cast("double") / (dmin - 0.5)
+                )
+                * 1000000
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("lt_micro"),
+    )
+    agg = terms.agg(
+        F.sum("m").alias("n_tail"), F.sum("lt_micro").alias("slog")
+    )
+    return agg.select(
+        "n_tail",
+        "slog",
+        F.floor(
+            (
+                1.0
+                + F.col("n_tail").cast("double")
+                / (F.col("slog").cast("double") / 1.0e6)
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).alias("alpha_micro"),
+    )
+
+
+def _graph_powerlaw_alpha(spark, sf_dir):
+    from .ops import graph as G
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_groups=2)
+    return powerlaw_alpha(edges)
+
+
+_PLAW_SQL = f"""
+WITH edges AS ({_BFS_EDGES_CTE}),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+hist AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS m FROM deg WHERE d >= 2 GROUP BY 1
+),
+terms AS (
+  SELECT m,
+         m * CAST(floor(ln(CAST(d AS DOUBLE) / 1.5) * 1000000 + 0.5)
+                  AS BIGINT) AS lt_micro
+  FROM hist
+),
+agg AS (
+  SELECT CAST(sum(m) AS BIGINT) AS n_tail,
+         CAST(sum(lt_micro) AS BIGINT) AS slog
+  FROM terms
+)
+SELECT n_tail, slog,
+       CAST(floor((1.0 + CAST(n_tail AS DOUBLE)
+                   / (CAST(slog AS DOUBLE) / 1.0e6)) * 1000000 + 0.5)
+            AS BIGINT) AS alpha_micro
+FROM agg
+"""
+
+
+for _q in (
+    QueryDef(
+        "agg_winsorized_mean", _agg_winsorized_mean, _WINSOR_SQL, ("agg",)
+    ),
+    QueryDef(
+        "text_burstiness_vmr", _text_burstiness_vmr, _BURST_SQL, ("text",)
+    ),
+    QueryDef(
+        "graph_powerlaw_alpha", _graph_powerlaw_alpha, _PLAW_SQL, ("graph",)
+    ),
+):
+    R6B_QUERIES[_q.name] = _q
