@@ -141,7 +141,15 @@ def decode_tar(data: bytes):
         typeflag = chr(h[156]) if h[156] else "0"
         if typeflag in ("0", "\0"):
             payload = data[off + BLOCK : off + BLOCK + size]
-            members.append({"name": name, "size": size, "payload": payload})
+            members.append(
+                {
+                    "name": name,
+                    "size": size,
+                    "payload": payload,
+                    "header_offset": off,
+                    "payload_offset": off + BLOCK,
+                }
+            )
         off = body_end
     # ran off the end without a terminator: tolerate only exact EOF
     return members if off == n else None
@@ -254,3 +262,48 @@ def tar_features(media_df):
             )
 
     return media_df.mapInPandas(_features, schema=TAR_FEATURES_SCHEMA)
+
+
+TAR_INDEX_SCHEMA = (
+    "media_id long, member_idx int, name string, header_offset long, "
+    "payload_offset long, size long"
+)
+
+
+def tar_index(media_df):
+    """WebDataset-style shard index: one row per member with its BYTE
+    OFFSETS inside the archive — the artifact a training loader seeks
+    with, proving the parser's 512-block framing arithmetic against the
+    relational replay. Arrow-batched ``mapInPandas``, zero shuffle."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ms = decode_tar(bytes(payload) if payload is not None else b"")
+                if ms is None:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                for i, mem in enumerate(ms):
+                    rows.append(
+                        (
+                            mid,
+                            i,
+                            mem["name"],
+                            mem["header_offset"],
+                            mem["payload_offset"],
+                            mem["size"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "member_idx", "name", "header_offset",
+                    "payload_offset", "size",
+                ],
+            )
+
+    return media_df.mapInPandas(_index, schema=TAR_INDEX_SCHEMA)

@@ -6141,3 +6141,297 @@ for _q in (
     ),
 ):
     R6B_QUERIES[_q.name] = _q
+
+
+# ---------------------------------------------------- TAR SHARD INDEX
+
+
+def _multimodal_tar_index(spark, sf_dir):
+    """WebDataset shard index: byte offsets of every member inside the
+    real ustar archives of multimodal_tar_shards — what a training
+    loader actually seeks with. The DuckDB oracle re-derives every
+    offset from the 512-block framing arithmetic (header block +
+    size-padded payload blocks, cumulative over preceding members), so
+    the hash match proves the parser's offset bookkeeping byte-for-byte
+    against bytes it never saw. Same zero-shuffle two-stage
+    mapInPandas shape as the feature key."""
+    from .ext import tar as T
+
+    docs = t(spark, sf_dir, "documents")
+    return T.tar_index(T.synthesize_tar(docs))
+
+
+_TAR_INDEX_SQL = """
+WITH mems AS (
+  SELECT doc_id, CAST(u.m AS INTEGER) AS m,
+         CAST(10 + (doc_id + 13 * u.m) % 100 AS BIGINT) AS size
+  FROM documents, unnest(range(0, 3)) AS u(m)
+  WHERE u.m < doc_id % 3 + 1
+),
+offs AS (
+  SELECT a.doc_id, a.m, a.size,
+         CAST(COALESCE(sum(512 + 512 * ((b.size + 511) // 512)), 0)
+              AS BIGINT) AS header_offset
+  FROM mems a LEFT JOIN mems b ON b.doc_id = a.doc_id AND b.m < a.m
+  GROUP BY a.doc_id, a.m, a.size
+)
+SELECT doc_id AS media_id, m AS member_idx,
+       CAST(doc_id AS VARCHAR) || '/' || CAST(m AS VARCHAR) || '.bin' AS name,
+       header_offset,
+       header_offset + 512 AS payload_offset,
+       size
+FROM offs
+"""
+
+
+R6B_QUERIES["multimodal_tar_index"] = QueryDef(
+    "multimodal_tar_index", _multimodal_tar_index, _TAR_INDEX_SQL,
+    ("multimodal",),
+)
+
+
+# ------------------------------------------------ PIT FEATURE ASSEMBLY
+
+PIT_TRAIL_S = 30 * 86400
+PIT_BUCKET_S = 7 * 86400
+
+
+def pit_feature_join(events, orders):
+    """Point-in-time-correct feature assembly (the feature-store
+    training-set join): for every event of a known customer, attach (a)
+    the customer's LAST order total as of the event time — a backward
+    as-of join, no leakage from the future — and (b) the trailing
+    30-day order count — a bucketed range join. Rolled up to the
+    customer grain for the audit.
+
+    Scale shape: the as-of feature is the repo's single-shuffle
+    union-merge as-of (zero candidate pairs); the trailing count is the
+    bucketed interval equi-join; both verified operators composed, plus
+    one key-grain rollup."""
+    from .ops.relational import asof_join, range_join_bucketed
+
+    spine = events.select(
+        F.col("user_id").alias("custkey"),
+        F.col("event_id").alias("eid"),
+        F.expr("unix_micros(ts) div 1000000").alias("ets"),
+    )
+    feat = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("oid"),
+        F.expr("unix_micros(o_orderdate) div 1000000").alias("ots"),
+        cents(F.col("o_totalprice")).alias("last_total_cents"),
+    )
+    pit = asof_join(
+        spine, feat, key="custkey", left_ts="ets", right_ts="ots",
+        left_id="eid", right_id="oid",
+    )
+    iv = spine.select(
+        "custkey",
+        "eid",
+        (F.col("ets") - PIT_TRAIL_S).alias("s0"),
+        F.col("ets").alias("s1"),
+    )
+    pts = feat.select("custkey", F.col("ots").alias("es"))
+    trail = (
+        range_join_bucketed(iv, pts, "custkey", PIT_BUCKET_S)
+        .groupBy("eid")
+        .agg(F.count(F.lit(1)).alias("n_trail"))
+    )
+    assembled = pit.join(trail, "eid", "left").select(
+        "custkey",
+        "eid",
+        "last_total_cents",
+        F.coalesce("n_trail", F.lit(0)).alias("n_trailing_30d"),
+    )
+    return (
+        assembled.groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.col("last_total_cents")).alias("n_with_feature"),
+            F.sum("last_total_cents").alias("sum_feature_cents"),
+            F.sum("n_trailing_30d").alias("sum_trailing_orders"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def _feature_pit_join(spark, sf_dir):
+    return pit_feature_join(
+        t(spark, sf_dir, "events"), t(spark, sf_dir, "orders")
+    )
+
+
+_PIT_SQL = f"""
+WITH spine AS (
+  SELECT user_id AS custkey, event_id AS eid,
+         epoch_us(ts) // 1000000 AS ets
+  FROM events
+),
+feat AS (
+  SELECT o_custkey AS custkey, o_orderkey AS oid,
+         epoch_us(o_orderdate) // 1000000 AS ots,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+  FROM orders
+),
+pit AS (
+  SELECT s.custkey, s.eid,
+         (SELECT f.total_cents FROM feat f
+          WHERE f.custkey = s.custkey AND f.ots <= s.ets
+          ORDER BY f.ots DESC, f.oid DESC LIMIT 1) AS last_total_cents
+  FROM spine s
+),
+trail AS (
+  SELECT s.eid, CAST(count(*) AS BIGINT) AS n_trail
+  FROM spine s JOIN feat f
+    ON f.custkey = s.custkey
+   AND f.ots >= s.ets - {PIT_TRAIL_S} AND f.ots < s.ets
+  GROUP BY s.eid
+)
+SELECT pit.custkey, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(last_total_cents) AS BIGINT) AS n_with_feature,
+       CAST(sum(last_total_cents) AS BIGINT) AS sum_feature_cents,
+       CAST(sum(COALESCE(n_trail, 0)) AS BIGINT) AS sum_trailing_orders
+FROM pit LEFT JOIN trail ON pit.eid = trail.eid
+GROUP BY pit.custkey ORDER BY pit.custkey
+"""
+
+
+R6B_QUERIES["feature_pit_join"] = QueryDef(
+    "feature_pit_join", _feature_pit_join, _PIT_SQL, ("feature",)
+)
+
+
+# ---------------------------------------------- PACF (DURBIN-LEVINSON)
+
+PACF_LAGS = 4
+
+
+def pacf_levinson(events):
+    """Partial autocorrelations phi_kk for lags 1..4 via the
+    Durbin-Levinson recursion UNROLLED over the micro-quantized
+    calendar-lag autocorrelations of ts_ljung_box — the AR-order
+    selection plot, computed without any sequential state: every
+    recursion level is a fixed arithmetic DAG on <= 4 scalars, each phi
+    micro-quantized before the next level uses it (so both engines
+    recurse on identical rationals). Lags with no calendar pair yield
+    no row."""
+    rk = ljung_box(events, max_lag=PACF_LAGS).select("k", "r_micro")
+    wide = rk.groupBy().pivot("k", list(range(1, PACF_LAGS + 1))).agg(
+        F.first("r_micro")
+    )
+    # column names "1".."4" (micro ints); recurse in micro space
+    q = "floor(({expr}) * 1000000 + 0.5)"
+
+    def c(name):
+        return f"(CAST(`{name}` AS DOUBLE) / 1.0e6)"
+
+    f11 = c("1")
+    lvl = wide.selectExpr(
+        "*",
+        q.format(expr=f11) + " AS f11",
+    )
+    f22 = (
+        f"((({c('2')}) - (f11/1e6) * ({c('1')}))"
+        f" / (1.0 - (f11/1e6) * ({c('1')})))"
+    )
+    lvl = lvl.selectExpr("*", q.format(expr=f22) + " AS f22")
+    f21 = "((f11/1e6) - (f22/1e6) * (f11/1e6))"
+    lvl = lvl.selectExpr("*", q.format(expr=f21) + " AS f21")
+    f33 = (
+        f"((({c('3')}) - (f21/1e6) * ({c('2')}) - (f22/1e6) * ({c('1')}))"
+        f" / (1.0 - (f21/1e6) * ({c('1')}) - (f22/1e6) * ({c('2')})))"
+    )
+    lvl = lvl.selectExpr("*", q.format(expr=f33) + " AS f33")
+    f31 = "((f21/1e6) - (f33/1e6) * (f22/1e6))"
+    f32 = "((f22/1e6) - (f33/1e6) * (f21/1e6))"
+    lvl = lvl.selectExpr(
+        "*", q.format(expr=f31) + " AS f31", q.format(expr=f32) + " AS f32"
+    )
+    f44 = (
+        f"((({c('4')}) - (f31/1e6) * ({c('3')}) - (f32/1e6) * ({c('2')})"
+        f" - (f33/1e6) * ({c('1')}))"
+        f" / (1.0 - (f31/1e6) * ({c('1')}) - (f32/1e6) * ({c('2')})"
+        f" - (f33/1e6) * ({c('3')})))"
+    )
+    lvl = lvl.selectExpr("*", q.format(expr=f44) + " AS f44")
+    out = lvl.selectExpr(
+        "stack(4, 1, CAST(f11 AS BIGINT), 2, CAST(f22 AS BIGINT),"
+        " 3, CAST(f33 AS BIGINT), 4, CAST(f44 AS BIGINT))"
+        " AS (lag, pacf_micro)"
+    )
+    return out.select(
+        F.col("lag").cast("long").alias("lag"), "pacf_micro"
+    ).orderBy("lag")
+
+
+def _ts_pacf_levinson(spark, sf_dir):
+    return pacf_levinson(t(spark, sf_dir, "events"))
+
+
+def _pacf_sql() -> str:
+    # mirror of the unrolled recursion over the ljung_box rk CTEs
+    rk_inner = _LB_SQL.replace(
+        f"range(1, {LB_MAX_LAG} + 1)", f"range(1, {PACF_LAGS} + 1)"
+    )
+    # strip the final SELECT of _LB_SQL and rebuild on its rk CTE
+    rk_cte = rk_inner[: rk_inner.rindex("SELECT k, m, r_micro")]
+    q = "floor(({expr}) * 1000000 + 0.5)"
+    r = {
+        k: f"((SELECT CAST(r_micro AS DOUBLE) FROM rk WHERE k = {k}) / 1.0e6)"
+        for k in range(1, 5)
+    }
+    f11q = q.format(expr=r[1])
+    lines = [f"l1 AS (SELECT CAST({f11q} AS BIGINT) AS f11 FROM q)"]
+    f22 = (
+        f"(({r[2]} - (f11/1e6) * {r[1]}) / (1.0 - (f11/1e6) * {r[1]}))"
+    )
+    lines.append(
+        f"l2 AS (SELECT f11, CAST({q.format(expr=f22)} AS BIGINT) AS f22"
+        f" FROM l1)"
+    )
+    f21 = "((f11/1e6) - (f22/1e6) * (f11/1e6))"
+    lines.append(
+        f"l2b AS (SELECT *, CAST({q.format(expr=f21)} AS BIGINT) AS f21"
+        f" FROM l2)"
+    )
+    f33 = (
+        f"(({r[3]} - (f21/1e6) * {r[2]} - (f22/1e6) * {r[1]})"
+        f" / (1.0 - (f21/1e6) * {r[1]} - (f22/1e6) * {r[2]}))"
+    )
+    lines.append(
+        f"l3 AS (SELECT *, CAST({q.format(expr=f33)} AS BIGINT) AS f33"
+        f" FROM l2b)"
+    )
+    f31 = "((f21/1e6) - (f33/1e6) * (f22/1e6))"
+    f32 = "((f22/1e6) - (f33/1e6) * (f21/1e6))"
+    lines.append(
+        f"l3b AS (SELECT *, CAST({q.format(expr=f31)} AS BIGINT) AS f31,"
+        f" CAST({q.format(expr=f32)} AS BIGINT) AS f32 FROM l3)"
+    )
+    f44 = (
+        f"(({r[4]} - (f31/1e6) * {r[3]} - (f32/1e6) * {r[2]}"
+        f" - (f33/1e6) * {r[1]})"
+        f" / (1.0 - (f31/1e6) * {r[1]} - (f32/1e6) * {r[2]}"
+        f" - (f33/1e6) * {r[3]}))"
+    )
+    lines.append(
+        f"l4 AS (SELECT *, CAST({q.format(expr=f44)} AS BIGINT) AS f44"
+        f" FROM l3b)"
+    )
+    return (
+        rk_cte.rstrip().rstrip(",")
+        + ",\n"
+        + ",\n".join(lines)
+        + """
+SELECT CAST(u.lag AS BIGINT) AS lag,
+       CASE u.lag WHEN 1 THEN f11 WHEN 2 THEN f22
+                  WHEN 3 THEN f33 ELSE f44 END AS pacf_micro
+FROM l4, unnest([1, 2, 3, 4]) AS u(lag)
+ORDER BY lag
+"""
+    )
+
+
+R6B_QUERIES["ts_pacf_levinson"] = QueryDef(
+    "ts_pacf_levinson", _ts_pacf_levinson, _pacf_sql(), ("ts",)
+)
