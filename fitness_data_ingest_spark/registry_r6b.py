@@ -6435,3 +6435,200 @@ ORDER BY lag
 R6B_QUERIES["ts_pacf_levinson"] = QueryDef(
     "ts_pacf_levinson", _ts_pacf_levinson, _pacf_sql(), ("ts",)
 )
+
+
+# ------------------------------------------------------ LOG-RANK TEST
+
+
+def logrank_test(events):
+    """Two-sample log-rank test (Mantel-Haenszel) between the hash-armed
+    user cohorts' lifetime distributions (lifetime = hours between a
+    user's first and last event; every subject fails, no censoring —
+    the events_survival_km convention): at every distinct failure time
+    the observed arm-A failures compare against the hypergeometric
+    expectation, and chi2 = (sum(O-E))^2 / sum(V) — the A/B test for
+    "did the intervention change retention CURVES", which mean-based
+    tests cannot see.
+
+    Exactness: at-risk counts come from the reflected coarse-bucket
+    prefix at the bounded duration grain; each time's O-E and variance
+    terms are single double expressions over exact int64 counts,
+    micro-quantized per time before the sums."""
+    from pyspark.sql import Window
+
+    per_user = (
+        events.select("user_id", F.expr("unix_micros(ts)").alias("us"))
+        .groupBy("user_id")
+        .agg(
+            F.expr("(max(us) - min(us)) div 3600000000").alias("dur_h")
+        )
+        .select(
+            "dur_h",
+            (
+                _h32(F.concat(F.lit("arm:"), F.col("user_id").cast("string")))
+                % 2
+            ).alias("arm"),
+        )
+    )
+    g = per_user.groupBy("dur_h").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("d2"),
+    )
+    tot = g.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
+    gb = g.withColumn("bkt", F.expr("dur_h div 64"))
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("dur_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = gb.select(
+        "dur_h", "bkt", "d1", "d2",
+        F.sum("d1").over(w).alias("c1_in"),
+        F.sum("d2").over(w).alias("c2_in"),
+    )
+    btot = gb.groupBy("bkt").agg(
+        F.sum("d1").alias("b1"), F.sum("d2").alias("b2")
+    )
+    offs = (
+        btot.select(F.col("bkt").alias("k"))
+        .join(
+            F.broadcast(btot.select(F.col("bkt").alias("k2"), "b1", "b2")),
+            F.col("k2") < F.col("k"),
+        )
+        .groupBy("k")
+        .agg(F.sum("b1").alias("o1"), F.sum("b2").alias("o2"))
+    )
+    # at-risk just BEFORE time t: n_a - cum_lt = n_a - (cum_le - d_a)
+    at_risk = (
+        within.join(F.broadcast(offs), within.bkt == offs.k, "left")
+        .join(F.broadcast(tot))
+        .select(
+            "dur_h", "d1", "d2",
+            (
+                F.col("n1")
+                - (F.coalesce("o1", F.lit(0)) + F.col("c1_in") - F.col("d1"))
+            ).alias("r1"),
+            (
+                F.col("n2")
+                - (F.coalesce("o2", F.lit(0)) + F.col("c2_in") - F.col("d2"))
+            ).alias("r2"),
+            "n1", "n2",
+        )
+    )
+    terms = at_risk.where(
+        (F.col("r1") + F.col("r2") > 1)
+    ).select(
+        "n1",
+        "n2",
+        F.floor(
+            (
+                F.col("d1").cast("double")
+                - (F.col("d1") + F.col("d2")).cast("double")
+                * F.col("r1").cast("double")
+                / (F.col("r1") + F.col("r2")).cast("double")
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).alias("oe_micro"),
+        F.floor(
+            (
+                (F.col("d1") + F.col("d2")).cast("double")
+                * F.col("r1").cast("double")
+                / (F.col("r1") + F.col("r2")).cast("double")
+                * F.col("r2").cast("double")
+                / (F.col("r1") + F.col("r2")).cast("double")
+                * (
+                    F.col("r1") + F.col("r2") - F.col("d1") - F.col("d2")
+                ).cast("double")
+                / (F.col("r1") + F.col("r2") - 1).cast("double")
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).alias("v_micro"),
+    )
+    agg = terms.groupBy("n1", "n2").agg(
+        F.count(F.lit(1)).alias("n_times"),
+        F.sum("oe_micro").alias("soe"),
+        F.sum("v_micro").alias("sv"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "n_times",
+        F.when(
+            F.col("sv") > 0,
+            F.floor(
+                F.col("soe").cast("double")
+                * F.col("soe").cast("double")
+                / 1.0e6
+                / F.col("sv").cast("double")
+                * 1000000
+                + F.lit(0.5)
+            ),
+        ).alias("chi2_micro"),
+    )
+
+
+def _stat_logrank_test(spark, sf_dir):
+    return logrank_test(t(spark, sf_dir, "events"))
+
+
+_LOGRANK_SQL = """
+WITH per_user AS (
+  SELECT (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS dur_h,
+         ('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+             % 2 AS arm
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT dur_h,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+  FROM per_user GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS n1, CAST(sum(d2) AS BIGINT) AS n2 FROM g
+),
+cum AS (
+  SELECT dur_h, d1, d2,
+         CAST(sum(d1) OVER (ORDER BY dur_h) AS BIGINT) AS c1,
+         CAST(sum(d2) OVER (ORDER BY dur_h) AS BIGINT) AS c2
+  FROM g
+),
+at_risk AS (
+  SELECT dur_h, d1, d2,
+         n1 - (c1 - d1) AS r1, n2 - (c2 - d2) AS r2, n1, n2
+  FROM cum, tot
+),
+terms AS (
+  SELECT n1, n2,
+         CAST(floor((CAST(d1 AS DOUBLE)
+                     - CAST(d1 + d2 AS DOUBLE) * CAST(r1 AS DOUBLE)
+                       / CAST(r1 + r2 AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS oe_micro,
+         CAST(floor((CAST(d1 + d2 AS DOUBLE) * CAST(r1 AS DOUBLE)
+                     / CAST(r1 + r2 AS DOUBLE)
+                     * CAST(r2 AS DOUBLE) / CAST(r1 + r2 AS DOUBLE)
+                     * CAST(r1 + r2 - d1 - d2 AS DOUBLE)
+                     / CAST(r1 + r2 - 1 AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS v_micro
+  FROM at_risk WHERE r1 + r2 > 1
+),
+agg AS (
+  SELECT n1, n2, CAST(count(*) AS BIGINT) AS n_times,
+         CAST(sum(oe_micro) AS BIGINT) AS soe,
+         CAST(sum(v_micro) AS BIGINT) AS sv
+  FROM terms GROUP BY 1, 2
+)
+SELECT n1, n2, n_times,
+       CASE WHEN sv > 0
+            THEN CAST(floor(CAST(soe AS DOUBLE) * CAST(soe AS DOUBLE)
+                            / 1.0e6 / CAST(sv AS DOUBLE)
+                            * 1000000 + 0.5) AS BIGINT) END AS chi2_micro
+FROM agg
+"""
+
+
+R6B_QUERIES["stat_logrank_test"] = QueryDef(
+    "stat_logrank_test", _stat_logrank_test, _LOGRANK_SQL, ("stat",)
+)
