@@ -3574,3 +3574,136 @@ def test_ljung_box_matches_bruteforce(spark, rows):
         num = ck - sy / n * (sh + stt) + m * sy * sy / n / n
         r_micro = math.floor(num / den * 1000000 + 0.5)
         assert got[k] == (m, r_micro), k
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d"]), min_size=2, max_size=8
+            ),
+        ),
+        min_size=2, max_size=10,
+    )
+)
+@PROP_SETTINGS
+def test_kneser_ney_matches_bruteforce(spark, docs):
+    """KN bigram cross-entropy == the textbook interpolated formula
+    replayed in Python (same d=0.75, same per-bigram micro-nat
+    quantization, same count-weighted integer mean)."""
+    import math
+
+    from fitness_data_ingest_spark.registry_r6b import kneser_ney_xent
+
+    df = spark.createDataFrame(
+        [(i, src, " ".join(toks)) for i, (src, toks) in enumerate(docs)],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["source"]: (r["n_bigrams"], r["xent_micro"])
+        for r in kneser_ney_xent(df).collect()
+    }
+
+    from collections import Counter, defaultdict
+
+    cvw = Counter()
+    src_counts = defaultdict(Counter)
+    for src, toks in docs:
+        for v, w in zip(toks, toks[1:]):
+            cvw[(v, w)] += 1
+            src_counts[src][(v, w)] += 1
+    cv = Counter()
+    n1p_v = Counter()
+    n1p_w = Counter()
+    for (v, w), c in cvw.items():
+        cv[v] += c
+        n1p_v[v] += 1
+        n1p_w[w] += 1
+    n1p_tot = len(cvw)
+    nll = {
+        bg: math.floor(
+            -math.log(
+                (cvw[bg] - 0.75) / cv[bg[0]]
+                + 0.75 * n1p_v[bg[0]] / cv[bg[0]] * n1p_w[bg[1]] / n1p_tot
+            )
+            * 1000000
+            + 0.5
+        )
+        for bg in cvw
+    }
+    want = {}
+    for src, cnts in src_counts.items():
+        n = sum(cnts.values())
+        tot = sum(c * nll[bg] for bg, c in cnts.items())
+        want[src] = (n, tot // n)
+    assert got == want
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.sampled_from(["view", "purchase", "error"]),
+            st.integers(min_value=0, max_value=12 * 86400),
+        ),
+        min_size=2, max_size=25,
+        unique_by=lambda t: (t[0], t[2]),
+    )
+)
+@PROP_SETTINGS
+def test_conversion_lag_matches_bruteforce(spark, evs):
+    """Exact p50/p90/p99 of the CEP gaps == the sorted replay with the
+    lower-order-statistic rule."""
+    import datetime as dt
+
+    from fitness_data_ingest_spark.registry_r6b import (
+        SEQ_WINDOW_S, conversion_lag_pct,
+    )
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [
+            (i, int(u), ty, base + dt.timedelta(seconds=int(s)), 1.0)
+            for i, (u, ty, s) in enumerate(evs)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    )
+    row = conversion_lag_pct(ev).collect()[0]
+
+    t0 = int(base.timestamp())
+    per: dict[int, list[tuple[str, int]]] = {}
+    for u, ty, s in evs:
+        per.setdefault(u, []).append((ty, t0 + s))
+    gaps = []
+    for items in per.values():
+        a_ts = sorted(s for ty, s in items if ty == "view")
+        b_ts = sorted(s for ty, s in items if ty == "purchase")
+        c_ts = sorted(s for ty, s in items if ty == "error")
+        for ta in a_ts:
+            bs = [tb for tb in b_ts if ta < tb <= ta + SEQ_WINDOW_S]
+            if not bs:
+                continue
+            tb = min(bs)
+            if any(ta < tc < tb for tc in c_ts):
+                continue
+            gaps.append(tb - ta)
+    if not gaps:
+        assert row["n_conversions"] is None
+        return
+    gaps.sort()
+    n = len(gaps)
+
+    def pct(k):
+        cum = 0
+        seen = {}
+        for g in gaps:
+            seen[g] = seen.get(g, 0) + 1
+        for g in sorted(seen):
+            cum += seen[g]
+            if 100 * cum >= k * n:
+                return g
+
+    assert (row["n_conversions"], row["p50_s"], row["p90_s"], row["p99_s"]) \
+        == (n, pct(50), pct(90), pct(99))
