@@ -345,14 +345,15 @@ def all_queries() -> dict[str, QueryDef]:
     )
     # Rows-only-by-design keys (no oracle entry) can never earn a green
     # verdict — the driver records ``err: no_oracle`` forever.  They must
-    # not consume window slots ahead of oracle-paired keys that CAN go
-    # green, so within the unverified set they sort strictly last
-    # (round-4 verdict item 2: three window slots were burned this way
-    # across r01/r04 before this partition existed).
+    # not consume window slots AT ALL once oracle-paired keys exist to
+    # fill them, so they sort strictly after every oracle-paired key —
+    # verified or not (round-6 verdict item 2: sorting them merely after
+    # the unverified oracle-paired set still burned 2 slots of every
+    # post-backlog window on a permanent ``no_oracle`` verdict).
     ordered = (
         [n for n in unverified if n in merged and merged[n].sql is not None]
-        + [n for n in unverified if n in merged and merged[n].sql is None]
-        + list(merged)
+        + [n for n in merged if merged[n].sql is not None]
+        + [n for n in merged if merged[n].sql is None]
     )
     out: dict[str, QueryDef] = {}
     for name in ordered:

@@ -64,25 +64,28 @@ def test_registry_verification_window_rotates():
     green = registry._driver_verified()
     forced = [k for k in registry._FORCE_REVERIFY if k not in green]
     assert ordered[: len(forced)] == forced
+    aq = registry.all_queries()
     if green:  # recorded verdicts exist (always true in this repo)
-        # prefix property: every unverified key precedes every green key
-        # (past the forced re-verifications, which lead regardless)
-        tail = ordered[len(forced) :]
+        # prefix property (oracle-paired keys only): every unverified
+        # oracle-paired key precedes every green key (past the forced
+        # re-verifications, which lead regardless). Rows-only keys are
+        # exempt — they sort dead last by design (see below).
+        tail = [k for k in ordered[len(forced) :] if aq[k].sql is not None]
         first_green = next(
             (i for i, k in enumerate(tail) if k in green), len(tail)
         )
         leaked = [k for k in tail[first_green:] if k not in green]
         assert not leaked, f"unverified keys behind a green key: {leaked}"
-    # within the unverified set, oracle-paired keys strictly precede
-    # rows-only (no-oracle) keys: a no-oracle key can never earn a green
-    # verdict, so letting one ahead of an oracle-paired key burns a
-    # driver window slot forever (round-4 verdict item 2)
-    aq = registry.all_queries()
-    unverified = [k for k in ordered if k not in green]
+    # rows-only (no-oracle) keys sort strictly after ALL oracle-paired
+    # keys — verified and unverified alike. A no-oracle key can never
+    # earn a green verdict, so any window slot it occupies is burned
+    # forever; once the unverified backlog clears, the old ordering
+    # (merely behind the unverified set) would burn 2 slots of EVERY
+    # window on a permanent ``no_oracle`` row (round-6 verdict item 2).
     first_no_oracle = next(
-        (i for i, k in enumerate(unverified) if aq[k].sql is None), len(unverified)
+        (i for i, k in enumerate(ordered) if aq[k].sql is None), len(ordered)
     )
-    misordered = [k for k in unverified[first_no_oracle:] if aq[k].sql is not None]
+    misordered = [k for k in ordered[first_no_oracle:] if aq[k].sql is not None]
     assert not misordered, f"oracle-paired keys behind a no-oracle key: {misordered}"
     # rotation bookkeeping must reference real keys only
     assert set(registry._NEXT_ROTATION) <= set(ordered)
