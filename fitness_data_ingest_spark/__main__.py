@@ -27,6 +27,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
     )
     p.add_argument("--limit", type=int, default=20, help="max rows printed")
+    p.add_argument(
+        "--demo-pipeline",
+        metavar="SINK_DIR",
+        help="run the reference-shaped ingest pipeline end-to-end "
+        "(cold + warm incremental pass) against --sf-dir, sinking "
+        "partitioned parquet to SINK_DIR; prints one JSON report",
+    )
     p.add_argument("--explain", action="store_true", help="print the plan only")
     p.add_argument("--master", default=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
     return p
@@ -41,6 +48,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     if args.list:
         for name, q in queries.items():
             print(f"{name}\toracle={'yes' if q.sql else 'rows-only'}")
+        return 0
+    if args.demo_pipeline:
+        from .pipeline_demo import run_demo
+
+        if spark is None:
+            from .session import get_spark
+
+            spark = get_spark(app_name="fdis-demo", master=args.master)
+        print(json.dumps(run_demo(spark, args.sf_dir, args.demo_pipeline)))
         return 0
     if not args.query and not args.sql:
         print("one of --query/--sql/--list is required", file=sys.stderr)

