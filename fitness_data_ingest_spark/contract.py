@@ -25,21 +25,7 @@ END = "<!-- CONTRACT-TABLE:END -->"
 def _family_dicts() -> list[tuple[str, dict]]:
     from . import registry as R
 
-    return [
-        ("core", R.CORE_QUERIES),
-        ("ext", R.EXT_QUERIES),
-        ("stream", R.STREAM_QUERIES),
-        ("tpch2", R.TPCH2_QUERIES),
-        ("pipeline", R.PIPELINE_QUERIES),
-        ("r3", R.R3_QUERIES),
-        ("r3b", R.R3B_QUERIES),
-        ("sql4", R.SQL4_QUERIES),
-        ("r4", R.R4_QUERIES),
-        ("r5", R.R5_QUERIES),
-        ("r5b", R.R5B_QUERIES),
-        ("r6", R.R6_QUERIES),
-        ("r6b", R.R6B_QUERIES),
-    ]
+    return list(R.FAMILIES)
 
 
 def _first_green_rounds() -> dict[str, int]:

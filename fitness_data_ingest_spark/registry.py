@@ -27,6 +27,7 @@ from .registry_r5 import R5_QUERIES
 from .registry_r5b import R5B_QUERIES
 from .registry_r6 import R6_QUERIES
 from .registry_r6b import R6B_QUERIES
+from .registry_r7 import R7_QUERIES
 from .registry_sql4 import SQL4_QUERIES
 from .registry_stream import STREAM_QUERIES
 from .registry_tpch2 import TPCH2_QUERIES
@@ -312,23 +313,32 @@ def _driver_verified() -> set[str]:
     return green
 
 
+# Registration order matters twice: later families win dict.update
+# collisions (which tests/test_driver_contract.py forbids outright),
+# and the unverified catch-all bucket of the rotation inherits this
+# order — so round-7 additions, placed last, can never displace the
+# r6b verification backlog from the window (round-6 verdict item 1).
+FAMILIES: tuple[tuple[str, dict[str, QueryDef]], ...] = (
+    ("core", CORE_QUERIES),
+    ("ext", EXT_QUERIES),
+    ("stream", STREAM_QUERIES),
+    ("tpch2", TPCH2_QUERIES),
+    ("pipeline", PIPELINE_QUERIES),
+    ("r3", R3_QUERIES),
+    ("r3b", R3B_QUERIES),
+    ("sql4", SQL4_QUERIES),
+    ("r4", R4_QUERIES),
+    ("r5", R5_QUERIES),
+    ("r5b", R5B_QUERIES),
+    ("r6", R6_QUERIES),
+    ("r6b", R6B_QUERIES),
+    ("r7", R7_QUERIES),
+)
+
+
 def all_queries() -> dict[str, QueryDef]:
     merged: dict[str, QueryDef] = {}
-    for family in (
-        CORE_QUERIES,
-        EXT_QUERIES,
-        STREAM_QUERIES,
-        TPCH2_QUERIES,
-        PIPELINE_QUERIES,
-        R3_QUERIES,
-        R3B_QUERIES,
-        SQL4_QUERIES,
-        R4_QUERIES,
-        R5_QUERIES,
-        R5B_QUERIES,
-        R6_QUERIES,
-        R6B_QUERIES,
-    ):
+    for _name, family in FAMILIES:
         merged.update(family)
     verified = _driver_verified()
     # never-verified keys lead (forced re-verifications first — keys

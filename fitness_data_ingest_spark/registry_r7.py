@@ -1,0 +1,368 @@
+"""Round-7 additions (registered strictly BEHIND the r6b verification
+backlog per the round-6 verdict: at most a handful of new keys, and
+only once the rotation already leads with every never-verified key).
+
+Four keys closing real gaps:
+
+- ``stat_proportions_ztest`` — the two-proportion z-test + Wald CI on
+  conversion (signup→purchase), the most common A/B statistic the stat
+  family still lacked.
+- ``stat_ratio_delta_ci`` — delta-method CI for a RATIO metric
+  (revenue per event), the experimentation workhorse that mean-grain
+  tests cannot cover because numerator and denominator co-vary per
+  user.
+- ``source_jsonl_roundtrip`` / ``source_csv_roundtrip`` — JSONL and
+  CSV sink→scan parity with md5 content checksums. LLM-pipeline
+  interchange is JSONL-first and CSV never dies; the checksum proves
+  byte fidelity through each format's escaping (the CSV text is
+  deliberately salted with quotes/commas/newlines so the quoting path
+  actually executes).
+
+Exactness discipline as everywhere (registry_util): int64 arithmetic
+up to single double expression trees over exact int64 casts, every
+exported float micro-quantized ``floor(x*1e6 + 0.5)`` per term before
+any cross-row sum. Reference parity: the reference (pandas/requests
+ETL) persists JSON API payloads to parquet (fitbit_utils.py:285-287);
+the roundtrip keys generalize that sink surface to the two text
+formats; the stat keys extend SURVEY.md §2's experimentation axis.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as ST
+
+from .registry_util import QueryDef, cents, t
+
+R7_QUERIES: dict[str, QueryDef] = {}
+
+
+def _h32(col):
+    """Engine-portable 32-bit hash (md5 prefix as int64) — same literal
+    definition as the r5/r6 family files."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+_Z975 = 1.959963984540054  # Phi^-1(0.975), a literal in both engines
+
+
+# ------------------------------------------- TWO-PROPORTION Z (A/B)
+
+
+def proportions_ztest(events):
+    """Two-proportion z-test on conversion: of users who signed up, did
+    the hash arms convert (first purchase within 24 h of first signup)
+    at different rates? Pooled-variance z plus the unpooled Wald 95%
+    CI half-width — the everyday A/B readout the stat family lacked
+    (KS/MWU/chi2 test distributions; this tests THE rate). Conversion
+    is time-windowed because in this fixture every signer eventually
+    purchases — the undated definition is vacuously p=1 in both arms.
+
+    Exactness: one fact scan to the user grain, one 2-row aggregate;
+    x/n are exact int64 and both statistics are single double
+    expression trees over their casts, micro-quantized at export;
+    degenerate margins (an empty arm, or se = 0) export NULL rather
+    than tripping ANSI division.
+    """
+    us = F.expr("unix_micros(ts)")
+    per_user = (
+        events.where(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", us)).alias("s_us"),
+            F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+        )
+        .where(F.col("s_us").isNotNull())
+        .select(
+            (
+                _h32(F.concat(F.lit("arm:"), F.col("user_id").cast("string")))
+                % 2
+            ).alias("arm"),
+            F.when(
+                F.col("p_us") <= F.col("s_us") + F.lit(86400000000), 1
+            )
+            .otherwise(0)
+            .alias("converted"),
+        )
+    )
+    # coalesce: a global aggregate over ZERO signed users still returns
+    # one row, with NULL sums — export (0,0,0,0) instead
+    z = lambda c: F.coalesce(c, F.lit(0)).cast("long")  # noqa: E731
+    arms = per_user.groupBy().agg(
+        z(F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))).alias("n1"),
+        z(F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))).alias("x1"),
+        z(F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))).alias("n2"),
+        z(F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))).alias("x2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pp = (d("x1") + d("x2")) / (d("n1") + d("n2"))
+    diff = d("x1") / d("n1") - d("x2") / d("n2")
+    se_pool = F.sqrt(pp * (1 - pp) * (1 / d("n1") + 1 / d("n2")))
+    se_wald = F.sqrt(
+        (d("x1") / d("n1")) * (1 - d("x1") / d("n1")) / d("n1")
+        + (d("x2") / d("n2")) * (1 - d("x2") / d("n2")) / d("n2")
+    )
+    q = lambda col: F.floor(col * 1000000 + F.lit(0.5)).cast("long")  # noqa: E731
+    both = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return arms.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.when(both, q(diff)).alias("diff_micro"),
+        F.when(
+            both & (F.col("x1") + F.col("x2") > 0)
+            & (F.col("x1") + F.col("x2") < F.col("n1") + F.col("n2")),
+            q(diff / se_pool),
+        ).alias("z_micro"),
+        F.when(both, q(F.lit(_Z975) * se_wald)).alias("ci_halfwidth_micro"),
+    )
+
+
+def _stat_proportions_ztest(spark, sf_dir):
+    return proportions_ztest(t(spark, sf_dir, "events"))
+
+
+_PROPZ_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+  FROM events
+  WHERE event_type IN ('signup', 'purchase')
+  GROUP BY user_id
+),
+armed AS (
+  SELECT ('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+             % 2 AS arm,
+         CASE WHEN p_us <= s_us + 86400000000 THEN 1 ELSE 0 END AS converted
+  FROM per_user WHERE s_us IS NOT NULL
+),
+agg AS (
+  SELECT CAST(COALESCE(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n1,
+         CAST(COALESCE(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END), 0) AS BIGINT) AS x1,
+         CAST(COALESCE(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n2,
+         CAST(COALESCE(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END), 0) AS BIGINT) AS x2
+  FROM armed
+)
+SELECT n1, x1, n2, x2,
+  CASE WHEN n1 > 0 AND n2 > 0 THEN
+    CAST(floor((CAST(x1 AS DOUBLE)/n1 - CAST(x2 AS DOUBLE)/n2) * 1000000 + 0.5)
+         AS BIGINT) END AS diff_micro,
+  CASE WHEN n1 > 0 AND n2 > 0 AND x1 + x2 > 0 AND x1 + x2 < n1 + n2 THEN
+    CAST(floor((CAST(x1 AS DOUBLE)/n1 - CAST(x2 AS DOUBLE)/n2)
+         / sqrt((CAST(x1 AS DOUBLE)+x2)/(CAST(n1 AS DOUBLE)+n2)
+                * (1 - (CAST(x1 AS DOUBLE)+x2)/(CAST(n1 AS DOUBLE)+n2))
+                * (1/CAST(n1 AS DOUBLE) + 1/CAST(n2 AS DOUBLE)))
+         * 1000000 + 0.5) AS BIGINT) END AS z_micro,
+  CASE WHEN n1 > 0 AND n2 > 0 THEN
+    CAST(floor({_Z975!r} * sqrt(
+          (CAST(x1 AS DOUBLE)/n1) * (1 - CAST(x1 AS DOUBLE)/n1) / n1
+        + (CAST(x2 AS DOUBLE)/n2) * (1 - CAST(x2 AS DOUBLE)/n2) / n2)
+         * 1000000 + 0.5) AS BIGINT) END AS ci_halfwidth_micro
+FROM agg
+"""
+
+
+# ------------------------------------------- RATIO METRIC, DELTA CI
+
+
+def ratio_delta_ci(events):
+    """Delta-method 95% CI for a ratio metric: revenue-per-event, the
+    unit-of-analysis problem mean tests get wrong because a user's
+    numerator (revenue cents) and denominator (event count) co-vary.
+    r = X̄/Ȳ over user-grain pairs; Var(r) ≈ (s_xx − 2r s_xy + r² s_yy)
+    / (n ȳ²) with sample (co)variances from exact int64 sums.
+
+    Scale shape: one shuffle to the user grain, one 1-row aggregate;
+    the moments (Σx, Σy, Σx², Σy², Σxy) are exact int64 (cents-grain
+    products bounded well inside int64 at any SF-proportional per-user
+    volume), and the CI is one double expression over their casts.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents(F.col("value")))
+            .otherwise(0)
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    m = per_user.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = d("n")
+    r = d("sx") / d("sy")
+    ybar = d("sy") / n
+    c_xx = (d("sxx") - d("sx") * d("sx") / n) / (n - 1)
+    c_yy = (d("syy") - d("sy") * d("sy") / n) / (n - 1)
+    c_xy = (d("sxy") - d("sx") * d("sy") / n) / (n - 1)
+    var_r = (c_xx - 2 * r * c_xy + r * r * c_yy) / (n * ybar * ybar)
+    q = lambda col: F.floor(col * 1000000 + F.lit(0.5)).cast("long")  # noqa: E731
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        q(r).alias("ratio_micro"),
+        # n = 1 leaves the sample covariances 0/0 — export NULL, never
+        # a NaN (ANSI cast of NaN to long raises)
+        F.when(F.col("n") > 1, q(F.lit(_Z975) * F.sqrt(var_r))).alias(
+            "ci_halfwidth_micro"
+        ),
+    )
+
+
+def _stat_ratio_delta_ci(spark, sf_dir):
+    return ratio_delta_ci(t(spark, sf_dir, "events"))
+
+
+_RATIO_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+         CAST(sum(x*y) AS BIGINT) AS sxy
+  FROM per_user
+)
+SELECT n, sx, sy,
+  CAST(floor(CAST(sx AS DOUBLE)/CAST(sy AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      AS ratio_micro,
+  CASE WHEN n > 1 THEN
+  CAST(floor({_Z975!r} * sqrt(
+      ( (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE)-1)
+        - 2 * (CAST(sx AS DOUBLE)/CAST(sy AS DOUBLE))
+            * ( (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE)-1) )
+        + (CAST(sx AS DOUBLE)/CAST(sy AS DOUBLE)) * (CAST(sx AS DOUBLE)/CAST(sy AS DOUBLE))
+            * ( (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE)-1) )
+      ) / (CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)))
+  ) * 1000000 + 0.5) AS BIGINT) END AS ci_halfwidth_micro
+FROM m
+"""
+
+
+# --------------------------------------- JSONL / CSV SINK-SCAN PARITY
+
+_DOCS_SCHEMA = ST.StructType(
+    [
+        ST.StructField("doc_id", ST.LongType()),
+        ST.StructField("text", ST.StringType()),
+        ST.StructField("lang", ST.StringType()),
+        ST.StructField("source", ST.StringType()),
+        ST.StructField("n_chars", ST.LongType()),
+    ]
+)
+
+
+def _roundtrip_agg(df):
+    """Per-source audit: row count, char mass, and an md5 content
+    checksum over every column — any byte the format layer mangles
+    moves the checksum."""
+    chk = _h32(
+        F.concat_ws(
+            "\x1f",
+            F.col("doc_id").cast("string"),
+            F.col("text"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("n_chars").cast("string"),
+        )
+    )
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(chk).alias("checksum"),
+    )
+
+
+_RT_AGG_SQL = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(('0x' || substr(md5(
+           CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) || lang
+           || chr(31) || source || chr(31) || CAST(n_chars AS VARCHAR)
+       ), 1, 8))::BIGINT) AS BIGINT) AS checksum
+FROM {src} GROUP BY source ORDER BY source
+"""
+
+
+def _source_jsonl_roundtrip(spark, sf_dir):
+    """S4/S5 for the JSONL interchange format: documents → JSON-lines
+    sink → schema'd scan-back → per-source checksum audit, which must
+    equal the direct aggregate (the oracle computes it straight off the
+    parquet). Proves unicode/controls survive JSON escaping both ways.
+
+    100 TB: the sink is a plain distributed write (one file per task,
+    no driver involvement) and the scan-back is schema'd (no sampling
+    inference pass); checksums are the same partial-aggregated groupBy
+    as every audit key."""
+    docs = t(spark, sf_dir, "documents")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"fdis_jsonl_roundtrip_{os.getpid()}"
+    )
+    docs.write.mode("overwrite").json(out_dir)
+    back = spark.read.schema(_DOCS_SCHEMA).json(out_dir)
+    return _roundtrip_agg(back)
+
+
+def _source_csv_roundtrip(spark, sf_dir):
+    """S4/S5 for CSV: the text column is first salted with the three
+    characters that make CSV hard (quote, comma, newline) so the
+    quoting/escaping path genuinely executes, then sink → multiLine
+    scan-back → checksum audit against the oracle computing the same
+    salted aggregate directly."""
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit('|"x",\ny'))
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"fdis_csv_roundtrip_{os.getpid()}"
+    )
+    (
+        docs.write.mode("overwrite")
+        .options(header=True, quote='"', escape='"')
+        .csv(out_dir)
+    )
+    back = spark.read.schema(_DOCS_SCHEMA).options(
+        header=True, quote='"', escape='"', multiLine=True
+    ).csv(out_dir)
+    return _roundtrip_agg(back)
+
+
+_CSV_SALT_SQL = (
+    "(SELECT doc_id, text || '|' || chr(34) || 'x' || chr(34) || ','"
+    " || chr(10) || 'y' AS text, lang, source, n_chars FROM documents)"
+)
+
+for _q in (
+    QueryDef(
+        "stat_proportions_ztest", _stat_proportions_ztest, _PROPZ_SQL, ("stat",)
+    ),
+    QueryDef("stat_ratio_delta_ci", _stat_ratio_delta_ci, _RATIO_SQL, ("stat",)),
+    QueryDef(
+        "source_jsonl_roundtrip",
+        _source_jsonl_roundtrip,
+        _RT_AGG_SQL.format(src="documents"),
+        ("source",),
+    ),
+    QueryDef(
+        "source_csv_roundtrip",
+        _source_csv_roundtrip,
+        _RT_AGG_SQL.format(src=_CSV_SALT_SQL),
+        ("source",),
+    ),
+):
+    R7_QUERIES[_q.name] = _q

@@ -160,29 +160,24 @@ def test_bench_line_fits_driver_tail_capture():
 def test_registry_families_have_no_key_collisions():
     """A key defined in two family dicts silently shadows one plan with
     the other (dict.update order wins) — caught live in round 3 when a
-    new family re-defined core's ``unpivot_melt``. Every registry key
-    must come from exactly one family."""
+    new family re-defined core's ``unpivot_melt``, and AGAIN in round 7
+    when a new r7 key re-defined r6's ``events_survival_km`` (this test
+    then only covered six families, so the shadowing was invisible
+    until a registry count came up one short). Every registry key must
+    come from exactly one family, across ALL families registry.py
+    merges — iterate registry.FAMILIES itself so a newly added family
+    can never dodge the check."""
     from collections import Counter
 
-    from fitness_data_ingest_spark.registry_core import CORE_QUERIES
-    from fitness_data_ingest_spark.registry_ext import EXT_QUERIES
-    from fitness_data_ingest_spark.registry_pipeline import PIPELINE_QUERIES
-    from fitness_data_ingest_spark.registry_r3 import R3_QUERIES
-    from fitness_data_ingest_spark.registry_stream import STREAM_QUERIES
-    from fitness_data_ingest_spark.registry_tpch2 import TPCH2_QUERIES
+    from fitness_data_ingest_spark import registry
 
     counts = Counter()
-    for family in (
-        CORE_QUERIES,
-        EXT_QUERIES,
-        STREAM_QUERIES,
-        TPCH2_QUERIES,
-        PIPELINE_QUERIES,
-        R3_QUERIES,
-    ):
+    for _name, family in registry.FAMILIES:
         counts.update(family.keys())
     dupes = sorted(k for k, n in counts.items() if n > 1)
     assert not dupes, f"registry keys defined in more than one family: {dupes}"
+    # and the merged registry lost nothing to shadowing
+    assert len(registry.all_queries()) == sum(counts.values())
 
 
 def test_readme_contract_table_is_current():

@@ -1041,3 +1041,22 @@ def test_r6b_family_plan_shapes(spark, sf_dir):
             assert not (
                 first.endswith(" ASC") or first.endswith(" DESC")
             ), f"{name}: partition-less window: {m.group(0)[:160]}"
+
+
+def test_r7_family_plan_shapes(spark, sf_dir):
+    """Round-7 keys: the two stat keys are one fact scan to the user
+    grain + a 1-row global aggregate — no join, no window, no cartesian
+    anywhere; the two roundtrip keys scan their sink-format files back
+    with an explicit schema (no inference pass) and aggregate with a
+    plain partial-aggregated groupBy — no join, no window. Python never
+    appears in any of the four plans."""
+    from fitness_data_ingest_spark.registry_r7 import R7_QUERIES
+
+    for name, q in R7_QUERIES.items():
+        plan = plan_of(q.spark(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Window" not in plan, name
+        assert "Join" not in plan, name
+        assert "Python" not in plan and "BatchEvalPython" not in plan, name
+        assert "HashAggregate" in plan or "SortAggregate" in plan, name

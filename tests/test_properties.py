@@ -3726,3 +3726,132 @@ def test_conversion_lag_matches_bruteforce(spark, evs):
 
     assert (row["n_conversions"], row["p50_s"], row["p90_s"], row["p99_s"]) \
         == (n, pct(50), pct(90), pct(99))
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.sampled_from(["signup", "purchase", "view"]),
+            st.integers(min_value=0, max_value=5 * 86400),
+        ),
+        min_size=1, max_size=30,
+        unique_by=lambda t: (t[0], t[2]),
+    )
+)
+@PROP_SETTINGS
+def test_proportions_ztest_matches_bruteforce(spark, evs):
+    """Pooled z + Wald CI == the textbook recomputation from the same
+    per-user conversion bits (first purchase within 24 h of first
+    signup), including the NULL exports on empty arms and degenerate
+    pooled rates."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    from fitness_data_ingest_spark.registry_r7 import _Z975, proportions_ztest
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [
+            (i, int(u), ty, base + dt.timedelta(seconds=int(s)), 1.0)
+            for i, (u, ty, s) in enumerate(evs)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    )
+    row = proportions_ztest(ev).collect()[0]
+
+    per: dict[int, dict[str, int]] = {}
+    for u, ty, s in evs:
+        if ty in ("signup", "purchase"):
+            d = per.setdefault(u, {})
+            d[ty] = min(d.get(ty, s), s)
+    stats = {0: [0, 0], 1: [0, 0]}  # arm -> [n, x]
+    for u, d in per.items():
+        if "signup" not in d:
+            continue
+        arm = int(hashlib.md5(f"arm:{u}".encode()).hexdigest()[:8], 16) % 2
+        conv = 1 if "purchase" in d and d["purchase"] <= d["signup"] + 86400 else 0
+        stats[arm][0] += 1
+        stats[arm][1] += conv
+    (n1, x1), (n2, x2) = stats[0], stats[1]
+    assert (row["n1"], row["x1"], row["n2"], row["x2"]) == (n1, x1, n2, x2)
+
+    q = lambda v: math.floor(v * 1000000 + 0.5)  # noqa: E731
+    if n1 == 0 or n2 == 0:
+        assert row["diff_micro"] is None and row["ci_halfwidth_micro"] is None
+        assert row["z_micro"] is None
+        return
+    diff = x1 / n1 - x2 / n2
+    assert row["diff_micro"] == q(diff)
+    assert row["ci_halfwidth_micro"] == q(
+        _Z975
+        * math.sqrt(
+            (x1 / n1) * (1 - x1 / n1) / n1 + (x2 / n2) * (1 - x2 / n2) / n2
+        )
+    )
+    if 0 < x1 + x2 < n1 + n2:
+        pp = (x1 + x2) / (n1 + n2)
+        se = math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+        assert row["z_micro"] == q(diff / se)
+    else:
+        assert row["z_micro"] is None
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.sampled_from(["purchase", "view", "click"]),
+            st.integers(min_value=1, max_value=50000),  # value cents
+        ),
+        min_size=1, max_size=30,
+    )
+)
+@PROP_SETTINGS
+def test_ratio_delta_ci_matches_bruteforce(spark, evs):
+    """Delta-method ratio CI == the literal moment recomputation over
+    the same user-grain (revenue cents, event count) pairs, including
+    the n=1 NULL export."""
+    import datetime as dt
+    import math
+
+    from fitness_data_ingest_spark.registry_r7 import _Z975, ratio_delta_ci
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [
+            (i, int(u), ty, base + dt.timedelta(seconds=i), c / 100.0)
+            for i, (u, ty, c) in enumerate(evs)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    )
+    row = ratio_delta_ci(ev).collect()[0]
+
+    per: dict[int, list[int]] = {}
+    for i, (u, ty, c) in enumerate(evs):
+        xy = per.setdefault(u, [0, 0])
+        if ty == "purchase":
+            xy[0] += math.floor((c / 100.0) * 100 + 0.5)
+        xy[1] += 1
+    n = len(per)
+    sx = sum(v[0] for v in per.values())
+    sy = sum(v[1] for v in per.values())
+    sxx = sum(v[0] * v[0] for v in per.values())
+    syy = sum(v[1] * v[1] for v in per.values())
+    sxy = sum(v[0] * v[1] for v in per.values())
+    assert (row["n"], row["sx"], row["sy"]) == (n, sx, sy)
+    q = lambda v: math.floor(v * 1000000 + 0.5)  # noqa: E731
+    assert row["ratio_micro"] == q(sx / sy)
+    if n == 1:
+        assert row["ci_halfwidth_micro"] is None
+        return
+    r = sx / sy
+    ybar = sy / n
+    c_xx = (sxx - sx * sx / n) / (n - 1)
+    c_yy = (syy - sy * sy / n) / (n - 1)
+    c_xy = (sxy - sx * sy / n) / (n - 1)
+    var_r = (c_xx - 2 * r * c_xy + r * r * c_yy) / (n * ybar * ybar)
+    assert row["ci_halfwidth_micro"] == q(_Z975 * math.sqrt(max(var_r, 0.0)))
