@@ -2,7 +2,7 @@
 backlog per the round-6 verdict: at most a handful of new keys, and
 only once the rotation already leads with every never-verified key).
 
-Four keys closing real gaps:
+Six keys closing real gaps:
 
 - ``stat_proportions_ztest`` — the two-proportion z-test + Wald CI on
   conversion (signup→purchase), the most common A/B statistic the stat
@@ -11,8 +11,12 @@ Four keys closing real gaps:
   (revenue per event), the experimentation workhorse that mean-grain
   tests cannot cover because numerator and denominator co-vary per
   user.
-- ``source_jsonl_roundtrip`` / ``source_csv_roundtrip`` — JSONL and
-  CSV sink→scan parity with md5 content checksums. LLM-pipeline
+- ``events_quantile_treatment_effect`` — exact order-statistic
+  quantiles of the outcome per hash arm and their differences: the
+  tail-sensitive readout mean tests miss entirely.
+- ``source_jsonl_roundtrip`` / ``source_csv_roundtrip`` /
+  ``source_orc_roundtrip`` — JSONL, CSV and ORC sink→scan parity with
+  md5 content checksums. LLM-pipeline
   interchange is JSONL-first and CSV never dies; the checksum proves
   byte fidelity through each format's escaping (the CSV text is
   deliberately salted with quotes/commas/newlines so the quoting path
@@ -363,6 +367,175 @@ for _q in (
         _source_csv_roundtrip,
         _RT_AGG_SQL.format(src=_CSV_SALT_SQL),
         ("source",),
+    ),
+):
+    R7_QUERIES[_q.name] = _q
+
+
+def _source_orc_roundtrip(spark, sf_dir):
+    """S4/S5 for ORC — the third columnar container Spark ships native
+    readers for. Same checksum audit as the JSONL/CSV keys: sink →
+    schema'd scan-back must be byte-identical to the parquet source
+    (the oracle aggregates the parquet directly)."""
+    docs = t(spark, sf_dir, "documents")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"fdis_orc_roundtrip_{os.getpid()}"
+    )
+    docs.write.mode("overwrite").orc(out_dir)
+    back = spark.read.schema(_DOCS_SCHEMA).orc(out_dir)
+    return _roundtrip_agg(back)
+
+
+
+def _bucket_prefix(df, arm_col, time_col, val_cols, bucket_width=64):
+    """Inclusive per-arm running sums of ``val_cols`` ordered by
+    ``time_col``, without a global window: within-bucket window
+    (partitioned by (arm, time div bucket_width)) + a broadcast
+    bucket-offset join — the reflected coarse-bucket prefix pattern of
+    ``stat_logrank_test`` (registry_r6b_stat), reused here for the
+    exact order-statistic quantiles. Shuffle grain is the bounded
+    (arm x value) aggregate, never fact rows."""
+    from pyspark.sql import Window
+
+    gb = df.withColumn("bkt", F.expr(f"{time_col} div {bucket_width}"))
+    w = (
+        Window.partitionBy(arm_col, "bkt")
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = gb.select(
+        "*", *[F.sum(c).over(w).alias(f"_in_{c}") for c in val_cols]
+    )
+    btot = gb.groupBy(arm_col, "bkt").agg(
+        *[F.sum(c).alias(f"_b_{c}") for c in val_cols]
+    )
+    offs = (
+        btot.select(F.col(arm_col).alias("_a"), F.col("bkt").alias("k"))
+        .join(
+            F.broadcast(
+                btot.select(
+                    F.col(arm_col).alias("_a2"),
+                    F.col("bkt").alias("k2"),
+                    *[f"_b_{c}" for c in val_cols],
+                )
+            ),
+            (F.col("_a2") == F.col("_a")) & (F.col("k2") < F.col("k")),
+        )
+        .groupBy("_a", "k")
+        .agg(*[F.sum(f"_b_{c}").alias(f"_o_{c}") for c in val_cols])
+    )
+    out = within.join(
+        F.broadcast(offs),
+        (within[arm_col] == offs["_a"]) & (within["bkt"] == offs["k"]),
+        "left",
+    )
+    for c in val_cols:
+        out = out.withColumn(
+            f"cum_{c}", F.coalesce(f"_o_{c}", F.lit(0)) + F.col(f"_in_{c}")
+        )
+    return out.drop(
+        "_a", "k", "bkt", *[f"_in_{c}" for c in val_cols],
+        *[f"_o_{c}" for c in val_cols],
+    )
+
+
+# --------------------------------- QUANTILE TREATMENT EFFECT (EXACT)
+
+
+QTE_PCTS = (25, 50, 75, 90)
+QTE_BUCKET = 512  # cents-grain prefix bucket width
+
+
+def quantile_treatment_effect(events, pcts: tuple[int, ...] = QTE_PCTS):
+    """Quantile treatment effects between the hash arms: the exact
+    inverse-ECDF order statistics (type-1: smallest c with
+    100·cum(c) ≥ p·n) of purchase value at the cents grain, per arm,
+    and their differences. Mean tests miss interventions that move the
+    TAILS; QTE is the standard readout for them.
+
+    Exactness: pure int64 end-to-end — cents counts, reflected
+    coarse-bucket prefix sums (the zero-global-window pattern shared
+    with stat_logrank_test), and an integer threshold comparison; the
+    percentile grid is a 4-row broadcast.
+
+    Scale shape: one fact scan to the bounded (arm × cents) grain;
+    everything after is at that grain. The only cross-grain joins are
+    broadcasts (bucket offsets, arm totals, the percentile grid)."""
+    c = events.where(F.col("event_type") == "purchase").select(
+        (
+            _h32(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))) % 2
+        ).alias("arm"),
+        cents(F.col("value")).alias("c"),
+    )
+    g = c.groupBy("arm", "c").agg(F.count(F.lit(1)).alias("d"))
+    tot = g.groupBy("arm").agg(F.sum("d").alias("n_arm"))
+    cum = _bucket_prefix(g, "arm", "c", ["d"], bucket_width=QTE_BUCKET)
+    pgrid = F.broadcast(
+        events.sparkSession.createDataFrame([(p,) for p in pcts], "p int")
+    )
+    hit = (
+        cum.join(F.broadcast(tot), "arm")
+        .crossJoin(pgrid)
+        .where(F.lit(100) * F.col("cum_d") >= F.col("p") * F.col("n_arm"))
+        .groupBy("p", "arm")
+        .agg(F.min("c").alias("q"))
+    )
+    wide = hit.groupBy("p").agg(
+        F.min(F.when(F.col("arm") == 0, F.col("q"))).alias("q_arm0_cents"),
+        F.min(F.when(F.col("arm") == 1, F.col("q"))).alias("q_arm1_cents"),
+    )
+    return wide.select(
+        "p",
+        "q_arm0_cents",
+        "q_arm1_cents",
+        (F.col("q_arm1_cents") - F.col("q_arm0_cents")).alias("qte_cents"),
+    )
+
+
+def _events_qte(spark, sf_dir):
+    return quantile_treatment_effect(t(spark, sf_dir, "events"))
+
+
+_QTE_SQL = f"""
+WITH c AS (
+  SELECT ('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+             % 2 AS arm,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+),
+g AS (SELECT arm, c, CAST(count(*) AS BIGINT) AS d FROM c GROUP BY arm, c),
+cum AS (
+  SELECT arm, c,
+         CAST(sum(d) OVER (PARTITION BY arm ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_d,
+         CAST(sum(d) OVER (PARTITION BY arm) AS BIGINT) AS n_arm
+  FROM g
+),
+pgrid AS (SELECT unnest({list(QTE_PCTS)}) AS p),
+hit AS (
+  SELECT p, arm, min(c) AS q
+  FROM cum, pgrid
+  WHERE 100 * cum_d >= p * n_arm
+  GROUP BY p, arm
+)
+SELECT p,
+       min(CASE WHEN arm = 0 THEN q END) AS q_arm0_cents,
+       min(CASE WHEN arm = 1 THEN q END) AS q_arm1_cents,
+       min(CASE WHEN arm = 1 THEN q END) - min(CASE WHEN arm = 0 THEN q END)
+           AS qte_cents
+FROM hit GROUP BY p ORDER BY p
+"""
+
+for _q in (
+    QueryDef(
+        "source_orc_roundtrip",
+        _source_orc_roundtrip,
+        _RT_AGG_SQL.format(src="documents"),
+        ("source",),
+    ),
+    QueryDef(
+        "events_quantile_treatment_effect", _events_qte, _QTE_SQL, ("events",)
     ),
 ):
     R7_QUERIES[_q.name] = _q

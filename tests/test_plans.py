@@ -1046,17 +1046,30 @@ def test_r6b_family_plan_shapes(spark, sf_dir):
 def test_r7_family_plan_shapes(spark, sf_dir):
     """Round-7 keys: the two stat keys are one fact scan to the user
     grain + a 1-row global aggregate — no join, no window, no cartesian
-    anywhere; the two roundtrip keys scan their sink-format files back
-    with an explicit schema (no inference pass) and aggregate with a
-    plain partial-aggregated groupBy — no join, no window. Python never
-    appears in any of the four plans."""
+    anywhere; the three roundtrip keys scan their sink-format files
+    back with an explicit schema (no inference pass) and aggregate with
+    a plain partial-aggregated groupBy — no join, no window. The QTE
+    key may join — but only broadcasts (bucket offsets, arm totals)
+    plus the sanctioned 4-row percentile-grid BNLJ — and its windows
+    must all carry the (arm, bucket) partition spec. Python never
+    appears in any plan."""
+    import re
+
     from fitness_data_ingest_spark.registry_r7 import R7_QUERIES
 
     for name, q in R7_QUERIES.items():
         plan = plan_of(q.spark(spark, sf_dir), "simple")
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
-        assert "Window" not in plan, name
-        assert "Join" not in plan, name
         assert "Python" not in plan and "BatchEvalPython" not in plan, name
         assert "HashAggregate" in plan or "SortAggregate" in plan, name
+        if name == "events_quantile_treatment_effect":
+            # joins allowed, but every hash join must broadcast and
+            # every window must carry a partition spec
+            assert "SortMergeJoin" not in plan, plan[:800]
+            assert "ShuffledHashJoin" not in plan, plan[:800]
+            for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+                assert m.group(1).strip(), f"{name}: partition-less window"
+        else:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert "Window" not in plan, name
+            assert "Join" not in plan, name

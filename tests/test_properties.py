@@ -3855,3 +3855,68 @@ def test_ratio_delta_ci_matches_bruteforce(spark, evs):
     c_xy = (sxy - sx * sy / n) / (n - 1)
     var_r = (c_xx - 2 * r * c_xy + r * r * c_yy) / (n * ybar * ybar)
     assert row["ci_halfwidth_micro"] == q(_Z975 * math.sqrt(max(var_r, 0.0)))
+
+
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.sampled_from(["purchase", "view"]),
+            st.integers(min_value=1, max_value=200000),  # value cents
+        ),
+        min_size=1, max_size=40,
+    )
+)
+@PROP_SETTINGS
+def test_qte_matches_bruteforce(spark, evs):
+    """Exact inverse-ECDF quantiles per arm (type-1: smallest c with
+    100·cum ≥ p·n, computed here by literally sorting the cents lists)
+    == the bucket-prefix machinery, including NULL arms when one arm
+    has no purchases."""
+    import datetime as dt
+    import hashlib
+
+    from fitness_data_ingest_spark.registry_r7 import (
+        QTE_PCTS,
+        quantile_treatment_effect,
+    )
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [
+            (i, int(u), ty, base + dt.timedelta(seconds=i), c / 100.0)
+            for i, (u, ty, c) in enumerate(evs)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    )
+    rows = {r["p"]: r for r in quantile_treatment_effect(ev).collect()}
+
+    arms: dict[int, list[int]] = {0: [], 1: []}
+    for u, ty, c in evs:
+        if ty == "purchase":
+            arm = int(hashlib.md5(f"arm:{u}".encode()).hexdigest()[:8], 16) % 2
+            # cents(c/100.0) == c exactly for integer c (the ±ulp of
+            # the double division dies under floor(x + 0.5))
+            arms[arm].append(c)
+    for a in (0, 1):
+        arms[a].sort()
+
+    def brute(vals, p):
+        if not vals:
+            return None
+        n = len(vals)
+        for i, c in enumerate(vals, 1):
+            if 100 * i >= p * n:
+                return c
+
+    if not arms[0] and not arms[1]:
+        assert rows == {}
+        return
+    assert set(rows) == set(QTE_PCTS)
+    for p in QTE_PCTS:
+        q0, q1 = brute(arms[0], p), brute(arms[1], p)
+        assert rows[p]["q_arm0_cents"] == q0
+        assert rows[p]["q_arm1_cents"] == q1
+        expect_qte = None if q0 is None or q1 is None else q1 - q0
+        assert rows[p]["qte_cents"] == expect_qte
