@@ -1511,7 +1511,7 @@ def test_ks_two_sample_matches_bruteforce(spark, avals, bvals):
     support, including the smallest-argmax tie-break; values straddle
     the KS_BUCKET boundary so the hierarchical prefix sum is exercised
     across coarse buckets."""
-    from fitness_data_ingest_spark.registry_r6 import ks_two_sample
+    from fitness_data_ingest_spark.registry_r6_statfeat import ks_two_sample
 
     row = ks_two_sample(_mk_ab_events(spark, avals, bvals)).collect()[0]
     na, nb = len(avals), len(bvals)
@@ -1536,7 +1536,7 @@ def test_ks_two_sample_matches_bruteforce(spark, avals, bvals):
 def test_mannwhitney_matches_pair_count(spark, avals, bvals):
     """2·U_A from the cumulative identity == the literal pair count
     (2 per A>B pair, 1 per tie) — heavy ties on a narrow domain."""
-    from fitness_data_ingest_spark.registry_r6 import mannwhitney_u
+    from fitness_data_ingest_spark.registry_r6_statfeat import mannwhitney_u
 
     row = mannwhitney_u(_mk_ab_events(spark, avals, bvals)).collect()[0]
     u2 = sum(2 if a > b else (1 if a == b else 0) for a in avals for b in bvals)
@@ -1559,7 +1559,7 @@ def test_chi2_cells_match_bruteforce(spark, labels):
     int64 roots)."""
     import math
 
-    from fitness_data_ingest_spark.registry_r6 import chi2_independence
+    from fitness_data_ingest_spark.registry_r6_statfeat import chi2_independence
 
     orders = spark.createDataFrame(
         [(i, f"P{p}", f"S{s}") for i, (p, s) in enumerate(labels)],
@@ -1603,7 +1603,10 @@ def test_benjamini_hochberg_matches_bruteforce(spark, groups):
     import datetime as dt
     import math
 
-    from fitness_data_ingest_spark.registry_r6 import BH_INV_ALPHA, benjamini_hochberg
+    from fitness_data_ingest_spark.registry_r6_statfeat import (
+        BH_INV_ALPHA,
+        benjamini_hochberg,
+    )
 
     base = dt.datetime(2024, 1, 1)
     data = [
@@ -1659,7 +1662,11 @@ def test_bootstrap_ci_matches_bruteforce(spark, prices):
     import hashlib
     import math
 
-    from fitness_data_ingest_spark.registry_r6 import N_BOOT, POISSON_CUM, bootstrap_ci
+    from fitness_data_ingest_spark.registry_r6_statfeat import (
+        N_BOOT,
+        POISSON_CUM,
+        bootstrap_ci,
+    )
 
     orders = spark.createDataFrame(
         [(i, c / 100.0) for i, c in enumerate(prices)],
@@ -1715,7 +1722,7 @@ def test_scale_battery_matches_bruteforce(spark, groups):
     import datetime as dt
     import math
 
-    from fitness_data_ingest_spark.registry_r6 import scale_battery
+    from fitness_data_ingest_spark.registry_r6_statfeat import scale_battery
 
     base = dt.datetime(2024, 1, 1)
     data = [
@@ -1780,7 +1787,10 @@ def test_target_encode_matches_bruteforce(spark, rows):
     the Python replay, negative targets included."""
     import math
 
-    from fitness_data_ingest_spark.registry_r6 import TE_SMOOTH, target_encode
+    from fitness_data_ingest_spark.registry_r6_statfeat import (
+        TE_SMOOTH,
+        target_encode,
+    )
 
     segs = ["S0", "S1", "S2"]
     customer = spark.createDataFrame(
@@ -1833,7 +1843,7 @@ def test_chi2_select_ranks_match_bruteforce(spark, rows):
     import datetime as dt
     import math
 
-    from fitness_data_ingest_spark.registry_r6 import chi2_feature_select
+    from fitness_data_ingest_spark.registry_r6_statfeat import chi2_feature_select
 
     base = dt.datetime(2024, 3, 15)
     flags = ["A", "N", "R"]
@@ -1901,7 +1911,7 @@ def test_chi2_select_ranks_match_bruteforce(spark, rows):
 def test_onehot_encode_is_exact_and_exclusive(spark):
     """Every encoded row has exactly one segment indicator set (known
     vocab) or zero (unseen value), and bal_neg mirrors the sign."""
-    from fitness_data_ingest_spark.registry_r6 import onehot_encode
+    from fitness_data_ingest_spark.registry_r6_statfeat import onehot_encode
 
     customer = spark.createDataFrame(
         [
@@ -1935,12 +1945,14 @@ WORD = st.sampled_from(["the", "a", "of", "xx", "data", "spark", "longword"])
 def test_gopher_rules_match_bruteforce(spark, docs):
     """Per-source rule-failure counts == the Python replay of the five
     integer cross-multiplied rules."""
-    from fitness_data_ingest_spark.registry_r6 import (
-        GOPHER_STOPWORDS,
+    from fitness_data_ingest_spark.registry_r6_statfeat import (
         GOPHER_WC_HI,
         GOPHER_WC_LO,
         GOPHER_WL_HI,
         GOPHER_WL_LO,
+    )
+    from fitness_data_ingest_spark.registry_r6_statfeat import (
+        GOPHER_STOPWORDS,
         gopher_rules,
     )
 
@@ -1989,7 +2001,10 @@ def test_gopher_rules_match_bruteforce(spark, docs):
 def test_ngram_novelty_matches_bruteforce(spark, docs):
     """Novel span-type counts == the Python first-seen replay over
     distinct per-doc spans (narrow token domain forces collisions)."""
-    from fitness_data_ingest_spark.registry_r6 import NOVELTY_SPAN, ngram_novelty
+    from fitness_data_ingest_spark.registry_r6_statfeat import (
+        NOVELTY_SPAN,
+        ngram_novelty,
+    )
 
     texts = [" ".join(f"w{x}" for x in ws) for ws in docs]
     df = spark.createDataFrame(
@@ -2038,7 +2053,7 @@ def test_perplexity_bucket_matches_bruteforce(spark, docs):
     tertile thresholds."""
     import math
 
-    from fitness_data_ingest_spark.registry_r6 import perplexity_bucket
+    from fitness_data_ingest_spark.registry_r6_statfeat import perplexity_bucket
 
     df = spark.createDataFrame(
         [(i, txt, f"s{i % 2}") for i, txt in enumerate(docs)],
@@ -2107,7 +2122,10 @@ def test_perplexity_bucket_matches_bruteforce(spark, docs):
 def test_hits_matches_path_counts(spark, edges):
     """Unnormalized integer HITS == brute-force mutual reinforcement
     (path counting) on any bipartite graph, ranks included."""
-    from fitness_data_ingest_spark.registry_r6 import HITS_ITERS, hits_bipartite
+    from fitness_data_ingest_spark.registry_r6_statfeat import (
+        HITS_ITERS,
+        hits_bipartite,
+    )
 
     df = spark.createDataFrame(list(edges), "hub long, auth long")
     got = {
@@ -2156,7 +2174,10 @@ def test_seasonal_decompose_matches_bruteforce(spark, rows):
     import datetime as dt
     import math
 
-    from fitness_data_ingest_spark.registry_r6 import SEASONAL_HALF, seasonal_decompose
+    from fitness_data_ingest_spark.registry_r6_statfeat import (
+        SEASONAL_HALF,
+        seasonal_decompose,
+    )
 
     base = dt.datetime(2024, 1, 1)
     data = [
@@ -2206,7 +2227,10 @@ def test_weighted_sample_matches_hashlib(spark, docs):
     selection set, weights, minima, and ranks all exact."""
     import hashlib
 
-    from fitness_data_ingest_spark.registry_r6 import WRS_WCAP, weighted_sample
+    from fitness_data_ingest_spark.registry_r6_statfeat import (
+        WRS_WCAP,
+        weighted_sample,
+    )
 
     df = spark.createDataFrame(
         [(i, f"d{i}", nc) for i, (nc,) in enumerate(docs)],
@@ -2252,7 +2276,7 @@ def test_dedup_within_delay_matches_bruteforce(spark, keys):
     arrival pattern (duplicate timestamps, long gaps, singletons)."""
     import datetime as dt
 
-    from fitness_data_ingest_spark.registry_r6 import dedup_within_delay
+    from fitness_data_ingest_spark.registry_r6_statfeat import dedup_within_delay
 
     delay = 100
     base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -2299,7 +2323,7 @@ def test_range_frame_matches_bruteforce(spark, rows):
     replay (duplicate timestamps within a user see each other)."""
     import datetime as dt
 
-    from fitness_data_ingest_spark.registry_r6 import range_frame_trailing
+    from fitness_data_ingest_spark.registry_r6_misc import range_frame_trailing
 
     base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     data = [
@@ -2338,7 +2362,7 @@ def test_range_frame_matches_bruteforce(spark, rows):
 def test_epoch_schedule_matches_bruteforce(spark, docs):
     """Epoch counts == the integer-division replay; allocation never
     exceeds cap × tokens and every source gets at least one epoch."""
-    from fitness_data_ingest_spark.registry_r6 import (
+    from fitness_data_ingest_spark.registry_r6_misc import (
         EPOCH_BUDGET_X2,
         EPOCH_MAX,
         epoch_schedule,
@@ -2383,7 +2407,7 @@ def test_permutation_test_matches_hashlib(spark, rows):
     import hashlib
     import math
 
-    from fitness_data_ingest_spark.registry_r6 import permutation_test
+    from fitness_data_ingest_spark.registry_r6_misc import permutation_test
 
     base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     data = [
@@ -2466,7 +2490,7 @@ def test_gif_roundtrip_random(spark, seed):
 def test_neighborhood_jaccard_matches_bruteforce(spark, edges):
     """Capped-wedge Jaccard == the Python replay on a symmetric edge
     list (cap high enough to be inactive on these sizes)."""
-    from fitness_data_ingest_spark.registry_r6 import neighborhood_jaccard
+    from fitness_data_ingest_spark.registry_r6_misc import neighborhood_jaccard
 
     sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
     df = spark.createDataFrame(sorted(sym), "src long, dst long")
@@ -2510,7 +2534,7 @@ def test_blocking_recall_matches_bruteforce(spark, names):
     all three blocking strategies."""
     import hashlib
 
-    from fitness_data_ingest_spark.registry_r6 import blocking_recall
+    from fitness_data_ingest_spark.registry_r6_misc import blocking_recall
 
     nm = sorted(f"{a} {b}" for a, b in names)
     part = spark.createDataFrame(
@@ -2563,7 +2587,10 @@ def test_equiwidth_histogram_matches_bruteforce(spark, prices):
     """Bin assignment (closed-top), counts, and percentages == replay."""
     import math
 
-    from fitness_data_ingest_spark.registry_r6 import HIST_BINS, equiwidth_histogram
+    from fitness_data_ingest_spark.registry_r6_misc import (
+        HIST_BINS,
+        equiwidth_histogram,
+    )
 
     orders = spark.createDataFrame(
         [(i, c / 100.0) for i, c in enumerate(prices)],
@@ -2605,7 +2632,7 @@ def test_did_estimator_matches_bruteforce(spark, rows):
     import datetime as dt
     import math
 
-    from fitness_data_ingest_spark.registry_r6 import did_estimator
+    from fitness_data_ingest_spark.registry_r6_misc import did_estimator
 
     base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     data = [
@@ -2643,7 +2670,7 @@ def test_multiple_regression_recovers_planted_coefficients(spark):
 
     import numpy as np
 
-    from fitness_data_ingest_spark.registry_r6 import multiple_regression
+    from fitness_data_ingest_spark.registry_r6_misc import multiple_regression
 
     rows = []
     k = 0
@@ -2680,7 +2707,7 @@ def test_class_balance_matches_hashlib(spark, classes):
     import datetime as dt
     import hashlib
 
-    from fitness_data_ingest_spark.registry_r6 import class_balance_sample
+    from fitness_data_ingest_spark.registry_r6_misc import class_balance_sample
 
     base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     ev = spark.createDataFrame(
@@ -2720,7 +2747,10 @@ def test_survival_km_matches_bruteforce(spark, users):
     import datetime as dt
     import math
 
-    from fitness_data_ingest_spark.registry_r6 import KM_CENSOR_H, survival_km
+    from fitness_data_ingest_spark.registry_r6_misc import (
+        KM_CENSOR_H,
+        survival_km,
+    )
 
     base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     data = []
@@ -2782,7 +2812,7 @@ def test_anova_matches_bruteforce(spark, groups):
     import datetime as dt
     import math
 
-    from fitness_data_ingest_spark.registry_r6 import anova_oneway
+    from fitness_data_ingest_spark.registry_r6_misc import anova_oneway
 
     base = dt.datetime(2024, 1, 1)
     data = [
@@ -2828,7 +2858,7 @@ def test_welch_matches_bruteforce(spark, avals, bvals):
     moment expressions (skipping degenerate zero-variance draws)."""
     import math
 
-    from fitness_data_ingest_spark.registry_r6 import welch_ttest
+    from fitness_data_ingest_spark.registry_r6_misc import welch_ttest
 
     na, sa, qa = len(avals), sum(avals), sum(c * c for c in avals)
     nb, sb, qb = len(bvals), sum(bvals), sum(c * c for c in bvals)
@@ -2868,7 +2898,7 @@ def test_theil_sen_matches_bruteforce(spark, pts):
     tie rule."""
     import datetime as dt
 
-    from fitness_data_ingest_spark.registry_r6 import theil_sen
+    from fitness_data_ingest_spark.registry_r6_misc import theil_sen
 
     base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     data = [
@@ -2927,7 +2957,7 @@ def test_freshness_audit_flags_stale_stream(spark):
     the freshest stream never does; last-24h counts are exact."""
     import datetime as dt
 
-    from fitness_data_ingest_spark.registry_r6 import freshness_audit
+    from fitness_data_ingest_spark.registry_r6_misc import freshness_audit
 
     base = dt.datetime(2024, 1, 10, tzinfo=dt.timezone.utc)
     rows = [
