@@ -31,8 +31,11 @@ qs = mod.queries()
 oracles = mod.oracle_sql()
 assert set(oracles) <= set(qs), "oracle keys must be a subset of query keys"
 
-# the confs-sensitive queries: events (nanos ts), timestamps, python DS
-for name in ["window_tumbling", "ts_concat_parse", "topk_latest", "tpch_q1"]:
+# the confs-sensitive queries: events (nanos ts), timestamps, python DS,
+# plus the r7 format-roundtrip (multiLine CSV scan-back) and the
+# micros-arithmetic z-test
+for name in ["window_tumbling", "ts_concat_parse", "topk_latest", "tpch_q1",
+             "source_csv_roundtrip", "stat_proportions_ztest"]:
     out = qs[name](spark, "/root/testdata/sf0.001")
     assert out.count() >= 0, name
 print("VANILLA_OK", len(qs))
