@@ -467,7 +467,13 @@ def quantile_treatment_effect(events, pcts: tuple[int, ...] = QTE_PCTS):
         ).alias("arm"),
         cents(F.col("value")).alias("c"),
     )
-    g = c.groupBy("arm", "c").agg(F.count(F.lit(1)).alias("d"))
+    # persist the bounded (arm x cents) grain: three consumers derive
+    # from it (at-risk prefix, bucket offsets, arm totals) and without
+    # the cache each one re-scans + re-shuffles the FACT table — the
+    # executed plan showed 3 parquet passes. With it, 100 TB pays one
+    # scan and one partial-agg shuffle; the cached table is value-
+    # domain-sized (metadata-scale), never row-scale.
+    g = c.groupBy("arm", "c").agg(F.count(F.lit(1)).alias("d")).persist()
     tot = g.groupBy("arm").agg(F.sum("d").alias("n_arm"))
     cum = _bucket_prefix(g, "arm", "c", ["d"], bucket_width=QTE_BUCKET)
     pgrid = F.broadcast(
