@@ -177,6 +177,8 @@ def adjudicate_regressions(
     threshold: float,
     isolated: dict[str, float],
     measure_isolated,
+    prev_isolated: dict[str, float] | None = None,
+    flag_floor: float = 1.25,
 ) -> tuple[list[str], dict[str, dict[str, float]]]:
     """VERDICT r6 item 4: adjudicate every in-sweep regression flag by
     an isolated min-of-3 re-run BEFORE recording it. Both r6 flags
@@ -186,24 +188,50 @@ def adjudicate_regressions(
     ``regressions`` list contains only isolation-surviving entries and
     the raw evidence for each flag lands in ``regression_adjudication``.
 
+    Two r7-verdict refinements:
+
+    - LIKE-FOR-LIKE baseline (ADVICE r7): isolated runs measure only
+      0.66-0.91x of the same key's in-sweep time, so dividing a current
+      ISOLATED number by the previous round's IN-SWEEP number can
+      adjudicate a genuine ~1.5-2x plan regression away as noise purely
+      from the measurement-mode gap. When the key has an isolated
+      measurement in the previous record (``prev_isolated``), the
+      isolated ratio is computed against THAT; the fallback to prev
+      in-sweep is recorded in the evidence as ``baseline``.
+    - ALWAYS-ON evidence (VERDICT r7 item 6): every in-sweep flag at or
+      above ``flag_floor`` (not only super-threshold candidates) gets an
+      isolated measurement recorded, so cross-round drift clusters like
+      r7's 1.3x graph/embed block stay attributable to box weather vs
+      plans without re-running anything by hand. Only super-threshold
+      LIKE-FOR-LIKE survivors land in ``regressions``.
+
     ``isolated`` is the already-measured isolated-tail cache; names not
     in it are measured via ``measure_isolated`` and written back so the
     record's ``isolated_tail`` carries every adjudication measurement.
     """
+    prev_isolated = prev_isolated or {}
     adjudication: dict[str, dict[str, float]] = {}
     regressions: list[str] = []
-    for name in sorted(n for n, r in vs_prev.items() if r > threshold):
+    for name in sorted(n for n, r in vs_prev.items() if r >= flag_floor):
         iso = isolated.get(name)
         if iso is None:
             iso = measure_isolated(name)
             isolated[name] = iso
-        iso_ratio = round(iso / prev_queries[name], 2)
+        prev_iso = prev_isolated.get(name)
+        if isinstance(prev_iso, (int, float)) and prev_iso > 0:
+            base, base_kind = float(prev_iso), "prev_isolated"
+        else:
+            base, base_kind = prev_queries[name], "prev_in_sweep"
+        iso_ratio = round(iso / base, 2)
         adjudication[name] = {
             "in_sweep_ratio": vs_prev[name],
             "isolated_sec": iso,
             "isolated_ratio": iso_ratio,
+            "baseline": base_kind,
         }
-        if iso_ratio > threshold:
+        # a regression needs the in-sweep flag AND an isolation
+        # confirmation against the like-for-like baseline
+        if vs_prev[name] > threshold and iso_ratio > threshold:
             regressions.append(name)
     return regressions, adjudication
 
@@ -379,8 +407,14 @@ def main() -> None:
                 iso = min(iso, time.perf_counter() - start)
             return round(iso, 3)
 
+        prev_iso = prev.get("isolated_tail")
         regressions, adjudication = adjudicate_regressions(
-            vs_prev, prev["queries"], threshold, isolated, _measure_isolated
+            vs_prev,
+            prev["queries"],
+            threshold,
+            isolated,
+            _measure_isolated,
+            prev_isolated=prev_iso if isinstance(prev_iso, dict) else None,
         )
         if adjudication:
             out["regression_adjudication"] = adjudication

@@ -48,7 +48,10 @@ def _first_green_rounds() -> dict[str, int]:
             if isinstance(row, dict) and all(
                 row.get(c) for c in ("rows_match", "schema_match", "hash_match")
             ):
-                first.setdefault(key, min(first.get(key, rnd), rnd))
+                # NOT setdefault: earliest-round selection must not
+                # depend on glob() lexicographic order matching numeric
+                # order (it only does while filenames stay zero-padded)
+                first[key] = min(first.get(key, rnd), rnd)
     return first
 
 

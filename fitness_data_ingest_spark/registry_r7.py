@@ -208,7 +208,15 @@ def ratio_delta_ci(events):
     c_xx = (d("sxx") - d("sx") * d("sx") / n) / (n - 1)
     c_yy = (d("syy") - d("sy") * d("sy") / n) / (n - 1)
     c_xy = (d("sxy") - d("sx") * d("sy") / n) / (n - 1)
-    var_r = (c_xx - 2 * r * c_xy + r * r * c_yy) / (n * ybar * ybar)
+    # clamp at 0 before the sqrt: when per-user x is (near-)proportional
+    # to y the true variance is ~0 and float64 rounding can land the
+    # quadratic form a hair NEGATIVE — unclamped, DuckDB's sqrt raises
+    # and Spark's NaN would trip the ANSI floor→long cast. Clamped in
+    # BOTH engines so the definitions stay aligned.
+    var_r = F.greatest(
+        (c_xx - 2 * r * c_xy + r * r * c_yy) / (n * ybar * ybar),
+        F.lit(0.0),
+    )
     q = lambda col: F.floor(col * 1000000 + F.lit(0.5)).cast("long")  # noqa: E731
     return m.select(
         "n",
@@ -247,14 +255,14 @@ SELECT n, sx, sy,
   CAST(floor(CAST(sx AS DOUBLE)/CAST(sy AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
       AS ratio_micro,
   CASE WHEN n > 1 THEN
-  CAST(floor({_Z975!r} * sqrt(
+  CAST(floor({_Z975!r} * sqrt(greatest(
       ( (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE)-1)
         - 2 * (CAST(sx AS DOUBLE)/CAST(sy AS DOUBLE))
             * ( (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE)-1) )
         + (CAST(sx AS DOUBLE)/CAST(sy AS DOUBLE)) * (CAST(sx AS DOUBLE)/CAST(sy AS DOUBLE))
             * ( (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE)-1) )
       ) / (CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)))
-  ) * 1000000 + 0.5) AS BIGINT) END AS ci_halfwidth_micro
+  , 0.0)) * 1000000 + 0.5) AS BIGINT) END AS ci_halfwidth_micro
 FROM m
 """
 
@@ -270,6 +278,18 @@ _DOCS_SCHEMA = ST.StructType(
         ST.StructField("n_chars", ST.LongType()),
     ]
 )
+
+
+def _roundtrip_dir(fmt: str, sf_dir: str) -> str:
+    """Sink dir for the roundtrip keys, keyed by BOTH pid and the sf
+    fixture name: the returned DataFrame is lazy (the driver collects
+    it later), so cross-SF runs in one process must not overwrite each
+    other's sink before the slower one is consumed."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"fdis_{fmt}_roundtrip_{os.getpid()}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
 
 
 def _roundtrip_agg(df):
@@ -315,9 +335,7 @@ def _source_jsonl_roundtrip(spark, sf_dir):
     inference pass); checksums are the same partial-aggregated groupBy
     as every audit key."""
     docs = t(spark, sf_dir, "documents")
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"fdis_jsonl_roundtrip_{os.getpid()}"
-    )
+    out_dir = _roundtrip_dir("jsonl", sf_dir)
     docs.write.mode("overwrite").json(out_dir)
     back = spark.read.schema(_DOCS_SCHEMA).json(out_dir)
     return _roundtrip_agg(back)
@@ -332,9 +350,7 @@ def _source_csv_roundtrip(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").withColumn(
         "text", F.concat(F.col("text"), F.lit('|"x",\ny'))
     )
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"fdis_csv_roundtrip_{os.getpid()}"
-    )
+    out_dir = _roundtrip_dir("csv", sf_dir)
     (
         docs.write.mode("overwrite")
         .options(header=True, quote='"', escape='"')
@@ -378,9 +394,7 @@ def _source_orc_roundtrip(spark, sf_dir):
     schema'd scan-back must be byte-identical to the parquet source
     (the oracle aggregates the parquet directly)."""
     docs = t(spark, sf_dir, "documents")
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"fdis_orc_roundtrip_{os.getpid()}"
-    )
+    out_dir = _roundtrip_dir("orc", sf_dir)
     docs.write.mode("overwrite").orc(out_dir)
     back = spark.read.schema(_DOCS_SCHEMA).orc(out_dir)
     return _roundtrip_agg(back)

@@ -129,6 +129,63 @@ def test_bench_regression_flags_self_adjudicate():
     assert isolated == {"cached": 0.9, "noise": 0.8, "real": 2.05}
 
 
+def test_bench_adjudication_uses_isolated_baseline_like_for_like():
+    """ADVICE r7: isolated runs measure 0.66-0.91x of in-sweep, so a
+    current-isolated / prev-IN-SWEEP ratio can hide a genuine ~1.5-2x
+    plan regression behind the measurement-mode gap. When the previous
+    record carries an isolated number for the key, the adjudication
+    must divide by THAT (like-for-like) and say which baseline it used.
+    Here: in-sweep 2.0x, isolated re-run 1.2s vs prev in-sweep 1.0s
+    (ratio 1.2 — would dissolve) but vs prev ISOLATED 0.6s the ratio is
+    2.0 — a real regression the mode gap was masking."""
+    import bench
+
+    prev = {"masked": 1.0, "unbased": 1.0}
+    prev_isolated = {"masked": 0.6}
+    vs_prev = {"masked": 2.0, "unbased": 2.0}
+    isolated = {}
+
+    def fake_measure(name):
+        return {"masked": 1.2, "unbased": 1.2}[name]
+
+    regs, adj = bench.adjudicate_regressions(
+        vs_prev, prev, 1.5, isolated, fake_measure, prev_isolated=prev_isolated
+    )
+    assert regs == ["masked"], regs
+    assert adj["masked"]["baseline"] == "prev_isolated"
+    assert adj["masked"]["isolated_ratio"] == 2.0
+    # no isolated baseline recorded for this key -> fall back, and note it
+    assert adj["unbased"]["baseline"] == "prev_in_sweep"
+    assert adj["unbased"]["isolated_ratio"] == 1.2
+    assert "unbased" not in regs
+
+
+def test_bench_adjudication_evidence_is_always_on_for_125x_flags():
+    """VERDICT r7 item 6: every in-sweep flag >= 1.25x gets an isolated
+    measurement recorded — not only super-threshold regression
+    candidates — so cross-round drift clusters (r7's 1.3x graph/embed
+    block) stay attributable to box weather vs plans. Sub-floor keys
+    are still never measured, and sub-threshold flags never regress."""
+    import bench
+
+    prev = {"drift": 1.0, "calm": 1.0}
+    vs_prev = {"drift": 1.3, "calm": 1.1}
+    isolated = {}
+    measured = []
+
+    def fake_measure(name):
+        measured.append(name)
+        return 0.9
+
+    regs, adj = bench.adjudicate_regressions(
+        vs_prev, prev, 1.5, isolated, fake_measure
+    )
+    assert regs == []
+    assert measured == ["drift"]  # 1.3 >= floor; 1.1 < floor untouched
+    assert set(adj) == {"drift"}
+    assert adj["drift"]["isolated_sec"] == 0.9
+
+
 def test_bench_line_fits_driver_tail_capture():
     """The driver records the last 2000 chars of bench.py stdout and
     json-parses it; round 2's record was "parsed": null because the

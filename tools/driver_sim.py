@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Full driver simulation (the /verify recipe as a script).
+
+Mirrors the per-round driver exactly: fresh process, import
+``__spark_entry__`` from the repo root, smoke ``entry()`` at sf0.001,
+then run EVERY ``queries()`` key side-by-side with its ``oracle_sql()``
+string through the same comparison semantics the driver applies
+(row count + column set + result-column types + order-insensitive
+exact values — ``tests/oracle_harness.compare``).
+
+Usage:
+    python tools/driver_sim.py                 # all oracle-paired keys
+    python tools/driver_sim.py key1 key2 ...   # a subset
+    SIM_SF_DIR=/root/testdata/sf0.001 python tools/driver_sim.py
+
+Exit 0 iff every sampled oracle-paired key compares green (rows-only
+keys are executed and row-counted but cannot fail the hash, matching
+the driver's weaker check).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.join(HERE, "tests"))
+
+
+def main() -> int:
+    import importlib
+
+    from oracle_harness import compare, duck_con
+
+    mod = importlib.import_module("__spark_entry__")
+    from fitness_data_ingest_spark.session import get_spark
+
+    sf_dir = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark(
+        app_name="fdis-driver-sim",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    smoke = mod.entry(spark).collect()
+    print(f"entry() smoke: {len(smoke)} rows", flush=True)
+    assert len(smoke) > 0
+
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    names = sys.argv[1:] or list(queries)
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        print(f"unknown keys: {unknown}", file=sys.stderr)
+        return 2
+
+    con = duck_con(sf_dir)
+    t0 = time.perf_counter()
+    failed: list[str] = []
+    n_hash = n_rows_only = 0
+    for i, name in enumerate(names, 1):
+        t1 = time.perf_counter()
+        try:
+            df = queries[name](spark, sf_dir)
+            sql = oracles.get(name)
+            if sql is None:
+                n = df.count()
+                n_rows_only += 1
+                verdict, msg = True, f"rows-only ({n} rows)"
+            else:
+                n_hash += 1
+                verdict, msg = compare(df, con, sql)
+        except Exception as exc:  # noqa: BLE001 — driver records err rows
+            verdict, msg = False, f"err: {type(exc).__name__}: {exc}"
+        took = time.perf_counter() - t1
+        status = "ok" if verdict else "FAIL"
+        print(f"[{i}/{len(names)}] {name}: {status} ({took:.2f}s) {'' if verdict else msg}",
+              flush=True)
+        if not verdict:
+            failed.append(name)
+    total = time.perf_counter() - t0
+    print(
+        f"\n{len(names) - len(failed)}/{len(names)} green "
+        f"({n_hash} hash-compared, {n_rows_only} rows-only) in {total:.1f}s "
+        f"at {sf_dir}"
+    )
+    if failed:
+        print(f"FAILED: {failed}", file=sys.stderr)
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
