@@ -3,12 +3,15 @@
 
 Ordering matters: the verification driver checks the first ~50 entries of
 ``queries()`` in dict order, so the ordering ROTATES automatically:
-``_driver_verified()`` reads every recorded ``CORRECTNESS_r*.json`` and
+``_latest_green_rounds()`` reads every recorded ``CORRECTNESS_r*.json``;
 keys that already earned a fully-green verdict yield their window slot to
 keys that never have (``_FORCE_REVERIFY`` — plans rewritten after their
-last green verdict — lead unconditionally). ``_PRIORITY`` and
-``_NEXT_ROTATION`` express the preferred order WITHIN the unverified set;
-with no recorded verdicts the static order stands as-is.
+last green verdict — lead unconditionally), and once every oracle-paired
+key is lifetime-green the verified set re-enters the window OLDEST green
+round first (staleness re-verification, round-7 verdict item 1).
+``_PRIORITY`` and ``_NEXT_ROTATION`` express the preferred order WITHIN
+the unverified set; with no recorded verdicts the static order stands
+as-is.
 """
 
 from __future__ import annotations
@@ -275,42 +278,67 @@ _FORCE_REVERIFY: dict[str, int] = {
 }
 
 
-def _driver_verified() -> set[str]:
-    """Keys with a fully-green row (rows+schema+hash) in any recorded
-    ``CORRECTNESS_r*.json``. Used to rotate the driver's ~50-key
-    verification window automatically: keys that already earned a green
-    verdict in a prior round yield their slot to keys that never have.
-    Fail-open — any read problem returns an empty set and the static
-    ordering below stands unchanged."""
+def _correctness_history() -> list[tuple[int, dict]]:
+    """Every parseable recorded ``CORRECTNESS_r*.json`` as
+    ``(round, rows)`` pairs. Fail-open: any read problem returns an
+    empty history and the static ordering below stands unchanged."""
     import glob
     import json
     import os
+    import re
 
-    green: set[str] = set()
+    out: list[tuple[int, dict]] = []
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
-        import re
-
         for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
             m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
             rnd = int(m.group(1)) if m else 0
             with open(path) as f:
                 data = json.load(f)
-            if not isinstance(data, dict):
-                continue
-            for key, row in data.items():
-                if isinstance(row, dict) and all(
-                    row.get(c) for c in ("rows_match", "schema_match", "hash_match")
-                ):
-                    # a key forced back into the window counts as
-                    # verified only once a round AFTER its plan rewrite
-                    # has green-lit the new plan
-                    if key in _FORCE_REVERIFY and rnd <= _FORCE_REVERIFY[key]:
-                        continue
-                    green.add(key)
+            if isinstance(data, dict):
+                out.append((rnd, data))
     except Exception:
-        return set()
-    return green
+        return []
+    return out
+
+
+def _latest_green_rounds() -> dict[str, int]:
+    """key -> LATEST round whose driver window green-lit it
+    (rows+schema+hash all true). Drives two things: membership (a key
+    present here has a green verdict and yields its window slot to keys
+    that never earned one) and STALENESS ordering (round-8 verdict
+    item 1: with zero never-verified keys left, the window re-verifies
+    oldest-green keys first, so every key's verdict keeps getting
+    refreshed instead of r1 greens aging forever)."""
+    latest: dict[str, int] = {}
+    for rnd, data in _correctness_history():
+        for key, row in data.items():
+            if isinstance(row, dict) and all(
+                row.get(c) for c in ("rows_match", "schema_match", "hash_match")
+            ):
+                # a key forced back into the window counts as
+                # verified only once a round AFTER its plan rewrite
+                # has green-lit the new plan
+                if key in _FORCE_REVERIFY and rnd <= _FORCE_REVERIFY[key]:
+                    continue
+                latest[key] = max(latest.get(key, 0), rnd)
+    return latest
+
+
+def _ever_sampled() -> set[str]:
+    """Keys with ANY recorded driver row (green, red, or ``no_oracle``).
+    Rows-only keys can never turn green, but their first driver row
+    (spark_rows + err:no_oracle) is still evidence the plan executes
+    under the driver's own session — so a never-sampled rows-only key
+    earns exactly ONE leading window slot (round-7 verdict item 7),
+    then drops dead last forever."""
+    return {key for _rnd, data in _correctness_history() for key in data}
+
+
+def _driver_verified() -> set[str]:
+    """Keys with a fully-green row (rows+schema+hash) in any recorded
+    ``CORRECTNESS_r*.json``."""
+    return set(_latest_green_rounds())
 
 
 # Registration order matters twice: later families win dict.update
@@ -340,7 +368,9 @@ def all_queries() -> dict[str, QueryDef]:
     merged: dict[str, QueryDef] = {}
     for _name, family in FAMILIES:
         merged.update(family)
-    verified = _driver_verified()
+    latest_green = _latest_green_rounds()
+    verified = set(latest_green)
+    sampled = _ever_sampled()
     # never-verified keys lead (forced re-verifications first — keys
     # whose PHYSICAL PLAN changed since their last green verdict — then
     # static _PRIORITY members, the queued rotation, then anything else
@@ -353,15 +383,31 @@ def all_queries() -> dict[str, QueryDef]:
         + [n for n in _NEXT_ROTATION if n not in verified]
         + [n for n in merged if n not in verified]
     )
+    # STALENESS RE-VERIFICATION (round-7 verdict item 1): with the whole
+    # oracle-paired registry lifetime-green, the window would otherwise
+    # idle on dict order — instead verified keys re-enter the window
+    # OLDEST green round first (r1 greens were last sampled six rounds
+    # and one fixture regeneration ago), so ~50 of the stalest verdicts
+    # refresh every round and in steady state no verdict ages beyond
+    # ~ceil(321/50) rounds. Ties (same round) keep registration order,
+    # which keeps the ordering deterministic within a round.
+    idx = {n: i for i, n in enumerate(merged)}
+    stale_first = sorted(
+        (n for n in merged if merged[n].sql is not None and n in verified),
+        key=lambda n: (latest_green[n], idx[n]),
+    )
     # Rows-only-by-design keys (no oracle entry) can never earn a green
     # verdict — the driver records ``err: no_oracle`` forever.  They must
-    # not consume window slots AT ALL once oracle-paired keys exist to
-    # fill them, so they sort strictly after every oracle-paired key —
-    # verified or not (round-6 verdict item 2: sorting them merely after
-    # the unverified oracle-paired set still burned 2 slots of every
-    # post-backlog window on a permanent ``no_oracle`` verdict).
+    # not consume RECURRING window slots (round-6 verdict item 2) — but
+    # a rows-only key that has never had a driver row of ANY kind gets
+    # exactly one leading slot so its rows/schema execute once under the
+    # driver's own session (round-7 verdict item 7:
+    # text_compression_quality had no CORRECTNESS row at all); after
+    # that first sample it sorts dead last forever.
     ordered = (
         [n for n in unverified if n in merged and merged[n].sql is not None]
+        + [n for n in merged if merged[n].sql is None and n not in sampled]
+        + stale_first
         + [n for n in merged if merged[n].sql is not None]
         + [n for n in merged if merged[n].sql is None]
     )

@@ -241,6 +241,14 @@ def test_compression_quality_matches_direct_zlib(spark, sf_dir):
         assert r["ratio4"] == (
             math.floor(want_c / len(b) * 10000 + 0.5) / 10000.0 if b else 0.0
         )
+        # the oracle-free bounds documented in the kernel docstring
+        # (round-7 verdict item 7): any correct deflate must sit inside
+        # the zlib compressBound envelope, and ratio4 must recompute
+        # from the two exact integer columns
+        assert 0 < r["zlib_bytes"] <= r["raw_bytes"] + r["raw_bytes"] // 1000 + 13
     empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
     (r,) = compression_quality(empty).collect()
     assert r["ratio4"] == 0.0 and r["raw_bytes"] == 0
+    # empty text deflates to the fixed 8-byte zlib envelope (2-byte
+    # header + empty final stored block + 4-byte adler32)
+    assert r["zlib_bytes"] == 8

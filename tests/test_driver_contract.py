@@ -80,16 +80,46 @@ def test_registry_verification_window_rotates():
         leaked = [k for k in tail[first_green:] if k not in green]
         assert not leaked, f"unverified keys behind a green key: {leaked}"
     # rows-only (no-oracle) keys sort strictly after ALL oracle-paired
-    # keys — verified and unverified alike. A no-oracle key can never
-    # earn a green verdict, so any window slot it occupies is burned
-    # forever; once the unverified backlog clears, the old ordering
-    # (merely behind the unverified set) would burn 2 slots of EVERY
-    # window on a permanent ``no_oracle`` row (round-6 verdict item 2).
-    first_no_oracle = next(
-        (i for i, k in enumerate(ordered) if aq[k].sql is None), len(ordered)
+    # keys — EXCEPT a rows-only key with no driver row of any kind,
+    # which gets exactly one leading slot so its rows/schema execute
+    # once under the driver's session (round-7 verdict item 7), then
+    # drops dead last forever once any CORRECTNESS round records it
+    # (round-6 verdict item 2: no RECURRING rows-only slots).
+    sampled = registry._ever_sampled()
+    one_shot = [k for k in ordered if aq[k].sql is None and k not in sampled]
+    recurring_no_oracle = [
+        k for k in ordered if aq[k].sql is None and k in sampled
+    ]
+    if recurring_no_oracle:
+        first_recurring = ordered.index(recurring_no_oracle[0])
+        misordered = [
+            k for k in ordered[first_recurring:] if aq[k].sql is not None
+        ]
+        assert not misordered, (
+            f"oracle-paired keys behind a sampled no-oracle key: {misordered}"
+        )
+    # any one-shot rows-only keys ride ahead of the verified segment —
+    # i.e. inside the window — and there can only be as many of them as
+    # there are never-sampled rows-only keys (each appears exactly once)
+    if one_shot and green:
+        first_verified = next(
+            i for i, k in enumerate(ordered) if k in green
+        )
+        assert all(ordered.index(k) < first_verified for k in one_shot), (
+            "one-shot rows-only keys must precede the verified segment"
+        )
+    # STALENESS PIN (round-7 verdict item 1): within the verified
+    # oracle-paired segment, keys re-enter the window oldest-green
+    # first — the latest green round must be non-decreasing.
+    latest = registry._latest_green_rounds()
+    verified_seg = [
+        k for k in ordered if aq[k].sql is not None and k in latest
+    ]
+    rounds_seq = [latest[k] for k in verified_seg]
+    assert rounds_seq == sorted(rounds_seq), (
+        "verified keys not ordered oldest-green-first: "
+        f"{[(k, latest[k]) for k in verified_seg[:10]]} ..."
     )
-    misordered = [k for k in ordered[first_no_oracle:] if aq[k].sql is not None]
-    assert not misordered, f"oracle-paired keys behind a no-oracle key: {misordered}"
     # rotation bookkeeping must reference real keys only
     assert set(registry._NEXT_ROTATION) <= set(ordered)
     assert set(registry._PRIORITY) <= set(ordered)
