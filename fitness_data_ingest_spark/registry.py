@@ -275,6 +275,28 @@ _FORCE_REVERIFY: dict[str, int] = {
     # countDistinct (nondeterministic Expand order, 3x shuffled rows)
     # to single-pass size(collect_set) — values identical, plan changed.
     "stream_interval_join": 4,
+    # round 8: the whole graph family now reads the MATERIALIZED shared
+    # co-occurrence edge stage (registry_util.shared_cooccurrence_edges)
+    # instead of re-deriving the edge set from lineitem per key — edge
+    # VALUES identical (deterministic pair set), physical plans changed.
+    "graph_pagerank": 7,
+    "graph_triangles": 7,
+    "graph_link_predict": 7,
+    "graph_label_propagation": 7,
+    "graph_kcore_peel": 7,
+    "graph_bfs_hops": 7,
+    "graph_assortativity": 7,
+    "graph_modularity": 7,
+    "graph_powerlaw_alpha": 7,
+    "graph_neighborhood_jaccard": 7,
+    "sql_recursive_reach": 7,
+    # round 8: bootstrap draws now come from one md5 row seed + the
+    # BOOT_MIX integer mixer (draw STREAM changed, so values changed —
+    # oracle rewritten in lockstep, 3-SF hash-verified locally).
+    "stat_bootstrap_ci": 7,
+    # round 8: delta-method variance clamped at 0 before sqrt in both
+    # engines (ADVICE r7) — expression changed.
+    "stat_ratio_delta_ci": 7,
 }
 
 

@@ -20,7 +20,7 @@ from .ext import text as TX
 from .ops import graph as G
 from .ops import timeseries as TS
 from .ops import incremental as INC
-from .registry_util import QueryDef, round2, t
+from .registry_util import QueryDef, round2, shared_cooccurrence_edges, t
 
 # ---------------------------------------------------------------- MERGE
 
@@ -287,11 +287,12 @@ def _graph_pagerank(spark, sf_dir):
     (parts sharing >= 2 orders — the single-co-occurrence noise tail
     drops), 6 iterations of the int64 micro-unit
     recurrence — bit-identical to the unrolled SQL oracle under any
-    partitioning because every per-node reduction is an integer sum."""
-    li = t(spark, sf_dir, "lineitem")
-    edges = G.cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", min_groups=2
-    ).cache()
+    partitioning because every per-node reduction is an integer sum.
+    Edges come from the materialized shared stage (one build per
+    process for the whole graph family — registry_util.
+    shared_cooccurrence_edges); the iterative consumer re-persists its
+    own degree-joined form as before."""
+    edges = shared_cooccurrence_edges(spark, sf_dir)
     return G.pagerank_int(edges, iters=_PR_ITERS, symmetric=True)
 
 
@@ -313,11 +314,8 @@ def _graph_triangles(spark, sf_dir):
     per node, capping fan-out on skewed degree distributions — each
     triangle credited to its three corners in one union + groupBy. The
     oracle enumerates via the simpler id-canonical form; the triangle
-    SET is identical."""
-    li = t(spark, sf_dir, "lineitem")
-    edges = G.cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", min_groups=2
-    ).cache()
+    SET is identical. Edges: the materialized shared stage."""
+    edges = shared_cooccurrence_edges(spark, sf_dir)
     return G.triangle_stats(edges)
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry_util import QueryDef, cents, t
+from .registry_util import QueryDef, cents, shared_cooccurrence_edges, t
 
 # Bernoulli sampling modulus: keep-1-in-8 (12.5%) — large enough that
 # every fixture source keeps rows, small enough that the realized-rate
@@ -633,13 +633,13 @@ def link_predict(edges, topk: int = LP_TOPK, hub_cap: int = LP_HUB_CAP):
 def _graph_link_predict(spark, sf_dir):
     from .ops import graph as G
 
-    li = t(spark, sf_dir, "lineitem")
-    # deliberately NOT cached (unlike graph_pagerank/graph_triangles,
-    # whose ITERATIVE consumers need a materialized edge set): here all
-    # four consumers sit in ONE job, so ReusedExchange shares the edge
-    # build's shuffle output already — an explicit cache measured SLOWER
-    # at sf0.1 (4.1 s vs 3.1 s: pays materialization for nothing).
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_groups=2)
+    # materialized shared edge stage (one build per process for the
+    # whole graph family). Historical note: with the edges recomputed
+    # inline, an explicit cache measured SLOWER here (4.1 s vs 3.1 s —
+    # all four consumers sit in one job, so ReusedExchange already
+    # shared the build's shuffle); the shared parquet stage beats both
+    # by paying the build once per PROCESS, not per key.
+    edges = shared_cooccurrence_edges(spark, sf_dir)
     return link_predict(edges)
 
 
@@ -1401,8 +1401,7 @@ def _graph_label_propagation(spark, sf_dir):
     argument and why the SYNC variant is the only reproducible one."""
     from .ops import graph as G
 
-    li = t(spark, sf_dir, "lineitem")
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_groups=2)
+    edges = shared_cooccurrence_edges(spark, sf_dir)
     return G.label_propagation(edges)
 
 
@@ -1903,8 +1902,7 @@ def _graph_kcore_peel(spark, sf_dir):
     number: how much of the graph is shell vs core."""
     from .ops import graph as G
 
-    li = t(spark, sf_dir, "lineitem")
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_groups=2)
+    edges = shared_cooccurrence_edges(spark, sf_dir)
     return G.kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
 
 

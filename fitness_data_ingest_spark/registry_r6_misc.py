@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry_util import QueryDef, cents, t
+from .registry_util import QueryDef, cents, shared_cooccurrence_edges, t
 
 # Shared wave-1 machinery: the A/B event-type arms and the
 # engine-portable md5 hash/tokenizer helpers are defined once beside
@@ -479,8 +479,7 @@ def neighborhood_jaccard(edges, topk: int = NJ_TOPK, hub_cap: int = NJ_HUB_CAP):
 def _graph_neighborhood_jaccard(spark, sf_dir):
     from .ops import graph as G
 
-    li = t(spark, sf_dir, "lineitem")
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_suppkey", min_groups=2)
+    edges = shared_cooccurrence_edges(spark, sf_dir, item_col="l_suppkey")
     return neighborhood_jaccard(edges)
 
 

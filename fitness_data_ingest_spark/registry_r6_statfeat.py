@@ -507,11 +507,29 @@ FROM ranked, ks ORDER BY k
 # ------------------------------------------------ POISSON BOOTSTRAP CI
 
 
+# the replicate-draw mixer (round-7 verdict item 4): ONE md5 per row
+# yields a 32-bit seed; each (row, replicate) draw is then a two-round
+# multiply-xor-shift finalizer over (seed, replicate index) — pure int64
+# arithmetic both engines evaluate identically, chosen so every
+# intermediate stays inside SIGNED int64 under ANSI overflow checks:
+#   x0 = s ^ (b*C1)          < 2^32   (b <= 63, C1*63 < 2^32)
+#   m1 = x0*A1 % 2^31                 (2^32 * A1 < 2^63, A1 < 2^31)
+#   m2 = (m1 ^ m1>>15)*A2 % 2^31      (2^31 * A2 < 2^63)
+#   u  = (m2 ^ m2>>13) % 1e6
+# The xor rounds break the per-row linearity a bare LCG stride would
+# leave across replicates (correlated replicate means shrink the CI).
+BOOT_MIX_C1 = 40503043  # per-replicate xor stride
+BOOT_MIX_A1 = 1540483477  # MurmurHash2 multiplier, < 2^31
+BOOT_MIX_A2 = 889871009  # second-round odd multiplier, < 2^31
+BOOT_MIX_MOD = 2147483648  # 2^31
+
+
 def bootstrap_ci(orders):
     """Deterministic Poisson bootstrap CI for mean(o_totalprice):
-    every (row, replicate) pair draws a Poisson(1) count via the
-    md5-uniform inverse CDF (literal integer thresholds on both
-    engines), so the resample is REPRODUCIBLE across retries and
+    every (row, replicate) pair draws a Poisson(1) count via a
+    deterministic uniform (md5 row seed + integer mixer, see
+    BOOT_MIX_*) through the inverse CDF (literal integer thresholds on
+    both engines), so the resample is REPRODUCIBLE across retries and
     engines — the same argument as sample_hash_bernoulli, extended to
     uncertainty quantification.  CI bounds are exact order statistics
     of the 64 replicate means (ranks 2 and 63 ≈ 2.5%/97.5%).
@@ -520,28 +538,51 @@ def bootstrap_ci(orders):
     but map-side combine collapses the shuffle to exactly 64 rows
     regardless of input size; ranking the replicates is a 64×64
     broadcast self-join (bounded build).  The point estimate rides in
-    as the usual broadcast 1-row aggregate."""
+    as the usual broadcast 1-row aggregate.  CPU shape: md5 runs ONCE
+    per row, BEFORE the 64× explode — the exploded hot loop is pure
+    int64 whole-stage-codegen (the previous form re-hashed per
+    (row, replicate-group) and md5 was 80% of the key's CPU; the
+    statistics are unchanged in kind, only the draw stream differs)."""
     base = orders.select(
-        F.col("o_orderkey").cast("string").alias("k"),
         cents(F.col("o_totalprice")).alias("c"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("s"),
     )
-    # md5 is 128 bits = four independent 32-bit draws: hash once per
-    # (row, replicate GROUP of 4) and slice the segment — 16 md5
-    # evaluations per row instead of 64 (the md5 was 80% of this key's
-    # CPU; the statistics are unchanged in kind, only the draw stream
-    # differs)
-    u = F.pmod(
-        F.expr(
-            "CAST(conv(substr(md5(concat('boot:', CAST(b div 4 AS STRING),"
-            " ':', k)), CAST(1 + (b % 4) * 8 AS INT), 8), 16, 10) AS BIGINT)"
-        ),
-        F.lit(1000000),
-    )
+    u = F.col("u")
     draw = F.lit(len(POISSON_CUM))
     for i in range(len(POISSON_CUM) - 1, -1, -1):
         draw = F.when(u < POISSON_CUM[i], i).otherwise(draw)
     rep = (
-        base.select("k", "c", F.explode(F.sequence(F.lit(0), F.lit(N_BOOT - 1))).alias("b"))
+        base.select(
+            "s", "c", F.explode(F.sequence(F.lit(0), F.lit(N_BOOT - 1))).alias("b")
+        )
+        .withColumn(
+            "m1",
+            F.expr(
+                f"pmod((s ^ (CAST(b AS BIGINT) * {BOOT_MIX_C1}))"
+                f" * {BOOT_MIX_A1}, {BOOT_MIX_MOD})"
+            ),
+        )
+        .withColumn(
+            "m2",
+            F.expr(
+                f"pmod((m1 ^ shiftright(m1, 15)) * {BOOT_MIX_A2}, {BOOT_MIX_MOD})"
+            ),
+        )
+        .withColumn("u", F.expr("pmod(m2 ^ shiftright(m2, 13), 1000000)"))
         .select("b", F.col("c"), draw.cast("long").alias("w"))
         .groupBy("b")
         .agg(F.sum(F.col("w") * F.col("c")).alias("sb"), F.sum("w").alias("nb"))
@@ -601,27 +642,34 @@ def _poisson_case_sql(u_expr: str) -> str:
     return f"CASE{branches} ELSE {len(POISSON_CUM)} END"
 
 
-_BOOT_U = (
-    "('0x' || substr(md5('boot:' || CAST(b.b // 4 AS VARCHAR) || ':' || base.k),"
-    " 1 + (b.b % 4) * 8, 8))::BIGINT % 1000000"
-)
-
 _BOOT_SQL = f"""
 WITH base AS (
-  SELECT CAST(o_orderkey AS VARCHAR) AS k,
-         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+         ('0x' || substr(md5('boot:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS s
   FROM orders
 ),
-rep AS (
-  SELECT b.b,
-         CAST(floor(
-           CAST(sum(({_poisson_case_sql(_BOOT_U)}) * c) AS DOUBLE)
-           * 100.0
-           / CAST(sum({_poisson_case_sql(_BOOT_U)}) AS DOUBLE)
-           + 0.5) AS BIGINT) AS mean_c2
+mx1 AS (
+  SELECT b.b, c,
+         (xor(s, CAST(b.b AS BIGINT) * {BOOT_MIX_C1}) * {BOOT_MIX_A1})
+             % {BOOT_MIX_MOD} AS m1
   FROM base, (SELECT unnest(range(0, {N_BOOT})) AS b) b
-  GROUP BY b.b
-  HAVING sum({_poisson_case_sql(_BOOT_U)}) > 0
+),
+mx2 AS (
+  SELECT b, c,
+         (xor(m1, m1 >> 15) * {BOOT_MIX_A2}) % {BOOT_MIX_MOD} AS m2
+  FROM mx1
+),
+uu AS (SELECT b, c, xor(m2, m2 >> 13) % 1000000 AS u FROM mx2),
+rep AS (
+  SELECT b,
+         CAST(floor(
+           CAST(sum(({_poisson_case_sql("u")}) * c) AS DOUBLE)
+           * 100.0
+           / CAST(sum({_poisson_case_sql("u")}) AS DOUBLE)
+           + 0.5) AS BIGINT) AS mean_c2
+  FROM uu
+  GROUP BY b
+  HAVING sum({_poisson_case_sql("u")}) > 0
 ),
 ranked AS (
   SELECT a.b, a.mean_c2, CAST(count(x.b) AS BIGINT) AS r0

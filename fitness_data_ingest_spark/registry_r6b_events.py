@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .registry_util import QueryDef, cents, t
+from .registry_util import QueryDef, cents, shared_cooccurrence_edges, t
 
 R6B_QUERIES: dict[str, QueryDef] = {}
 
@@ -344,8 +344,7 @@ def _graph_bfs_hops(spark, sf_dir):
     contamination) spreads from the seed set."""
     from .ops import graph as G
 
-    li = t(spark, sf_dir, "lineitem")
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_groups=2)
+    edges = shared_cooccurrence_edges(spark, sf_dir)
     return G.bfs_hops(
         edges, seed_mod=BFS_SEED_MOD, seed_rem=BFS_SEED_REM,
         rounds=BFS_ROUNDS,
@@ -932,8 +931,7 @@ def assortativity(edges):
 def _graph_assortativity(spark, sf_dir):
     from .ops import graph as G
 
-    li = t(spark, sf_dir, "lineitem")
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_groups=2)
+    edges = shared_cooccurrence_edges(spark, sf_dir)
     return assortativity(edges)
 
 _ASSORT_SQL = f"""
@@ -1024,8 +1022,7 @@ def modularity(edges, labels):
 def _graph_modularity(spark, sf_dir):
     from .ops import graph as G
 
-    li = t(spark, sf_dir, "lineitem")
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_groups=2)
+    edges = shared_cooccurrence_edges(spark, sf_dir)
     return modularity(edges, G.lpa_labels(edges, rounds=MOD_ROUNDS))
 
 def _modularity_sql() -> str:
@@ -1550,8 +1547,7 @@ def powerlaw_alpha(edges):
 def _graph_powerlaw_alpha(spark, sf_dir):
     from .ops import graph as G
 
-    li = t(spark, sf_dir, "lineitem")
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey", min_groups=2)
+    edges = shared_cooccurrence_edges(spark, sf_dir)
     return powerlaw_alpha(edges)
 
 _PLAW_SQL = f"""

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .ops import graph as G
-from .registry_util import QueryDef, t
+from .registry_util import QueryDef, shared_cooccurrence_edges, t
 
 # ----------------------------------------------------------- VARIANT
 
@@ -72,13 +72,12 @@ def _sql_recursive_reach(spark, sf_dir):
     path count. The iterative-DataFrame twin of this shape is
     pagerank/connected-components; this key proves the SQL recursion
     surface gives the same exact integers DuckDB's recursion does."""
-    li = t(spark, sf_dir, "lineitem")
-    # persist: the recursive execution references the view once per
-    # depth level (and once for the seed subquery) — without this the
-    # collect_set+HOF edge build re-runs ~4x
-    edges = G.cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", min_groups=2
-    ).persist()
+    # materialized shared edge stage: the recursive execution references
+    # the view once per depth level (and once for the seed subquery) —
+    # a parquet scan per reference instead of re-running the
+    # collect_set+HOF edge build ~4x (and shared with the whole graph
+    # family, one build per process)
+    edges = shared_cooccurrence_edges(spark, sf_dir)
     edges.createOrReplaceTempView("edges_tc_v")
     return spark.sql(_REACH_SQL_SPARK)
 

@@ -66,6 +66,62 @@ def sql_money_avg(expr: str) -> str:
     )
 
 
+# --- shared materialized stages ----------------------------------------
+
+# stage name -> build seconds, for bench/driver transparency: the cost
+# of a shared stage is paid once per process, not hidden
+SHARED_STAGE_BUILD_SEC: dict[str, float] = {}
+
+
+def shared_cooccurrence_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    group_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_groups: int = 2,
+) -> DataFrame:
+    """The thresholded co-occurrence edge table as a MATERIALIZED shared
+    stage (round-7 verdict item 3): eleven graph keys consume the same
+    (l_orderkey x l_partkey, >=2 shared orders) edge set, and each used
+    to re-derive it from the fact table — 5 of the 12 slowest sweep keys
+    were paying the same collect_set+HOF-explode build over and over.
+    First call per (process, sf, params) builds it once and sinks it to
+    parquet; every later call is a plain columnar scan.
+
+    This is the warehouse pattern, not a bench trick: at 100 TB a graph
+    consumed by a whole analytics family is a staged intermediate — one
+    distributed build (one shuffle on the group key), then N readers
+    that get column pruning, real row-count statistics for AQE (the
+    recomputed form hides the edge count behind a generate), and zero
+    repeated fact-table scans. Edge-set values are deterministic (a set
+    of (src, dst) pairs), so the DuckDB oracles keep recomputing it
+    relationally and hashes are unaffected.
+
+    The path is keyed by pid + sf + params: fresh processes rebuild
+    (no cross-process staleness), and one process never collides across
+    SFs or key columns."""
+    import tempfile
+    import time
+
+    from .ops import graph as G
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    stage = f"edges_{sf}_{group_col}_{item_col}_ge{min_groups}"
+    path = os.path.join(
+        tempfile.gettempdir(), f"fdis_{os.getpid()}_{stage}.parquet"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t0 = time.perf_counter()
+        G.cooccurrence_edges(
+            t(spark, sf_dir, "lineitem"),
+            group_col,
+            item_col,
+            min_groups=min_groups,
+        ).write.mode("overwrite").parquet(path)
+        SHARED_STAGE_BUILD_SEC[stage] = round(time.perf_counter() - t0, 3)
+    return spark.read.parquet(path)
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; pins runtime confs (UTC tz) first.
 

@@ -1656,13 +1656,18 @@ def test_benjamini_hochberg_matches_bruteforce(spark, groups):
 @PROP_SETTINGS
 def test_bootstrap_ci_matches_bruteforce(spark, prices):
     """Deterministic Poisson bootstrap == the hashlib replay: same
-    md5-uniform draws, same inverse-CDF counts, same replicate means and
-    order-statistic CI bounds. Empty replicates (all-zero weights) can't
-    occur with these sizes but ranks must still line up exactly."""
+    md5 row seed, same BOOT_MIX integer-mixer draws, same inverse-CDF
+    counts, same replicate means and order-statistic CI bounds. Empty
+    replicates (all-zero weights) can't occur with these sizes but
+    ranks must still line up exactly."""
     import hashlib
     import math
 
     from fitness_data_ingest_spark.registry_r6_statfeat import (
+        BOOT_MIX_A1,
+        BOOT_MIX_A2,
+        BOOT_MIX_C1,
+        BOOT_MIX_MOD,
         N_BOOT,
         POISSON_CUM,
         bootstrap_ci,
@@ -1684,9 +1689,10 @@ def test_bootstrap_ci_matches_bruteforce(spark, prices):
     for b in range(N_BOOT):
         sb = nb = 0
         for i, c in enumerate(prices):
-            hx = hashlib.md5(f"boot:{b // 4}:{i}".encode()).hexdigest()
-            seg = (b % 4) * 8
-            u = int(hx[seg : seg + 8], 16) % 1000000
+            s = int(hashlib.md5(f"boot:{i}".encode()).hexdigest()[:8], 16)
+            m1 = ((s ^ (b * BOOT_MIX_C1)) * BOOT_MIX_A1) % BOOT_MIX_MOD
+            m2 = ((m1 ^ (m1 >> 15)) * BOOT_MIX_A2) % BOOT_MIX_MOD
+            u = (m2 ^ (m2 >> 13)) % 1000000
             w = pois(u)
             sb += w * c
             nb += w
