@@ -125,7 +125,12 @@ def run_once(spark: SparkSession, sf_dir: str, sink_dir: str) -> dict:
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
-    enriched = merged.join(F.broadcast(users), "user_id")
+    # plain join, NO broadcast hint (round-7 verdict item 5): customer
+    # is an SF-LINEAR dimension — forcing it broadcast is fine at
+    # fixture scale but teaches the wrong habit for 100x, where a
+    # forced full-dim broadcast OOMs the executors. AQE picks the
+    # broadcast strategy itself whenever the dim actually fits.
+    enriched = merged.join(users, "user_id")
     rollup = staged(
         "analytics_sec",
         lambda: enriched.groupBy("event_type", "segment")
