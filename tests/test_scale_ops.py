@@ -86,6 +86,72 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, warehouse_tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
+def test_bucketed_scan_prunes_buckets_on_key_predicate(spark, sf_dir, warehouse_tables):
+    """SCALING §10 bucketing bullet, the PRUNING half (round-7 verdict
+    item 8): an equality predicate on the bucket column must prune the
+    scan to the ONE bucket that can hold the key — visible locally in
+    the FileSourceScan's SelectedBucketsCount. At 100 TB this is the
+    difference between reading 1/N of the table and all of it for a
+    point lookup; the no-shuffle-join half is asserted by
+    test_bucketed_join_has_no_exchange on the same saved catalog
+    tables."""
+    orders_b, _ = warehouse_tables
+    some_key = spark.table(orders_b).select(F.min("o_orderkey")).first()[0]
+    # autoBucketedScan (default on) downgrades a bucketed scan to a
+    # plain one when no downstream join/agg wants the partitioning —
+    # which also forfeits bucket pruning. A real point-lookup workload
+    # pins it off for exactly this query shape.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        pruned = spark.table(orders_b).filter(F.col("o_orderkey") == some_key)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            pruned.explain("formatted")
+        plan = buf.getvalue()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:1500]
+        # and the pruned scan still returns exactly the key's rows
+        n_unpruned = (
+            t(spark, sf_dir, "orders").where(F.col("o_orderkey") == some_key).count()
+        )
+        assert pruned.count() == n_unpruned > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+
+
+def test_moment_sum_int64_ceiling_is_loud_and_decimal_escape_matches(spark):
+    """SCALING §11 agg_higher_moments claim, made executable (round-7
+    verdict item 8): the int64 power-sum design is safe because its
+    failure mode past the documented ~9e6-rows-per-group bound is LOUD
+    — under ANSI mode the Sum aggregate raises on overflow instead of
+    silently wrapping — and the documented escape hatch (swap the four
+    sums to DECIMAL(38,0)) computes the exact value with the SAME plan
+    shape (one partial-aggregated exchange, no extra shuffle)."""
+    # two rows at the documented magnitude: d^4 = 8.5e18 fits int64 per
+    # row, the 2-row SUM (1.7e19) exceeds 2^63-1 = 9.22e18
+    df = spark.createDataFrame([(54000,), (54000,)], "d long")
+    overflowing = df.agg(F.sum(F.expr("d*d*d*d")).alias("s4"))
+    with pytest.raises(Exception, match="(?i)overflow"):
+        overflowing.collect()
+    # DECIMAL(38,0) escape hatch: exact value, same aggregate shape
+    dec = df.agg(
+        F.sum(
+            F.expr("CAST(d*d AS DECIMAL(19,0)) * CAST(d*d AS DECIMAL(19,0))")
+        ).alias("s4")
+    )
+    (row,) = dec.collect()
+    assert int(row["s4"]) == 2 * 54000**4
+
+    def shuffles(q):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        return buf.getvalue().count("Exchange")
+
+    assert shuffles(dec) == shuffles(overflowing)
+
+
 def test_ivf_topk_prunes_and_recalls(spark, sf_dir):
     """IVF must (a) score strictly fewer pairs than brute force — the
     entire point of the inverted file — and (b) keep nonzero overlap
