@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .ops import graph as G
 from .registry_util import QueryDef, shared_cooccurrence_edges, t
 
 # ----------------------------------------------------------- VARIANT
