@@ -205,16 +205,22 @@ def jaccard(sh_a: Column, sh_b: Column) -> Column:
     return inter.cast("double") / (F.size(sh_a) + F.size(sh_b) - inter)
 
 
-def minhash_near_dups(
-    docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
-) -> DataFrame:
-    """Full MinHash-LSH pipeline: signatures → banded candidates →
-    exact hashed-set-Jaccard verify ≥ threshold. Returns
-    (doc_a, doc_b, jaccard)."""
-    sig = with_minhash(docs, id_col, text_col)
-    sig = sig.select("doc", "shd", *band_keys()).persist()
-    cands = lsh_candidate_pairs(sig)
-    sh = sig.select("doc", "shd")
+def near_dups_from_sig(sig_df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Banded candidates → exact hashed-set-Jaccard verify ≥ threshold,
+    starting from a PRECOMPUTED signature table (doc, shd, sig) — e.g.
+    the materialized shared stage
+    (``registry_util.shared_minhash_signatures``). No persist: the
+    expensive projection (md5-per-shingle + permutation fold) is
+    already materialized upstream, and the per-consumer band-key md5s
+    are cheap, so each consumer branch is a plain column-pruned scan.
+    Returns (doc_a, doc_b, jaccard)."""
+    banded = (
+        sig_df
+        if "band0" in sig_df.columns
+        else sig_df.select("doc", "shd", *band_keys())
+    )
+    cands = lsh_candidate_pairs(banded)
+    sh = banded.select("doc", "shd")
     j = (
         cands.join(
             sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("shd", "sh_a"), "doc_a"
@@ -227,6 +233,19 @@ def minhash_near_dups(
     return j.filter(F.col("j") >= threshold).select(
         "doc_a", "doc_b", (F.floor(F.col("j") * 10000 + 0.5) / 10000.0).alias("jaccard")
     )
+
+
+def minhash_near_dups(
+    docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → banded candidates →
+    exact hashed-set-Jaccard verify ≥ threshold. Returns
+    (doc_a, doc_b, jaccard). The in-memory form persists the signature
+    projection (three consumers); registered keys prefer
+    :func:`near_dups_from_sig` over the materialized shared stage."""
+    sig = with_minhash(docs, id_col, text_col)
+    sig = sig.select("doc", "shd", *band_keys()).persist()
+    return near_dups_from_sig(sig, threshold)
 
 
 def minhash_estimate_vs_exact(
@@ -256,6 +275,19 @@ def minhash_estimate_vs_exact(
     """
     sig = with_minhash(docs, id_col, text_col)
     sig = sig.select("doc", "shd", "sig", *band_keys()).persist()
+    return estimate_vs_exact_from_sig(sig)
+
+
+def estimate_vs_exact_from_sig(sig_df: DataFrame) -> DataFrame:
+    """:func:`minhash_estimate_vs_exact` from a precomputed signature
+    table (doc, shd, sig) — e.g. the materialized shared stage. No
+    persist needed: every consumer branch is a column-pruned scan of
+    the already-materialized table."""
+    sig = (
+        sig_df
+        if "band0" in sig_df.columns
+        else sig_df.select("doc", "shd", "sig", *band_keys())
+    )
     cands = lsh_candidate_pairs(sig)
     side = sig.select("doc", "shd", "sig")
     j = (
@@ -476,6 +508,13 @@ def dedup_clusters(
     (doc, cluster) for every clustered doc; singletons excluded (they
     are their own cluster trivially)."""
     pairs = minhash_near_dups(docs, id_col, text_col, threshold)
+    return connected_components(pairs.select("doc_a", "doc_b"))
+
+
+def clusters_from_sig(sig_df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """:func:`dedup_clusters` from a precomputed signature table — the
+    materialized-shared-stage form the registered keys use."""
+    pairs = near_dups_from_sig(sig_df, threshold)
     return connected_components(pairs.select("doc_a", "doc_b"))
 
 

@@ -254,9 +254,9 @@ _FORCE_REVERIFY: dict[str, int] = {
     # (ADVICE: the fold's sentinel init would give every empty doc the
     # same signature and band-collide all of them) — output identical
     # on any corpus without empty docs, but the plan changed, so both
-    # consumers re-enter the window once more.
-    "dedup_minhash_lsh": 3,
-    "dedup_clusters": 3,
+    # consumers re-enter the window once more. Round 8: both read the
+    # materialized shared MinHash signature stage now — re-verify again
+    # (bumped 3 -> 7 below with the rest of the dedup family).
     # round 4: first-ever bench of the non-headline tail showed both
     # text keys pinned to ONE task (no parallelism spread before the
     # md5/array CPU) — repetition additionally re-built the 2-gram
@@ -297,6 +297,17 @@ _FORCE_REVERIFY: dict[str, int] = {
     # round 8: delta-method variance clamped at 0 before sqrt in both
     # engines (ADVICE r7) — expression changed.
     "stat_ratio_delta_ci": 7,
+    # round 8: the dedup family now reads the MATERIALIZED shared
+    # MinHash signature stage (registry_util.shared_minhash_signatures)
+    # instead of re-running the md5-per-shingle + permutation fold per
+    # key — signature VALUES identical, physical plans changed.
+    "dedup_minhash_lsh": 7,
+    "dedup_clusters": 7,
+    "corpus_dedup_rate_by_source": 7,
+    "dedup_minhash_jaccard_est": 7,
+    "dedup_survivorship": 7,
+    "corpus_dedup_pipeline": 7,
+    "dedup_lsh_recall_eval": 7,
 }
 
 

@@ -16,7 +16,7 @@ from .ext import dedup as D
 from .ext import multimodal as MM
 from .ext import similarity as S
 from .ext import text as TX
-from .registry_util import QueryDef, t
+from .registry_util import QueryDef, shared_minhash_signatures, t
 
 # ------------------------------------------------------------ SQL atoms
 
@@ -210,8 +210,10 @@ def _dedup_exact(spark, sf_dir):
 
 
 def _dedup_minhash(spark, sf_dir):
-    """MinHash(32) + LSH(8×4) near-dup pairs, exact-Jaccard verified."""
-    return D.minhash_near_dups(t(spark, sf_dir, "documents"), "doc_id", "text", 0.5)
+    """MinHash(32) + LSH(8×4) near-dup pairs, exact-Jaccard verified —
+    signatures read from the materialized shared stage (one
+    md5+permutation pass per process for the whole dedup family)."""
+    return D.near_dups_from_sig(shared_minhash_signatures(spark, sf_dir), 0.5)
 
 
 def _dedup_ngram(spark, sf_dir):
@@ -384,7 +386,7 @@ def _dedup_clusters(spark, sf_dir):
     """Iterative: near-dup pairs -> connected components (min-label
     propagation) -> dedup clusters. The oracle walks the same pair graph
     with a recursive CTE."""
-    return D.dedup_clusters(t(spark, sf_dir, "documents"), "doc_id", "text", 0.5)
+    return D.clusters_from_sig(shared_minhash_signatures(spark, sf_dir), 0.5)
 
 
 def _dedup_clusters_sql() -> str:

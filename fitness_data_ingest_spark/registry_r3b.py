@@ -21,7 +21,7 @@ from .ops import incremental as INC
 from .ops import relational as R
 from .ops import scale as SC
 from .ops import timeseries as TS
-from .registry_util import QueryDef, t
+from .registry_util import QueryDef, shared_minhash_signatures, t
 
 # ------------------------------------------------------------ SESSIONIZE
 
@@ -654,7 +654,7 @@ def _corpus_dedup_rate_by_source(spark, sf_dir):
     from .ext import dedup as D
 
     docs = t(spark, sf_dir, "documents")
-    pairs = D.minhash_near_dups(docs, "doc_id", "text", 0.5)
+    pairs = D.near_dups_from_sig(shared_minhash_signatures(spark, sf_dir), 0.5)
     src = docs.select("doc_id", "source")
     j = (
         pairs.join(

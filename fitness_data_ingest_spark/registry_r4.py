@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from .ext import dedup as D
 from .ops import timeseries as TS
 from .registry_ext import _SQL_DOC_SHINGLES, _sql_sig_cols
-from .registry_util import QueryDef, t
+from .registry_util import QueryDef, shared_minhash_signatures, t
 
 # Synthesized activity-interval length (and overlap-join bucket width),
 # shared by the interval-overlap join and the peak-concurrency sweep.
@@ -176,9 +176,7 @@ FROM c
 
 
 def _dedup_minhash_jaccard_est(spark, sf_dir):
-    return D.minhash_estimate_vs_exact(
-        t(spark, sf_dir, "documents"), "doc_id", "text"
-    )
+    return D.estimate_vs_exact_from_sig(shared_minhash_signatures(spark, sf_dir))
 
 
 def _minhash_est_sql() -> str:
@@ -1407,10 +1405,10 @@ def _dedup_survivorship(spark, sf_dir):
     -doc_id))`` per cluster — never a window over the clustered docs;
     cluster membership comes from the same bucketed pipeline
     dedup_clusters verifies."""
-    from .ext.dedup import dedup_clusters
+    from .ext.dedup import clusters_from_sig
 
     docs = t(spark, sf_dir, "documents")
-    clusters = dedup_clusters(docs, "doc_id", "text", 0.5)
+    clusters = clusters_from_sig(shared_minhash_signatures(spark, sf_dir), 0.5)
     sized = clusters.join(docs.select("doc_id", "n_chars"), clusters.doc == docs.doc_id)
     keeper = (
         sized.groupBy("cluster")

@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry_util import QueryDef, cents, shared_cooccurrence_edges, t
+from .registry_util import (
+    QueryDef,
+    cents,
+    shared_cooccurrence_edges,
+    shared_minhash_signatures,
+    t,
+)
 
 # Bernoulli sampling modulus: keep-1-in-8 (12.5%) — large enough that
 # every fixture source keeps rows, small enough that the realized-rate
@@ -1530,7 +1536,7 @@ GROUP BY source ORDER BY source
 LSH_EVAL_TAU = 0.5
 
 
-def lsh_recall_eval(docs):
+def lsh_recall_eval(docs, sig=None):
     """Candidate-generation quality of MinHash-LSH banding, measured
     against exact shingle-Jaccard ground truth — the dedup counterpart
     of ann_recall_eval, and the number that decides the (bands, rows)
@@ -1548,9 +1554,10 @@ def lsh_recall_eval(docs):
     shape)."""
     from .ext import dedup as D
 
-    sig = D.with_minhash(docs, "doc_id", "text")
-    sig = sig.select("doc", *D.band_keys()).persist()
-    cand = D.lsh_candidate_pairs(sig)
+    if sig is None:  # standalone form: derive signatures in-memory
+        sig = D.with_minhash(docs, "doc_id", "text")
+    bands = sig.select("doc", *D.band_keys()).persist()
+    cand = D.lsh_candidate_pairs(bands)
     truth = D.ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=LSH_EVAL_TAU
     ).select("doc_a", "doc_b")
@@ -1577,7 +1584,10 @@ def lsh_recall_eval(docs):
 
 
 def _dedup_lsh_recall_eval(spark, sf_dir):
-    return lsh_recall_eval(t(spark, sf_dir, "documents"))
+    return lsh_recall_eval(
+        t(spark, sf_dir, "documents"),
+        sig=shared_minhash_signatures(spark, sf_dir),
+    )
 
 
 def _lsh_recall_sql() -> str:

@@ -73,6 +73,53 @@ def sql_money_avg(expr: str) -> str:
 SHARED_STAGE_BUILD_SEC: dict[str, float] = {}
 
 
+def _materialized_stage(spark: SparkSession, stage: str, build) -> DataFrame:
+    """Build-once-per-process parquet stage: the first call per
+    (process, stage) runs ``build()`` and sinks it; every later call is
+    a plain columnar scan. The path is keyed by pid + stage name, so
+    fresh processes rebuild (no cross-process staleness) and one
+    process never collides across SFs or parameters."""
+    import tempfile
+    import time
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"fdis_{os.getpid()}_{stage}.parquet"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t0 = time.perf_counter()
+        build().write.mode("overwrite").parquet(path)
+        SHARED_STAGE_BUILD_SEC[stage] = round(time.perf_counter() - t0, 3)
+    return spark.read.parquet(path)
+
+
+def shared_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash signature table (doc, shd hashed-shingle set, sig
+    32-permutation signature) over ``documents`` as a MATERIALIZED
+    shared stage — the dedup twin of :func:`shared_cooccurrence_edges`:
+    seven dedup keys (minhash_lsh, clusters, survivorship, the full
+    pipeline, rate-by-source, jaccard_est, lsh_recall_eval) each used
+    to re-run the md5-per-shingle + 32-permutation fold over the whole
+    corpus — the most CPU-expensive projection in the package — to
+    derive the identical table. One build per (process, sf), then
+    column-pruned parquet scans.
+
+    At 100 TB this IS the architecture, not an optimization: signature
+    tables are staged intermediates a curation pipeline computes once
+    per corpus snapshot and every downstream dedup/eval job reads.
+    Values are deterministic (md5 + integer permutations), so the
+    DuckDB oracles keep recomputing them relationally."""
+    sf = os.path.basename(os.path.normpath(sf_dir))
+
+    def build() -> DataFrame:
+        from .ext import dedup as D
+
+        return D.with_minhash(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+    return _materialized_stage(
+        spark, f"minhash_{sf}_documents_doc_id_text", build
+    )
+
+
 def shared_cooccurrence_edges(
     spark: SparkSession,
     sf_dir: str,
@@ -100,26 +147,21 @@ def shared_cooccurrence_edges(
     The path is keyed by pid + sf + params: fresh processes rebuild
     (no cross-process staleness), and one process never collides across
     SFs or key columns."""
-    import tempfile
-    import time
-
-    from .ops import graph as G
-
     sf = os.path.basename(os.path.normpath(sf_dir))
-    stage = f"edges_{sf}_{group_col}_{item_col}_ge{min_groups}"
-    path = os.path.join(
-        tempfile.gettempdir(), f"fdis_{os.getpid()}_{stage}.parquet"
-    )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        t0 = time.perf_counter()
-        G.cooccurrence_edges(
+
+    def build() -> DataFrame:
+        from .ops import graph as G
+
+        return G.cooccurrence_edges(
             t(spark, sf_dir, "lineitem"),
             group_col,
             item_col,
             min_groups=min_groups,
-        ).write.mode("overwrite").parquet(path)
-        SHARED_STAGE_BUILD_SEC[stage] = round(time.perf_counter() - t0, 3)
-    return spark.read.parquet(path)
+        )
+
+    return _materialized_stage(
+        spark, f"edges_{sf}_{group_col}_{item_col}_ge{min_groups}", build
+    )
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
