@@ -308,6 +308,10 @@ _FORCE_REVERIFY: dict[str, int] = {
     "dedup_survivorship": 7,
     "corpus_dedup_pipeline": 7,
     "dedup_lsh_recall_eval": 7,
+    # round 8: md5 digest segments hoisted below the replicate explode
+    # (once per row instead of once per (row, replicate)) — bit stream
+    # and values identical, plan changed.
+    "stat_permutation_test": 7,
 }
 
 

@@ -221,20 +221,25 @@ def permutation_test(events, n_perm: int = N_PERM):
     )
     # one md5 per ROW serves all replicates: the 128-bit digest is four
     # 32-bit segments, and replicate p's flip is bit (p mod 32) of
-    # segment (p div 32) — md5 was this key's entire hot path, now
-    # amortized n_perm-fold (n_perm <= 128 by construction)
+    # segment (p div 32). The segments are hoisted into a projection
+    # BELOW the explode (r8): expressed inside the exploded select, the
+    # md5 re-evaluated once per (row, replicate) — 128x per row, this
+    # key's entire hot path; computed per INPUT row and carried through
+    # Generate as a 4-long array, the exploded loop is pure int64
+    # codegen. Bit stream identical, so the oracle is unchanged.
     assert n_perm <= 128
-    flip = (
-        F.expr(
-            "(CAST(conv(substr(md5(concat('perm:', k)),"
-            " CAST(1 + (p div 32) * 8 AS INT), 8), 16, 10) AS BIGINT)"
-            " >> (p % 32)) & 1"
-        )
-        == 1
+    digest = F.md5(F.concat(F.lit("perm:"), F.col("k")))
+    segs = F.array(
+        *[
+            F.conv(F.substring(digest, 1 + i * 8, 8), 16, 10).cast("long")
+            for i in range(4)
+        ]
     )
+    flip = F.expr("(segs[p div 32] >> (p % 32)) & 1") == 1
     reps = (
-        base.select(
-            "k", "is_a", "c",
+        base.select("is_a", "c", segs.alias("segs"))
+        .select(
+            "is_a", "c", "segs",
             F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("p"),
         )
         .select(
