@@ -312,6 +312,13 @@ _FORCE_REVERIFY: dict[str, int] = {
     # (once per row instead of once per (row, replicate)) — bit stream
     # and values identical, plan changed.
     "stat_permutation_test": 7,
+    # round 8: NDV hash moved after the distinct-grain reduction (md5
+    # once per distinct value, not per occurrence) — values identical.
+    "table_ndv_mincount": 7,
+    # round 8: Gram outer product via row-local double explode instead
+    # of the vec_id self-equi-join (no shuffle before the 4096-group
+    # aggregate; A/B-identical values, 2x faster build).
+    "embed_power_iteration": 7,
 }
 
 

@@ -225,25 +225,30 @@ def _embed_power_iteration(spark, sf_dir):
     every arithmetic step exact int64 so the oracle hash cannot flip.
 
     Scale shape: components quantize to 1e-3 integers; the Gram build
-    is ONE self-equi-join on vec_id (each vector meets only itself —
-    fan-out is exactly 64² per row) + one (i, j)-grain aggregate, so
-    the output is a fixed 64×64 = 4096-row table no matter how many
-    vectors stream through; every one of the 6 iterations runs on that
-    4096-row table (broadcast x, one aggregate, 1-row max broadcast).
-    Renormalization divides |y| by (max|y| div 1e6) with the sign
-    split out explicitly: both operands are then non-negative, where
-    Spark's truncating ``div`` and DuckDB's flooring ``//`` agree."""
+    is SHUFFLE-FREE until its 4096-group aggregate (r8): each vector's
+    outer product materializes row-locally by exploding the quantized
+    array twice (i then j — the row only ever meets itself, so the
+    former self-equi-join on vec_id was shuffling both copies of the
+    exploded table for a per-row pairing a Generate gives in place),
+    then map-side combine collapses to the fixed 64×64 = 4096-row
+    table no matter how many vectors stream through; every one of the
+    6 iterations runs on that 4096-row table (broadcast x, one
+    aggregate, 1-row max broadcast). Renormalization divides |y| by
+    (max|y| div 1e6) with the sign split out explicitly: both operands
+    are then non-negative, where Spark's truncating ``div`` and
+    DuckDB's flooring ``//`` agree."""
     emb = t(spark, sf_dir, "embeddings")
     s = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * POWER_SCALE + 0.5).cast("long"),
     )
-    flat = emb.select("vec_id", F.posexplode(s).alias("i", "si"))
-    a, b = flat.alias("a"), flat.alias("b")
+    flat = emb.select(s.alias("sv")).select(
+        "sv", F.posexplode("sv").alias("i", "si")
+    )
     gram = (
-        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(F.sum(F.col("a.si") * F.col("b.si")).alias("g"))
+        flat.select("i", "si", F.posexplode("sv").alias("j", "sj"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("si") * F.col("sj")).alias("g"))
         .persist()
     )
     x = (

@@ -1250,8 +1250,13 @@ def ndv_mincount(lineitem):
             )
         ).alias("cv")
     ).select(F.col("cv.cname").alias("cname"), F.col("cv.val").alias("val"))
-    grain = pairs.groupBy("cname", "val").agg(
-        F.min(_h32(F.concat(F.lit("ndv:"), F.col("val")))).alias("h")
+    # hash AFTER the distinct-grain reduction (r8): h is a pure function
+    # of val, so min(h) over a (cname, val) group is just h — hashing
+    # before the groupBy ran md5 once per OCCURRENCE (|cols| x |rows|),
+    # hashing after runs it once per DISTINCT value. Same shuffle (the
+    # map-side combine dedups either way), identical values.
+    grain = pairs.distinct().withColumn(
+        "h", _h32(F.concat(F.lit("ndv:"), F.col("val")))
     )
     grain = grain.select(
         "cname", "val", "h", F.pmod(F.col("h"), F.lit(NDV_BUCKETS)).alias("b")
