@@ -1120,3 +1120,36 @@ def test_broadcast_build_sides_hold_oom_margin(spark):
             f"SF-linear build sides that would out-grow the broadcast "
             f"threshold at the sf0.1 bench grain: {too_big}"
         )
+
+
+def test_materialized_shared_stages_match_direct_derivation(spark, sf_dir):
+    """The two materialized shared stages (r8) must be value-identical
+    to the direct derivations they replaced — the guard that keeps the
+    parquet hop from ever drifting from the operators' semantics. Also
+    pins build-once-per-process: a second call must scan the existing
+    sink, not rebuild (the stage records its build time exactly once)."""
+    from fitness_data_ingest_spark import registry_util as RU
+    from fitness_data_ingest_spark.ext import dedup as D
+    from fitness_data_ingest_spark.ops import graph as G
+
+    edges_stage = RU.shared_cooccurrence_edges(spark, sf_dir)
+    edges_direct = G.cooccurrence_edges(
+        t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_groups=2
+    )
+    assert sorted(map(tuple, edges_stage.collect())) == sorted(
+        map(tuple, edges_direct.collect())
+    )
+
+    sig_stage = RU.shared_minhash_signatures(spark, sf_dir)
+    sig_direct = D.with_minhash(t(spark, sf_dir, "documents"), "doc_id", "text")
+    norm = lambda df: sorted(  # noqa: E731
+        (r["doc"], tuple(sorted(r["shd"])), tuple(r["sig"])) for r in df.collect()
+    )
+    assert norm(sig_stage) == norm(sig_direct)
+
+    # build-once: the stage names are in the build log exactly once and
+    # a repeat call leaves the log untouched (pure scan)
+    before = dict(RU.SHARED_STAGE_BUILD_SEC)
+    RU.shared_cooccurrence_edges(spark, sf_dir)
+    RU.shared_minhash_signatures(spark, sf_dir)
+    assert RU.SHARED_STAGE_BUILD_SEC == before
