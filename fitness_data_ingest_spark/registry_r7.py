@@ -284,7 +284,11 @@ def _roundtrip_dir(fmt: str, sf_dir: str) -> str:
     """Sink dir for the roundtrip keys, keyed by BOTH pid and the sf
     fixture name: the returned DataFrame is lazy (the driver collects
     it later), so cross-SF runs in one process must not overwrite each
-    other's sink before the slower one is consumed."""
+    other's sink before the slower one is consumed. Dirs left by dead
+    processes are reaped opportunistically (registry_util)."""
+    from .registry_util import _reap_stale_tmp
+
+    _reap_stale_tmp()
     return os.path.join(
         tempfile.gettempdir(),
         f"fdis_{fmt}_roundtrip_{os.getpid()}_"

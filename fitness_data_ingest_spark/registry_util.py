@@ -73,6 +73,48 @@ def sql_money_avg(expr: str) -> str:
 SHARED_STAGE_BUILD_SEC: dict[str, float] = {}
 
 
+_REAPED = False
+
+
+def _reap_stale_tmp() -> None:
+    """Best-effort cleanup of fdis_* temp artifacts left by DEAD
+    processes (ADVICE r7: roundtrip sinks and stage parquet accumulate
+    across runs). Every fdis path embeds the owning pid —
+    ``fdis_<pid>_<stage>.parquet`` and ``fdis_<fmt>_roundtrip_<pid>_
+    <sf>`` — so anything whose pid no longer exists is garbage. Runs
+    once per process, never touches a live process's files, and never
+    raises (cleanup must not fail a query)."""
+    global _REAPED
+    if _REAPED:
+        return
+    _REAPED = True
+    import re
+    import shutil
+    import tempfile
+
+    pat = re.compile(r"^fdis_(?:[a-z]+_roundtrip_)?(\d+)(?:[_.]|$)")
+    tmp = tempfile.gettempdir()
+    try:
+        entries = os.listdir(tmp)
+    except OSError:
+        return
+    for name in entries:
+        m = pat.match(name)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+            continue  # owner still alive — leave it
+        except ProcessLookupError:
+            pass
+        except OSError:
+            continue  # permission oddity — do not touch
+        shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+
+
 def _materialized_stage(spark: SparkSession, stage: str, build) -> DataFrame:
     """Build-once-per-process parquet stage: the first call per
     (process, stage) runs ``build()`` and sinks it; every later call is
@@ -82,6 +124,7 @@ def _materialized_stage(spark: SparkSession, stage: str, build) -> DataFrame:
     import tempfile
     import time
 
+    _reap_stale_tmp()
     path = os.path.join(
         tempfile.gettempdir(), f"fdis_{os.getpid()}_{stage}.parquet"
     )

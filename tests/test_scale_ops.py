@@ -1153,3 +1153,36 @@ def test_materialized_shared_stages_match_direct_derivation(spark, sf_dir):
     RU.shared_cooccurrence_edges(spark, sf_dir)
     RU.shared_minhash_signatures(spark, sf_dir)
     assert RU.SHARED_STAGE_BUILD_SEC == before
+
+
+def test_stale_tmp_reaper_removes_dead_pid_artifacts_only(tmp_path, monkeypatch):
+    """ADVICE r7 cleanup half: fdis_* temp artifacts embed the owning
+    pid; the once-per-process reaper removes artifacts of DEAD pids
+    (stage parquet, both roundtrip dir generations) and never touches a
+    live process's files."""
+    import os
+    import tempfile
+
+    import fitness_data_ingest_spark.registry_util as RU
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    dead, live = 999999, os.getpid()
+    for name in (
+        f"fdis_{dead}_edges_x.parquet",
+        f"fdis_jsonl_roundtrip_{dead}",          # pre-r8 un-keyed form
+        f"fdis_csv_roundtrip_{dead}_sf0.01",      # sf-keyed form
+        f"fdis_{live}_edges_keep.parquet",
+    ):
+        (tmp_path / name).mkdir()
+    (tmp_path / "unrelated_dir").mkdir()
+    monkeypatch.setattr(RU, "_REAPED", False)
+    RU._reap_stale_tmp()
+    assert not (tmp_path / f"fdis_{dead}_edges_x.parquet").exists()
+    assert not (tmp_path / f"fdis_jsonl_roundtrip_{dead}").exists()
+    assert not (tmp_path / f"fdis_csv_roundtrip_{dead}_sf0.01").exists()
+    assert (tmp_path / f"fdis_{live}_edges_keep.parquet").exists()
+    assert (tmp_path / "unrelated_dir").exists()
+    # once-per-process: a second call with a fresh dead dir is a no-op
+    (tmp_path / f"fdis_{dead}_edges_y.parquet").mkdir()
+    RU._reap_stale_tmp()
+    assert (tmp_path / f"fdis_{dead}_edges_y.parquet").exists()
