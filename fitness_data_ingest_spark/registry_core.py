@@ -788,8 +788,15 @@ def _sink_roundtrip(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
     )
+    # keyed by (pid, sf) — the returned DataFrame is lazy, so cross-SF
+    # runs in one process must not overwrite each other's sink before
+    # the slower one is consumed (ADVICE r7, same fix as the r7
+    # format-roundtrip keys; caught live by the cross-SF interleave
+    # probe in round 8)
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"fdis_sink_roundtrip_{os.getpid()}"
+        tempfile.gettempdir(),
+        f"fdis_sink_roundtrip_{os.getpid()}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
     )
     write_partitioned(li, out_dir, partition_by=["l_returnflag"])
     back = spark.read.parquet(out_dir)

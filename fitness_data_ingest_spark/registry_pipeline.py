@@ -705,8 +705,12 @@ def _files_compaction_plan(spark, sf_dir):
     ev = t(spark, sf_dir, "events").withColumn(
         "day", F.date_format("ts", "yyyy-MM-dd")
     )
+    # keyed by (pid, sf): lazy cross-SF runs must not clobber each
+    # other's sink (same contract as sink_roundtrip)
     out_dir = _os.path.join(
-        _tempfile.gettempdir(), f"fdis_compact_plan_{_os.getpid()}"
+        _tempfile.gettempdir(),
+        f"fdis_compact_plan_{_os.getpid()}_"
+        f"{_os.path.basename(_os.path.normpath(sf_dir))}",
     )
     write_partitioned(ev, out_dir, partition_by=["day"])
     # Partition-column type inference turns the Hive `day=...` dir back

@@ -92,7 +92,10 @@ def _reap_stale_tmp() -> None:
     import shutil
     import tempfile
 
-    pat = re.compile(r"^fdis_(?:[a-z]+_roundtrip_)?(\d+)(?:[_.]|$)")
+    # the pid is the FIRST pure-digit segment after any lowercase-word
+    # prefix: fdis_<pid>_..., fdis_<fmt>_roundtrip_<pid>[_<sf>],
+    # fdis_sink_roundtrip_<pid>_<sf>, fdis_compact_plan_<pid>_<sf>
+    pat = re.compile(r"^fdis_(?:[a-z]+_)*?(\d+)(?:[_.]|$)")
     tmp = tempfile.gettempdir()
     try:
         entries = os.listdir(tmp)

@@ -314,3 +314,29 @@ def test_readme_contract_table_is_current():
             rverified == "queued" and verified.startswith("r")
         )
         assert ok, f"{key}: README says {rverified!r}, registry says {verified!r}"
+
+
+def test_temp_sink_keys_survive_cross_sf_lazy_interleave(spark):
+    """Registered keys that sink to a temp dir and scan it back return
+    LAZY DataFrames — the driver may build the same key for two SFs
+    before collecting either. Every such sink must be keyed by
+    (pid, sf) or the second build's overwrite deletes the files the
+    first build's scan will read (FAILED_READ_FILE). Caught live in
+    round 8 on the CORE sink_roundtrip key (the r7 format-roundtrip
+    keys had been fixed by ADVICE, the older core key had the same
+    bug): build a->b, collect b->a."""
+    from fitness_data_ingest_spark import registry
+
+    qs = registry.all_queries()
+    for name in (
+        "sink_roundtrip",
+        "files_compaction_plan",
+        "source_jsonl_roundtrip",
+        "source_csv_roundtrip",
+        "source_orc_roundtrip",
+    ):
+        a = qs[name].spark(spark, "/root/testdata/sf0.001")
+        b = qs[name].spark(spark, "/root/testdata/sf0.01")
+        nb = b.count()
+        na = a.count()  # pre-fix: FAILED_READ_FILE here
+        assert na > 0 and nb > 0, name
