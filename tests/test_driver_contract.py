@@ -32,10 +32,13 @@ oracles = mod.oracle_sql()
 assert set(oracles) <= set(qs), "oracle keys must be a subset of query keys"
 
 # the confs-sensitive queries: events (nanos ts), timestamps, python DS,
-# plus the r7 format-roundtrip (multiLine CSV scan-back) and the
-# micros-arithmetic z-test
+# plus the r7 format-roundtrip (multiLine CSV scan-back), the
+# micros-arithmetic z-test, and the r8 materialized shared stages
+# (parquet stage write + scan-back must work on a session we did not
+# configure: graph key -> edge stage, dedup key -> signature stage)
 for name in ["window_tumbling", "ts_concat_parse", "topk_latest", "tpch_q1",
-             "source_csv_roundtrip", "stat_proportions_ztest"]:
+             "source_csv_roundtrip", "stat_proportions_ztest",
+             "graph_powerlaw_alpha", "dedup_minhash_lsh"]:
     out = qs[name](spark, "/root/testdata/sf0.001")
     assert out.count() >= 0, name
 print("VANILLA_OK", len(qs))
