@@ -208,11 +208,19 @@ def adjudicate_regressions(
     ``isolated`` is the already-measured isolated-tail cache; names not
     in it are measured via ``measure_isolated`` and written back so the
     record's ``isolated_tail`` carries every adjudication measurement.
+
+    ADVICE r8: the clamped threshold (1.5 x clamped median) drops below
+    ``flag_floor`` whenever the round's median ratio is < 0.833 —
+    exactly the shape of an optimization round — so iterating only
+    ``>= flag_floor`` would silently skip super-threshold sub-floor
+    flags that the regression gate exists to catch. The adjudication
+    cut is therefore ``min(flag_floor, threshold)``.
     """
     prev_isolated = prev_isolated or {}
     adjudication: dict[str, dict[str, float]] = {}
     regressions: list[str] = []
-    for name in sorted(n for n, r in vs_prev.items() if r >= flag_floor):
+    cut = min(flag_floor, threshold)
+    for name in sorted(n for n, r in vs_prev.items() if r >= cut):
         iso = isolated.get(name)
         if iso is None:
             iso = measure_isolated(name)

@@ -792,7 +792,11 @@ def _sink_roundtrip(spark, sf_dir):
     # runs in one process must not overwrite each other's sink before
     # the slower one is consumed (ADVICE r7, same fix as the r7
     # format-roundtrip keys; caught live by the cross-SF interleave
-    # probe in round 8)
+    # probe in round 8). Reap BEFORE the first own-pid write so a
+    # pid-reuse leftover can't be served (ADVICE r8).
+    from .registry_util import _reap_stale_tmp
+
+    _reap_stale_tmp()
     out_dir = os.path.join(
         tempfile.gettempdir(),
         f"fdis_sink_roundtrip_{os.getpid()}_"

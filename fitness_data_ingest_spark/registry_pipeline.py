@@ -706,7 +706,11 @@ def _files_compaction_plan(spark, sf_dir):
         "day", F.date_format("ts", "yyyy-MM-dd")
     )
     # keyed by (pid, sf): lazy cross-SF runs must not clobber each
-    # other's sink (same contract as sink_roundtrip)
+    # other's sink (same contract as sink_roundtrip); reap before the
+    # first own-pid write so a pid-reuse leftover can't be served
+    from .registry_util import _reap_stale_tmp
+
+    _reap_stale_tmp()
     out_dir = _os.path.join(
         _tempfile.gettempdir(),
         f"fdis_compact_plan_{_os.getpid()}_"

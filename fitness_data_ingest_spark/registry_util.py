@@ -81,9 +81,17 @@ def _reap_stale_tmp() -> None:
     processes (ADVICE r7: roundtrip sinks and stage parquet accumulate
     across runs). Every fdis path embeds the owning pid —
     ``fdis_<pid>_<stage>.parquet`` and ``fdis_<fmt>_roundtrip_<pid>_
-    <sf>`` — so anything whose pid no longer exists is garbage. Runs
-    once per process, never touches a live process's files, and never
-    raises (cleanup must not fail a query)."""
+    <sf>`` — so anything whose pid no longer exists is garbage.
+
+    Own-pid entries are ALSO reaped on this first call (ADVICE r8, pid
+    reuse): Linux pids wrap, so a fresh process can inherit a dead
+    process's pid and would otherwise silently serve its stale stage
+    parquet. The first call runs before this process has written any
+    fdis artifact — every fdis writer calls this before its first write
+    — so anything own-pid on disk at that moment is a previous
+    incarnation's leftovers, never our data. Runs once per process,
+    never touches another LIVE process's files, and never raises
+    (cleanup must not fail a query)."""
     global _REAPED
     if _REAPED:
         return
@@ -106,24 +114,45 @@ def _reap_stale_tmp() -> None:
         if not m:
             continue
         pid = int(m.group(1))
-        if pid == os.getpid():
-            continue
-        try:
-            os.kill(pid, 0)
-            continue  # owner still alive — leave it
-        except ProcessLookupError:
-            pass
-        except OSError:
-            continue  # permission oddity — do not touch
+        if pid != os.getpid():
+            try:
+                os.kill(pid, 0)
+                continue  # owner still alive — leave it
+            except ProcessLookupError:
+                pass
+            except OSError:
+                continue  # permission oddity — do not touch
         shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+
+
+_STAGE_LOCKS: dict = {}
+_STAGE_LOCKS_GUARD = None  # lazily a threading.Lock
+
+
+def _stage_lock(stage: str):
+    """Per-stage process-local lock (ADVICE r8): two threads building
+    queries over the same (pid, stage) must not race the exists-check +
+    overwrite-write — drivers run serially today, but lazy cross-SF
+    interleaving (the r8 sink-clobber bug) shows concurrency is a real
+    usage mode."""
+    global _STAGE_LOCKS_GUARD
+    import threading
+
+    if _STAGE_LOCKS_GUARD is None:
+        _STAGE_LOCKS_GUARD = threading.Lock()
+    with _STAGE_LOCKS_GUARD:
+        return _STAGE_LOCKS.setdefault(stage, threading.Lock())
 
 
 def _materialized_stage(spark: SparkSession, stage: str, build) -> DataFrame:
     """Build-once-per-process parquet stage: the first call per
     (process, stage) runs ``build()`` and sinks it; every later call is
-    a plain columnar scan. The path is keyed by pid + stage name, so
-    fresh processes rebuild (no cross-process staleness) and one
-    process never collides across SFs or parameters."""
+    a plain columnar scan. The path is keyed by pid + stage name —
+    fresh processes rebuild because :func:`_reap_stale_tmp` clears ANY
+    pre-existing fdis entry for this pid (including pid-reuse leftovers)
+    before the first write — and one process never collides across SFs
+    or parameters because the stage name embeds them. The exists-check +
+    write is serialized per stage for thread safety."""
     import tempfile
     import time
 
@@ -131,11 +160,28 @@ def _materialized_stage(spark: SparkSession, stage: str, build) -> DataFrame:
     path = os.path.join(
         tempfile.gettempdir(), f"fdis_{os.getpid()}_{stage}.parquet"
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        t0 = time.perf_counter()
-        build().write.mode("overwrite").parquet(path)
-        SHARED_STAGE_BUILD_SEC[stage] = round(time.perf_counter() - t0, 3)
+    with _stage_lock(stage):
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            t0 = time.perf_counter()
+            build().write.mode("overwrite").parquet(path)
+            SHARED_STAGE_BUILD_SEC[stage] = round(
+                time.perf_counter() - t0, 3
+            )
     return spark.read.parquet(path)
+
+
+def _sf_tag(sf_dir: str) -> str:
+    """Stage-name tag for one fixture dir: human-readable basename plus
+    a short digest of the NORMALIZED ABSOLUTE path (ADVICE r8) — two
+    distinct dirs sharing a basename (/a/sf0.001 vs /b/sf0.001) must
+    not collide on one process's materialized stage."""
+    import hashlib
+
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    return (
+        f"{os.path.basename(ap)}-"
+        f"{hashlib.md5(ap.encode('utf-8')).hexdigest()[:8]}"
+    )
 
 
 def shared_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +200,7 @@ def shared_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     per corpus snapshot and every downstream dedup/eval job reads.
     Values are deterministic (md5 + integer permutations), so the
     DuckDB oracles keep recomputing them relationally."""
-    sf = os.path.basename(os.path.normpath(sf_dir))
+    sf = _sf_tag(sf_dir)
 
     def build() -> DataFrame:
         from .ext import dedup as D
@@ -190,10 +236,10 @@ def shared_cooccurrence_edges(
     of (src, dst) pairs), so the DuckDB oracles keep recomputing it
     relationally and hashes are unaffected.
 
-    The path is keyed by pid + sf + params: fresh processes rebuild
-    (no cross-process staleness), and one process never collides across
-    SFs or key columns."""
-    sf = os.path.basename(os.path.normpath(sf_dir))
+    The path is keyed by pid + sf-dir digest + params: fresh processes
+    rebuild (no cross-process staleness), and one process never
+    collides across SFs, fixture dirs, or key columns."""
+    sf = _sf_tag(sf_dir)
 
     def build() -> DataFrame:
         from .ops import graph as G

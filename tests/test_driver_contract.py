@@ -219,6 +219,34 @@ def test_bench_adjudication_evidence_is_always_on_for_125x_flags():
     assert adj["drift"]["isolated_sec"] == 0.9
 
 
+def test_bench_adjudication_covers_sub_floor_super_threshold_flags():
+    """ADVICE r8: in an optimization round the clamped threshold
+    (1.5 x clamped median) can drop below the 1.25 flag floor — e.g.
+    median 0.70 -> threshold 1.05. A key with in-sweep ratio in
+    (threshold, floor) is a super-threshold regression candidate and
+    must still be adjudicated (and can land in ``regressions`` if the
+    like-for-like isolated ratio confirms), not silently skipped by an
+    ``>= floor`` iteration cut."""
+    import bench
+
+    prev = {"subfloor": 1.0, "calm": 1.0}
+    vs_prev = {"subfloor": 1.15, "calm": 0.7}  # optimization-round shape
+    threshold = 1.05
+    isolated = {}
+    measured = []
+
+    def fake_measure(name):
+        measured.append(name)
+        return 1.15  # confirms: isolated ratio 1.15 > threshold 1.05
+
+    regs, adj = bench.adjudicate_regressions(
+        vs_prev, prev, threshold, isolated, fake_measure
+    )
+    assert measured == ["subfloor"]
+    assert set(adj) == {"subfloor"}
+    assert regs == ["subfloor"], regs
+
+
 def test_bench_line_fits_driver_tail_capture():
     """The driver records the last 2000 chars of bench.py stdout and
     json-parses it; round 2's record was "parsed": null because the

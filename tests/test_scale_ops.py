@@ -1155,23 +1155,45 @@ def test_materialized_shared_stages_match_direct_derivation(spark, sf_dir):
     assert RU.SHARED_STAGE_BUILD_SEC == before
 
 
+def test_sf_tag_distinguishes_same_basename_dirs(tmp_path):
+    """ADVICE r8: materialized stages were keyed by basename(sf_dir)
+    only, so /a/sf0.001 and /b/sf0.001 in one process collided and the
+    second silently read the first's data. The tag embeds a digest of
+    the normalized absolute path; same dir through different spellings
+    still maps to ONE tag (no spurious rebuilds)."""
+    import fitness_data_ingest_spark.registry_util as RU
+
+    a = tmp_path / "a" / "sf0.001"
+    b = tmp_path / "b" / "sf0.001"
+    assert RU._sf_tag(str(a)) != RU._sf_tag(str(b))
+    # human-readable prefix survives
+    assert RU._sf_tag(str(a)).startswith("sf0.001-")
+    # normalization: trailing slash / dot segments are one identity
+    assert RU._sf_tag(str(a)) == RU._sf_tag(str(a) + "/")
+    assert RU._sf_tag(str(a)) == RU._sf_tag(str(tmp_path / "a" / "." / "sf0.001"))
+
+
 def test_stale_tmp_reaper_removes_dead_pid_artifacts_only(tmp_path, monkeypatch):
-    """ADVICE r7 cleanup half: fdis_* temp artifacts embed the owning
-    pid; the once-per-process reaper removes artifacts of DEAD pids
-    (stage parquet, both roundtrip dir generations) and never touches a
-    live process's files."""
+    """ADVICE r7 cleanup half + ADVICE r8 pid-reuse half: fdis_* temp
+    artifacts embed the owning pid; the once-per-process reaper removes
+    artifacts of DEAD pids (stage parquet, both roundtrip dir
+    generations) AND own-pid entries (the first call precedes this
+    process's first fdis write, so anything own-pid is a pid-reuse
+    predecessor's leftovers — serving it would mean stale query
+    results). Entries of OTHER LIVE processes are never touched."""
     import os
     import tempfile
 
     import fitness_data_ingest_spark.registry_util as RU
 
     monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
-    dead, live = 999999, os.getpid()
+    dead, own, other_live = 999999, os.getpid(), os.getppid()
     for name in (
         f"fdis_{dead}_edges_x.parquet",
         f"fdis_jsonl_roundtrip_{dead}",          # pre-r8 un-keyed form
         f"fdis_csv_roundtrip_{dead}_sf0.01",      # sf-keyed form
-        f"fdis_{live}_edges_keep.parquet",
+        f"fdis_{own}_edges_pidreuse.parquet",     # pid-reuse leftover
+        f"fdis_{other_live}_edges_keep.parquet",  # live OTHER process
     ):
         (tmp_path / name).mkdir()
     (tmp_path / "unrelated_dir").mkdir()
@@ -1180,9 +1202,13 @@ def test_stale_tmp_reaper_removes_dead_pid_artifacts_only(tmp_path, monkeypatch)
     assert not (tmp_path / f"fdis_{dead}_edges_x.parquet").exists()
     assert not (tmp_path / f"fdis_jsonl_roundtrip_{dead}").exists()
     assert not (tmp_path / f"fdis_csv_roundtrip_{dead}_sf0.01").exists()
-    assert (tmp_path / f"fdis_{live}_edges_keep.parquet").exists()
+    assert not (tmp_path / f"fdis_{own}_edges_pidreuse.parquet").exists()
+    assert (tmp_path / f"fdis_{other_live}_edges_keep.parquet").exists()
     assert (tmp_path / "unrelated_dir").exists()
-    # once-per-process: a second call with a fresh dead dir is a no-op
+    # once-per-process: a second call leaves fresh dead AND own dirs
+    # alone — own-pid entries created after the first call are OURS
     (tmp_path / f"fdis_{dead}_edges_y.parquet").mkdir()
+    (tmp_path / f"fdis_{own}_edges_ours.parquet").mkdir()
     RU._reap_stale_tmp()
     assert (tmp_path / f"fdis_{dead}_edges_y.parquet").exists()
+    assert (tmp_path / f"fdis_{own}_edges_ours.parquet").exists()
