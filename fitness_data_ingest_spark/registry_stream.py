@@ -98,6 +98,90 @@ FROM y GROUP BY user_id, sid
 """
 
 
+def _stream_watermark_drop(spark, sf_dir):
+    """Watermark late-data drop, micro-batch-faithful batch simulation
+    (round-8 verdict item 2) — see stream/windows.watermark_drop_sim."""
+    return W.watermark_drop_sim(t(spark, sf_dir, "events"))
+
+
+# identical integer-micros arithmetic, relationally: jittered arrival
+# hour = micro-batch; watermark for batch B = max event-us of batches
+# < B minus 10 min; first batch unfiltered (NULL watermark)
+_WATERMARK_DROP_SQL = f"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us,
+         (('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1800) * 1000000 AS jit_us
+  FROM events),
+b AS (SELECT us, (us + jit_us) // 3600000000 AS batch FROM e),
+bm AS (SELECT batch, max(us) AS bmax_us FROM b GROUP BY batch),
+wm AS (
+  SELECT batch,
+         max(bmax_us) OVER (ORDER BY batch
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - 600000000 AS wm_us
+  FROM bm),
+k AS (
+  SELECT (b.us // 300000000) * 300 AS wstart_s,
+         CASE WHEN wm.wm_us IS NULL OR b.us >= wm.wm_us THEN 1 ELSE 0 END AS kept
+  FROM b JOIN wm USING (batch))
+SELECT strftime({_to_ts('wstart_s')}, '{_TS_FMT}') AS window_start,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped
+FROM k GROUP BY wstart_s
+"""
+
+
+def _stream_session_merge(spark, sf_dir):
+    """Session-merge observability: per 30-min session, how many 5-min
+    fragments merged — see stream/windows.session_merge_stats."""
+    return W.session_merge_stats(t(spark, sf_dir, "events"))
+
+
+_SESSION_MERGE_SQL = f"""
+WITH x AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us,
+         event_id
+  FROM events),
+y AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+              THEN 1 ELSE 0 END AS new_s,
+         CASE WHEN prev_us IS NULL OR us - prev_us >= 300000000
+              THEN 1 ELSE 0 END AS new_frag
+  FROM x),
+z AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM y)
+SELECT user_id, strftime(min(ts), '{_TS_FMT}') AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(new_frag) AS BIGINT) AS n_fragments
+FROM z GROUP BY user_id, sid
+"""
+
+
+def _stream_emit_finalized(spark, sf_dir):
+    """Append-mode emission state per tumbling window — see
+    stream/windows.emit_finalized_windows."""
+    return W.emit_finalized_windows(t(spark, sf_dir, "events"))
+
+
+_EMIT_FINALIZED_SQL = f"""
+WITH a AS (
+  SELECT (epoch_us(ts) // 300000000) * 300 AS wstart_s, count(*) AS n
+  FROM events GROUP BY 1),
+w AS (SELECT max(epoch_us(ts)) - 600000000 AS wm_us FROM events)
+SELECT strftime({_to_ts('wstart_s')}, '{_TS_FMT}') AS window_start,
+       CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN (wstart_s + 300) * 1000000 <= wm_us
+                 THEN 1 ELSE 0 END AS INT) AS finalized
+FROM a, w
+"""
+
+
 STREAM_QUERIES: dict[str, QueryDef] = {
     q.name: q
     for q in [
@@ -105,5 +189,23 @@ STREAM_QUERIES: dict[str, QueryDef] = {
         QueryDef("window_sliding", _window_sliding, _SLIDING_SQL),
         QueryDef("window_session", _window_session, _SESSION_SQL),
         QueryDef("window_topk", _window_topk, _WINDOW_TOPK_SQL),
+        QueryDef(
+            "stream_watermark_drop",
+            _stream_watermark_drop,
+            _WATERMARK_DROP_SQL,
+            ("stream",),
+        ),
+        QueryDef(
+            "stream_session_merge",
+            _stream_session_merge,
+            _SESSION_MERGE_SQL,
+            ("stream",),
+        ),
+        QueryDef(
+            "stream_emit_finalized",
+            _stream_emit_finalized,
+            _EMIT_FINALIZED_SQL,
+            ("stream",),
+        ),
     ]
 }

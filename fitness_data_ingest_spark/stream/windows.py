@@ -168,6 +168,166 @@ def click_attribution(ev: DataFrame, horizon_min: int = 10) -> DataFrame:
     )
 
 
+def _h32(prefix: str, col: Column) -> Column:
+    """Engine-portable nonneg 32-bit hash (md5 prefix as int64) — the
+    same idiom the stat family's draw streams use, so DuckDB oracles
+    can replay it bit-for-bit."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def watermark_drop_sim(
+    ev: DataFrame,
+    jitter_max_s: int = 1800,
+    batch_s: int = 3600,
+    delay_s: int = 600,
+    width_s: int = 300,
+) -> DataFrame:
+    """Batch-checkable simulation of Structured Streaming's WATERMARK
+    LATE-DATA DROP (round-8 verdict item 2: the drop semantics only had
+    pytest parity; this puts them under the DuckDB oracle).
+
+    Micro-batch model, faithful to the engine's: each event's ARRIVAL
+    time is its event time plus a deterministic bounded jitter
+    (md5-hash of event_id, <= ``jitter_max_s`` — the fixture's ts is
+    monotone in event_id, so without jitter no event is ever late);
+    a micro-batch is one arrival-time hour; the watermark in force for
+    batch B is max(event time over batches < B) - ``delay_s`` — exactly
+    how the engine advances the watermark between micro-batches
+    (never mid-batch, first batch unfiltered). An event is DROPPED iff
+    its event time is older than its batch's watermark. Output: per
+    event-time tumbling window, kept and dropped counts.
+
+    All arithmetic is integer micros (unix_micros / epoch_us), so both
+    engines evaluate it identically. Scale: the running-max window runs
+    at the MICRO-BATCH grain (|arrival hours| rows — metadata-sized,
+    same contract as the compaction planner), and rejoins the events
+    broadcast; everything event-grain is hash-aggregated.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts"))
+    e = ev.select(
+        us.alias("us"),
+        ((_h32("arr:", F.col("event_id")) % jitter_max_s) * 1_000_000).alias(
+            "jit_us"
+        ),
+    ).withColumn("batch", F.expr(f"(us + jit_us) div {batch_s * 1_000_000}"))
+    bm = e.groupBy("batch").agg(F.max("us").alias("bmax_us"))
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bm.select(
+        "batch",
+        (F.max("bmax_us").over(w) - delay_s * 1_000_000).alias("wm_us"),
+    )
+    j = e.join(F.broadcast(wm), "batch")
+    kept = (F.col("wm_us").isNull() | (F.col("us") >= F.col("wm_us"))).cast(
+        "long"
+    )
+    agg = (
+        j.withColumn("kept", kept)
+        .withColumn(
+            "wstart_s", F.expr(f"(us div {width_s * 1_000_000}) * {width_s}")
+        )
+        .groupBy("wstart_s")
+        .agg(
+            F.sum("kept").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("kept")).alias("n_dropped"),
+        )
+    )
+    return agg.select(
+        _ts_s(F.timestamp_seconds("wstart_s")).alias("window_start"),
+        "n_kept",
+        "n_dropped",
+    )
+
+
+def session_merge_stats(
+    ev: DataFrame, gap_s: int = 1800, frag_gap_s: int = 300
+) -> DataFrame:
+    """Per-user sessions via gaps-and-islands with a FRAGMENT count —
+    the session-MERGE observability key (round-8 verdict item 2): each
+    30-min-gap session reports how many 5-min-gap sub-sessions it
+    absorbed (``n_fragments``), which is exactly the number of state
+    merges a streaming session window performs when later events bridge
+    previously-separate session fragments. n_fragments == 1 means the
+    session never merged.
+
+    A new session starts when the gap to the previous event is
+    ``>= gap_s`` (session_window semantics: a session spans
+    [start, last + gap)); same comparison at the fragment grain. One
+    pass, two lag-derived flags, one cumulative sum — all windows
+    PARTITIONED BY user_id (no global sort; scales with users/executor)
+    and integer-micros arithmetic for exact cross-engine parity.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    x = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        us.alias("us"),
+        F.lag(us).over(w).alias("prev_us"),
+    )
+    gap = F.col("us") - F.col("prev_us")
+    y = x.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("prev_us").isNull() | (gap >= gap_s * 1_000_000))
+        .cast("long")
+        .alias("new_s"),
+        (F.col("prev_us").isNull() | (gap >= frag_gap_s * 1_000_000))
+        .cast("long")
+        .alias("new_frag"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    z = y.withColumn("sid", F.sum("new_s").over(wc))
+    return (
+        z.groupBy("user_id", "sid")
+        .agg(
+            _ts_s(F.min("ts")).alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("new_frag").alias("n_fragments"),
+        )
+        .select("user_id", "session_start", "n_events", "n_fragments")
+    )
+
+
+def emit_finalized_windows(
+    ev: DataFrame, delay_s: int = 600, width_s: int = 300
+) -> DataFrame:
+    """Append-mode EMISSION state per tumbling window: a window is
+    ``finalized`` (emitted by an append-mode sink) iff its END is at or
+    before the stream's final watermark (max event time - delay);
+    later windows are still open in state. Batch-checkable face of the
+    append-mode output contract. One scan + a 1-row broadcast max —
+    no second pass over facts."""
+    us = F.unix_micros(F.col("ts"))
+    agg = (
+        ev.select(us.alias("us"))
+        .withColumn(
+            "wstart_s", F.expr(f"(us div {width_s * 1_000_000}) * {width_s}")
+        )
+        .groupBy("wstart_s")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wm = ev.select((F.max(us) - delay_s * 1_000_000).alias("wm_us"))
+    return agg.crossJoin(F.broadcast(wm)).select(
+        _ts_s(F.timestamp_seconds("wstart_s")).alias("window_start"),
+        "n",
+        (
+            (F.col("wstart_s") + width_s) * 1_000_000 <= F.col("wm_us")
+        )
+        .cast("int")
+        .alias("finalized"),
+    )
+
+
 def read_events_stream(spark, events_dir: str) -> DataFrame:
     """File-source streaming read of the events fixture.
 

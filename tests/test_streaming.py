@@ -745,3 +745,65 @@ def test_stream_dedup_late_epoch_parity(spark, tmp_path):
         "SELECT count(*) c FROM dedup_late_out WHERE user_id IN (1, 2)"
     ).collect()[0]["c"]
     assert streamed == batch["n_kept"]
+
+
+def test_watermark_drop_sim_is_nonvacuous_and_conserves_rows(spark, sf_dir):
+    """The watermark-drop oracle key only PROVES the drop semantics if
+    the fixture actually produces late arrivals under the jittered
+    micro-batch model (ts is monotone in event_id, so without jitter
+    nothing would ever drop and the key would be a vacuous count). Pin:
+    kept + dropped == |events| (no row lost or double-counted) and at
+    least one event drops; the first micro-batch (NULL watermark) never
+    drops."""
+    ev = t(spark, sf_dir, "events")
+    out = W.watermark_drop_sim(ev).agg(
+        F.sum("n_kept").alias("kept"), F.sum("n_dropped").alias("dropped")
+    ).collect()[0]
+    assert out["kept"] + out["dropped"] == ev.count()
+    assert out["dropped"] > 0, "no late data — the drop key is vacuous"
+    assert out["kept"] > out["dropped"], "drops should be the minority"
+
+
+def test_session_merge_fragments_consistent_with_session_window(spark, sf_dir):
+    """The session-merge key's 30-min sessions must be the SAME islands
+    the native session_window finds (count parity per user), and the
+    fragment counts must be conservative: total fragments across a
+    user's sessions equals that user's 5-min-gap session count, with at
+    least one session having merged (n_fragments > 1) — otherwise the
+    merge observability is vacuous."""
+    ev = t(spark, sf_dir, "events")
+    merged = W.session_merge_stats(ev)
+    per_user = merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n30"), F.sum("n_fragments").alias("nfrag")
+    )
+    native30 = (
+        W.session_stats(ev)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n30_native"))
+    )
+    native5 = (
+        W.session_stats(ev, gap="5 minutes")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n5_native"))
+    )
+    j = per_user.join(native30, "user_id").join(native5, "user_id")
+    bad = j.filter(
+        (F.col("n30") != F.col("n30_native"))
+        | (F.col("nfrag") != F.col("n5_native"))
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
+    assert merged.filter(F.col("n_fragments") > 1).count() > 0
+
+
+def test_emit_finalized_partitions_windows_at_watermark(spark, sf_dir):
+    """Append-mode emission: every window except the watermark-trailing
+    tail must be finalized; the LAST window (containing max ts) can
+    never be (its end > max ts - delay). Finalized flag must be a
+    monotone step function of window start."""
+    out = W.emit_finalized_windows(t(spark, sf_dir, "events")).collect()
+    rows = sorted(out, key=lambda r: r["window_start"])
+    flags = [r["finalized"] for r in rows]
+    assert flags[-1] == 0
+    assert any(f == 1 for f in flags)
+    # monotone non-increasing: once a window is open, all later are open
+    assert all(a >= b for a, b in zip(flags, flags[1:]))
