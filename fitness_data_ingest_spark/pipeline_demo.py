@@ -76,7 +76,12 @@ def run_once(spark: SparkSession, sf_dir: str, sink_dir: str) -> dict:
         "event_date", F.to_date("ts")
     )
 
-    # bounded driver-side values only: resource vocabulary + date span
+    # bounded driver-side values only: resource vocabulary + date span.
+    # The .collect() below is safe BECAUSE the event_type domain is a
+    # small fixed vocabulary (the reference's endpoint list — a handful
+    # of resource names, SF-invariant), and groupBy().pivot() requires
+    # the explicit value list anyway; at 100 TB this is a |vocabulary|-
+    # row aggregate, not a data-sized collect.
     resources, span = staged(
         "plan_sec",
         lambda: (

@@ -1427,7 +1427,7 @@ def _median_smallest(df, val_col: str, bucket: int = TS_BUCKET2):
     )
 
 
-def theil_sen(events):
+def theil_sen(events, max_points: int | None = None):
     """Theil-Sen robust trend of the hourly value series: the median of
     all pairwise slopes, then the median residual intercept — the
     estimator that shrugs off the outliers OLS chases.  The pair join
@@ -1435,6 +1435,18 @@ def theil_sen(events):
     regardless of event count — the seasonal_decompose argument), and
     both medians are EXACT order statistics over milli-quantized
     integer slopes via the hierarchical prefix machinery.
+
+    ``max_points`` is the LONG-SPAN escape hatch (round-8 verdict
+    item 4): the exact all-pairs form is quadratic in the hour grain —
+    fine to roughly a 2-year span (~17.5k hours → ~1.5e8 pairs, still
+    one shuffle-light join at cluster scale) but at 10 years it is
+    ~3.8e9 pairs. Past that crossover, pass ``max_points`` (e.g. 8192):
+    the hour grain is decimated by SYSTEMATIC sampling — every
+    ceil(n/max_points)-th hour offset, deterministic and evenly spaced
+    in time, which preserves trend geometry better than random pair
+    sampling — and the same exact-median machinery runs on the
+    subsample (≤ max_points²/2 pairs). Default None = exact; the
+    registered key uses the default, so the oracle is unchanged.
 
     Output: point/pair counts, median slope (milli-cents per hour),
     median intercept (milli-cents at hour 0 of the series)."""
@@ -1450,6 +1462,19 @@ def theil_sen(events):
     hh = hourly.join(F.broadcast(h0)).select(
         (F.col("hidx") - F.col("h0")).alias("x"), "tot"
     )
+    if max_points is not None:
+        # stride from a 1-row broadcast count (no eager collect); keep
+        # hour offsets on the stride grid — systematic decimation
+        nn = hh.agg(F.count(F.lit(1)).alias("nn"))
+        stride = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("nn") / F.lit(max_points)).cast("long"),
+        )
+        hh = (
+            hh.join(F.broadcast(nn))
+            .filter(F.col("x") % stride == 0)
+            .drop("nn")
+        )
     a = hh.select(F.col("x").alias("xa"), F.col("tot").alias("ya"))
     b = hh.select(F.col("x").alias("xb"), F.col("tot").alias("yb"))
     # codegen can evaluate the projection before the nested-loop join's

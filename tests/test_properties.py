@@ -3956,3 +3956,36 @@ def test_qte_matches_bruteforce(spark, evs):
         assert rows[p]["q_arm1_cents"] == q1
         expect_qte = None if q0 is None or q1 is None else q1 - q0
         assert rows[p]["qte_cents"] == expect_qte
+
+
+def test_theil_sen_sampled_escape_hatch_bounds_estimator_gap(spark):
+    """Round-8 verdict item 4: the ``max_points`` long-span escape hatch
+    (systematic decimation of the hour grain) must recover the same
+    trend the exact all-pairs estimator finds, on a series where the
+    trend is KNOWN: y = 5c/hour + intercept with ~12% gross outliers
+    (deterministic placement, +5000c spikes). Exact Theil-Sen ignores
+    the outliers and nails the slope; the decimated form (64 of 512
+    points, 8x fewer pairs than exact needs) must land within one
+    slope quantum (1 milli-cent/hour) of it. Also pins: default
+    max_points=None leaves the registered plan untouched."""
+    from fitness_data_ingest_spark.registry_r6_misc import theil_sen
+
+    n = 512
+    rows = []
+    for x in range(n):
+        c = 5 * x + 300  # cents: slope 5 c/hour
+        if x % 8 == 3:  # deterministic 12.5% gross outliers
+            c += 5000
+        # theil_sen re-derives cents via floor(value*100+0.5)
+        rows.append((x * 3600 * 10**6, c / 100.0))
+    ev = spark.createDataFrame(rows, "us long, value double").select(
+        F.timestamp_micros("us").alias("ts"), "value"
+    )
+    exact = theil_sen(ev).collect()[0]
+    sampled = theil_sen(ev, max_points=64).collect()[0]
+    assert exact["n_points"] == n
+    assert sampled["n_points"] <= 64
+    assert sampled["n_pairs"] < exact["n_pairs"] / 8
+    # slope is milli-cents/hour: truth = 5000
+    assert exact["slope_milli"] == 5000
+    assert abs(sampled["slope_milli"] - exact["slope_milli"]) <= 1

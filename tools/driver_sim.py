@@ -11,7 +11,18 @@ exact values — ``tests/oracle_harness.compare``).
 Usage:
     python tools/driver_sim.py                 # all oracle-paired keys
     python tools/driver_sim.py key1 key2 ...   # a subset
+    python tools/driver_sim.py --sample 14     # stratified smoke:
+                                               # one key per family,
+                                               # round-robin, N total
+    python tools/driver_sim.py --sample 14 --offset 3   # rotate picks
     SIM_SF_DIR=/root/testdata/sf0.001 python tools/driver_sim.py
+
+Two tiers (round-8 verdict item 6): the FULL sim (~6 min at sf0.01)
+is the round gate; ``--sample N`` is the ~1-minute smoke between full
+runs — stratified one-key-per-family so every operator family executes
+under driver semantics, with ``--offset`` rotating WHICH key represents
+each family across invocations (deterministic: offset k picks each
+family's k-th key, wrapping).
 
 Exit 0 iff every sampled oracle-paired key compares green (rows-only
 keys are executed and row-counted but cannot fail the hash, matching
@@ -27,6 +38,31 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 sys.path.insert(0, os.path.join(HERE, "tests"))
+
+
+def _stratified_sample(queries: dict, n: int, offset: int = 0) -> list[str]:
+    """One key per registry family, round-robin until ``n`` keys:
+    pass 0 takes each family's ``offset``-th key (wrapping), pass 1 the
+    next, and so on — every family is represented before any family
+    contributes twice, and successive offsets rotate which key stands
+    for its family. Deterministic (registration order, no clock/rng)."""
+    from fitness_data_ingest_spark.registry import FAMILIES
+
+    picked: list[str] = []
+    fams = [
+        [k for k in fam if k in queries] for _name, fam in FAMILIES
+    ]
+    fams = [f for f in fams if f]
+    rounds = 0
+    while len(picked) < n and rounds < max(len(f) for f in fams):
+        for f in fams:
+            if len(picked) >= n:
+                break
+            key = f[(offset + rounds) % len(f)]
+            if key not in picked:
+                picked.append(key)
+        rounds += 1
+    return picked[:n]
 
 
 def main() -> int:
@@ -49,7 +85,15 @@ def main() -> int:
 
     queries = mod.queries()
     oracles = mod.oracle_sql()
-    names = sys.argv[1:] or list(queries)
+    args = sys.argv[1:]
+    if "--sample" in args:
+        i = args.index("--sample")
+        n = int(args[i + 1])
+        off = int(args[args.index("--offset") + 1]) if "--offset" in args else 0
+        names = _stratified_sample(queries, n, off)
+        print(f"stratified sample ({n} keys, offset {off}): {names}", flush=True)
+    else:
+        names = args or list(queries)
     unknown = [n for n in names if n not in queries]
     if unknown:
         print(f"unknown keys: {unknown}", file=sys.stderr)
