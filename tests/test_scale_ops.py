@@ -1212,3 +1212,146 @@ def test_stale_tmp_reaper_removes_dead_pid_artifacts_only(tmp_path, monkeypatch)
     RU._reap_stale_tmp()
     assert (tmp_path / f"fdis_{dead}_edges_y.parquet").exists()
     assert (tmp_path / f"fdis_{own}_edges_ours.parquet").exists()
+
+
+def test_small_file_scan_packs_splits_and_compaction_restores_sanity(
+    spark, sf_dir, tmp_path
+):
+    """SCALING §2 prose → simulation (round-8 verdict item 3): the
+    S3A-style many-small-files story. Three claims made measurable:
+
+    1. LISTING/SPLIT PACKING: scanning a directory of hundreds of tiny
+       files must not produce one task per file — Spark bin-packs files
+       into splits by max(openCostInBytes, bytesPerCore), so the task
+       count stays a small multiple of the core count, not |files|.
+       (On S3A the same packing bounds request count per task.)
+    2. DISTRIBUTED MANIFEST: the input_file_name() manifest runs as a
+       scan-grain job — per-file counts cover every file and conserve
+       the row total (no driver-side listing loop).
+    3. COMPACTION EXECUTES: the greedy plan (metadata-grain) actually
+       restores file sanity when executed — output file count == |bins|
+       (~rows/target), data identical.
+    """
+    import glob
+
+    from fitness_data_ingest_spark.io import compaction_plan, scan_with_lineage
+    from fitness_data_ingest_spark.registry_util import t
+
+    ev = t(spark, sf_dir, "events")
+    total = ev.count()
+    src = str(tmp_path / "many_small")
+    ev.repartition(240).write.parquet(src)
+    files = glob.glob(f"{src}/part-*.parquet")
+    assert len(files) == 240
+
+    back = spark.read.parquet(src)
+    n_splits = back.rdd.getNumPartitions()
+    # openCost-dominated packing: ~bytesPerCore/openCost files per split
+    assert n_splits < len(files) / 4, (
+        f"no split packing: {n_splits} tasks for {len(files)} files"
+    )
+
+    manifest = scan_with_lineage(back).groupBy("file_name").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    man_rows = manifest.collect()
+    assert len(man_rows) == 240
+    assert sum(r["n_rows"] for r in man_rows) == total
+
+    # plan at target rows/bin, then EXECUTE: route rows to their file's
+    # bin and write one dir per bin (repartition by bin → one writer
+    # task per bin → one file per bin dir)
+    target = max(total // 6, 1)
+    plan = compaction_plan(
+        manifest.withColumn("pdir", F.lit("all")),
+        group_col="pdir",
+        order_col="file_name",
+        weight_col="n_rows",
+        target=target,
+    )
+    n_bins = plan.select("bin").distinct().count()
+    out = str(tmp_path / "compacted")
+    (
+        scan_with_lineage(back)
+        .join(F.broadcast(plan.select("file_name", "bin")), "file_name")
+        .drop("file_name")
+        .repartition("bin")
+        .write.partitionBy("bin")
+        .parquet(out)
+    )
+    out_files = glob.glob(f"{out}/bin=*/part-*.parquet")
+    assert len(out_files) == n_bins < 20 < len(files)
+    compacted = spark.read.parquet(out)
+    assert compacted.count() == total
+    # value-conserving, not just row-conserving
+    a = ev.agg(F.sum(F.floor(F.col("value") * 100 + 0.5)).alias("s")).collect()
+    b = compacted.agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5)).alias("s")
+    ).collect()
+    assert a == b
+
+
+def test_streaming_watermark_evicts_window_state(spark, tmp_path):
+    """SCALING §7 prose → simulation (round-8 verdict item 3): 'state
+    is bounded by the watermark horizon'. Drive a watermarked tumbling
+    aggregate through three micro-batches whose event time advances by
+    an hour each; assert the state store EVICTS finalized windows
+    (final numRowsTotal well under the total window count) and the
+    append-mode conservation law: emitted + still-in-state == every
+    window ever seen."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # batch k: 21 events at hour k, minutes 0..20 → 5 distinct 5-min
+    # windows per hour, 15 windows total
+    for k in range(3):
+        rows = [
+            (base + dt.timedelta(hours=k, minutes=m), 1) for m in range(21)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{k}"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_evict_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+    finally:
+        q.stop()
+    emitted = spark.sql("SELECT count(*) c FROM wm_evict_out").collect()[0]["c"]
+    assert state_rows, "no state metrics captured"
+    final_state = state_rows[-1]
+    # eviction happened: the store does NOT hold all 15 windows
+    assert final_state < 15, f"state never evicted: {state_rows}"
+    # horizon bound: only the tail past the last watermark stays
+    assert final_state <= 8, f"state exceeds watermark horizon: {state_rows}"
+    # conservation: every window is either emitted (finalized) or held
+    assert emitted + final_state == 15, (emitted, state_rows)
