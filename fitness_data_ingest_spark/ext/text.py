@@ -113,6 +113,46 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def doc_char_trigram_counts(
+    docs: DataFrame,
+    carry: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document character-trigram occurrence counts:
+    ``(doc_id, *carry, tri, m)`` — the shared projection under BOTH
+    char-trigram consumers (the CCNet perplexity bucketing's corpus LM
+    and the per-language LM training counts). The explode is the
+    expensive part; grouping to the (doc, tri) grain right after it
+    collapses within-doc repeats (m), so every downstream aggregate and
+    join runs on the much smaller distinct grain while remaining
+    EXACT: any sum over occurrences is the same sum weighted by m.
+
+    Spread across partitions before the explode (the with_minhash
+    discipline) so the CPU-bound trigram generation parallelizes even
+    when the source parquet arrives in few splits."""
+    sc = docs.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism, 1)
+    tris = (
+        docs.select("doc_id", *carry, F.col(text_col).alias("_t"))
+        .repartition(n_parts)
+        .select(
+            "doc_id",
+            *carry,
+            F.explode(
+                F.expr(
+                    "CASE WHEN length(_t) >= 3 THEN"
+                    " transform(sequence(1, length(_t) - 2),"
+                    " i -> substr(_t, i, 3))"
+                    " ELSE array() END"
+                )
+            ).alias("tri"),
+        )
+    )
+    return tris.groupBy("doc_id", *carry, "tri").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+
+
 def tfidf(docs: DataFrame, id_col: str, text_col: str, min_df: int = 2) -> DataFrame:
     """Per-(doc, term) TF-IDF over the corpus.
 

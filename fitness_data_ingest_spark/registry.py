@@ -319,6 +319,14 @@ _FORCE_REVERIFY: dict[str, int] = {
     # of the vec_id self-equi-join (no shuffle before the 4096-group
     # aggregate; A/B-identical values, 2x faster build).
     "embed_power_iteration": 7,
+    # round 9: both char-trigram consumers now read the MATERIALIZED
+    # shared per-doc trigram stage (registry_util.shared_char_trigrams)
+    # — the perplexity key's old plan ran the trigram explode TWICE per
+    # query, the LM key re-ran the identical generation; sums over
+    # occurrences became m-weighted sums over the distinct (doc, tri)
+    # grain (integer-identical values), physical plans changed.
+    "text_perplexity_bucket": 8,
+    "text_char_trigram_lm": 8,
 }
 
 

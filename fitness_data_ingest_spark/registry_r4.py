@@ -1029,32 +1029,23 @@ def _text_char_trigram_lm(spark, sf_dir):
     heuristic in text_language_id; at inference, a doc scores by
     summed trigram log-odds against these tables).
 
-    Scale shape: trigram generation is a per-row array transform
-    spread across partitions first (the with_minhash discipline), one
-    (lang, trigram) aggregate with map-side partial combine, then the
-    per-group top-10 via the SALTED two-level grouped_topk — a whale
-    language (English owning most of the corpus) never funnels
+    Scale shape (r9): the trigram generation reads the MATERIALIZED
+    shared per-doc trigram stage (one explode per process, shared with
+    the perplexity bucketing; the spread-before-explode discipline
+    lives in the stage build) — corpus counts are the m-weighted sum
+    over the distinct (doc, tri) grain, exact by construction — then
+    the per-group top-10 via the SALTED two-level grouped_topk: a
+    whale language (English owning most of the corpus) never funnels
     through one reducer."""
     from .ops.scale import grouped_topk
+    from .registry_util import shared_char_trigrams
 
-    docs = t(spark, sf_dir, "documents")
-    n_parts = max(spark.sparkContext.defaultParallelism, 1)
-    tri = (
-        docs.select("lang", F.col("text").alias("_t"))
-        .repartition(n_parts)
-        .select(
-            "lang",
-            F.explode(
-                F.expr(
-                    "CASE WHEN length(_t) >= 3 THEN"
-                    " transform(sequence(1, length(_t) - 2),"
-                    " i -> substr(_t, i, 3))"
-                    " ELSE array() END"
-                )
-            ).alias("trigram"),
-        )
+    counts = (
+        shared_char_trigrams(spark, sf_dir)
+        .select("lang", F.col("tri").alias("trigram"), "m")
+        .groupBy("lang", "trigram")
+        .agg(F.sum("m").alias("cnt"))
     )
-    counts = tri.groupBy("lang", "trigram").agg(F.count(F.lit(1)).alias("cnt"))
     return grouped_topk(counts, "lang", [("cnt", "desc"), ("trigram", "asc")], 10)
 
 

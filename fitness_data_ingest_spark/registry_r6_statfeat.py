@@ -1364,7 +1364,7 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
 
-def perplexity_bucket(docs):
+def perplexity_bucket(docs=None, dtm=None):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
     every doc by mean char-trigram surprisal under the corpus's own
     add-1-smoothed trigram unigram model, split the corpus into
@@ -1374,32 +1374,31 @@ def perplexity_bucket(docs):
 
     Exactness: the single transcendental term −ln((cnt+1)/(N+V)) is
     computed from exact int64 inputs and micro-nat-quantized to int64
-    PER TERM before any sum (the repo's fold-order rule); the per-doc
-    mean is pure integer arithmetic ((2s+n) div 2n = half-up), and the
-    tertile thresholds are exact order statistics via the same
-    hierarchical coarse-bucket prefix sum the KS machinery uses.
+    PER TERM before any sum (the repo's fold-order rule); a doc's sum
+    over occurrences is the m-weighted sum over its DISTINCT trigrams
+    (integer-exact), the per-doc mean is pure integer arithmetic
+    ((2s+n) div 2n = half-up), and the tertile thresholds are exact
+    order statistics via the same hierarchical coarse-bucket prefix
+    sum the KS machinery uses.
 
-    Scale shape: trigram vocabulary is charset-bounded (≪ rows), so
-    the count table is broadcastable; one shuffle to trigram grain for
-    counts, one join back, one doc-grain aggregate, and the tertile
-    scan runs at the distinct-score grain."""
-    tris = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr(
-                "CASE WHEN length(text) >= 3 THEN"
-                " transform(sequence(1, length(text) - 2),"
-                " i -> substr(text, i, 3))"
-                " ELSE array() END"
-            )
-        ).alias("tri"),
-    )
-    counts = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+    Scale shape (r9 rewrite): everything derives from the per-doc
+    trigram-count grain ``dtm`` — pass the materialized shared stage
+    (registry path: one explode per PROCESS, column-pruned scans), or
+    let it derive from ``docs`` (one explode per QUERY; the old plan
+    ran the explode twice — corpus counts AND the per-doc join-back).
+    Corpus counts sum the distinct grain; the count table is
+    charset-bounded so its join back is a broadcast; one doc-grain
+    aggregate; the tertile scan runs at the distinct-score grain."""
+    if dtm is None:
+        from .ext.text import doc_char_trigram_counts
+
+        dtm = doc_char_trigram_counts(docs, carry=("source",))
+    dtm = dtm.select("doc_id", "source", "tri", "m")
+    counts = dtm.groupBy("tri").agg(F.sum("m").alias("cnt"))
     nv = counts.agg(
         F.sum("cnt").alias("nn"), F.count(F.lit(1)).alias("vv")
     )
-    terms = tris.join(F.broadcast(counts), "tri").join(F.broadcast(nv))
+    terms = dtm.join(F.broadcast(counts), "tri").join(F.broadcast(nv))
     term_micro = F.floor(
         -F.log(
             (F.col("cnt") + 1).cast("double")
@@ -1409,9 +1408,17 @@ def perplexity_bucket(docs):
         + F.lit(0.5)
     ).cast("long")
     per_doc = (
-        terms.select("doc_id", "source", term_micro.alias("tm"))
+        terms.select(
+            "doc_id",
+            "source",
+            "m",
+            term_micro.alias("tm"),
+        )
         .groupBy("doc_id", "source")
-        .agg(F.sum("tm").alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("m") * F.col("tm")).alias("s"),
+            F.sum("m").alias("n"),
+        )
         .select(
             "doc_id",
             "source",
@@ -1463,7 +1470,9 @@ def perplexity_bucket(docs):
 
 
 def _text_perplexity_bucket(spark, sf_dir):
-    return perplexity_bucket(t(spark, sf_dir, "documents"))
+    from .registry_util import shared_char_trigrams
+
+    return perplexity_bucket(dtm=shared_char_trigrams(spark, sf_dir))
 
 
 _PPL_SQL = f"""

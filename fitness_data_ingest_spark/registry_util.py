@@ -212,6 +212,31 @@ def shared_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document char-trigram counts ``(doc_id, source, lang, tri,
+    m)`` over ``documents`` as a MATERIALIZED shared stage (r9) — the
+    third instance of the r8 architecture: the trigram explode is the
+    whole cost of `text_perplexity_bucket` (the sweep's most expensive
+    key, whose old plan ran the explode TWICE — once for corpus counts,
+    once for the per-doc join-back) and `text_char_trigram_lm` re-ran
+    the identical generation. One build per (process, sf), then
+    column-pruned parquet scans; the (doc, tri) grain also collapses
+    within-doc repeats, so consumers aggregate the distinct grain.
+
+    Values are exact integer counts, so the DuckDB oracles keep
+    recomputing them relationally and hashes are unaffected."""
+    sf = _sf_tag(sf_dir)
+
+    def build() -> DataFrame:
+        from .ext.text import doc_char_trigram_counts
+
+        return doc_char_trigram_counts(t(spark, sf_dir, "documents"))
+
+    return _materialized_stage(
+        spark, f"trigrams_{sf}_documents_doc_id_text", build
+    )
+
+
 def shared_cooccurrence_edges(
     spark: SparkSession,
     sf_dir: str,

@@ -1226,14 +1226,22 @@ def test_broadcast_build_sides_hold_oom_margin(spark):
 
 
 def test_materialized_shared_stages_match_direct_derivation(spark, sf_dir):
-    """The two materialized shared stages (r8) must be value-identical
-    to the direct derivations they replaced — the guard that keeps the
-    parquet hop from ever drifting from the operators' semantics. Also
-    pins build-once-per-process: a second call must scan the existing
-    sink, not rebuild (the stage records its build time exactly once)."""
+    """The materialized shared stages (r8 edges/signatures, r9
+    trigrams) must be value-identical to the direct derivations they
+    replaced — the guard that keeps the parquet hop from ever drifting
+    from the operators' semantics. Also pins build-once-per-process: a
+    second call must scan the existing sink, not rebuild (the stage
+    records its build time exactly once)."""
     from fitness_data_ingest_spark import registry_util as RU
     from fitness_data_ingest_spark.ext import dedup as D
+    from fitness_data_ingest_spark.ext.text import doc_char_trigram_counts
     from fitness_data_ingest_spark.ops import graph as G
+
+    tri_stage = RU.shared_char_trigrams(spark, sf_dir)
+    tri_direct = doc_char_trigram_counts(t(spark, sf_dir, "documents"))
+    assert sorted(map(tuple, tri_stage.collect())) == sorted(
+        map(tuple, tri_direct.collect())
+    )
 
     edges_stage = RU.shared_cooccurrence_edges(spark, sf_dir)
     edges_direct = G.cooccurrence_edges(
@@ -1255,6 +1263,7 @@ def test_materialized_shared_stages_match_direct_derivation(spark, sf_dir):
     before = dict(RU.SHARED_STAGE_BUILD_SEC)
     RU.shared_cooccurrence_edges(spark, sf_dir)
     RU.shared_minhash_signatures(spark, sf_dir)
+    RU.shared_char_trigrams(spark, sf_dir)
     assert RU.SHARED_STAGE_BUILD_SEC == before
 
 
