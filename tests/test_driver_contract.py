@@ -371,3 +371,37 @@ def test_temp_sink_keys_survive_cross_sf_lazy_interleave(spark):
         nb = b.count()
         na = a.count()  # pre-fix: FAILED_READ_FILE here
         assert na > 0 and nb > 0, name
+
+
+def test_driver_sim_stratified_sample_is_deterministic_and_family_covering():
+    """The smoke tier (round-8 verdict item 6): --sample N must pick
+    one key per registry family before any family contributes twice,
+    be fully deterministic (no clock/rng), and rotate its picks with
+    --offset so successive smokes exercise different representatives."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "driver_sim",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "driver_sim.py"),
+    )
+    sim = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sim)
+
+    from fitness_data_ingest_spark.registry import FAMILIES, all_queries
+
+    queries = all_queries()
+    n_fams = sum(1 for _n, fam in FAMILIES if any(k in queries for k in fam))
+
+    picked = sim._stratified_sample(queries, n_fams)
+    assert len(picked) == len(set(picked)) == n_fams
+    # one per family: no two picks share a family on the first pass
+    fam_of = {k: name for name, fam in FAMILIES for k in fam}
+    assert len({fam_of[k] for k in picked}) == n_fams
+    # deterministic
+    assert picked == sim._stratified_sample(queries, n_fams)
+    # offset rotates representatives (at least one family has >1 key)
+    assert picked != sim._stratified_sample(queries, n_fams, offset=1)
+    # oversampling wraps round-robin without duplicates until exhausted
+    big = sim._stratified_sample(queries, 2 * n_fams)
+    assert len(big) == len(set(big)) == 2 * n_fams
