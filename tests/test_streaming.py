@@ -807,3 +807,94 @@ def test_emit_finalized_partitions_windows_at_watermark(spark, sf_dir):
     assert any(f == 1 for f in flags)
     # monotone non-increasing: once a window is open, all later are open
     assert all(a >= b for a, b in zip(flags, flags[1:]))
+
+
+def test_watermark_drop_model_matches_real_engine(spark, tmp_path):
+    """The stream_watermark_drop key claims its batch simulation is
+    MICRO-BATCH-FAITHFUL: watermark in force for batch B = max event
+    time over batches < B minus the delay, advanced only between
+    batches, first batch unfiltered, row dropped iff its event time is
+    older than its batch's watermark. Prove that against the REAL
+    engine: feed the same batches one file per trigger through
+    withWatermark + dropDuplicatesWithinWatermark over UNIQUE keys (so
+    the ONLY thing dedup can drop is a late row — the row-level
+    watermark semantics the model encodes) and require the surviving
+    id set to equal the Python replay of the model, batch for batch.
+    The DuckDB oracle already pins Spark-sim == model; this pins
+    engine == model, closing the chain."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    delay_s = 600
+    # 6 batches; each carries in-order events PLUS stragglers from
+    # earlier hours so several rows genuinely race the watermark:
+    # (batch, event_id, event-time offset seconds)
+    batches: list[list[tuple[int, int]]] = []
+    for k in range(6):
+        rows = [(100 * k + i, 3600 * k + 60 * i) for i in range(20)]
+        if k >= 1:
+            # stragglers: one just inside the horizon, one far outside
+            rows.append((100 * k + 90, 3600 * k - delay_s // 2))
+            rows.append((100 * k + 91, 3600 * (k - 1) - 1800))
+        batches.append(rows)
+
+    # Python replay of the model
+    kept_model: set[int] = set()
+    wm: float | None = None
+    seen_max: float | None = None
+    for rows in batches:
+        for eid, off in rows:
+            if wm is None or off >= wm:
+                kept_model.add(eid)
+        batch_max = max(off for _eid, off in rows)
+        seen_max = batch_max if seen_max is None else max(seen_max, batch_max)
+        wm = seen_max - delay_s
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = tmp_path / "wm_engine_src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", f"{delay_s} seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_engine_out")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .start()
+    )
+    try:
+        # land + drain one file per batch so the engine's watermark
+        # advances exactly at the model's batch boundaries
+        for k, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                [(eid, base + dt.timedelta(seconds=off)) for eid, off in rows],
+                schema,
+            )
+            df.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{k}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    kept_engine = {
+        r["event_id"]
+        for r in spark.sql("SELECT event_id FROM wm_engine_out").collect()
+    }
+    # sanity: the fixture genuinely exercises both outcomes
+    all_ids = {eid for rows in batches for eid, _ in rows}
+    assert kept_engine != all_ids, "nothing was dropped — vacuous"
+    assert kept_model != all_ids
+    assert kept_engine == kept_model, (
+        f"model != engine: only_model={sorted(kept_model - kept_engine)} "
+        f"only_engine={sorted(kept_engine - kept_model)}"
+    )
