@@ -581,6 +581,7 @@ def sq8_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k over scalar-quantized codes: rows matching
     ``query_pred`` are the query set (broadcast), the rest are
@@ -588,8 +589,12 @@ def sq8_topk(
     tiebreak. The compression path of a 100 TB vector store: the
     candidate scan reads 8-bit codes, not floats, and the distance
     kernel is exact integer arithmetic.
+
+    ``codes`` — a precomputed ``(id, c)`` code table (the materialized
+    shared stage in the registry path); derived from ``df`` if absent.
     """
-    codes = sq8_codes(df, id_col, vec_col)
+    if codes is None:
+        codes = sq8_codes(df, id_col, vec_col)
     q = codes.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col("c").alias("qc")
     )
@@ -796,6 +801,7 @@ def kmeans_lloyd(
     rounds: int = KM_ROUNDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd k-means over SQ8-quantized codes: ``rounds``
     assignment passes with a centroid update between consecutive passes,
@@ -825,8 +831,12 @@ def kmeans_lloyd(
     State is ``localCheckpoint``-ed between rounds, killing the
     2^rounds lineage re-derivation (the power-iteration lesson).
     Clusters that lose all members drop out of the state identically
-    in both engines (group-by semantics)."""
-    codes = sq8_codes(df, id_col, vec_col).localCheckpoint()
+    in both engines (group-by semantics). ``codes`` — a precomputed
+    ``(id, c)`` table (the materialized shared stage in the registry
+    path); derived from ``df`` if absent."""
+    if codes is None:
+        codes = sq8_codes(df, id_col, vec_col)
+    codes = codes.localCheckpoint()
     state = (
         codes.orderBy(id_col)
         .limit(k)
@@ -917,6 +927,7 @@ def pq_adc_topk(
     k: int = PQ_TOPK,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (Jégou et al., "Product Quantization for Nearest Neighbor Search",
@@ -942,7 +953,9 @@ def pq_adc_topk(
     then the ranking window partitioned per query (queries are the
     parallelism, the sq8_topk shape)."""
     dsub_expr = f"CAST(size(c) / {m} AS INT)"
-    codes = sq8_codes(df, id_col, vec_col).localCheckpoint()
+    if codes is None:
+        codes = sq8_codes(df, id_col, vec_col)
+    codes = codes.localCheckpoint()
     subs = codes.select(
         F.col(id_col).alias("vid"),
         F.posexplode(

@@ -327,6 +327,19 @@ _FORCE_REVERIFY: dict[str, int] = {
     # grain (integer-identical values), physical plans changed.
     "text_perplexity_bucket": 8,
     "text_char_trigram_lm": 8,
+    # round 9: the SQ8-consumer family now reads the MATERIALIZED
+    # shared code stage (registry_util.shared_sq8_codes) instead of
+    # re-deriving the corpus quantization per key — code VALUES
+    # identical (exact integer quantization), physical plans changed.
+    "ann_sq8_topk": 4,
+    "embed_kmeans_lloyd": 5,
+    "embed_pq_adc": 6,
+    "embed_random_projection": 6,
+    "embed_mmr_select": 6,
+    "rag_hybrid_rrf": 7,
+    "embed_matryoshka_recall": 7,
+    "embed_drift_centroid": 7,
+    "ml_ndcg_ann": 7,
 }
 
 

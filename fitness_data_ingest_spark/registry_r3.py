@@ -130,9 +130,14 @@ WHERE levenshtein(a.name, b.name) <= 4
 def _ann_sq8_topk(spark, sf_dir):
     """ANN over scalar-quantized (SQ8) codes: per-dim corpus bounds ->
     0..255 integer codes -> exact integer quantized-L2 top-5 per query.
-    The vector-compression scale path (8-bit scan, integer kernel)."""
+    The vector-compression scale path (8-bit scan, integer kernel);
+    codes come from the materialized shared SQ8 stage (r9)."""
+    from .registry_util import shared_sq8_codes
+
     emb = t(spark, sf_dir, "embeddings")
-    return S.sq8_topk(emb, F.col("vec_id") < 10, k=5)
+    return S.sq8_topk(
+        emb, F.col("vec_id") < 10, k=5, codes=shared_sq8_codes(spark, sf_dir)
+    )
 
 
 _SQ8_SQL = """

@@ -1146,8 +1146,12 @@ def _embed_kmeans_lloyd(spark, sf_dir):
     per-round scale argument. The oracle unrolls the three rounds in
     SQL exactly like graph_pagerank's unrolled recurrence."""
     from .ext import similarity as S
+    from .registry_util import shared_sq8_codes
 
-    return S.kmeans_lloyd(t(spark, sf_dir, "embeddings"))
+    return S.kmeans_lloyd(
+        t(spark, sf_dir, "embeddings"),
+        codes=shared_sq8_codes(spark, sf_dir),
+    )
 
 
 def _kmeans_sql() -> str:
@@ -1813,8 +1817,14 @@ def _embed_pq_adc(spark, sf_dir):
     (brute cosine → LSH → IVF → SQ8 → PQ/ADC)."""
     from .ext import similarity as S
 
+    from .registry_util import shared_sq8_codes
+
     emb = t(spark, sf_dir, "embeddings")
-    return S.pq_adc_topk(emb, F.col("vec_id") % PQ_QUERY_MOD == 0)
+    return S.pq_adc_topk(
+        emb,
+        F.col("vec_id") % PQ_QUERY_MOD == 0,
+        codes=shared_sq8_codes(spark, sf_dir),
+    )
 
 
 def _pq_sql() -> str:

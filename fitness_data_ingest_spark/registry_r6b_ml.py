@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .registry_util import QueryDef, cents, t
+from .registry_util import QueryDef, cents, shared_sq8_codes, t
 
 # rag_hybrid_rrf fuses the BM25 lexical ranking (text family) with the
 # ANN cosine ranking — the BM25 plan + oracle SQL live beside the other
@@ -804,7 +804,7 @@ _SGN_SPARK = (
     "THEN 1L ELSE -1L END))"
 )
 
-def random_projection_audit(embeddings):
+def random_projection_audit(embeddings, codes=None):
     """Johnson-Lindenstrauss +-1 random projection (Achlioptas 2003):
     project the 64-dim SQ8 integer codes to 16 dims with a
     hash-derived sign matrix and audit distance preservation on a
@@ -821,7 +821,8 @@ def random_projection_audit(embeddings):
     bucket grain."""
     from .ext.similarity import sq8_codes
 
-    codes = sq8_codes(embeddings)
+    if codes is None:
+        codes = sq8_codes(embeddings)
     signs = F.broadcast(
         embeddings.sparkSession.range(1).select(
             F.expr(_SGN_SPARK).alias("sgn")
@@ -877,7 +878,10 @@ def random_projection_audit(embeddings):
     )
 
 def _embed_random_projection(spark, sf_dir):
-    return random_projection_audit(t(spark, sf_dir, "embeddings"))
+    return random_projection_audit(
+        t(spark, sf_dir, "embeddings"),
+        codes=shared_sq8_codes(spark, sf_dir),
+    )
 
 _RP_SQL = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -940,7 +944,7 @@ _D2_EXPR = (
     "0L, (s, e) -> s + e)"
 )
 
-def mmr_select(embeddings, k: int = MMR_K):
+def mmr_select(embeddings, k: int = MMR_K, codes=None):
     """Maximal Marginal Relevance selection (Carbonell & Goldstein
     1998): greedily pick k items maximizing lambda*relevance -
     (1-lambda)*similarity-to-already-selected — the diversity-aware
@@ -957,7 +961,8 @@ def mmr_select(embeddings, k: int = MMR_K):
     ANN top-N, so per-query work is O(k * N)."""
     from .ext.similarity import sq8_codes
 
-    codes = sq8_codes(embeddings)
+    if codes is None:
+        codes = sq8_codes(embeddings)
     q = codes.where(F.col("vec_id") == 0).select(F.col("c").alias("qc"))
     cand = (
         codes.where((F.col("vec_id") % MMR_CAND_MOD == 1))
@@ -1041,7 +1046,10 @@ def mmr_select(embeddings, k: int = MMR_K):
     return out.orderBy("rank")
 
 def _embed_mmr_select(spark, sf_dir):
-    return mmr_select(t(spark, sf_dir, "embeddings"))
+    return mmr_select(
+        t(spark, sf_dir, "embeddings"),
+        codes=shared_sq8_codes(spark, sf_dir),
+    )
 
 def _mmr_sql(k: int = MMR_K) -> str:
     d2 = (
@@ -1122,7 +1130,7 @@ RRF_LIST_K = 15
 
 RRF_OUT_K = 10
 
-def hybrid_rrf(docs, embeddings):
+def hybrid_rrf(docs, embeddings, codes=None):
     """Reciprocal-rank fusion (Cormack et al. 2009) of the two
     retrieval modalities: the lexical BM25 top-k and the dense SQ8-ANN
     top-k (query = vector 0) merge by rrf(id) = sum over lists of
@@ -1139,7 +1147,8 @@ def hybrid_rrf(docs, embeddings):
     bm = bm25_topk(docs, topk=RRF_LIST_K).select(
         F.col("doc_id").alias("id"), F.col("rnk").alias("bm25_rnk")
     )
-    codes = sq8_codes(embeddings)
+    if codes is None:
+        codes = sq8_codes(embeddings)
     q = codes.where(F.col("vec_id") == 0).select(F.col("c").alias("qc"))
     dists = (
         codes.where(F.col("vec_id") != 0)
@@ -1172,7 +1181,9 @@ def hybrid_rrf(docs, embeddings):
 
 def _rag_hybrid_rrf(spark, sf_dir):
     return hybrid_rrf(
-        t(spark, sf_dir, "documents"), t(spark, sf_dir, "embeddings")
+        t(spark, sf_dir, "documents"),
+        t(spark, sf_dir, "embeddings"),
+        codes=shared_sq8_codes(spark, sf_dir),
     )
 
 _RRF_SQL = f"""
@@ -1224,7 +1235,7 @@ MRL_QUERY_REM = 3
 
 MRL_K = 10
 
-def matryoshka_recall(embeddings):
+def matryoshka_recall(embeddings, codes=None):
     """Matryoshka-representation evaluation (Kusupati et al. 2022):
     for each sampled query, the top-k neighbor overlap between the full
     64-dim SQ8 distance and the 16-dim PREFIX distance — the number
@@ -1240,7 +1251,8 @@ def matryoshka_recall(embeddings):
 
     from .ext.similarity import sq8_codes
 
-    codes = sq8_codes(embeddings)
+    if codes is None:
+        codes = sq8_codes(embeddings)
     q = codes.where(
         F.col("vec_id") % MRL_QUERY_MOD == MRL_QUERY_REM
     ).select(F.col("vec_id").alias("qid"), F.col("c").alias("qc"))
@@ -1285,7 +1297,10 @@ def matryoshka_recall(embeddings):
     )
 
 def _embed_matryoshka_recall(spark, sf_dir):
-    return matryoshka_recall(t(spark, sf_dir, "embeddings"))
+    return matryoshka_recall(
+        t(spark, sf_dir, "embeddings"),
+        codes=shared_sq8_codes(spark, sf_dir),
+    )
 
 _MRL_SQL = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -1332,7 +1347,7 @@ tot AS (
 SELECT qid, n_overlap, recall_micro FROM per_q, tot ORDER BY qid
 """
 
-def embed_drift(embeddings):
+def embed_drift(embeddings, codes=None):
     """Embedding-distribution drift between the label-0 and label-1
     halves: per-dimension mean shift (SQ8-code units) and the overall
     centroid L2 distance — the retrain/reindex alarm a vector store
@@ -1346,7 +1361,9 @@ def embed_drift(embeddings):
     from .ext.similarity import sq8_codes
 
     lab = embeddings.select("vec_id", (F.col("vec_id") % 2).alias("lab"))
-    codes = sq8_codes(embeddings).join(lab, "vec_id")
+    if codes is None:
+        codes = sq8_codes(embeddings)
+    codes = codes.join(lab, "vec_id")
     dims = codes.select(
         "lab", F.posexplode(F.col("c")).alias("pos", "v")
     )
@@ -1386,7 +1403,10 @@ def embed_drift(embeddings):
     )
 
 def _embed_drift_centroid(spark, sf_dir):
-    return embed_drift(t(spark, sf_dir, "embeddings"))
+    return embed_drift(
+        t(spark, sf_dir, "embeddings"),
+        codes=shared_sq8_codes(spark, sf_dir),
+    )
 
 _DRIFT_EMB_SQL = """
 WITH e AS (SELECT vec_id, vec_id % 2 AS lab,
@@ -1547,7 +1567,7 @@ _NDCG_DISC_NANO = (
     (10, 289064826),
 )
 
-def ndcg_ann(embeddings, k: int = NDCG_K):
+def ndcg_ann(embeddings, k: int = NDCG_K, codes=None):
     """NDCG@k of SQ8-ANN retrieval with label-match relevance: each
     sampled query retrieves its k nearest codes; a hit whose ``label``
     equals the query's counts relevance 1. DCG uses the standard
@@ -1565,7 +1585,9 @@ def ndcg_ann(embeddings, k: int = NDCG_K):
     from .ext.similarity import sq8_codes
 
     lab = embeddings.select("vec_id", F.col("label").cast("long").alias("lb"))
-    codes = sq8_codes(embeddings).join(lab, "vec_id")
+    if codes is None:
+        codes = sq8_codes(embeddings)
+    codes = codes.join(lab, "vec_id")
     q = codes.where(
         F.col("vec_id") % NDCG_QUERY_MOD == NDCG_QUERY_REM
     ).select(
@@ -1634,7 +1656,10 @@ def ndcg_ann(embeddings, k: int = NDCG_K):
     )
 
 def _ml_ndcg_ann(spark, sf_dir):
-    return ndcg_ann(t(spark, sf_dir, "embeddings"))
+    return ndcg_ann(
+        t(spark, sf_dir, "embeddings"),
+        codes=shared_sq8_codes(spark, sf_dir),
+    )
 
 _NDCG_DISC_VALUES = ", ".join(f"({r}, {d})" for r, d in _NDCG_DISC_NANO)
 

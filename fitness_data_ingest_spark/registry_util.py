@@ -237,6 +237,32 @@ def shared_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-quantized embedding codes ``(vec_id, c: array<long>)`` over
+    ``embeddings`` as a MATERIALIZED shared stage (r9, fourth
+    instance): NINE keys (ann_sq8_topk, kmeans, PQ, random-projection
+    audit, MMR, hybrid RRF, matryoshka recall, centroid drift, NDCG)
+    each re-derived the identical corpus quantization — a per-dim
+    min/max pass over (rows × dims) plus the quantize projection —
+    before their own work. One build per (process, sf), then
+    column-pruned scans; at 100 TB the code table IS the serving
+    artifact a vector store persists (4-8x smaller than floats), so
+    the stage mirrors production layout, not just a cache.
+
+    Values are exact integers (floor((x-mn)/(mx-mn)*255+0.5)), so the
+    DuckDB oracles keep recomputing them relationally."""
+    sf = _sf_tag(sf_dir)
+
+    def build() -> DataFrame:
+        from .ext.similarity import sq8_codes
+
+        return sq8_codes(t(spark, sf_dir, "embeddings"))
+
+    return _materialized_stage(
+        spark, f"sq8_{sf}_embeddings_vec_id", build
+    )
+
+
 def shared_cooccurrence_edges(
     spark: SparkSession,
     sf_dir: str,

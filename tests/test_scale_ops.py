@@ -1243,6 +1243,15 @@ def test_materialized_shared_stages_match_direct_derivation(spark, sf_dir):
         map(tuple, tri_direct.collect())
     )
 
+    from fitness_data_ingest_spark.ext.similarity import sq8_codes
+
+    sq8_stage = RU.shared_sq8_codes(spark, sf_dir)
+    sq8_direct = sq8_codes(t(spark, sf_dir, "embeddings"))
+    norm_sq8 = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], tuple(r["c"])) for r in df.collect()
+    )
+    assert norm_sq8(sq8_stage) == norm_sq8(sq8_direct)
+
     edges_stage = RU.shared_cooccurrence_edges(spark, sf_dir)
     edges_direct = G.cooccurrence_edges(
         t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_groups=2
@@ -1264,6 +1273,7 @@ def test_materialized_shared_stages_match_direct_derivation(spark, sf_dir):
     RU.shared_cooccurrence_edges(spark, sf_dir)
     RU.shared_minhash_signatures(spark, sf_dir)
     RU.shared_char_trigrams(spark, sf_dir)
+    RU.shared_sq8_codes(spark, sf_dir)
     assert RU.SHARED_STAGE_BUILD_SEC == before
 
 
