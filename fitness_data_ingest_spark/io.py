@@ -305,6 +305,13 @@ def write_versioned(
         os.link(tmp, final)  # atomic create-if-absent = the commit point
     except FileExistsError:
         os.unlink(tmp)
+        # the loser is ALIVE and knows it lost — reclaim its fully-
+        # written snapshot directory now instead of leaking a
+        # table-sized orphan per lost race (the orphan story is only
+        # for writers that DIED mid-write)
+        import shutil
+
+        shutil.rmtree(data_dir, ignore_errors=True)
         raise ConcurrentWriteError(
             f"version {version} of {base_path} was committed by another "
             f"writer; re-read the latest snapshot and retry"
@@ -335,9 +342,16 @@ def merge_versioned(
     each retry sees every prior committed change. The merge itself is
     one left-anti + union (shuffle on the key), scale-identical to the
     batch merge_upsert operator."""
+    if max_retries < 1:
+        raise ValueError(f"max_retries must be >= 1, got {max_retries}")
     last: Exception | None = None
     for _ in range(max_retries):
         v = latest_version(base_path)
+        if v < 0:
+            raise ValueError(
+                f"no committed version under {base_path} — merge needs a "
+                f"base snapshot; write_versioned an initial one first"
+            )
         current = read_versioned(spark, base_path, v)
         on = [current[c] == updates[c] for c in key_cols]
         merged = current.join(updates, on, "left_anti").unionByName(updates)

@@ -1464,16 +1464,26 @@ def theil_sen(events, max_points: int | None = None):
     )
     if max_points is not None:
         # stride from a 1-row broadcast count (no eager collect); keep
-        # hour offsets on the stride grid — systematic decimation
+        # every stride-th point IN RANK ORDER — decimating on the x
+        # VALUE (x % stride) silently keeps everything whenever the
+        # series has regular gaps the stride divides (e.g. 4-hourly
+        # data, stride 2), which is exactly the long-span shape this
+        # hatch exists for. The global row_number runs at the
+        # calendar-bounded hour grain (≤ 8760·years rows — metadata-
+        # sized, same contract as the compaction planner's window).
+        from pyspark.sql import Window
+
         nn = hh.agg(F.count(F.lit(1)).alias("nn"))
         stride = F.greatest(
             F.lit(1).cast("long"),
             F.ceil(F.col("nn") / F.lit(max_points)).cast("long"),
         )
+        rn = F.row_number().over(Window.orderBy("x")) - 1
         hh = (
-            hh.join(F.broadcast(nn))
-            .filter(F.col("x") % stride == 0)
-            .drop("nn")
+            hh.withColumn("rn", rn)
+            .join(F.broadcast(nn))
+            .filter(F.col("rn") % stride == 0)
+            .drop("rn", "nn")
         )
     a = hh.select(F.col("x").alias("xa"), F.col("tot").alias("ya"))
     b = hh.select(F.col("x").alias("xb"), F.col("tot").alias("yb"))

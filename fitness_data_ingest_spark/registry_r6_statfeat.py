@@ -1390,6 +1390,8 @@ def perplexity_bucket(docs=None, dtm=None):
     charset-bounded so its join back is a broadcast; one doc-grain
     aggregate; the tertile scan runs at the distinct-score grain."""
     if dtm is None:
+        if docs is None:
+            raise ValueError("perplexity_bucket needs docs or dtm")
         from .ext.text import doc_char_trigram_counts
 
         dtm = doc_char_trigram_counts(docs, carry=("source",))

@@ -3972,9 +3972,12 @@ def test_theil_sen_sampled_escape_hatch_bounds_estimator_gap(spark):
 
     n = 512
     rows = []
-    for x in range(n):
+    for i in range(n):
+        x = 4 * i  # GAPPY hourly grid (every 4th hour): a value-modulo
+        # decimation (x % stride) keeps everything when the gap divides
+        # the stride — the rank-based form must still cap the points
         c = 5 * x + 300  # cents: slope 5 c/hour
-        if x % 8 == 3:  # deterministic 12.5% gross outliers
+        if i % 8 == 3:  # deterministic 12.5% gross outliers
             c += 5000
         # theil_sen re-derives cents via floor(value*100+0.5)
         rows.append((x * 3600 * 10**6, c / 100.0))

@@ -589,6 +589,17 @@ def test_versioned_store_snapshot_isolation_occ(spark, sf_dir, tmp_path):
     write_versioned(nation.limit(4), base)  # v3
     assert pinned.count() == nation.count()
 
+    # (d) a LIVE loser reclaims its fully-written snapshot dir — lost
+    # races must not leak table-sized orphans (only crashed writers
+    # leave orphans)
+    import glob
+    import os
+
+    n_dirs_before = len(glob.glob(os.path.join(base, "v*")))
+    with pytest.raises(ConcurrentWriteError):
+        write_versioned(nation.limit(1), base, expected_version=0)
+    assert len(glob.glob(os.path.join(base, "v*"))) == n_dirs_before
+
 
 def test_merge_versioned_retries_past_conflicts_without_lost_updates(
     spark, sf_dir, tmp_path
@@ -608,6 +619,15 @@ def test_merge_versioned_retries_past_conflicts_without_lost_updates(
 
     base = str(tmp_path / "merge_store")
     nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    # guard rails: merging an EMPTY store or with a non-positive retry
+    # budget fails with a clear error, not a deep crash
+    probe = spark.createDataFrame([(0, "X")], "n_nationkey long, n_name string")
+    with pytest.raises(ValueError, match="no committed version"):
+        merge_versioned(spark, base, probe, ["n_nationkey"])
+    with pytest.raises(ValueError, match="max_retries"):
+        merge_versioned(spark, base, probe, ["n_nationkey"], max_retries=0)
+
     write_versioned(nation, base)  # v0
 
     upd_a = spark.createDataFrame(

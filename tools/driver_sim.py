@@ -89,9 +89,25 @@ def main() -> int:
     if "--sample" in args:
         i = args.index("--sample")
         n = int(args[i + 1])
-        off = int(args[args.index("--offset") + 1]) if "--offset" in args else 0
+        rest = args[:i] + args[i + 2 :]
+        off = 0
+        if "--offset" in rest:
+            j = rest.index("--offset")
+            off = int(rest[j + 1])
+            rest = rest[:j] + rest[j + 2 :]
+        if rest:
+            # refuse to silently drop explicitly-listed keys — the
+            # operator would believe they were verified
+            print(
+                f"--sample is exclusive with explicit keys: {rest}",
+                file=sys.stderr,
+            )
+            return 2
         names = _stratified_sample(queries, n, off)
         print(f"stratified sample ({n} keys, offset {off}): {names}", flush=True)
+    elif "--offset" in args:
+        print("--offset requires --sample", file=sys.stderr)
+        return 2
     else:
         names = args or list(queries)
     unknown = [n for n in names if n not in queries]
