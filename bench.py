@@ -237,11 +237,111 @@ def adjudicate_regressions(
             "isolated_ratio": iso_ratio,
             "baseline": base_kind,
         }
-        # a regression needs the in-sweep flag AND an isolation
-        # confirmation against the like-for-like baseline
-        if vs_prev[name] > threshold and iso_ratio > threshold:
+        # VERDICT r9 item 2: the isolated like-for-like ratio IS the
+        # evidence — it alone decides. The old AND-condition (in-sweep
+        # ratio must ALSO exceed threshold) made a key with a quiet
+        # in-sweep ratio but a bad isolated ratio structurally unable
+        # to land in ``regressions`` (r9: dedup_lsh_recall_eval at
+        # isolated 2.41 / in-sweep 1.45 could never flag) — exactly the
+        # shape caching interactions produce. In-sweep is only the
+        # trigger to measure.
+        if iso_ratio > threshold:
             regressions.append(name)
     return regressions, adjudication
+
+
+# Keys under a standing same-session A/B watch (VERDICT r9): flagged
+# 1.4-1.5x like-for-like on UNCHANGED plans two rounds running — pure
+# environment by every indirect signal, but only an old-vs-new A/B in
+# one sitting can retire the ambiguity. Remove a key once its ab_ratio
+# comes back clean.
+AB_WATCH: tuple[str, ...] = ("events_markov_stationary", "ts_theil_sen")
+
+
+def ab_keys_to_measure(
+    regressions: list[str],
+    adjudication: dict[str, dict],
+    registry_keys,
+    watch: tuple[str, ...] = AB_WATCH,
+    cap: int = 6,
+) -> list[str]:
+    """Which keys get the same-session old-vs-new A/B: the standing
+    watch list first, then isolated-confirmed regression flags worst
+    ratio first, capped so a bad-weather round cannot turn the bench
+    into an hour of A/Bs."""
+    keys = [k for k in watch if k in registry_keys]
+    flagged = sorted(
+        (k for k in regressions if k not in keys),
+        key=lambda n: -adjudication.get(n, {}).get("isolated_ratio", 0.0),
+    )
+    keys += flagged
+    return keys[:cap]
+
+
+def run_ab_subprocess(keys: list[str], sf_dir: str, timeout_sec: int = 900) -> dict:
+    """Run tools/bench_ab.py --json in its own PROCESS GROUP so a hang
+    (a stuck Spark worker) is killable as a tree — bench must emit its
+    JSON line no matter what the A/B does. Returns the parsed dict, or
+    {"_err": ...} on any failure (fail-soft, like the regression gate)."""
+    import signal
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cmd = [
+        sys.executable,
+        os.path.join(here, "tools", "bench_ab.py"),
+        "--json",
+        "--sf-dir",
+        sf_dir,
+        *keys,
+    ]
+    proc = subprocess.Popen(
+        cmd,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        start_new_session=True,
+    )
+    try:
+        out, _ = proc.communicate(timeout=timeout_sec)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except Exception:
+            pass
+        return {"_err": f"ab_timeout_{timeout_sec}s"}
+    if proc.returncode != 0:
+        return {"_err": f"ab_exit_{proc.returncode}"}
+    try:
+        return json.loads(out.strip().splitlines()[-1])
+    except Exception:
+        return {"_err": "ab_unparseable_output"}
+
+
+def apply_ab_results(
+    ab: dict,
+    adjudication: dict[str, dict],
+    regressions: list[str],
+    threshold: float,
+) -> list[str]:
+    """Fold A/B measurements into the adjudication evidence and return
+    the FINAL regressions list: where an ``ab_ratio`` exists it is the
+    decision-grade signal (same-sitting, same-weather) and overrides
+    the isolated cross-round ratio in both directions; keys without A/B
+    data keep their isolated-based verdict. Never drops evidence —
+    every A/B row lands in the adjudication record."""
+    final = list(regressions)
+    for key, row in ab.items():
+        if key.startswith("_") or not isinstance(row, dict):
+            continue
+        adjudication.setdefault(key, {}).update(row)
+        ratio = row.get("ab_ratio")
+        if isinstance(ratio, (int, float)):
+            if ratio > threshold and key not in final:
+                final.append(key)
+            elif ratio <= threshold and key in final:
+                final.remove(key)
+    return final
 
 
 def compact_line(out: dict, budget: int = 1900) -> str:
@@ -261,6 +361,21 @@ def compact_line(out: dict, budget: int = 1900) -> str:
     # every per-key timing that reads the materialized edge stage
     if isinstance(out.get("shared_stages_sec"), dict):
         line_out["shared_stages_sec"] = out["shared_stages_sec"]
+    # same-session A/B ratios are the round's decision-grade regression
+    # evidence (VERDICT r10 item 1) — tiny, and they must reach the
+    # driver's capture even when the queries dict is truncated
+    if isinstance(out.get("regression_adjudication"), dict):
+        ab = {
+            k: v["ab_ratio"]
+            for k, v in out["regression_adjudication"].items()
+            if isinstance(v, dict) and isinstance(v.get("ab_ratio"), (int, float))
+        }
+        if ab:
+            line_out["ab_ratio"] = ab
+    if out.get("ab_ref"):
+        line_out["ab_ref"] = out["ab_ref"]
+    if out.get("ab_err"):
+        line_out["ab_err"] = out["ab_err"]
     line = json.dumps(line_out, separators=(",", ":"))
     if len(line) <= budget:
         return line
@@ -275,6 +390,23 @@ def compact_line(out: dict, budget: int = 1900) -> str:
             return line
         keep -= 1
     line_out["queries"] = {}
+    # still over budget (the isolated tail now covers every >2 s key,
+    # VERDICT r10 item 5, so it can be ~30 entries): shed the shared-
+    # stage note, then truncate the isolated tail slowest-first — the
+    # full record keeps everything either way
+    line_out.pop("shared_stages_sec", None)
+    iso = line_out.get("isolated_tail")
+    if isinstance(iso, dict) and iso:
+        iso_by_cost = sorted(iso, key=iso.get, reverse=True)
+        keep = len(iso_by_cost)
+        while keep >= 0:
+            line_out["isolated_tail"] = {
+                n: iso[n] for n in sorted(iso_by_cost[:keep])
+            }
+            line = json.dumps(line_out, separators=(",", ":"))
+            if len(line) <= budget:
+                return line
+            keep -= 1
     return json.dumps(line_out, separators=(",", ":"))
 
 
@@ -345,14 +477,23 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # Isolated re-measurement of the slowest tail (verdict r4 item 8):
+    # Isolated re-measurement of the slow tail (verdict r4 item 8):
     # the sweep's numbers carry whatever GC/JIT state the previous 200
     # queries left behind, which is exactly where round-over-round
-    # comparisons drowned in box weather. Re-run the 10 slowest keys
-    # min-of-3 after a GC settle each, so the record separates
-    # environment from plan cost BY CONSTRUCTION: a key slow in-sweep
-    # but fast isolated is session debt, not a plan regression.
-    tail = sorted(timings, key=timings.get, reverse=True)[:10]
+    # comparisons drowned in box weather. Re-run min-of-3 after a GC
+    # settle each, so the record separates environment from plan cost
+    # BY CONSTRUCTION: a key slow in-sweep but fast isolated is session
+    # debt, not a plan regression. Coverage (VERDICT r10 item 5): EVERY
+    # key whose in-sweep cost exceeds 2 s — r9's corpus_cdc_chunks flag
+    # had to adjudicate against the wrong measurement mode because only
+    # the 10 slowest carried an isolated baseline — plus the 10 slowest
+    # as a floor so quiet rounds still record a comparable tail.
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    tail = [
+        n
+        for i, n in enumerate(by_cost)
+        if i < 10 or timings[n] > 2.0
+    ]
     isolated: dict[str, float] = {}
     for name in tail:
         try:
@@ -436,6 +577,23 @@ def main() -> None:
             _measure_isolated,
             prev_isolated=prev_iso if isinstance(prev_iso, dict) else None,
         )
+        # Same-session old-vs-new A/B (VERDICT r10 item 1): for the
+        # standing watch list and every isolated-confirmed flag, measure
+        # old and new code ALTERNATING in one sitting — the only
+        # like-for-like protocol on a box whose weather drifts 0.7-1.6x
+        # between recording sessions. The sweep's session stops first:
+        # the A/B runs two fresh JVMs and must not contend with ours.
+        ab_keys = ab_keys_to_measure(regressions, adjudication, timings)
+        if ab_keys and os.environ.get("SPARK_GRAFT_AB", "1") != "0":
+            spark.stop()
+            ab = run_ab_subprocess(ab_keys, sf_dir)
+            if "_err" in ab:
+                out["ab_err"] = ab["_err"]
+            if ab.get("_ref"):
+                out["ab_ref"] = ab["_ref"][:12]
+            regressions = apply_ab_results(
+                ab, adjudication, regressions, threshold
+            )
         if adjudication:
             out["regression_adjudication"] = adjudication
         out["regressions"] = regressions
@@ -459,7 +617,10 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_LATEST.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(compact_line(out))
-    spark.stop()
+    try:
+        spark.stop()  # no-op if the A/B step already stopped it
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

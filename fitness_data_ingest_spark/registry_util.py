@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import threading as _threading
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -74,6 +75,8 @@ SHARED_STAGE_BUILD_SEC: dict[str, float] = {}
 
 
 _REAPED = False
+# created at import time: lazy creation of the lock would itself race
+_REAP_LOCK = _threading.Lock()
 
 
 def _reap_stale_tmp() -> None:
@@ -91,42 +94,55 @@ def _reap_stale_tmp() -> None:
     — so anything own-pid on disk at that moment is a previous
     incarnation's leftovers, never our data. Runs once per process,
     never touches another LIVE process's files, and never raises
-    (cleanup must not fail a query)."""
-    global _REAPED
-    if _REAPED:
-        return
-    _REAPED = True
-    import re
-    import shutil
-    import tempfile
+    (cleanup must not fail a query).
 
-    # the pid is the FIRST pure-digit segment after any lowercase-word
-    # prefix: fdis_<pid>_..., fdis_<fmt>_roundtrip_<pid>[_<sf>],
-    # fdis_sink_roundtrip_<pid>_<sf>, fdis_compact_plan_<pid>_<sf>
-    pat = re.compile(r"^fdis_(?:[a-z]+_)*?(\d+)(?:[_.]|$)")
-    tmp = tempfile.gettempdir()
-    try:
-        entries = os.listdir(tmp)
-    except OSError:
+    The WHOLE first-call sweep runs under ``_REAP_LOCK`` with
+    ``_REAPED`` set inside it (ADVICE r9): setting the flag before the
+    sweep let a second thread's first call return immediately and write
+    an own-pid stage parquet while the first caller's own-pid sweep was
+    still deleting — the fresh stage could be reaped, surfacing later
+    as a FAILED_READ_FILE. Concurrent first callers now block until the
+    sweep completes before any stage write proceeds."""
+    global _REAPED
+    if _REAPED:  # lock-free fast path once the one sweep has finished
         return
-    for name in entries:
-        m = pat.match(name)
-        if not m:
-            continue
-        pid = int(m.group(1))
-        if pid != os.getpid():
-            try:
-                os.kill(pid, 0)
-                continue  # owner still alive — leave it
-            except ProcessLookupError:
-                pass
-            except OSError:
-                continue  # permission oddity — do not touch
-        shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+    with _REAP_LOCK:
+        if _REAPED:
+            return
+        import re
+        import shutil
+        import tempfile
+
+        # the pid is the FIRST pure-digit segment after any
+        # lowercase-word prefix: fdis_<pid>_...,
+        # fdis_<fmt>_roundtrip_<pid>[_<sf>],
+        # fdis_sink_roundtrip_<pid>_<sf>, fdis_compact_plan_<pid>_<sf>
+        pat = re.compile(r"^fdis_(?:[a-z]+_)*?(\d+)(?:[_.]|$)")
+        tmp = tempfile.gettempdir()
+        try:
+            entries = os.listdir(tmp)
+        except OSError:
+            entries = []
+        for name in entries:
+            m = pat.match(name)
+            if not m:
+                continue
+            pid = int(m.group(1))
+            if pid != os.getpid():
+                try:
+                    os.kill(pid, 0)
+                    continue  # owner still alive — leave it
+                except ProcessLookupError:
+                    pass
+                except OSError:
+                    continue  # permission oddity — do not touch
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+        # only now may later callers skip the sweep
+        _REAPED = True
 
 
 _STAGE_LOCKS: dict = {}
-_STAGE_LOCKS_GUARD = None  # lazily a threading.Lock
+_STAGE_LOCKS_GUARD = _threading.Lock()  # eager: lazy creation would race
 
 
 def _stage_lock(stage: str):
@@ -135,13 +151,8 @@ def _stage_lock(stage: str):
     overwrite-write — drivers run serially today, but lazy cross-SF
     interleaving (the r8 sink-clobber bug) shows concurrency is a real
     usage mode."""
-    global _STAGE_LOCKS_GUARD
-    import threading
-
-    if _STAGE_LOCKS_GUARD is None:
-        _STAGE_LOCKS_GUARD = threading.Lock()
     with _STAGE_LOCKS_GUARD:
-        return _STAGE_LOCKS.setdefault(stage, threading.Lock())
+        return _STAGE_LOCKS.setdefault(stage, _threading.Lock())
 
 
 def _materialized_stage(spark: SparkSession, stage: str, build) -> DataFrame:

@@ -247,6 +247,149 @@ def test_bench_adjudication_covers_sub_floor_super_threshold_flags():
     assert regs == ["subfloor"], regs
 
 
+def test_bench_gate_flags_on_isolated_ratio_alone():
+    """VERDICT r9 item 2: the isolated like-for-like ratio is the
+    evidence and must be SUFFICIENT to flag — the old AND-condition
+    (in-sweep must also exceed threshold) made a quiet-in-sweep /
+    bad-isolated key structurally unable to land in ``regressions``.
+    This is exactly r9's dedup_lsh_recall_eval shape: in-sweep 1.45
+    (above the 1.25 measure floor, below the 1.73 threshold), isolated
+    ratio 2.41 — a true plan regression with this signature is what
+    caching interactions produce, and it must flag."""
+    import bench
+
+    prev = {"quiet_bad": 1.0, "quiet_ok": 1.0}
+    vs_prev = {"quiet_bad": 1.45, "quiet_ok": 1.45}
+    threshold = 1.73
+    isolated = {}
+
+    def fake_measure(name):
+        return {"quiet_bad": 2.41, "quiet_ok": 1.1}[name]
+
+    regs, adj = bench.adjudicate_regressions(
+        vs_prev, prev, threshold, isolated, fake_measure
+    )
+    assert regs == ["quiet_bad"], regs
+    assert adj["quiet_bad"]["isolated_ratio"] == 2.41
+    # the evidence rows still carry both flags
+    assert set(adj) == {"quiet_bad", "quiet_ok"}
+
+
+def test_bench_ab_key_selection_watch_first_then_worst_flags():
+    """VERDICT r10 item 1: the same-session A/B measures the standing
+    watch list plus isolated-confirmed flags, worst ratio first, capped
+    — never the whole registry."""
+    import bench
+
+    adj = {
+        "flag_mild": {"isolated_ratio": 1.8},
+        "flag_bad": {"isolated_ratio": 2.4},
+        "ts_theil_sen": {"isolated_ratio": 1.4},
+    }
+    regs = ["flag_mild", "flag_bad"]
+    registry_keys = {
+        "events_markov_stationary": 1,
+        "ts_theil_sen": 1,
+        "flag_mild": 1,
+        "flag_bad": 1,
+    }
+    keys = bench.ab_keys_to_measure(regs, adj, registry_keys)
+    assert keys == [
+        "events_markov_stationary",
+        "ts_theil_sen",
+        "flag_bad",
+        "flag_mild",
+    ]
+    # the cap holds
+    many = [f"k{i}" for i in range(10)]
+    adj2 = {k: {"isolated_ratio": 2.0} for k in many}
+    keys2 = bench.ab_keys_to_measure(many, adj2, set(many), watch=(), cap=6)
+    assert len(keys2) == 6
+    # a watch key absent from the registry is skipped
+    assert bench.ab_keys_to_measure([], {}, {"x": 1}, watch=("gone",)) == []
+
+
+def test_bench_ab_results_override_isolated_verdict_both_directions():
+    """The A/B ratio is same-sitting/same-weather — where it exists it
+    decides: a weather-dissolved flag (ab_ratio <= threshold) leaves
+    ``regressions``, a confirmed one stays, and an A/B-caught key not
+    previously flagged enters. Keys without A/B data keep the isolated
+    verdict, and every A/B row lands in the adjudication evidence."""
+    import bench
+
+    adj = {
+        "dissolved": {"isolated_ratio": 2.4},
+        "confirmed": {"isolated_ratio": 2.0},
+        "untested": {"isolated_ratio": 1.9},
+    }
+    regs = ["dissolved", "confirmed", "untested"]
+    ab = {
+        "_ref": "abc123",
+        "dissolved": {"ab_old_sec": 3.0, "ab_new_sec": 3.1, "ab_ratio": 1.03},
+        "confirmed": {"ab_old_sec": 2.0, "ab_new_sec": 4.0, "ab_ratio": 2.0},
+        "watch_caught": {"ab_old_sec": 1.0, "ab_new_sec": 1.9, "ab_ratio": 1.9},
+        "watch_clean": {"ab_old_sec": 1.0, "ab_new_sec": 1.0, "ab_ratio": 1.0},
+        "errored": {"ab_err": "warm_failed:old"},
+    }
+    final = bench.apply_ab_results(ab, adj, regs, threshold=1.5)
+    assert sorted(final) == ["confirmed", "untested", "watch_caught"]
+    assert adj["dissolved"]["ab_ratio"] == 1.03
+    assert adj["watch_clean"]["ab_ratio"] == 1.0
+    assert adj["errored"]["ab_err"] == "warm_failed:old"
+    assert "_ref" not in adj
+
+
+def test_bench_ab_drive_alternates_and_takes_min_of_reps():
+    """The drive loop must WARM both sides first, alternate variant
+    order per rep (so linear weather drift cancels), take min-of-reps
+    per variant, and turn a missing-in-old key into an ab_err row
+    instead of crashing."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_ab",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "bench_ab.py"),
+    )
+    ab = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ab)
+
+    shared_log = []
+
+    class Fake:
+        def __init__(self, label, times, known=("k1",)):
+            self.label = label
+            self.times = dict(times)
+            self.known = known
+
+        def send(self, cmd):
+            shared_log.append(f"{self.label} {cmd}")
+            verb, key = cmd.split()
+            if key not in self.known:
+                return ["ERR", key, "no_such_key"]
+            if verb == "WARM":
+                return ["OK", key]
+            return ["OK", key, str(self.times[key].pop(0))]
+
+    old = Fake("old", {"k1": [2.0, 1.8, 1.9]}, known=("k1",))
+    new = Fake("new", {"k1": [1.0, 0.9, 1.1]}, known=("k1", "k_new_only"))
+    res = ab.drive(old, new, ["k1", "k_new_only"], reps=3)
+    assert res["k1"]["ab_old_sec"] == 1.8
+    assert res["k1"]["ab_new_sec"] == 0.9
+    assert res["k1"]["ab_ratio"] == 0.5
+    assert res["k_new_only"] == {"ab_err": "warm_failed:old"}
+    # variant order flips per rep: old-first on rep 0, new-first on rep 1
+    runs = [c for c in shared_log if "RUN" in c]
+    assert runs == [
+        "old RUN k1",
+        "new RUN k1",
+        "new RUN k1",
+        "old RUN k1",
+        "old RUN k1",
+        "new RUN k1",
+    ]
+
+
 def test_bench_line_fits_driver_tail_capture():
     """The driver records the last 2000 chars of bench.py stdout and
     json-parses it; round 2's record was "parsed": null because the

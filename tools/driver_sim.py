@@ -74,26 +74,47 @@ def main() -> int:
     from fitness_data_ingest_spark.session import get_spark
 
     sf_dir = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
-    spark = get_spark(
-        app_name="fdis-driver-sim",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
-    )
 
-    smoke = mod.entry(spark).collect()
-    print(f"entry() smoke: {len(smoke)} rows", flush=True)
-    assert len(smoke) > 0
-
+    # argument validation runs BEFORE the Spark session spins up — a
+    # usage mistake should cost milliseconds, not a JVM start
     queries = mod.queries()
     oracles = mod.oracle_sql()
     args = sys.argv[1:]
+
+    def _int_flag_value(arglist: list, i: int, flag: str, minimum: int):
+        """Extract arglist[i+1] as an int >= minimum, or print a usage
+        diagnostic and return None (ADVICE r9: a missing/non-integer
+        value raised a traceback instead of the clean exit-2 the other
+        argument misuses get)."""
+        try:
+            v = int(arglist[i + 1])
+        except (IndexError, ValueError):
+            got = arglist[i + 1] if i + 1 < len(arglist) else "<missing>"
+            print(
+                f"usage: {flag} <int >= {minimum}> (got {got!r})",
+                file=sys.stderr,
+            )
+            return None
+        if v < minimum:
+            print(
+                f"usage: {flag} <int >= {minimum}> (got {v})",
+                file=sys.stderr,
+            )
+            return None
+        return v
+
     if "--sample" in args:
         i = args.index("--sample")
-        n = int(args[i + 1])
+        n = _int_flag_value(args, i, "--sample", 1)
+        if n is None:
+            return 2
         rest = args[:i] + args[i + 2 :]
         off = 0
         if "--offset" in rest:
             j = rest.index("--offset")
-            off = int(rest[j + 1])
+            off = _int_flag_value(rest, j, "--offset", 0)
+            if off is None:
+                return 2
             rest = rest[:j] + rest[j + 2 :]
         if rest:
             # refuse to silently drop explicitly-listed keys — the
@@ -114,6 +135,14 @@ def main() -> int:
     if unknown:
         print(f"unknown keys: {unknown}", file=sys.stderr)
         return 2
+
+    spark = get_spark(
+        app_name="fdis-driver-sim",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    smoke = mod.entry(spark).collect()
+    print(f"entry() smoke: {len(smoke)} rows", flush=True)
+    assert len(smoke) > 0
 
     con = duck_con(sf_dir)
     t0 = time.perf_counter()
