@@ -73,6 +73,15 @@ def test_coverage_doc_totals_match_registry():
     assert m, "COVERAGE.md totals line missing"
     assert int(m.group(1)) == len(registry.queries())
     assert int(m.group(2)) == len(registry.oracle_sql())
+    # VERDICT r9 item 7: pin the FULL map, not just the totals — every
+    # registry key must have a table row and every row a registry key,
+    # so the doc can never claim coverage it lost or omit a key it has
+    listed = set(re.findall(r"^\| `([a-z0-9_]+)` \|", doc, re.M))
+    live = set(registry.queries())
+    assert listed == live, (
+        f"COVERAGE.md drift — missing rows: {sorted(live - listed)[:10]}; "
+        f"stale rows: {sorted(listed - live)[:10]}"
+    )
 
 
 def test_cli_demo_pipeline_cold_then_warm(spark, sf_dir, tmp_path, capsys):

@@ -110,7 +110,12 @@ class _Worker:
     def send(self, cmd: str) -> list[str]:
         self.proc.stdin.write(cmd + "\n")
         self.proc.stdin.flush()
-        return self._readline().split()
+        # the JVM child shares the worker's stdout pipe — skip any
+        # non-protocol line (stray log output) instead of desyncing
+        while True:
+            parts = self._readline().split()
+            if parts and parts[0] in ("OK", "ERR"):
+                return parts
 
     def close(self) -> None:
         try:
