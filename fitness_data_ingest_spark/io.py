@@ -405,11 +405,13 @@ def _read_checkpoint(base_path: str) -> int | None:
 
 
 def _write_checkpoint(base_path: str, version: int) -> None:
-    """Atomically advance the checkpoint pointer (tmp + rename). Never
-    moves backwards — a lagging committer finishing late must not
-    regress the pointer below a newer one — and never raises: the
-    checkpoint is an optimization, a failed write must not fail the
-    commit that triggered it."""
+    """Atomically advance the checkpoint pointer (tmp + rename).
+    Best-effort monotone: the read-check-replace is not atomic, so two
+    checkpointing committers racing could briefly regress the pointer —
+    harmless, because the pointer is advisory (latest_version probes
+    FORWARD from it; a stale pointer only costs extra probes until the
+    next checkpoint). Never raises: the checkpoint is an optimization,
+    a failed write must not fail the commit that triggered it."""
     import json
 
     try:
