@@ -329,6 +329,106 @@ def estimate_vs_exact_from_sig(sig_df: DataFrame) -> DataFrame:
     )
 
 
+def candidate_pair_stats(sig_df: DataFrame) -> DataFrame:
+    """Integer-grain stats for every banded LSH candidate pair —
+    ``(doc_a, doc_b, n_inter, n_a, n_b, n_agree)`` — the table every
+    banded-dedup consumer derives its numbers from:
+
+    - exact hashed-shingle Jaccard  = n_inter / (n_a + n_b - n_inter)
+    - MinHash signature estimate    = n_agree / k
+
+    This is the build body of the MATERIALIZED shared stage
+    (``registry_util.shared_minhash_cand_stats``): the candidate
+    self-equi-join + both full-width shingle-array joins + the
+    per-pair ``array_intersect`` are the expensive part of SEVEN
+    dedup keys, and the result is tiny (pair grain, four ints) —
+    the §27 shape: heavy shared CPU, strictly smaller stored grain.
+    All columns are exact integers, so consumers reconstruct the
+    identical IEEE doubles and every DuckDB oracle keeps recomputing
+    relationally with unchanged hashes."""
+    sig = (
+        sig_df
+        if "band0" in sig_df.columns
+        else sig_df.select("doc", "shd", "sig", *band_keys())
+    )
+    cands = lsh_candidate_pairs(sig)
+    side = sig.select("doc", "shd", "sig")
+    j = cands.join(
+        side.select(
+            F.col("doc").alias("doc_a"),
+            F.col("shd").alias("sh_a"),
+            F.col("sig").alias("sig_a"),
+        ),
+        "doc_a",
+    ).join(
+        side.select(
+            F.col("doc").alias("doc_b"),
+            F.col("shd").alias("sh_b"),
+            F.col("sig").alias("sig_b"),
+        ),
+        "doc_b",
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+        F.size("sh_a").alias("n_a"),
+        F.size("sh_b").alias("n_b"),
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).alias("n_agree"),
+    )
+
+
+def _jaccard_from_stats() -> Column:
+    """Raw exact Jaccard from the integer pair stats — the same ints
+    :func:`jaccard` divides, so the double is bit-identical."""
+    return F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+
+
+def near_dups_from_pair_stats(
+    stats_df: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """:func:`near_dups_from_sig` from the precomputed candidate-stats
+    stage: one column-pruned scan + a scalar filter — no band explode,
+    no self-join, no shingle-array shuffle. (doc_a, doc_b, jaccard)."""
+    j = stats_df.withColumn("j", _jaccard_from_stats())
+    return j.filter(F.col("j") >= threshold).select(
+        "doc_a",
+        "doc_b",
+        (F.floor(F.col("j") * 10000 + 0.5) / 10000.0).alias("jaccard"),
+    )
+
+
+def clusters_from_pair_stats(
+    stats_df: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """:func:`clusters_from_sig` from the candidate-stats stage —
+    threshold filter then connected components."""
+    pairs = near_dups_from_pair_stats(stats_df, threshold)
+    return connected_components(pairs.select("doc_a", "doc_b"))
+
+
+def estimate_vs_exact_from_pair_stats(stats_df: DataFrame) -> DataFrame:
+    """:func:`minhash_estimate_vs_exact` from the candidate-stats
+    stage: est4/jacc4/err4 reconstructed from the exact integers."""
+    est = F.col("n_agree").cast("double") / MINHASH_K
+    j = _jaccard_from_stats()
+    err = F.abs(est - j)
+    return stats_df.select(
+        "doc_a",
+        "doc_b",
+        (F.floor(est * 10000 + 0.5) / 10000.0).alias("est4"),
+        (F.floor(j * 10000 + 0.5) / 10000.0).alias("jacc4"),
+        (F.floor(err * 10000 + 0.5) / 10000.0).alias("err4"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
     max_df: int = NGRAM_MAX_DF,

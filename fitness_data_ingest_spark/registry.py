@@ -297,17 +297,9 @@ _FORCE_REVERIFY: dict[str, int] = {
     # round 8: delta-method variance clamped at 0 before sqrt in both
     # engines (ADVICE r7) — expression changed.
     "stat_ratio_delta_ci": 7,
-    # round 8: the dedup family now reads the MATERIALIZED shared
-    # MinHash signature stage (registry_util.shared_minhash_signatures)
-    # instead of re-running the md5-per-shingle + permutation fold per
-    # key — signature VALUES identical, physical plans changed.
-    "dedup_minhash_lsh": 7,
-    "dedup_clusters": 7,
-    "corpus_dedup_rate_by_source": 7,
-    "dedup_minhash_jaccard_est": 7,
-    "dedup_survivorship": 7,
-    "corpus_dedup_pipeline": 7,
-    "dedup_lsh_recall_eval": 7,
+    # round 8: the dedup family moved onto the MATERIALIZED shared
+    # MinHash signature stage (re-verified green r9). Round 10 bumps
+    # the same seven keys again — see the r10 block at the bottom.
     # round 8: md5 digest segments hoisted below the replicate explode
     # (once per row instead of once per (row, replicate)) — bit stream
     # and values identical, plan changed.
@@ -340,6 +332,23 @@ _FORCE_REVERIFY: dict[str, int] = {
     "embed_matryoshka_recall": 7,
     "embed_drift_centroid": 7,
     "ml_ndcg_ann": 7,
+    # round 10: the banded-dedup family now reads the MATERIALIZED
+    # candidate-stats stage (registry_util.shared_minhash_cand_stats:
+    # band self-join + shingle-array Jaccard/agreement verify as exact
+    # integers, once per process) and the three cluster consumers read
+    # the MATERIALIZED tau=0.5 cluster stage (shared_minhash_clusters:
+    # the CC fixpoint once per process) — pair/cluster VALUES identical
+    # (integer stats reconstruct bit-identical IEEE doubles;
+    # deterministic min-id labels), physical plans changed. Several of
+    # these keys localCheckpoint inside CC, so their fingerprints were
+    # checkpoint-stable — forced re-verification is their gate.
+    "dedup_minhash_lsh": 9,
+    "dedup_clusters": 9,
+    "corpus_dedup_rate_by_source": 9,
+    "dedup_minhash_jaccard_est": 9,
+    "dedup_survivorship": 9,
+    "corpus_dedup_pipeline": 9,
+    "dedup_lsh_recall_eval": 9,
 }
 
 

@@ -16,7 +16,13 @@ from .ext import dedup as D
 from .ext import multimodal as MM
 from .ext import similarity as S
 from .ext import text as TX
-from .registry_util import QueryDef, shared_minhash_signatures, t
+from .registry_util import (
+    QueryDef,
+    shared_minhash_cand_stats,
+    shared_minhash_clusters,
+    shared_minhash_signatures,
+    t,
+)
 
 # ------------------------------------------------------------ SQL atoms
 
@@ -211,9 +217,12 @@ def _dedup_exact(spark, sf_dir):
 
 def _dedup_minhash(spark, sf_dir):
     """MinHash(32) + LSH(8×4) near-dup pairs, exact-Jaccard verified —
-    signatures read from the materialized shared stage (one
-    md5+permutation pass per process for the whole dedup family)."""
-    return D.near_dups_from_sig(shared_minhash_signatures(spark, sf_dir), 0.5)
+    read from the materialized candidate-stats stage (r10): the band
+    self-join + shingle-array verify ran once per process for the whole
+    dedup family; this key is a scan + threshold filter."""
+    return D.near_dups_from_pair_stats(
+        shared_minhash_cand_stats(spark, sf_dir), 0.5
+    )
 
 
 def _dedup_ngram(spark, sf_dir):
@@ -384,9 +393,11 @@ QUALIFY rnk <= 5
 
 def _dedup_clusters(spark, sf_dir):
     """Iterative: near-dup pairs -> connected components (min-label
-    propagation) -> dedup clusters. The oracle walks the same pair graph
-    with a recursive CTE."""
-    return D.clusters_from_sig(shared_minhash_signatures(spark, sf_dir), 0.5)
+    propagation) -> dedup clusters, read from the materialized cluster
+    stage (r10) — the CC fixpoint runs once per process for the three
+    cluster consumers. The oracle walks the same pair graph with a
+    recursive CTE."""
+    return shared_minhash_clusters(spark, sf_dir)
 
 
 def _dedup_clusters_sql() -> str:

@@ -21,7 +21,7 @@ from .ops import incremental as INC
 from .ops import relational as R
 from .ops import scale as SC
 from .ops import timeseries as TS
-from .registry_util import QueryDef, shared_minhash_signatures, t
+from .registry_util import QueryDef, shared_minhash_cand_stats, t
 
 # ------------------------------------------------------------ SESSIONIZE
 
@@ -654,7 +654,9 @@ def _corpus_dedup_rate_by_source(spark, sf_dir):
     from .ext import dedup as D
 
     docs = t(spark, sf_dir, "documents")
-    pairs = D.near_dups_from_sig(shared_minhash_signatures(spark, sf_dir), 0.5)
+    pairs = D.near_dups_from_pair_stats(
+        shared_minhash_cand_stats(spark, sf_dir), 0.5
+    )
     src = docs.select("doc_id", "source")
     j = (
         pairs.join(

@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 from .ext import dedup as D
 from .ops import timeseries as TS
 from .registry_ext import _SQL_DOC_SHINGLES, _sql_sig_cols
-from .registry_util import QueryDef, shared_minhash_signatures, t
+from .registry_util import (
+    QueryDef,
+    shared_minhash_cand_stats,
+    shared_minhash_clusters,
+    t,
+)
 
 # Synthesized activity-interval length (and overlap-join bucket width),
 # shared by the interval-overlap join and the peak-concurrency sweep.
@@ -176,7 +181,9 @@ FROM c
 
 
 def _dedup_minhash_jaccard_est(spark, sf_dir):
-    return D.estimate_vs_exact_from_sig(shared_minhash_signatures(spark, sf_dir))
+    return D.estimate_vs_exact_from_pair_stats(
+        shared_minhash_cand_stats(spark, sf_dir)
+    )
 
 
 def _minhash_est_sql() -> str:
@@ -1399,12 +1406,11 @@ def _dedup_survivorship(spark, sf_dir):
 
     The election is an aggregate argmax — ``max(struct(n_chars,
     -doc_id))`` per cluster — never a window over the clustered docs;
-    cluster membership comes from the same bucketed pipeline
-    dedup_clusters verifies."""
-    from .ext.dedup import clusters_from_sig
-
+    cluster membership is the same materialized cluster stage
+    dedup_clusters verifies (r10: the CC fixpoint runs once per
+    process for all three cluster consumers)."""
     docs = t(spark, sf_dir, "documents")
-    clusters = clusters_from_sig(shared_minhash_signatures(spark, sf_dir), 0.5)
+    clusters = shared_minhash_clusters(spark, sf_dir)
     sized = clusters.join(docs.select("doc_id", "n_chars"), clusters.doc == docs.doc_id)
     keeper = (
         sized.groupBy("cluster")

@@ -19,7 +19,7 @@ from .registry_util import (
     QueryDef,
     cents,
     shared_cooccurrence_edges,
-    shared_minhash_signatures,
+    shared_minhash_cand_stats,
     t,
 )
 
@@ -1545,7 +1545,7 @@ GROUP BY source ORDER BY source
 LSH_EVAL_TAU = 0.5
 
 
-def lsh_recall_eval(docs, sig=None):
+def lsh_recall_eval(docs, sig=None, cand=None):
     """Candidate-generation quality of MinHash-LSH banding, measured
     against exact shingle-Jaccard ground truth — the dedup counterpart
     of ann_recall_eval, and the number that decides the (bands, rows)
@@ -1563,10 +1563,11 @@ def lsh_recall_eval(docs, sig=None):
     shape)."""
     from .ext import dedup as D
 
-    if sig is None:  # standalone form: derive signatures in-memory
-        sig = D.with_minhash(docs, "doc_id", "text")
-    bands = sig.select("doc", *D.band_keys()).persist()
-    cand = D.lsh_candidate_pairs(bands)
+    if cand is None:  # standalone form: derive candidates in-memory
+        if sig is None:
+            sig = D.with_minhash(docs, "doc_id", "text")
+        bands = sig.select("doc", *D.band_keys()).persist()
+        cand = D.lsh_candidate_pairs(bands)
     truth = D.ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=LSH_EVAL_TAU
     ).select("doc_a", "doc_b")
@@ -1593,9 +1594,14 @@ def lsh_recall_eval(docs, sig=None):
 
 
 def _dedup_lsh_recall_eval(spark, sf_dir):
+    # candidates come straight off the materialized candidate-stats
+    # stage (r10) — a two-column pruned scan; the exact-Jaccard truth
+    # side is this key's own work and stays live
     return lsh_recall_eval(
         t(spark, sf_dir, "documents"),
-        sig=shared_minhash_signatures(spark, sf_dir),
+        cand=shared_minhash_cand_stats(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        ),
     )
 
 

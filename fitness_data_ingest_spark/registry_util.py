@@ -223,6 +223,62 @@ def shared_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_minhash_cand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH candidate pairs with integer verify stats
+    ``(doc_a, doc_b, n_inter, n_a, n_b, n_agree)`` as a MATERIALIZED
+    shared stage (r10, fifth instance) layered ON TOP of the signature
+    stage: SEVEN dedup keys (minhash_lsh, clusters, survivorship, the
+    full pipeline, rate-by-source, jaccard_est, lsh_recall_eval) each
+    re-ran the band self-equi-join + two full-width shingle-array
+    joins + per-pair ``array_intersect`` to derive the identical pair
+    table. One build per (process, sf), then column-pruned scans of a
+    pair-grain four-int table — strictly smaller than the arrays it
+    summarizes (the SQ8 rule), so consumers also shuffle less.
+
+    At 100 TB this is the audited intermediate a dedup pipeline
+    persists next to the signatures: candidates change only when the
+    corpus or the banding changes, and every downstream
+    filter/cluster/QA job reads the same pair facts. Integer columns →
+    consumers reconstruct bit-identical IEEE doubles; DuckDB oracles
+    keep recomputing relationally, hashes unaffected."""
+    sf = _sf_tag(sf_dir)
+
+    def build() -> DataFrame:
+        from .ext import dedup as D
+
+        return D.candidate_pair_stats(
+            shared_minhash_signatures(spark, sf_dir)
+        )
+
+    return _materialized_stage(
+        spark, f"candstats_{sf}_documents_doc_id_text", build
+    )
+
+
+def shared_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters ``(doc, cluster)`` at the tau=0.5 production
+    threshold as a MATERIALIZED shared stage (r10, sixth instance):
+    THREE keys (dedup_clusters, dedup_survivorship,
+    corpus_dedup_pipeline) each re-ran the same iterative
+    connected-components over the same pair set. CC is the one
+    iterative piece of the dedup ladder — staging its fixpoint is
+    exactly what a production pipeline does (the cluster map IS the
+    dedup artifact jobs anti-join against). Deterministic min-id
+    labels over a deterministic pair set; oracles unaffected."""
+    sf = _sf_tag(sf_dir)
+
+    def build() -> DataFrame:
+        from .ext import dedup as D
+
+        return D.clusters_from_pair_stats(
+            shared_minhash_cand_stats(spark, sf_dir), 0.5
+        )
+
+    return _materialized_stage(
+        spark, f"minclusters_{sf}_documents_doc_id_text_t05", build
+    )
+
+
 def shared_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document char-trigram counts ``(doc_id, source, lang, tri,
     m)`` over ``documents`` as a MATERIALIZED shared stage (r9) — the

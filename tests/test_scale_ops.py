@@ -1356,6 +1356,34 @@ def test_materialized_shared_stages_match_direct_derivation(spark, sf_dir):
     )
     assert norm(sig_stage) == norm(sig_direct)
 
+    # r10 fifth stage: candidate pair stats == the direct band-join +
+    # verify derivation, and the reconstructed pair table == the old
+    # signature-path near-dup pairs (the value contract the seven
+    # converted keys rely on)
+    stats_stage = RU.shared_minhash_cand_stats(spark, sf_dir)
+    stats_direct = D.candidate_pair_stats(sig_direct)
+    assert sorted(map(tuple, stats_stage.collect())) == sorted(
+        map(tuple, stats_direct.collect())
+    )
+    pairs_new = D.near_dups_from_pair_stats(stats_stage, 0.5)
+    pairs_old = D.near_dups_from_sig(sig_direct, 0.5)
+    assert sorted(map(tuple, pairs_new.collect())) == sorted(
+        map(tuple, pairs_old.collect())
+    )
+    est_new = D.estimate_vs_exact_from_pair_stats(stats_stage)
+    est_old = D.estimate_vs_exact_from_sig(sig_direct)
+    assert sorted(map(tuple, est_new.collect())) == sorted(
+        map(tuple, est_old.collect())
+    )
+
+    # r10 sixth stage: the tau=0.5 cluster map == the old CC-per-key
+    # derivation (deterministic min-id labels over the same pair set)
+    clus_stage = RU.shared_minhash_clusters(spark, sf_dir)
+    clus_direct = D.clusters_from_sig(sig_direct, 0.5)
+    assert sorted(map(tuple, clus_stage.collect())) == sorted(
+        map(tuple, clus_direct.collect())
+    )
+
     # build-once: the stage names are in the build log exactly once and
     # a repeat call leaves the log untouched (pure scan)
     before = dict(RU.SHARED_STAGE_BUILD_SEC)
@@ -1363,6 +1391,8 @@ def test_materialized_shared_stages_match_direct_derivation(spark, sf_dir):
     RU.shared_minhash_signatures(spark, sf_dir)
     RU.shared_char_trigrams(spark, sf_dir)
     RU.shared_sq8_codes(spark, sf_dir)
+    RU.shared_minhash_cand_stats(spark, sf_dir)
+    RU.shared_minhash_clusters(spark, sf_dir)
     assert RU.SHARED_STAGE_BUILD_SEC == before
 
 
