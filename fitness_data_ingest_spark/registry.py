@@ -349,6 +349,13 @@ _FORCE_REVERIFY: dict[str, int] = {
     "dedup_survivorship": 9,
     "corpus_dedup_pipeline": 9,
     "dedup_lsh_recall_eval": 9,
+    # round 10: the cross-strata weight total was the engine's ONE
+    # order-dependent double aggregate — Spark's partial-agg combine
+    # order could shift wtot by an ulp and flip a floor()/remainder
+    # rank (caught as a one-in-dozens hash flake by the full suite).
+    # Weights now quantize to int64 BEFORE the total in both engines;
+    # values moved (oracle rewritten in lockstep), plan changed.
+    "sample_neyman_alloc": 9,
 }
 
 

@@ -634,11 +634,18 @@ def neyman_alloc(events, budget: int = NEYMAN_BUDGET):
     integer rounding — the survey/eval-set design step that minimizes
     estimator variance for a fixed labeling budget.
 
-    Exactness: N_h and the moment sums are int64; the weight, shares,
-    and remainders are the identical double expressions on both
-    engines; the final integer allocation comes from floor + a
-    remainder rank computed by a triangular self-join at the bounded
-    stratum grain (no window)."""
+    Exactness: N_h and the moment sums are int64; the per-stratum
+    weight is a deterministic double expression on exact ints, then
+    QUANTIZED to an int64 cent-grain weight BEFORE the cross-strata
+    total — summing raw doubles across strata was the engine's one
+    order-dependent aggregate (Spark's partial-agg combine order could
+    shift wtot by an ulp and flip a floor()/remainder rank at a tie:
+    the r10 flake, alloc 1869 vs 1868). Integer weight sums are
+    order-independent, and every downstream share/remainder is a
+    deterministic double expression on the same ints in both engines.
+    The final integer allocation comes from floor + a remainder rank
+    computed by a triangular self-join at the bounded stratum grain
+    (no window)."""
     grp = (
         events.select(
             F.col("event_type").alias("g"), cents(F.col("value")).alias("v")
@@ -652,7 +659,13 @@ def neyman_alloc(events, budget: int = NEYMAN_BUDGET):
         .select(
             "g",
             "n_h",
-            (
+            # cent-grain integer weight: deterministic double math on
+            # exact ints, floored half-up to int64 so the cross-strata
+            # total below is an ORDER-INDEPENDENT integer sum (a raw
+            # double sum could flip a downstream floor on combine
+            # order). Relative quantization error <= 0.5/wgt — far
+            # below one allocation unit at any realistic budget.
+            F.floor(
                 F.col("n_h").cast("double")
                 * F.sqrt(
                     (
@@ -664,20 +677,32 @@ def neyman_alloc(events, budget: int = NEYMAN_BUDGET):
                         * (F.col("n_h") - 1).cast("double")
                     )
                 )
-            ).alias("wgt"),
+                + F.lit(0.5)
+            ).cast("long").alias("wgt"),
         )
     )
-    tot = grp.agg(F.sum("wgt").alias("wtot"))
+    # greatest(.., 1) guards the all-degenerate corner (every stratum
+    # variance rounding to zero weight) from a 0/0 NaN cascade
+    tot = grp.agg(
+        F.greatest(F.sum("wgt"), F.lit(1).cast("long")).alias("wtot")
+    )
     shares = grp.join(F.broadcast(tot)).select(
         "g",
         "n_h",
-        F.floor(F.lit(budget) * F.col("wgt") / F.col("wtot")).alias("base"),
+        F.floor(
+            F.lit(budget) * F.col("wgt").cast("double") / F.col("wtot").cast("double")
+        ).alias("base"),
         (
-            F.lit(budget) * F.col("wgt") / F.col("wtot")
-            - F.floor(F.lit(budget) * F.col("wgt") / F.col("wtot"))
+            F.lit(budget) * F.col("wgt").cast("double") / F.col("wtot").cast("double")
+            - F.floor(
+                F.lit(budget)
+                * F.col("wgt").cast("double")
+                / F.col("wtot").cast("double")
+            )
         ).alias("rem"),
         F.floor(
-            F.col("wgt") / F.col("wtot") * 1000000 + F.lit(0.5)
+            F.col("wgt").cast("double") / F.col("wtot").cast("double") * 1000000
+            + F.lit(0.5)
         ).alias("share_micro"),
     )
     short = shares.agg(
@@ -716,7 +741,7 @@ def _sample_neyman_alloc(spark, sf_dir):
 _NEYMAN_SQL = f"""
 WITH grp AS (
   SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_h,
-         CAST(count(*) AS BIGINT) * sqrt(
+         CAST(floor(CAST(count(*) AS BIGINT) * sqrt(
            (CAST(count(*) AS BIGINT)
               * CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
                          * CAST(floor(value * 100 + 0.5) AS BIGINT))
@@ -724,16 +749,19 @@ WITH grp AS (
             - CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
               * CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE))
            / (CAST(count(*) AS BIGINT)
-              * CAST(count(*) - 1 AS DOUBLE))) AS wgt
+              * CAST(count(*) - 1 AS DOUBLE))) + 0.5) AS BIGINT) AS wgt
   FROM events GROUP BY 1
 ),
-tot AS (SELECT sum(wgt) AS wtot FROM grp),
+tot AS (SELECT GREATEST(CAST(sum(wgt) AS BIGINT), 1) AS wtot FROM grp),
 shares AS (
   SELECT g, n_h,
-         floor({NEYMAN_BUDGET} * wgt / wtot) AS base,
-         {NEYMAN_BUDGET} * wgt / wtot
-             - floor({NEYMAN_BUDGET} * wgt / wtot) AS rem,
-         CAST(floor(wgt / wtot * 1000000 + 0.5) AS BIGINT) AS share_micro
+         floor({NEYMAN_BUDGET} * CAST(wgt AS DOUBLE) / CAST(wtot AS DOUBLE))
+             AS base,
+         {NEYMAN_BUDGET} * CAST(wgt AS DOUBLE) / CAST(wtot AS DOUBLE)
+             - floor({NEYMAN_BUDGET} * CAST(wgt AS DOUBLE)
+                     / CAST(wtot AS DOUBLE)) AS rem,
+         CAST(floor(CAST(wgt AS DOUBLE) / CAST(wtot AS DOUBLE) * 1000000
+                    + 0.5) AS BIGINT) AS share_micro
   FROM grp, tot
 ),
 short AS (
