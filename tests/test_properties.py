@@ -3373,11 +3373,20 @@ def test_neyman_alloc_matches_bruteforce(spark, rows):
     for g, vs in vals.items():
         n = len(vs)
         sv, svv = sum(vs), sum(v * v for v in vs)
-        wgt[g] = n * math.sqrt((n * svv - sv * sv) / (n * (n - 1)))
-    wtot = sum(wgt.values())
-    base_a = {g: math.floor(NEYMAN_BUDGET * w / wtot) for g, w in wgt.items()}
+        # r10: weights quantize half-up to int64 BEFORE the total so
+        # the cross-strata sum is order-independent (the raw double
+        # sum was the engine's one combine-order-dependent aggregate)
+        wgt[g] = math.floor(
+            n * math.sqrt((n * svv - sv * sv) / (n * (n - 1))) + 0.5
+        )
+    wtot = max(sum(wgt.values()), 1)
+    base_a = {
+        g: math.floor(NEYMAN_BUDGET * float(w) / float(wtot))
+        for g, w in wgt.items()
+    }
     rem = {
-        g: NEYMAN_BUDGET * w / wtot - base_a[g] for g, w in wgt.items()
+        g: NEYMAN_BUDGET * float(w) / float(wtot) - base_a[g]
+        for g, w in wgt.items()
     }
     short = NEYMAN_BUDGET - sum(base_a.values())
     order = sorted(rem, key=lambda g: (-rem[g], g))
