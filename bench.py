@@ -250,12 +250,14 @@ def adjudicate_regressions(
     return regressions, adjudication
 
 
-# Keys under a standing same-session A/B watch (VERDICT r9): flagged
-# 1.4-1.5x like-for-like on UNCHANGED plans two rounds running — pure
-# environment by every indirect signal, but only an old-vs-new A/B in
-# one sitting can retire the ambiguity. Remove a key once its ab_ratio
-# comes back clean.
-AB_WATCH: tuple[str, ...] = ("events_markov_stationary", "ts_theil_sen")
+# Keys under a standing same-session A/B watch: the list holds ONLY
+# keys pending a clean like-for-like ab_ratio — add a key when a flag
+# appears on an unchanged plan, remove it the round its ab_ratio comes
+# back clean (else the list stops meaning anything; VERDICT r10 item 2).
+# r9's two entries (events_markov_stationary, ts_theil_sen) measured
+# clean 1.05/1.07 against the r9 bench commit — retired, recorded in
+# BENCH_r10.json.
+AB_WATCH: tuple[str, ...] = ()
 
 
 def ab_keys_to_measure(

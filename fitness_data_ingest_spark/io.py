@@ -398,10 +398,20 @@ def _read_checkpoint(base_path: str) -> int | None:
 
     try:
         with open(_checkpoint_path(base_path)) as f:
-            v = json.load(f).get("version")
-        return v if isinstance(v, int) and v >= 0 else None
+            obj = json.load(f)
     except (OSError, ValueError):
         return None
+    if not isinstance(obj, dict):
+        # valid JSON but not an object ('5', '[]', 'true') — a corrupt
+        # pointer must degrade to the glob fallback, not raise (ADVICE
+        # r10: .get on a non-dict broke every read of the table)
+        return None
+    v = obj.get("version")
+    # bool is an int subclass — '{"version": true}' is corruption, not
+    # version 1
+    if isinstance(v, bool) or not isinstance(v, int):
+        return None
+    return v if v >= 0 else None
 
 
 def _write_checkpoint(base_path: str, version: int) -> None:

@@ -468,10 +468,12 @@ def isotonic_fit(events: DataFrame) -> DataFrame:
     (sum_cents, count) and compare block means by CROSS-MULTIPLICATION
     (sum_a · n_b >= sum_b · n_a), so the merge sequence is integer-exact
     and platform-independent; the fitted level divides once at the end
-    (floor 4-decimals). Rows-only at the driver (no SQL oracle exists
-    for a sequential DP); tests/test_graph_merge.py pins the kernel to
-    an independent O(n²) minimax implementation
-    (fitted_i = max_{j<=i} min_{k>=i} mean v[j..k]).
+    (floor 4-decimals). Hash-paired at the driver since r5: the DuckDB
+    oracle expresses PAVA's closed form as the O(n²) minimax
+    (fitted_i = max_{j<=i} min_{k>=i} mean v[j..k]) — see
+    ``ts_isotonic_fit`` in the registry; tests/test_graph_merge.py pins
+    the kernel to an independent Python implementation of the same
+    minimax.
     """
     import math
 

@@ -355,7 +355,14 @@ _FORCE_REVERIFY: dict[str, int] = {
     # rank (caught as a one-in-dozens hash flake by the full suite).
     # Weights now quantize to int64 BEFORE the total in both engines;
     # values moved (oracle rewritten in lockstep), plan changed.
-    "sample_neyman_alloc": 9,
+    # round 11: n_h == 1 guard (VERDICT r10 missing item 3 / ADVICE):
+    # a single-row stratum made the variance term 0/0 -> NaN with
+    # DIVERGENT failure modes (Spark nulls via floor+cast, DuckDB
+    # errors on the BIGINT cast). Both engines now zero-weight
+    # single-row strata (CASE/F.when in lockstep). Unreachable on the
+    # fixtures (hash unchanged there, asserted in
+    # tests/test_properties.py), but the expression changed.
+    "sample_neyman_alloc": 10,
 }
 
 

@@ -665,20 +665,30 @@ def neyman_alloc(events, budget: int = NEYMAN_BUDGET):
             # double sum could flip a downstream floor on combine
             # order). Relative quantization error <= 0.5/wgt — far
             # below one allocation unit at any realistic budget.
-            F.floor(
-                F.col("n_h").cast("double")
-                * F.sqrt(
-                    (
-                        F.col("n_h").cast("double") * F.col("svv").cast("double")
-                        - F.col("sv").cast("double") * F.col("sv").cast("double")
+            # n_h == 1 guard: a single-row stratum has undefined sample
+            # variance (0/0 -> NaN; Spark's floor+cast nulls it while
+            # DuckDB's BIGINT cast errors — divergent failure modes).
+            # Zero weight is the total, engine-agreed semantics: no
+            # variance information -> no Neyman share.
+            F.when(
+                F.col("n_h") > 1,
+                F.floor(
+                    F.col("n_h").cast("double")
+                    * F.sqrt(
+                        (
+                            F.col("n_h").cast("double")
+                            * F.col("svv").cast("double")
+                            - F.col("sv").cast("double")
+                            * F.col("sv").cast("double")
+                        )
+                        / (
+                            F.col("n_h").cast("double")
+                            * (F.col("n_h") - 1).cast("double")
+                        )
                     )
-                    / (
-                        F.col("n_h").cast("double")
-                        * (F.col("n_h") - 1).cast("double")
-                    )
-                )
-                + F.lit(0.5)
-            ).cast("long").alias("wgt"),
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")).alias("wgt"),
         )
     )
     # greatest(.., 1) guards the all-degenerate corner (every stratum
@@ -741,15 +751,17 @@ def _sample_neyman_alloc(spark, sf_dir):
 _NEYMAN_SQL = f"""
 WITH grp AS (
   SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_h,
-         CAST(floor(CAST(count(*) AS BIGINT) * sqrt(
-           (CAST(count(*) AS BIGINT)
-              * CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
-                         * CAST(floor(value * 100 + 0.5) AS BIGINT))
-                     AS DOUBLE)
-            - CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
-              * CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE))
-           / (CAST(count(*) AS BIGINT)
-              * CAST(count(*) - 1 AS DOUBLE))) + 0.5) AS BIGINT) AS wgt
+         CASE WHEN count(*) > 1 THEN
+           CAST(floor(CAST(count(*) AS BIGINT) * sqrt(
+             (CAST(count(*) AS BIGINT)
+                * CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           * CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS DOUBLE)
+              - CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                * CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE))
+             / (CAST(count(*) AS BIGINT)
+                * CAST(count(*) - 1 AS DOUBLE))) + 0.5) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS wgt
   FROM events GROUP BY 1
 ),
 tot AS (SELECT GREATEST(CAST(sum(wgt) AS BIGINT), 1) AS wtot FROM grp),

@@ -74,6 +74,72 @@ def sql_money_avg(expr: str) -> str:
 SHARED_STAGE_BUILD_SEC: dict[str, float] = {}
 
 
+# The stage-acceptance rule as a STANDING GATE (VERDICT r10 item 6).
+# A shared materialized stage earns its storage only when the SHARED
+# projection dominates the consumers' cost — heavy shared CPU or a
+# strictly smaller stored grain. The dominance bound that two rejected
+# proposals derived (SCALING.md §27 ngram-pair family, §30 tokenized
+# documents): if scanning the staged projection costs >= recomputing it
+# inline from the source scan, NO consumer can win, no matter how many
+# consumers share the input — reject without further measurement.
+#
+# Every accepted stage records its same-sitting idle min-of-3 family
+# A/B (seconds, sf0.1, local[32]) and one-time build cost; every
+# rejected proposal records the numbers that killed it. A future stage
+# lands only by adding its entry with both numbers —
+# tests/test_scale_ops.py::test_stage_evidence_gate fails on any
+# shared_* stage without accepted evidence, any accepted entry whose
+# numbers do not actually improve the family, and any rejected entry
+# whose numbers do not actually fire the bound.
+STAGE_EVIDENCE: dict[str, dict] = {
+    "shared_cooccurrence_edges": {
+        "accepted": True, "family_before_sec": 34.1,
+        "family_after_sec": 8.7, "build_sec": 2.8,
+        "where": "SCALING.md §27",
+    },
+    "shared_minhash_signatures": {
+        "accepted": True, "family_before_sec": 16.0,
+        "family_after_sec": 11.9, "build_sec": 1.5,
+        "where": "SCALING.md §27",
+    },
+    "shared_char_trigrams": {
+        "accepted": True, "family_before_sec": 6.50,
+        "family_after_sec": 4.05, "build_sec": 1.9,
+        "where": "SCALING.md §28",
+    },
+    "shared_sq8_codes": {
+        "accepted": True, "family_before_sec": 21.39,
+        "family_after_sec": 14.29, "build_sec": 0.85,
+        "where": "SCALING.md §29",
+    },
+    # the r10 pair measured as ONE family A/B (the seven banded-dedup
+    # consumers read both stages); builds recorded separately
+    "shared_minhash_cand_stats": {
+        "accepted": True, "family_before_sec": 14.04,
+        "family_after_sec": 5.44, "build_sec": 10.5,
+        "where": "SCALING.md §31",
+    },
+    "shared_minhash_clusters": {
+        "accepted": True, "family_before_sec": 14.04,
+        "family_after_sec": 5.44, "build_sec": 2.5,
+        "where": "SCALING.md §31",
+    },
+    # rejected proposals — the precedents the bound came from
+    "ngram_pairs_via_signature_stage": {
+        "accepted": False,
+        # per-consumer sec, direct vs through the stage (3 consumers)
+        "recompute_sec": 1.8, "stage_scan_sec": 2.2,
+        "where": "SCALING.md §27",
+    },
+    "tokenized_documents": {
+        "accepted": False,
+        "recompute_sec": 0.577, "stage_scan_sec": 0.619,
+        "build_sec": 8.25,
+        "where": "SCALING.md §30",
+    },
+}
+
+
 _REAPED = False
 # created at import time: lazy creation of the lock would itself race
 _REAP_LOCK = _threading.Lock()

@@ -40,6 +40,41 @@ def test_prev_round_ref_resolves_to_commit_that_added_newest_bench():
     assert "BENCH_r" in shown
 
 
+def test_prev_round_ref_ignores_untracked_bench_records(tmp_path):
+    """The driver drops each round's BENCH_r{N}.json UNTRACKED first; a
+    worktree-glob resolution picked it, found no add-commit, and nulled
+    the ref (VERDICT r10 item 1). Pin: in a clone with an untracked
+    BENCH_r99.json present, the ref must still resolve — to the commit
+    that added the newest COMMITTED record, not the untracked one."""
+    clone = str(tmp_path / "clone")
+    subprocess.run(
+        ["git", "clone", "--quiet", HERE, clone],
+        check=True,
+        capture_output=True,
+    )
+    with open(os.path.join(clone, "BENCH_r99.json"), "w") as f:
+        f.write("{}")
+    ab = _load_ab()
+    ref = ab.prev_round_ref(repo=clone)
+    assert ref is not None and len(ref) == 40
+    shown = subprocess.run(
+        ["git", "show", "--stat", "--format=", ref],
+        cwd=clone,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    assert "BENCH_r99" not in shown and "BENCH_r" in shown
+
+
+def test_drive_rejects_zero_reps():
+    import pytest
+
+    ab = _load_ab()
+    with pytest.raises(ValueError):
+        ab.drive(None, None, [], reps=0)
+
+
 def test_ab_compare_end_to_end_on_head():
     ab = _load_ab()
     res = ab.ab_compare(

@@ -293,13 +293,20 @@ def test_bench_ab_key_selection_watch_first_then_worst_flags():
         "flag_mild": 1,
         "flag_bad": 1,
     }
-    keys = bench.ab_keys_to_measure(regs, adj, registry_keys)
+    keys = bench.ab_keys_to_measure(
+        regs, adj, registry_keys,
+        watch=("events_markov_stationary", "ts_theil_sen"),
+    )
     assert keys == [
         "events_markov_stationary",
         "ts_theil_sen",
         "flag_bad",
         "flag_mild",
     ]
+    # r10 measured the r9 watch items clean (ab_ratio 1.05/1.07 in
+    # BENCH_r10.json) — the standing list holds only keys pending
+    # evidence, so it is empty until a new unchanged-plan flag appears
+    assert bench.AB_WATCH == ()
     # the cap holds
     many = [f"k{i}" for i in range(10)]
     adj2 = {k: {"isolated_ratio": 2.0} for k in many}

@@ -3351,9 +3351,11 @@ def test_neyman_alloc_matches_bruteforce(spark, rows):
         neyman_alloc,
     )
 
-    # need >= 2 rows per stratum for S_h; pad deterministically
+    # pad a/b/c to >= 2 rows each, plus one deliberate single-row
+    # stratum "z" — since r11 a 1-row stratum is defined (zero weight),
+    # not a 0/0 NaN, so the brute force must cover it too
     rows = rows + [("a", 100), ("a", 200), ("b", 300), ("b", 50),
-                   ("c", 10), ("c", 20)]
+                   ("c", 10), ("c", 20), ("z", 12345)]
     base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     ev = spark.createDataFrame(
         [
@@ -3375,8 +3377,10 @@ def test_neyman_alloc_matches_bruteforce(spark, rows):
         sv, svv = sum(vs), sum(v * v for v in vs)
         # r10: weights quantize half-up to int64 BEFORE the total so
         # the cross-strata sum is order-independent (the raw double
-        # sum was the engine's one combine-order-dependent aggregate)
-        wgt[g] = math.floor(
+        # sum was the engine's one combine-order-dependent aggregate).
+        # r11: a single-row stratum has undefined sample variance —
+        # zero weight by definition on both engine sides.
+        wgt[g] = 0 if n == 1 else math.floor(
             n * math.sqrt((n * svv - sv * sv) / (n * (n - 1))) + 0.5
         )
     wtot = max(sum(wgt.values()), 1)
@@ -3395,6 +3399,48 @@ def test_neyman_alloc_matches_bruteforce(spark, rows):
         for g in wgt
     }
     assert got == want
+
+
+def test_neyman_alloc_single_row_stratum_engines_agree(spark):
+    """The n_h == 1 corner (VERDICT r10 missing item 3): before r11 the
+    variance term went 0/0 -> NaN and the ENGINES DIVERGED — Spark's
+    floor+cast nulled the weight while DuckDB's BIGINT cast errored.
+    Both now zero-weight single-row strata; pin that Spark and the
+    _NEYMAN_SQL oracle return identical rows on a frame with a 1-row
+    stratum, and that the 1-row stratum gets weight share 0."""
+    import datetime as dt
+
+    import duckdb
+
+    from fitness_data_ingest_spark.registry_r6b_stat import (
+        _NEYMAN_SQL,
+        neyman_alloc,
+    )
+
+    rows = [
+        ("a", 1.00), ("a", 2.00), ("a", 9.50),
+        ("b", 3.25), ("b", 0.75),
+        ("solo", 123.45),  # the degenerate stratum
+    ]
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ev = spark.createDataFrame(
+        [(i, g, base, v) for i, (g, v) in enumerate(rows)],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    got = [
+        (r["g"], r["n_h"], r["share_micro"], r["alloc"])
+        for r in neyman_alloc(ev).collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_type VARCHAR, value DOUBLE)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    want = [tuple(r) for r in con.execute(_NEYMAN_SQL).fetchall()]
+    con.close()
+
+    assert got == want
+    solo = {g: (sm, al) for g, _, sm, al in got}["solo"]
+    assert solo == (0, 0)
 
 
 def test_assortativity_and_modularity_match_bruteforce(spark):

@@ -708,10 +708,18 @@ def test_versioned_store_checkpoint_bounds_log_reads(spark, tmp_path):
     fio._write_checkpoint(base, 3)
     assert fio._read_checkpoint(base) == fio.CHECKPOINT_INTERVAL
 
-    # a corrupt checkpoint falls back to the listing, same answer
-    with open(fio._checkpoint_path(base), "w") as f:
-        f.write("not json")
-    assert fio.latest_version(base) == n_commits - 1
+    # a corrupt checkpoint falls back to the listing, same answer —
+    # including VALID JSON that is not a version object (ADVICE r10:
+    # '5'/'[]'/'true' hit .get on a non-dict and raised out of every
+    # table read, violating the advisory-only contract), and a bool
+    # version (bool is an int subclass, but '{"version": true}' is
+    # corruption, not version 1)
+    for junk in ("not json", "5", "[]", "true", '{"version": true}',
+                 '{"version": "7"}', '{"version": -2}'):
+        with open(fio._checkpoint_path(base), "w") as f:
+            f.write(junk)
+        assert fio._read_checkpoint(base) is None, junk
+        assert fio.latest_version(base) == n_commits - 1, junk
 
     # OCC unchanged with a (restored) checkpoint present: a stale
     # expected_version still conflicts, and an expected_version beyond
@@ -1394,6 +1402,52 @@ def test_materialized_shared_stages_match_direct_derivation(spark, sf_dir):
     RU.shared_minhash_cand_stats(spark, sf_dir)
     RU.shared_minhash_clusters(spark, sf_dir)
     assert RU.SHARED_STAGE_BUILD_SEC == before
+
+
+def test_stage_evidence_gate():
+    """The §27/§30 stage-acceptance rule as a standing gate (VERDICT
+    r10 item 6): every shared_* stage must cite measured dominance
+    evidence in registry_util.STAGE_EVIDENCE, accepted entries must
+    show a real family win, and rejected entries must show the
+    dominance bound firing (staged scan >= inline recompute). A future
+    stage proposal cannot land without both numbers."""
+    import inspect
+    import os
+
+    from fitness_data_ingest_spark import registry_util as RU
+
+    live_stages = {
+        name
+        for name, fn in inspect.getmembers(RU, inspect.isfunction)
+        if name.startswith("shared_")
+    }
+    accepted = {k for k, v in RU.STAGE_EVIDENCE.items() if v["accepted"]}
+    rejected = {k for k, v in RU.STAGE_EVIDENCE.items() if not v["accepted"]}
+
+    # every live stage has accepted evidence; every accepted entry is a
+    # live stage (no evidence for stages that no longer exist)
+    assert live_stages == accepted
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "SCALING.md")) as f:
+        scaling = f.read()
+
+    for name, ev in RU.STAGE_EVIDENCE.items():
+        # the citation must point at a real SCALING.md section
+        sec = ev["where"].split("§")[1]
+        assert f"## {sec}." in scaling, (name, ev["where"])
+        if ev["accepted"]:
+            # the family A/B must be a measured win
+            assert ev["family_after_sec"] < ev["family_before_sec"], name
+            assert ev["build_sec"] > 0, name
+        else:
+            # the bound must actually have fired: scanning the staged
+            # projection was no cheaper than recomputing it inline
+            assert ev["stage_scan_sec"] >= ev["recompute_sec"], name
+
+    # both founding precedents stay on record
+    assert {"ngram_pairs_via_signature_stage",
+            "tokenized_documents"} <= rejected
 
 
 def test_sf_tag_distinguishes_same_basename_dirs(tmp_path):

@@ -24,7 +24,6 @@ this); otherwise a human table. Exit 0 unless the harness itself fails
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import re
@@ -37,28 +36,50 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def prev_round_ref(repo: str = HERE) -> str | None:
-    """The commit that ADDED the newest ``BENCH_r{N}.json`` — i.e. the
-    code state whose bench record is the baseline current numbers are
-    compared against. None if no bench record is committed yet."""
-    best: tuple[int, str] | None = None
-    for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), os.path.basename(p))
-    if best is None:
-        return None
+    """The commit that ADDED the newest COMMITTED ``BENCH_r{N}.json`` —
+    i.e. the code state whose bench record is the baseline current
+    numbers are compared against. None if no bench record is committed
+    yet.
+
+    Candidates come from ``git ls-files`` (tracked files only), NOT a
+    worktree glob: the driver drops each round's BENCH_r{N}.json as an
+    UNTRACKED file first, and a glob-selected untracked record has no
+    add-commit — which nulled the ref and silently disabled the auto-A/B
+    for the whole following round (VERDICT r10 item 1). Tracked
+    candidates are tried newest-first, falling back past any record
+    whose add-commit git cannot resolve."""
     try:
-        out = subprocess.run(
-            ["git", "log", "--diff-filter=A", "-1", "--format=%H", "--", best[1]],
+        tracked = subprocess.run(
+            ["git", "ls-files", "BENCH_r*.json"],
             cwd=repo,
             capture_output=True,
             text=True,
             timeout=60,
             check=True,
-        ).stdout.strip()
+        ).stdout.split()
     except Exception:
         return None
-    return out or None
+    cands: list[tuple[int, str]] = []
+    for p in tracked:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            cands.append((int(m.group(1)), p))
+    for _, name in sorted(cands, reverse=True):
+        try:
+            out = subprocess.run(
+                ["git", "log", "--diff-filter=A", "-1", "--format=%H",
+                 "--", name],
+                cwd=repo,
+                capture_output=True,
+                text=True,
+                timeout=60,
+                check=True,
+            ).stdout.strip()
+        except Exception:
+            continue
+        if out:
+            return out
+    return None
 
 
 def extract_ref(ref: str, dest: str, repo: str = HERE) -> None:
@@ -135,7 +156,11 @@ def drive(old: _Worker, new: _Worker, keys: list[str], reps: int = 3) -> dict:
     a linear weather drift within the sitting cancels instead of biasing
     one variant. Per-key result: min over reps for each variant, plus
     the ratio; a variant erroring on a key yields an ``ab_err`` row
-    (e.g. a key that does not exist in the old code)."""
+    (e.g. a key that does not exist in the old code). A key that errors
+    mid-sitting stops being run on EITHER side — its ratio is already
+    unusable, so further reps would be wasted double executions."""
+    if reps < 1:
+        raise ValueError(f"reps must be >= 1, got {reps}")
     results: dict[str, dict] = {}
     runnable: list[str] = []
     for key in keys:
@@ -153,6 +178,8 @@ def drive(old: _Worker, new: _Worker, keys: list[str], reps: int = 3) -> dict:
     for rep in range(reps):
         order = (old, new) if rep % 2 == 0 else (new, old)
         for key in runnable:
+            if "ab_err" in results.get(key, {}):
+                continue  # failed earlier this sitting — don't re-run
             for w in order:
                 reply = w.send(f"RUN {key}")
                 side = "old" if w is old else "new"
@@ -162,6 +189,7 @@ def drive(old: _Worker, new: _Worker, keys: list[str], reps: int = 3) -> dict:
                     results.setdefault(key, {})["ab_err"] = (
                         f"run_failed:{side}"
                     )
+                    break
     for key in runnable:
         if key in results and "ab_err" in results[key]:
             continue
@@ -229,8 +257,8 @@ def main() -> int:
         else:
             keys.append(a)
             i += 1
-    if not keys:
-        print("usage: bench_ab.py [--ref R] [--reps N] [--sf-dir D] "
+    if not keys or reps < 1:
+        print("usage: bench_ab.py [--ref R] [--reps N>=1] [--sf-dir D] "
               "[--json] key...", file=sys.stderr)
         return 2
     results = ab_compare(keys, ref=ref, sf_dir=sf_dir, reps=reps)
