@@ -145,11 +145,58 @@ HEADLINE = [
 ]
 
 
+def _prev_full_record() -> dict | None:
+    """The FULL bench record (``BENCH_LATEST.json``) as committed at
+    the previous round's bench commit — the same ref the A/B archives.
+    The compact driver line truncates ``queries`` under its ~1900-char
+    budget (the r10 line kept 4 of 324 once ab_ratio/ab_ref joined it),
+    which would silently collapse the cross-round regression gate's
+    coverage to those few keys; the committed full record carries all
+    of them plus the isolated tail. None if unresolvable — the parsed
+    driver lines below are the fallback."""
+    import importlib.util
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "bench_ab", os.path.join(here, "tools", "bench_ab.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        ref = mod.prev_round_ref(here)
+        if not ref:
+            return None
+        out = subprocess.run(
+            ["git", "show", f"{ref}:BENCH_LATEST.json"],
+            cwd=here,
+            capture_output=True,
+            text=True,
+            timeout=60,
+            check=True,
+        ).stdout
+        data = json.loads(out)
+    except Exception:
+        return None
+    if (
+        isinstance(data, dict)
+        and isinstance(data.get("queries"), dict)
+        and data["queries"]
+    ):
+        return data
+    return None
+
+
 def _prev_bench() -> dict | None:
-    """Latest recorded BENCH_r{N}.json with a usable record — the
-    regression baseline. A round whose driver capture overflowed
-    ("parsed": null, round 2's fate) is skipped in favor of the newest
-    earlier round that parsed."""
+    """Latest recorded bench with a usable record — the regression
+    baseline. Preference order: the FULL record at the previous bench
+    commit (every key, not the compact line's truncated few), then the
+    newest parsed BENCH_r{N}.json driver line. A round whose driver
+    capture overflowed ("parsed": null, round 2's fate) is skipped in
+    favor of the newest earlier round that parsed."""
+    full = _prev_full_record()
+    if full is not None:
+        return full
     here = os.path.dirname(os.path.abspath(__file__))
     rounds: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):

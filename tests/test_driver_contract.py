@@ -275,6 +275,22 @@ def test_bench_gate_flags_on_isolated_ratio_alone():
     assert set(adj) == {"quiet_bad", "quiet_ok"}
 
 
+def test_prev_bench_prefers_full_committed_record():
+    """The compact driver line truncates `queries` under its char
+    budget (r10's kept 4 of 324 once ab_ratio/ab_ref joined the line),
+    which silently collapsed the cross-round regression gate to those
+    few keys. _prev_bench must prefer the FULL BENCH_LATEST.json as
+    committed at the previous bench commit — same ref the A/B archives
+    — restoring whole-registry vs_prev coverage."""
+    import bench
+
+    prev = bench._prev_bench()
+    assert prev is not None
+    # the full record carries the whole registry, not the compact few
+    assert len(prev["queries"]) > 100
+    assert isinstance(prev.get("isolated_tail"), dict)
+
+
 def test_bench_ab_key_selection_watch_first_then_worst_flags():
     """VERDICT r10 item 1: the same-session A/B measures the standing
     watch list plus isolated-confirmed flags, worst ratio first, capped
