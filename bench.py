@@ -378,18 +378,50 @@ def apply_ab_results(
     decision-grade signal (same-sitting, same-weather) and overrides
     the isolated cross-round ratio in both directions; keys without A/B
     data keep their isolated-based verdict. Never drops evidence —
-    every A/B row lands in the adjudication record."""
+    every A/B row lands in the adjudication record.
+
+    The A/B sample also adjudicates THE BATCH (r11): a hot sitting can
+    inflate a dozen keys' isolated ratios at once, while the A/B cap
+    measures only the worst few — observed live when 18 flags appeared
+    on a 1.12x-median round and all 6 A/B'd worst offenders came back
+    clean (0.77-1.30). ``ab_keys_to_measure`` sends flags worst-first
+    by isolated_ratio, so when EVERY A/B-measured flag dissolves as
+    weather, any remaining flag with a milder isolated ratio than the
+    measured floor is weather by dominance — removed from the list,
+    tagged ``weather_dissolved`` in its adjudication row (the evidence
+    stays). If even ONE measured flag confirms, nothing is dissolved:
+    the sample proved the sitting can carry real regressions."""
     final = list(regressions)
+    measured_flags: dict[str, float] = {}
     for key, row in ab.items():
         if key.startswith("_") or not isinstance(row, dict):
             continue
         adjudication.setdefault(key, {}).update(row)
         ratio = row.get("ab_ratio")
         if isinstance(ratio, (int, float)):
+            if key in regressions:
+                measured_flags[key] = ratio
             if ratio > threshold and key not in final:
                 final.append(key)
             elif ratio <= threshold and key in final:
                 final.remove(key)
+    if measured_flags and all(
+        r <= threshold for r in measured_flags.values()
+    ):
+        floor = min(
+            adjudication.get(k, {}).get("isolated_ratio", float("inf"))
+            for k in measured_flags
+        )
+        for key in list(final):
+            row = adjudication.get(key, {})
+            iso = row.get("isolated_ratio")
+            if (
+                "ab_ratio" not in row
+                and isinstance(iso, (int, float))
+                and iso <= floor
+            ):
+                final.remove(key)
+                row["weather_dissolved"] = True
     return final
 
 

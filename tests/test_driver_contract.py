@@ -355,11 +355,51 @@ def test_bench_ab_results_override_isolated_verdict_both_directions():
         "errored": {"ab_err": "warm_failed:old"},
     }
     final = bench.apply_ab_results(ab, adj, regs, threshold=1.5)
+    # "confirmed" proves the sitting carries a real regression, so the
+    # unmeasured "untested" is NOT batch-dissolved — it keeps its
+    # isolated verdict
     assert sorted(final) == ["confirmed", "untested", "watch_caught"]
     assert adj["dissolved"]["ab_ratio"] == 1.03
     assert adj["watch_clean"]["ab_ratio"] == 1.0
     assert adj["errored"]["ab_err"] == "warm_failed:old"
     assert "_ref" not in adj
+    assert "weather_dissolved" not in adj["untested"]
+
+
+def test_bench_ab_clean_sample_dissolves_the_batch():
+    """A hot sitting inflates MANY isolated ratios at once while the
+    A/B cap measures only the worst few (observed live: 18 flags on a
+    1.12x-median round, all 6 A/B'd worst offenders clean 0.77-1.30).
+    Since ab_keys_to_measure sends flags worst-first, an all-clean A/B
+    sample dominates every milder flag: the rest dissolve as weather,
+    tagged in the adjudication evidence. A flag ABOVE the measured
+    floor (possible when cap ordering interleaves watch keys) is NOT
+    dissolved — dominance only reaches downward."""
+    import bench
+
+    adj = {
+        "worst": {"isolated_ratio": 3.1},
+        "second": {"isolated_ratio": 2.6},
+        "milder": {"isolated_ratio": 1.9},
+        "mildest": {"isolated_ratio": 1.7},
+        "above_floor": {"isolated_ratio": 2.9},
+    }
+    regs = ["worst", "second", "milder", "mildest", "above_floor"]
+    ab = {
+        "_ref": "abc123",
+        "worst": {"ab_old_sec": 1.0, "ab_new_sec": 1.0, "ab_ratio": 1.0},
+        "second": {"ab_old_sec": 1.0, "ab_new_sec": 1.2, "ab_ratio": 1.2},
+    }
+    final = bench.apply_ab_results(ab, adj, regs, threshold=1.5)
+    # the sample (worst, second) is clean -> milder/mildest dissolve by
+    # dominance (iso <= 2.6, the measured floor); above_floor at 2.9
+    # exceeds the floor and keeps its isolated verdict
+    assert final == ["above_floor"]
+    assert adj["milder"]["weather_dissolved"] is True
+    assert adj["mildest"]["weather_dissolved"] is True
+    assert "weather_dissolved" not in adj["above_floor"]
+    # the A/B'd keys were removed by their own ratios, not tagged
+    assert "weather_dissolved" not in adj["worst"]
 
 
 def test_bench_ab_drive_alternates_and_takes_min_of_reps():
