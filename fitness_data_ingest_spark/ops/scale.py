@@ -138,6 +138,13 @@ def exact_quantiles(
         F.max(value_col).alias("_mx"),
         F.count(F.lit(1)).alias("n"),
     )
+    # the |groups|-row stats table (bounded: one row per group at any
+    # data volume) is broadcast-joined into BOTH fact passes (bucketed
+    # staging and the rank pass); truncating its lineage here stops each
+    # pass from re-running the full min/max/count scan of ``df`` — the
+    # fact is read twice (algorithmic floor: counts pass + rank pass),
+    # not four times (measured r11: 4 lineitem scans → 2)
+    stats = stats.localCheckpoint()
     staged = df.select(group_col, F.col(value_col).alias("v")).join(
         F.broadcast(stats), group_col
     )

@@ -309,8 +309,8 @@ _FORCE_REVERIFY: dict[str, int] = {
     "table_ndv_mincount": 7,
     # round 8: Gram outer product via row-local double explode instead
     # of the vec_id self-equi-join (no shuffle before the 4096-group
-    # aggregate; A/B-identical values, 2x faster build).
-    "embed_power_iteration": 7,
+    # aggregate; A/B-identical values, 2x faster build). r11 re-bumps
+    # below (iteration collapse).
     # round 9: both char-trigram consumers now read the MATERIALIZED
     # shared per-doc trigram stage (registry_util.shared_char_trigrams)
     # — the perplexity key's old plan ran the trigram explode TWICE per
@@ -348,7 +348,6 @@ _FORCE_REVERIFY: dict[str, int] = {
     "dedup_minhash_jaccard_est": 9,
     "dedup_survivorship": 9,
     "corpus_dedup_pipeline": 9,
-    "dedup_lsh_recall_eval": 9,
     # round 10: the cross-strata weight total was the engine's ONE
     # order-dependent double aggregate — Spark's partial-agg combine
     # order could shift wtot by an ulp and flip a floor()/remainder
@@ -363,6 +362,36 @@ _FORCE_REVERIFY: dict[str, int] = {
     # fixtures (hash unchanged there, asserted in
     # tests/test_properties.py), but the expression changed.
     "sample_neyman_alloc": 10,
+    # round 11 (optimization round): bounded-size iteration state
+    # collapsed into one-row array folds — the markov chain (|types|² is
+    # a bounded domain) and the power iteration's fixed 64×64 Gram table
+    # now run their recurrences as a single aggregate-over-sequence
+    # expression instead of an unrolled join tree (139 Exchanges → 8 /
+    # per-iteration checkpoints → none); integer arithmetic commutes, so
+    # VALUES are identical, plans changed.
+    "events_markov_stationary": 10,
+    "embed_power_iteration": 10,
+    # round 11: theil_sen truncates lineage at the calendar-bounded hour
+    # grain (326 events scans in one plan → 1) and both exact medians
+    # take their total-count rows arithmetically (n·(n−1)/2) instead of
+    # re-executing the O(n²) pair generator; values identical.
+    "ts_theil_sen": 10,
+    # round 11: the recall eval truncates lineage at the ≥tau truth pair
+    # list, so the exact-pairs pass runs once, not once per count
+    # consumer; values identical.  (Bumped 9 → 10.)
+    "dedup_lsh_recall_eval": 10,
+    # round 11: untouched code, but their PLANHASH fingerprints moved —
+    # the recall eval's eager checkpoint changes the in-session cache
+    # state their same-session plans canonicalize against (persist
+    # substitution). Values unaffected; re-verify on principle.
+    "dedup_ngram_jaccard": 10,
+    "dedup_threshold_sweep": 10,
+    # round 11: exact_quantiles truncates lineage at the |groups|-row
+    # stats table — each of its two fact passes no longer re-runs the
+    # min/max/count scan (4 fact scans → 2); values identical. Both
+    # consumers re-enter the window.
+    "agg_percentiles": 10,
+    "feature_quantile_bin": 10,
 }
 
 

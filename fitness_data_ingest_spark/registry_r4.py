@@ -238,12 +238,20 @@ def _embed_power_iteration(spark, sf_dir):
     former self-equi-join on vec_id was shuffling both copies of the
     exploded table for a per-row pairing a Generate gives in place),
     then map-side combine collapses to the fixed 64×64 = 4096-row
-    table no matter how many vectors stream through; every one of the
-    6 iterations runs on that 4096-row table (broadcast x, one
-    aggregate, 1-row max broadcast). Renormalization divides |y| by
+    table no matter how many vectors stream through. The 6 iterations
+    run on that FIXED-size table — metadata at any corpus size — so
+    (r11) the whole recurrence collapses into ONE row and ONE fold
+    expression: the Gram matrix packs as 64 sorted (j-index, g)
+    adjacency arrays, and ``aggregate(sequence(1, 6), x0, step)``
+    carries the x vector as the fold accumulator (a bound lambda
+    variable, so each step is materialized exactly once — the old
+    unrolled join form paid a broadcast build + shuffle + eager
+    localCheckpoint per iteration, ~2 s of pure job overhead for
+    4096-row arithmetic). Renormalization divides |y| by
     (max|y| div 1e6) with the sign split out explicitly: both operands
     are then non-negative, where Spark's truncating ``div`` and
-    DuckDB's flooring ``//`` agree."""
+    DuckDB's flooring ``//`` agree; integer sums commute, so the
+    sorted-array fold reproduces the old groupBy sums bit-exactly."""
     emb = t(spark, sf_dir, "embeddings")
     s = F.transform(
         F.col("embedding"),
@@ -256,37 +264,53 @@ def _embed_power_iteration(spark, sf_dir):
         flat.select("i", "si", F.posexplode("sv").alias("j", "sj"))
         .groupBy("i", "j")
         .agg(F.sum(F.col("si") * F.col("sj")).alias("g"))
-        .persist()
     )
-    x = (
-        gram.select(F.col("i").alias("dim"))
-        .distinct()
-        .withColumn("x", F.lit(POWER_UNIT).cast("long"))
+    rows = gram.groupBy("i").agg(
+        F.sort_array(F.collect_list(F.struct("j", "g"))).alias("ent")
     )
-    for _ in range(POWER_ITERS):
-        y = (
-            gram.join(
-                F.broadcast(
-                    x.select(F.col("dim").alias("j"), F.col("x").alias("xj"))
-                ),
-                "j",
-            )
-            .groupBy(F.col("i").alias("dim"))
-            .agg(F.sum(F.col("g") * F.col("xj")).alias("y"))
-            # y is consumed TWICE per iteration (the 1-row max AND the
-            # renormalized values); without truncation each iteration
-            # re-derives the whole prior chain for both consumers —
-            # 2^iters evaluations (measured 32 s; with the 64-row
-            # checkpoint, sub-second). Same discipline as pagerank_int.
-            .localCheckpoint()
-        )
-        m = y.agg(F.greatest(F.max(F.abs(F.col("y"))), F.lit(1).cast("long")).alias("mx"))
-        mag = F.expr(f"abs(y) div greatest(mx div {POWER_UNIT}, 1)")
-        x = y.crossJoin(F.broadcast(m)).select(
-            "dim",
-            F.when(F.col("y") >= 0, mag).otherwise(-mag).cast("long").alias("x"),
-        )
-    return x.select("dim", F.col("x").alias("eig_micro"))
+    packed = rows.agg(
+        F.sort_array(F.collect_set("i")).alias("dims"),
+        F.sort_array(F.collect_list(F.struct("i", "ent"))).alias("gm"),
+    )
+    # pre-resolve each entry's j to its x-vector index once; a j absent
+    # from dims (impossible for a full Gram, but the old inner join
+    # dropped such terms) contributes 0
+    packed = packed.withColumn(
+        "gm",
+        F.expr(
+            "transform(gm, r -> struct(r.i AS i,"
+            " transform(r.ent, e -> struct("
+            "cast(array_position(dims, e.j) AS int) AS ji, e.g AS g))"
+            " AS ent))"
+        ),
+    )
+    renorm = (
+        f"transform(y, v -> if(v >= 0,"
+        f" abs(v) div greatest(mx div {POWER_UNIT}, cast(1 AS bigint)),"
+        f" -(abs(v) div greatest(mx div {POWER_UNIT}, cast(1 AS bigint)))))"
+    )
+    # bind y (the matrix-vector product) and mx (its max magnitude)
+    # once per step via single-element transform wrappers
+    step = (
+        "element_at(transform(array("
+        " transform(gm, r -> aggregate(r.ent, cast(0 AS bigint),"
+        "  (acc, e) -> acc + if(e.ji > 0, e.g * element_at(x, e.ji),"
+        "  cast(0 AS bigint))))"
+        "), y -> element_at(transform(array("
+        " greatest(array_max(transform(y, v -> abs(v))), cast(1 AS bigint))"
+        f"), mx -> {renorm}), 1)), 1)"
+    )
+    packed = packed.withColumn(
+        "x",
+        F.expr(
+            f"aggregate(sequence(1, {POWER_ITERS}),"
+            f" transform(dims, d -> cast({POWER_UNIT} AS bigint)),"
+            f" (x, k) -> {step})"
+        ),
+    )
+    return packed.select(
+        F.posexplode(F.arrays_zip("dims", "x")).alias("_p", "z")
+    ).select(F.col("z.dims").alias("dim"), F.col("z.x").alias("eig_micro"))
 
 
 def _power_sql() -> str:
@@ -333,12 +357,19 @@ def _events_markov_stationary(spark, sf_dir):
 
     Scale shape: ONE events scan builds the (from, to, n, row_n)
     transition counts (lag window + aggregate — the |types|² table is
-    tiny at any event volume), then every iteration runs on that
-    state-grain table: π_{k+1}(j) = Σ_i (π_k(i)·n_ij) // row_n_i, all
+    tiny at any event volume: event_type is a bounded domain enum), then
+    the whole chain collapses into ONE row — edges as a sorted struct
+    array, states as a sorted array — and every iteration is a single
+    array projection: π_{k+1}(j) = Σ_i (π_k(i)·n_ij) // row_n_i, all
     int64 (same integer-recurrence discipline as ops/graph.pagerank_int
-    — floor-per-term keeps the sum order-independent, so the oracle
-    hash cannot flip on partial-aggregation order). The fact table is
-    touched exactly once; iterations cost |types|² rows each."""
+    — floor-per-term keeps the sum order-independent, and integer sums
+    commute, so folding over the sorted edge array yields the identical
+    value the old per-iteration groupBy produced). The old unrolled
+    form planned 8 join+aggregate trees (139 Exchanges, a 1,340-line
+    physical plan at sf0.1) to move ≤|types|² rows per step; the packed
+    form runs the recurrence as |types|²-element array folds inside one
+    projection — the fact table is touched exactly once either way, and
+    the iteration state is metadata-sized at any event volume."""
     from pyspark.sql import Window
 
     ev = t(spark, sf_dir, "events")
@@ -351,31 +382,55 @@ def _events_markov_stationary(spark, sf_dir):
         F.count(F.lit(1)).alias("n")
     )
     row_n = F.sum("n").over(Window.partitionBy("from_type"))
-    counts = counts.withColumn("row_n", row_n).persist()
-    states = (
-        counts.select(F.col("from_type").alias("state"))
-        .unionByName(counts.select(F.col("to_type").alias("state")))
-        .distinct()
-        .persist()
+    counts = counts.withColumn("row_n", row_n)
+    # pack the bounded-domain chain into one row: deterministic order
+    # via sort_array on both the state list and the (from, to)-unique
+    # edge structs
+    packed = counts.agg(
+        F.sort_array(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.array("from_type", "to_type"))
+                )
+            )
+        ).alias("states"),
+        F.sort_array(
+            F.collect_list(F.struct("from_type", "to_type", "n", "row_n"))
+        ).alias("edges"),
     )
-    pi = states.withColumn("pi", F.lit(MARKOV_UNIT).cast("long"))
-    for _ in range(MARKOV_ITERS):
-        contrib = (
-            counts.join(
-                F.broadcast(pi.withColumnRenamed("state", "from_type")),
-                "from_type",
-            )
-            .select(
-                F.col("to_type").alias("state"),
-                F.expr("(pi * n) div row_n").alias("term"),
-            )
-            .groupBy("state")
-            .agg(F.sum("term").alias("pi_new"))
-        )
-        pi = states.join(contrib, "state", "left").select(
-            "state", F.coalesce("pi_new", F.lit(0)).cast("long").alias("pi")
-        )
-    return pi.select(F.col("state").alias("event_type"), F.col("pi").alias("pi_micro"))
+    # pre-resolve each edge's from-state to its π index once
+    packed = packed.withColumn(
+        "edges",
+        F.expr(
+            "transform(edges, e -> struct("
+            "cast(array_position(states, e.from_type) AS int) AS fi,"
+            " e.to_type AS to_type, e.n AS n, e.row_n AS row_n))"
+        ),
+    )
+    # the whole recurrence as ONE fold over sequence(1, iters): the π
+    # array is the fold ACCUMULATOR — a bound lambda variable, so each
+    # step's value is materialized once per step by construction
+    # (chained projections were re-inlined into the next step's lambda
+    # by CollapseProject and re-evaluated per (state, edge) — an
+    # exponential blowup this form cannot exhibit)
+    packed = packed.withColumn(
+        "pi",
+        F.expr(
+            f"aggregate(sequence(1, {MARKOV_ITERS}),"
+            f" transform(states, s -> cast({MARKOV_UNIT} AS bigint)),"
+            " (pi, k) -> transform(states, s ->"
+            "   aggregate(edges, cast(0 AS bigint),"
+            "    (acc, e) -> acc + if(e.to_type = s,"
+            "     (element_at(pi, e.fi) * e.n) div e.row_n,"
+            "     cast(0 AS bigint)))))"
+        ),
+    )
+    return packed.select(
+        F.posexplode(F.arrays_zip("states", "pi")).alias("_p", "z")
+    ).select(
+        F.col("z.states").alias("event_type"),
+        F.col("z.pi").alias("pi_micro"),
+    )
 
 
 def _markov_sql() -> str:

@@ -1571,6 +1571,12 @@ def lsh_recall_eval(docs, sig=None, cand=None):
     truth = D.ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=LSH_EVAL_TAU
     ).select("doc_a", "doc_b")
+    # the truth side feeds BOTH the n_truth count and the hit semi-join;
+    # truncate lineage so the exact-pairs pass (candidate equi-join +
+    # array-Jaccard verify — the whole cost of this key) executes once,
+    # not once per consumer (r11; the stored grain is the ≥tau pair
+    # list, strictly smaller than anything upstream)
+    truth = truth.localCheckpoint()
     hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))

@@ -1382,12 +1382,19 @@ FROM m
 """
 
 
-def _median_smallest(df, val_col: str, bucket: int = TS_BUCKET2):
+def _median_smallest(df, val_col: str, bucket: int = TS_BUCKET2, n_df=None):
     """Lower median (smallest v with 2·cum ≥ n) of an integer column,
     via the hierarchical coarse-bucket prefix sum — returns a 1-row
     DataFrame with column ``med``.  The grain is the distinct values of
     ``val_col``; the coarse offset build is bounded by
-    value-range/bucket."""
+    value-range/bucket.
+
+    ``n_df``: optional precomputed 1-row total-count frame (column
+    ``nn``). When the caller can derive the row count arithmetically
+    (theil_sen: n_pairs = n·(n−1)/2 from the hour-grain count), passing
+    it here avoids a SECOND full execution of ``df`` — for theil_sen's
+    pair generator that second run was a whole extra O(n²) nested-loop
+    join per median (r11, guide §1.2/§2.4)."""
     g = df.groupBy(val_col).agg(F.count(F.lit(1)).alias("cnt"))
     g = g.withColumn("bkt", F.floor(F.col(val_col) / bucket))
     w = (
@@ -1412,7 +1419,7 @@ def _median_smallest(df, val_col: str, bucket: int = TS_BUCKET2):
         .groupBy("kk")
         .agg(F.sum("bc").alias("off"))
     )
-    n = df.agg(F.count(F.lit(1)).alias("nn"))
+    n = df.agg(F.count(F.lit(1)).alias("nn")) if n_df is None else n_df
     cum = (
         within.join(F.broadcast(offs), within.bkt == offs.kk, "left")
         .join(F.broadcast(n))
@@ -1485,6 +1492,15 @@ def theil_sen(events, max_points: int | None = None):
             .filter(F.col("rn") % stride == 0)
             .drop("rn", "nn")
         )
+    # Truncate lineage at the CALENDAR-BOUNDED hour grain (8760
+    # rows/year at any event volume — the same bounded-intermediate
+    # argument as the power-iteration table): hh feeds the pair
+    # generator (twice), the residual pass, and the count row, and each
+    # of those is itself referenced by the median machinery — without
+    # truncation the physical plan re-derived the events scan +
+    # aggregate 326 times (4,799-line plan, measured r11).
+    hh = hh.localCheckpoint()
+    nn = hh.agg(F.count(F.lit(1)).alias("nn"))
     a = hh.select(F.col("x").alias("xa"), F.col("tot").alias("ya"))
     b = hh.select(F.col("x").alias("xb"), F.col("tot").alias("yb"))
     # codegen can evaluate the projection before the nested-loop join's
@@ -1495,11 +1511,18 @@ def theil_sen(events, max_points: int | None = None):
             "CASE WHEN xb > xa THEN div(1000 * (yb - ya), xb - xa) END"
         ).alias("slope_m")
     )
-    med_slope = _median_smallest(pairs, "slope_m")
+    # both median totals derive arithmetically from the hour-grain
+    # count (n_pairs = n·(n−1)/2) — without n_df the median machinery
+    # re-executed its input for the count, i.e. a second full O(n²)
+    # pair join for the slope median
+    n_pairs_df = nn.select(
+        ((F.col("nn") * (F.col("nn") - 1)) / 2).cast("long").alias("nn")
+    )
+    med_slope = _median_smallest(pairs, "slope_m", n_df=n_pairs_df)
     resid = hh.join(F.broadcast(med_slope)).select(
         (1000 * F.col("tot") - F.col("med") * F.col("x")).alias("r_m")
     )
-    med_int = _median_smallest(resid, "r_m").select(
+    med_int = _median_smallest(resid, "r_m", n_df=nn).select(
         F.col("med").alias("intercept_m")
     )
     counts = hh.agg(
