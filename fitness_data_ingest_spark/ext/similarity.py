@@ -760,6 +760,11 @@ def semdedup_profile(
     members = assigned.groupBy(F.col("cell").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+    # best pair AND the tau drop count in ONE aggregate over the pair
+    # stream (r11): two separate groupBys re-ran the cluster-scoped
+    # pair join + per-pair cosines — the whole cost of the operator —
+    # twice. A sub-tau cluster's n_drop is 0 here where the old left
+    # join yielded NULL; the final coalesce made that 0 either way.
     best = pairs.groupBy("cluster").agg(
         F.max(
             F.struct(
@@ -767,16 +772,13 @@ def semdedup_profile(
                 (-F.col("id_a")).alias("neg_a"),
                 (-F.col("id_b")).alias("neg_b"),
             )
-        ).alias("bp")
-    )
-    drops = (
-        pairs.filter(F.col("cos") >= tau)
-        .groupBy("cluster")
-        .agg(F.count_distinct("id_b").alias("n_drop"))
+        ).alias("bp"),
+        F.count_distinct(
+            F.when(F.col("cos") >= tau, F.col("id_b"))
+        ).alias("n_drop"),
     )
     return (
         members.join(best, "cluster")
-        .join(drops, "cluster", "left")
         .select(
             F.col("cluster").cast("int").alias("cluster"),
             "n_members",

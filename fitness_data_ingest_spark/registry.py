@@ -317,7 +317,7 @@ _FORCE_REVERIFY: dict[str, int] = {
     # query, the LM key re-ran the identical generation; sums over
     # occurrences became m-weighted sums over the distinct (doc, tri)
     # grain (integer-identical values), physical plans changed.
-    "text_perplexity_bucket": 8,
+    # (text_perplexity_bucket re-bumped below by r11 batch 2.)
     "text_char_trigram_lm": 8,
     # round 9: the SQ8-consumer family now reads the MATERIALIZED
     # shared code stage (registry_util.shared_sq8_codes) instead of
@@ -392,6 +392,28 @@ _FORCE_REVERIFY: dict[str, int] = {
     # consumers re-enter the window.
     "agg_percentiles": 10,
     "feature_quantile_bin": 10,
+    # round 11 batch 2 — same duplicate-subtree eliminations, all
+    # value-identical (A/B'd same-sitting vs the pre-change tree):
+    # hits dedups its edge set ON the auth-keyed exchange (2 shuffles
+    # → 1; hashpartitioning(auth) satisfies the distinct's clustered
+    # distribution);
+    "graph_hits": 10,
+    # survival_km truncates at the calendar-bounded duration grain and
+    # the d>0 factor list (40 scans → 0 redundant; A/B 0.77);
+    "events_survival_km": 10,
+    # rfm stages the user-grain table once before the three chained
+    # rank passes (32 scans → 2; A/B 0.93);
+    "events_rfm_segment": 10,
+    # chi2 select truncates at the bounded cell grain (24 scans → 2;
+    # A/B 0.80);
+    "feature_chi2_select": 10,
+    # perplexity bucketing truncates at the doc-grain score table
+    # (3 full derivations → 1; A/B 0.86);
+    "text_perplexity_bucket": 10,
+    # semdedup folds best-pair and the tau drop count into ONE
+    # aggregate over the pair stream (2 pair-join passes → 1; A/B 0.94
+    # at 5 reps; NULL→0 n_drop path proven identical by the oracle).
+    "embed_semdedup": 10,
 }
 
 

@@ -530,6 +530,13 @@ def _events_rfm_segment(spark, sf_dir):
         F.count(F.lit(1)).alias("freq"),
         F.sum("c").alias("mon_c"),
     )
+    # the user-grain RFM table feeds the reference epoch, the min/max
+    # stats row, and THREE chained distributed_rank passes (each
+    # referencing its input twice) — without truncation the events scan
+    # + user aggregate re-derived 2^3 times (32 parquet scans in one
+    # plan, r11). The stored grain is one row per user — the reduced
+    # grain a production pipeline would stage before ranking.
+    u0 = u0.localCheckpoint()
     ref = u0.agg(F.max("last_es").alias("ref_es"))
     u = u0.crossJoin(F.broadcast(ref)).withColumn(
         "r_days", F.expr("(ref_es - last_es) div 86400")

@@ -1014,6 +1014,11 @@ def survival_km(events, censor_h: int = KM_CENSOR_H):
     g = u.groupBy("dur_h").agg(
         F.count(F.lit(1)).alias("n_at"), F.sum("is_event").alias("d")
     )
+    # the CALENDAR-BOUNDED duration grain feeds three consumers (total,
+    # within-bucket window, bucket totals); truncate lineage so the
+    # events scan + user aggregate run once, not once per consumer
+    # (before r11: 40 parquet scans in one physical plan)
+    g = g.localCheckpoint()
     tot = g.agg(F.sum("n_at").alias("n_users"))
     g = g.withColumn("bkt", F.floor(F.col("dur_h") / KM_BUCKET))
     w = (
@@ -1025,9 +1030,15 @@ def survival_km(events, censor_h: int = KM_CENSOR_H):
         "dur_h", "bkt", "n_at", "d", F.sum("n_at").over(w).alias("cin")
     )
     btot = g.groupBy("bkt").agg(F.sum("n_at").alias("bn"))
+    # bucket table is metadata-sized but behind the checkpoint the
+    # planner has no size estimate — broadcast explicitly so the
+    # inequality join is BNLJ-over-bounded-build, never a cartesian
     offs = (
         btot.select(F.col("bkt").alias("kk"))
-        .join(btot.select(F.col("bkt").alias("k2"), "bn"), F.col("k2") < F.col("kk"))
+        .join(
+            F.broadcast(btot.select(F.col("bkt").alias("k2"), "bn")),
+            F.col("k2") < F.col("kk"),
+        )
         .groupBy("kk")
         .agg(F.sum("bn").alias("off"))
     )
@@ -1058,6 +1069,9 @@ def survival_km(events, censor_h: int = KM_CENSOR_H):
     )
     tl = cum.select("dur_h", "d", "n_risk", term.alias("t9"))
     tl = tl.withColumn("bkt", F.floor(F.col("dur_h") / KM_BUCKET))
+    # same rule for the factor list (still duration-grain, d>0 rows
+    # only): it feeds the second window AND its bucket totals
+    tl = tl.localCheckpoint()
     w2 = (
         Window.partitionBy("bkt")
         .orderBy("dur_h")
@@ -1070,7 +1084,10 @@ def survival_km(events, censor_h: int = KM_CENSOR_H):
     bt2 = tl.groupBy("bkt").agg(F.sum("t9").alias("b9"))
     offs2 = (
         bt2.select(F.col("bkt").alias("kk"))
-        .join(bt2.select(F.col("bkt").alias("k2"), "b9"), F.col("k2") < F.col("kk"))
+        .join(
+            F.broadcast(bt2.select(F.col("bkt").alias("k2"), "b9")),
+            F.col("k2") < F.col("kk"),
+        )
         .groupBy("kk")
         .agg(F.sum("b9").alias("off9"))
     )

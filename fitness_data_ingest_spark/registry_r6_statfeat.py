@@ -990,6 +990,11 @@ def chi2_feature_select(lineitem):
     cells = obs3.groupBy("f", "val", "label").agg(
         F.count(F.lit(1)).alias("obs")
     )
+    # the BOUNDED (feature, value, label) cell grain feeds three margin
+    # aggregates plus the contribution join; truncate lineage so the
+    # fact scan + 4-way explode runs once, not once per consumer
+    # (before r11: 24 parquet scans in one physical plan)
+    cells = cells.localCheckpoint()
     rt = cells.groupBy("f", "val").agg(F.sum("obs").alias("row_tot"))
     ct = cells.groupBy("f", "label").agg(F.sum("obs").alias("col_tot"))
     tt = cells.groupBy("f").agg(F.sum("obs").alias("t_tot"))
@@ -1427,6 +1432,12 @@ def perplexity_bucket(docs=None, dtm=None):
             F.expr("div(2 * s + n, 2 * n)").alias("sc"),
         )
     )
+    # the doc-grain score table feeds the tertile machinery, the doc
+    # count, and the final bucketing join — truncate lineage so the
+    # trigram join + surprisal aggregate run once, not once per
+    # consumer (before r11: 3 full derivations, 30 stage scans in one
+    # plan). Doc grain is the reduced grain a curation pipeline stages.
+    per_doc = per_doc.localCheckpoint()
     grp = per_doc.groupBy("sc").agg(F.count(F.lit(1)).alias("cnt"))
     grp = grp.withColumn("bkt", F.floor(F.col("sc") / PPL_BUCKET))
     w = (
@@ -1561,8 +1572,13 @@ def hits_bipartite(edges, iters: int = HITS_ITERS, topk: int = HITS_TOPK):
     # pre-partition the cached edges by auth ONCE (the pagerank trick):
     # the per-round broadcast join preserves the stream side's
     # partitioning, so all 3 auth-grain aggregates run with ZERO
-    # exchange — 6 edge shuffles collapse to 3 (+1 up-front)
-    ed = edges.repartition("auth").persist()
+    # exchange — 6 edge shuffles collapse to 3 (+1 up-front). The edge
+    # SET dedup rides the same exchange (r11): hashpartitioning(auth)
+    # satisfies the (hub, auth)-clustered distribution the distinct
+    # aggregate needs, so dedup-after-repartition is exchange-free —
+    # callers pass the raw projection and the old separate
+    # distinct-then-repartition double shuffle collapses to one.
+    ed = edges.repartition("auth").dropDuplicates(["hub", "auth"]).persist()
     hub = ed.select("hub").distinct().select(
         "hub", F.lit(1).cast("long").alias("hs")
     )
@@ -1619,9 +1635,11 @@ def hits_bipartite(edges, iters: int = HITS_ITERS, topk: int = HITS_TOPK):
 
 def _graph_hits(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
+    # raw projection: hits_bipartite dedups on its own auth-keyed
+    # exchange, so a distinct here would only add a second shuffle
     edges = li.select(
         F.col("l_suppkey").alias("hub"), F.col("l_partkey").alias("auth")
-    ).distinct()
+    )
     return hits_bipartite(edges)
 
 
