@@ -559,6 +559,10 @@ def cooccurrence_lift_topk(
     g = F.col(group_col).alias("g")
     it = F.col(item_col).alias("i")
     gi = df.select(g, it).distinct()
+    # NOTE (r11): truncating gi's lineage here (localCheckpoint) was
+    # tried and REVERTED — the (group, item) grain is fact-sized, so
+    # materializing it costs as much as the 3 extra re-derivations it
+    # saves (same-sitting A/B measured 1.02, i.e. a wash at sf0.1).
     baskets = gi.groupBy("g").agg(F.collect_set("i").alias("items"))
     pair_expr = F.expr(
         "flatten(transform(items, x -> transform("

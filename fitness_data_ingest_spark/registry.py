@@ -414,6 +414,12 @@ _FORCE_REVERIFY: dict[str, int] = {
     # aggregate over the pair stream (2 pair-join passes → 1; A/B 0.94
     # at 5 reps; NULL→0 n_drop path proven identical by the oracle).
     "embed_semdedup": 10,
+    # round 11 batch 3 — first-occurrence / dup flags as key-partitioned
+    # windows instead of groupBy + join-back, so the span-generation
+    # pass (the operator's CPU) derives once per query:
+    # novelty A/B 0.80, span dedup A/B 0.73; values identical.
+    "text_ngram_novelty": 10,
+    "dedup_span_ngrams": 10,
 }
 
 

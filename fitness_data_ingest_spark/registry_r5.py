@@ -223,17 +223,20 @@ def span_dedup_stats(docs):
             F.posexplode(span_hashes).alias("start", "h"),
         )
     )
-    dup = (
-        hashed.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h", F.lit(True).alias("is_dup"))
-    )
-    flagged = hashed.join(dup, "h", "left").select(
+    # dup flag as a fingerprint-partitioned window (r11): the old
+    # groupBy + left-join-back referenced ``hashed`` twice, re-running
+    # the tokenize + md5-per-span pass — the operator's CPU — once per
+    # reference, plus a second fp shuffle for the join. collect_set
+    # over the h partition is bounded by the span's true dup fanout
+    # (the hot-shingle argument); >= 2 distinct docs is the same flag.
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("h")
+    flagged = hashed.select(
         "doc_id",
         "n_tokens",
         "start",
-        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        (F.size(F.collect_set("doc_id").over(wh)) >= 2).alias("is_dup"),
     )
     cover = (
         flagged.filter(F.col("is_dup"))

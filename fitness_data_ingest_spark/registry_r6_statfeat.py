@@ -1309,11 +1309,19 @@ def ngram_novelty(docs, w: int = NOVELTY_SPAN):
         .select("doc_id", "source", _h32(F.col("span")).alias("fp"))
         .distinct()
     )
-    first = spans.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
-    flagged = spans.join(first, "fp").select(
+    # global first occurrence as a span-partitioned window (r11): the
+    # old groupBy + join-back referenced ``spans`` twice, re-running
+    # the tokenize + span-explode + hash + distinct — the whole cost of
+    # the operator — once per reference, and paid an extra fp shuffle
+    # for the join. One fp-keyed window gives the same min(doc_id) per
+    # span with the span table derived ONCE (partitions are per-span
+    # duplicate lists, never the whole set — the hot-shingle fanout
+    # argument as before).
+    wfp = Window.partitionBy("fp")
+    flagged = spans.select(
         "doc_id",
         "source",
-        (F.col("doc_id") == F.col("first_doc")).cast("long").alias("novel"),
+        (F.col("doc_id") == F.min("doc_id").over(wfp)).cast("long").alias("novel"),
     )
     per_src = flagged.groupBy("source").agg(
         F.countDistinct("doc_id").alias("n_docs"),
