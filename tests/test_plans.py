@@ -714,7 +714,13 @@ def test_r5_family_plans(spark, sf_dir):
     # the within-cluster pair join is hash-shuffled on the cluster key;
     # the sanctioned nested loop is ONLY the k-seed expansion (inside
     # the persisted assignment — computed once, though each
-    # InMemoryTableScan re-prints it, so no textual count is asserted)
+    # InMemoryTableScan re-prints it, so no textual count is asserted).
+    # Judge from COLD statistics: if an earlier test in the shared
+    # session already materialized a matching assignment subtree, the
+    # cached actual sizes flip the cluster joins to broadcast and the
+    # shuffled-join assertion below would flake on suite order (seen
+    # r11 after the best+drops aggregates merged from 3 joins to 2).
+    spark.catalog.clearCache()
     plan = plan_of(R5_QUERIES["embed_semdedup"].spark(spark, sf_dir), "simple")
     spark.catalog.clearCache()
     assert "CartesianProduct" not in plan, plan
