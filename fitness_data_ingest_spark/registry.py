@@ -420,6 +420,13 @@ _FORCE_REVERIFY: dict[str, int] = {
     # novelty A/B 0.80, span dedup A/B 0.73; values identical.
     "text_ngram_novelty": 10,
     "dedup_span_ngrams": 10,
+    # round 11 batch 4: source overlap rewritten to ONE corpus pass —
+    # per-fingerprint source sets (collect_set dedups and is bounded by
+    # the source count) emit singles + ordered pairs in place, and a
+    # single count aggregate carries both margins and overlaps (the old
+    # distinct → self-join → two margin aggregates derived the span
+    # table three times). A/B 0.75; values identical.
+    "corpus_source_overlap": 10,
 }
 
 

@@ -303,16 +303,41 @@ def source_overlap(docs):
         .filter(F.size("toks") >= SPAN_W)
         .repartition(n_parts, F.col("doc_id"))
         .select("source", F.explode(span_hashes).alias("h"))
-        .distinct()
     )
-    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("source").alias("src_a"), "h")
-    b = sh.select(F.col("source").alias("src_b"), "h")
-    ov = (
-        a.join(b, "h")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # ONE pass (r11): the old distinct → self-join-on-h → two margin
+    # aggregates referenced the span table three times, re-running the
+    # tokenize + md5-per-span pass per reference. Instead group each
+    # fingerprint's source SET once (collect_set both dedups the
+    # (source, h) grain and bounds state by the source count — dozens
+    # at any corpus size, the operator's own documented argument), and
+    # emit per-source singles AND ordered source pairs from the set in
+    # one in-place expansion; a single count aggregate then carries
+    # both the per-source distinct-span totals (y IS NULL rows) and
+    # the pair overlaps. The combined table is ≤ |sources|² rows —
+    # metadata — so truncating it is free and the split below does not
+    # re-derive the corpus pass.
+    sets = sh.groupBy("h").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    emit = F.expr(
+        "concat("
+        " transform(ss, s -> struct(s AS x, CAST(NULL AS STRING) AS y)),"
+        " flatten(transform(ss, a -> transform("
+        "   filter(ss, b -> b > a), b -> struct(a AS x, b AS y)))))"
+    )
+    counts = (
+        sets.select(F.explode(emit).alias("e"))
+        .groupBy(F.col("e.x").alias("x"), F.col("e.y").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    tot = counts.filter(F.col("y").isNull()).select(
+        F.col("x").alias("source"), "n"
+    )
+    ov = counts.filter(F.col("y").isNotNull()).select(
+        F.col("x").alias("src_a"),
+        F.col("y").alias("src_b"),
+        F.col("n").alias("n_shared"),
     )
     ta = F.broadcast(tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a")))
     tb = F.broadcast(tot.select(F.col("source").alias("src_b"), F.col("n").alias("n_b")))
