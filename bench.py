@@ -303,8 +303,47 @@ def adjudicate_regressions(
 # back clean (else the list stops meaning anything; VERDICT r10 item 2).
 # r9's two entries (events_markov_stationary, ts_theil_sen) measured
 # clean 1.05/1.07 against the r9 bench commit — retired, recorded in
-# BENCH_r10.json.
+# BENCH_r10.json. Keys batch-dissolved as weather WITHOUT their own
+# A/B measurement additionally queue here automatically via the
+# previous record's ``ab_watch_next`` (VERDICT r11 item 9) — see
+# ``watch_from_prev``.
 AB_WATCH: tuple[str, ...] = ()
+
+# Fixed sentinel key set for the isolated tail (VERDICT r11 item 5):
+# ALWAYS isolated-measured regardless of in-sweep cost or core count,
+# so the c8 and c32 compact lines share keys and the driver can compute
+# cross-core scaling ratios (they previously shared none — the tail's
+# membership was run-dependent). Chosen = the current top cost centers.
+SENTINEL_TAIL: tuple[str, ...] = (
+    "affinity_lift_topk",
+    "ann_lsh_multitable",
+    "corpus_cdc_chunks",
+    "dedup_lsh_recall_eval",
+    "dedup_ngram_jaccard",
+    "dedup_threshold_sweep",
+    "embed_matryoshka_recall",
+    "embed_pq_adc",
+    "graph_hits",
+    "multimodal_image_dedup",
+    "ts_isotonic_fit",
+    "ts_theil_sen",
+)
+
+
+def watch_from_prev(prev: dict | None) -> tuple[str, ...]:
+    """The effective A/B watch list: the static AB_WATCH plus every key
+    the PREVIOUS record batch-dissolved without its own measurement
+    (``ab_watch_next``) — dissolved keys must earn a clean ab_ratio the
+    following round instead of vanishing (VERDICT r11 item 9; the
+    list's own contract)."""
+    carried = prev.get("ab_watch_next") if isinstance(prev, dict) else None
+    if not isinstance(carried, list):
+        carried = []
+    seen = list(AB_WATCH)
+    for k in carried:
+        if isinstance(k, str) and k not in seen:
+            seen.append(k)
+    return tuple(seen)
 
 
 def ab_keys_to_measure(
@@ -478,7 +517,11 @@ def compact_line(out: dict, budget: int = 1900) -> str:
     line_out.pop("shared_stages_sec", None)
     iso = line_out.get("isolated_tail")
     if isinstance(iso, dict) and iso:
-        iso_by_cost = sorted(iso, key=iso.get, reverse=True)
+        # sentinel keys survive truncation first (they are the driver's
+        # cross-core scaling anchors), then slowest-first
+        iso_by_cost = sorted(
+            iso, key=lambda n: (n not in SENTINEL_TAIL, -iso[n])
+        )
         keep = len(iso_by_cost)
         while keep >= 0:
             line_out["isolated_tail"] = {
@@ -573,7 +616,7 @@ def main() -> None:
     tail = [
         n
         for i, n in enumerate(by_cost)
-        if i < 10 or timings[n] > 2.0
+        if i < 10 or timings[n] > 2.0 or n in SENTINEL_TAIL
     ]
     isolated: dict[str, float] = {}
     for name in tail:
@@ -664,7 +707,9 @@ def main() -> None:
         # like-for-like protocol on a box whose weather drifts 0.7-1.6x
         # between recording sessions. The sweep's session stops first:
         # the A/B runs two fresh JVMs and must not contend with ours.
-        ab_keys = ab_keys_to_measure(regressions, adjudication, timings)
+        ab_keys = ab_keys_to_measure(
+            regressions, adjudication, timings, watch=watch_from_prev(prev)
+        )
         if ab_keys and os.environ.get("SPARK_GRAFT_AB", "1") != "0":
             spark.stop()
             ab = run_ab_subprocess(ab_keys, sf_dir)
@@ -678,6 +723,15 @@ def main() -> None:
         if adjudication:
             out["regression_adjudication"] = adjudication
         out["regressions"] = regressions
+        # batch-dissolved keys (dominance, no own A/B) queue for a
+        # mandatory A/B next round — watch_from_prev picks this up
+        dissolved = sorted(
+            k
+            for k, row in adjudication.items()
+            if isinstance(row, dict) and row.get("weather_dissolved")
+        )
+        if dissolved:
+            out["ab_watch_next"] = dissolved
         if med > 1.6:
             print(
                 f"WARN: median ratio vs previous round is {med} — the whole "

@@ -718,8 +718,14 @@ def cdc_chunk_stats(docs: DataFrame, mask: int = CDC_MASK) -> DataFrame:
     chunks = staged.select(
         "doc_id", "source", F.explode(chunk_structs).alias("c")
     ).select("doc_id", "source", F.md5("c.txt").alias("chunk_hash"), "c.n_tok")
-    counts = chunks.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("cnt"))
-    j = chunks.join(counts, "chunk_hash")
+    # corpus-wide duplicate count as a hash-partitioned window (r12):
+    # the old groupBy + join-back referenced ``chunks`` twice, so the
+    # tokenize + md5-per-token + md5-per-chunk pass — the operator's
+    # CPU — executed twice, plus a second chunk_hash shuffle for the
+    # join. count(*) over the hash partition is O(1) aggregation state
+    # (the window row buffer spills), same cnt values by construction.
+    wch = Window.partitionBy("chunk_hash")
+    j = chunks.withColumn("cnt", F.count(F.lit(1)).over(wch))
     dup = F.when(F.col("cnt") > 1, 1).otherwise(0)
     dup_tok = F.when(F.col("cnt") > 1, F.col("n_tok")).otherwise(F.lit(0))
     return j.groupBy("source").agg(

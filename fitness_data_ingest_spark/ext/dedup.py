@@ -458,7 +458,9 @@ def ngram_jaccard_pairs(
         )
         .persist()
     )
-    exploded_all = sh_df.select("doc", F.explode("sh").alias("s"))
+    exploded_all = sh_df.select(
+        "doc", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
     hot = (
         exploded_all.groupBy("s")
         .agg(F.count(F.lit(1)).alias("sdf"))
@@ -467,8 +469,23 @@ def ngram_jaccard_pairs(
     )
     exploded = exploded_all.join(F.broadcast(hot), "s", "left_anti")
     a, b = exploded.alias("a"), exploded.alias("b")
+    # Size-compatibility prefilter (r12): J(A,B) = |A∩B|/|A∪B| ≤
+    # min(|A|,|B|)/max(|A|,|B|), so a pair whose size ratio is under
+    # the threshold can NEVER pass the final ``j >= threshold`` filter
+    # — pruning it HERE drops rows before the candidate distinct, both
+    # shingle-array attach joins, and the array_intersect verify,
+    # without changing one output row (the filter is a necessary
+    # condition). Float-safety: j and the ratio are each ONE IEEE
+    # division of exact integers and rounding is monotonic, so real
+    # J ≤ real ratio implies double j ≤ double ratio — the prefilter
+    # only ever passes MORE pairs than the final filter keeps.
     cands = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .filter(
+            F.least(F.col("a.n"), F.col("b.n")).cast("double")
+            / F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
+            >= F.lit(float(threshold))
+        )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )

@@ -763,8 +763,8 @@ def semdedup_profile(
     # best pair AND the tau drop count in ONE aggregate over the pair
     # stream (r11): two separate groupBys re-ran the cluster-scoped
     # pair join + per-pair cosines — the whole cost of the operator —
-    # twice. A sub-tau cluster's n_drop is 0 here where the old left
-    # join yielded NULL; the final coalesce made that 0 either way.
+    # twice. A sub-tau cluster's n_drop is 0 straight from
+    # count_distinct (never NULL), so no NULL guard is needed.
     best = pairs.groupBy("cluster").agg(
         F.max(
             F.struct(
@@ -785,7 +785,7 @@ def semdedup_profile(
             (-F.col("bp.neg_a")).alias("best_a"),
             (-F.col("bp.neg_b")).alias("best_b"),
             (F.floor(F.col("bp.cos") * 10000 + 0.5) / 10000.0).alias("best_cos4"),
-            F.coalesce(F.col("n_drop"), F.lit(0)).alias("n_drop"),
+            "n_drop",
         )
         .orderBy("cluster")
     )

@@ -27,6 +27,34 @@ from pyspark.sql import functions as F
 DEFAULT_SALT = 16
 
 
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` NOW (eager ``localCheckpoint``) and return a
+    DataFrame whose plan starts at the stored result — the engine's
+    standard duplicate-subtree eliminator, centralised here so the
+    tradeoff is documented ONCE (ADVICE r11) instead of per call site.
+
+    When to use (the §27 dominance bound, SCALING.md): the truncated
+    table must be a strictly REDUCED grain (bounded, or far smaller
+    than its inputs) that is consumed ≥2 times — then one
+    materialization replaces N re-derivations of the whole upstream
+    lineage, which is where plans like theil_sen's 4,799-line /
+    164-scan explosion come from. When the grain is fact-sized the
+    materialization costs what it saves — measure, and leave it out
+    (the r11 affinity_lift_topk / theil_sen slope-grain reverts).
+
+    Costs accepted by every caller:
+
+    - EAGER: constructing (or explaining) the query runs Spark jobs up
+      to this point — plan-shape tests must clear caches accordingly.
+    - NON-RELIABLE storage: blocks live on local executors; on a real
+      cluster an executor loss fails the query instead of recomputing
+      (acceptable for interactive/batch analytics, NOT for
+      multi-hour pipelines — those should checkpoint() to reliable
+      storage instead).
+    """
+    return df.localCheckpoint()
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -144,7 +172,7 @@ def exact_quantiles(
     # pass from re-running the full min/max/count scan of ``df`` — the
     # fact is read twice (algorithmic floor: counts pass + rank pass),
     # not four times (measured r11: 4 lineitem scans → 2)
-    stats = stats.localCheckpoint()
+    stats = truncate_lineage(stats)
     staged = df.select(group_col, F.col(value_col).alias("v")).join(
         F.broadcast(stats), group_col
     )

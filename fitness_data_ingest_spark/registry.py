@@ -375,17 +375,21 @@ _FORCE_REVERIFY: dict[str, int] = {
     # grain (326 events scans in one plan → 1) and both exact medians
     # take their total-count rows arithmetically (n·(n−1)/2) instead of
     # re-executing the O(n²) pair generator; values identical.
-    "ts_theil_sen": 10,
+    # round 12: both n_pairs expressions switch to integer division
+    # (nn·(nn−1) div 2 — exact in int64 at ANY grain; ADVICE r11);
+    # values identical while nn² < 2^53, which covers every fixture.
+    "ts_theil_sen": 11,
     # round 11: the recall eval truncates lineage at the ≥tau truth pair
     # list, so the exact-pairs pass runs once, not once per count
     # consumer; values identical.  (Bumped 9 → 10.)
-    "dedup_lsh_recall_eval": 10,
-    # round 11: untouched code, but their PLANHASH fingerprints moved —
-    # the recall eval's eager checkpoint changes the in-session cache
-    # state their same-session plans canonicalize against (persist
-    # substitution). Values unaffected; re-verify on principle.
-    "dedup_ngram_jaccard": 10,
-    "dedup_threshold_sweep": 10,
+    # round 12: the whole ngram_jaccard_pairs family gains the
+    # size-compatibility prefilter (J ≤ min/max, a NECESSARY condition
+    # checked before the candidate distinct + array-intersect verify) —
+    # output rows provably unchanged (monotone IEEE rounding argument
+    # at the site), plans changed.
+    "dedup_lsh_recall_eval": 11,
+    "dedup_ngram_jaccard": 11,
+    "dedup_threshold_sweep": 11,
     # round 11: exact_quantiles truncates lineage at the |groups|-row
     # stats table — each of its two fact passes no longer re-runs the
     # min/max/count scan (4 fact scans → 2); values identical. Both
@@ -397,7 +401,11 @@ _FORCE_REVERIFY: dict[str, int] = {
     # hits dedups its edge set ON the auth-keyed exchange (2 shuffles
     # → 1; hashpartitioning(auth) satisfies the distinct's clustered
     # distribution);
-    "graph_hits": 10,
+    # round 12: round 1's auth half-step is a direct distinct-edge
+    # count per auth (every hub seeds at hs=1), so the hub-distinct
+    # seed exchange + broadcast and the first broadcast join disappear;
+    # integer path counts identical.
+    "graph_hits": 11,
     # survival_km truncates at the calendar-bounded duration grain and
     # the d>0 factor list (40 scans → 0 redundant; A/B 0.77);
     "events_survival_km": 10,
@@ -413,13 +421,20 @@ _FORCE_REVERIFY: dict[str, int] = {
     # semdedup folds best-pair and the tau drop count into ONE
     # aggregate over the pair stream (2 pair-join passes → 1; A/B 0.94
     # at 5 reps; NULL→0 n_drop path proven identical by the oracle).
-    "embed_semdedup": 10,
+    # round 12: the dead NULL-guard coalesce on n_drop is dropped
+    # (count_distinct never returns NULL; ADVICE r11) — same values,
+    # plan changed.
+    "embed_semdedup": 11,
     # round 11 batch 3 — first-occurrence / dup flags as key-partitioned
     # windows instead of groupBy + join-back, so the span-generation
     # pass (the operator's CPU) derives once per query:
     # novelty A/B 0.80, span dedup A/B 0.73; values identical.
     "text_ngram_novelty": 10,
-    "dedup_span_ngrams": 10,
+    # round 12: the span dup flag's window state shrinks from
+    # collect_set(doc_id) (hot-shingle skew buffer — VERDICT r11 item
+    # 1) to min(doc_id) != max(doc_id), O(1) state, same ≥2-distinct
+    # flag; values identical, plan changed.
+    "dedup_span_ngrams": 11,
     # round 11 batch 4: source overlap rewritten to ONE corpus pass —
     # per-fingerprint source sets (collect_set dedups and is bounded by
     # the source count) emit singles + ordered pairs in place, and a
@@ -427,6 +442,19 @@ _FORCE_REVERIFY: dict[str, int] = {
     # distinct → self-join → two margin aggregates derived the span
     # table three times). A/B 0.75; values identical.
     "corpus_source_overlap": 10,
+    # round 12: the corpus-wide duplicate-chunk count becomes a
+    # chunk_hash-partitioned window count — the old groupBy + join-back
+    # re-ran the tokenize + md5-per-token + md5-per-chunk pass (the
+    # operator's CPU) twice and shuffled the chunk stream twice; cnt
+    # values identical by construction, plan changed.
+    "corpus_cdc_chunks": 11,
+    # round 12: the PAVA kernel moves from per-group applyInPandas
+    # (~1500 pandas frames + Python sorts per query — the measured
+    # cost; the kernel math itself is ~0.1 s at sf0.1) to ONE
+    # mapInPandas pass over user-sorted partitions with Arrow-batch
+    # carry-over; identical per-user merge order and integer
+    # arithmetic, plan changed.
+    "ts_isotonic_fit": 11,
 }
 
 

@@ -536,7 +536,7 @@ def _events_rfm_segment(spark, sf_dir):
     # + user aggregate re-derived 2^3 times (32 parquet scans in one
     # plan, r11). The stored grain is one row per user — the reduced
     # grain a production pipeline would stage before ranking.
-    u0 = u0.localCheckpoint()
+    u0 = SC.truncate_lineage(u0)
     ref = u0.agg(F.max("last_es").alias("ref_es"))
     u = u0.crossJoin(F.broadcast(ref)).withColumn(
         "r_days", F.expr("(ref_es - last_es) div 86400")

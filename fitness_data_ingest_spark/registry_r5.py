@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .ext import similarity as S
+from .ops import scale as SC
 from .registry_util import QueryDef, t
 
 # Hashed-feature distribution width for importance resampling. 64
@@ -226,9 +227,10 @@ def span_dedup_stats(docs):
     # dup flag as a fingerprint-partitioned window (r11): the old
     # groupBy + left-join-back referenced ``hashed`` twice, re-running
     # the tokenize + md5-per-span pass — the operator's CPU — once per
-    # reference, plus a second fp shuffle for the join. collect_set
-    # over the h partition is bounded by the span's true dup fanout
-    # (the hot-shingle argument); >= 2 distinct docs is the same flag.
+    # reference, plus a second fp shuffle for the join. The flag only
+    # needs ">=2 distinct docs", which min != max answers with O(1)
+    # aggregation state (r12): a hot boilerplate span no longer buffers
+    # its full doc set in one task (collect_set did).
     from pyspark.sql import Window
 
     wh = Window.partitionBy("h")
@@ -236,7 +238,9 @@ def span_dedup_stats(docs):
         "doc_id",
         "n_tokens",
         "start",
-        (F.size(F.collect_set("doc_id").over(wh)) >= 2).alias("is_dup"),
+        (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).alias(
+            "is_dup"
+        ),
     )
     cover = (
         flagged.filter(F.col("is_dup"))
@@ -329,7 +333,7 @@ def source_overlap(docs):
         sets.select(F.explode(emit).alias("e"))
         .groupBy(F.col("e.x").alias("x"), F.col("e.y").alias("y"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
+        .transform(SC.truncate_lineage)
     )
     tot = counts.filter(F.col("y").isNull()).select(
         F.col("x").alias("source"), "n"

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .ops.scale import truncate_lineage
 from .registry_util import (
     QueryDef,
     cents,
@@ -1576,7 +1577,7 @@ def lsh_recall_eval(docs, sig=None, cand=None):
     # array-Jaccard verify — the whole cost of this key) executes once,
     # not once per consumer (r11; the stored grain is the ≥tau pair
     # list, strictly smaller than anything upstream)
-    truth = truth.localCheckpoint()
+    truth = truncate_lineage(truth)
     hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_cand"))

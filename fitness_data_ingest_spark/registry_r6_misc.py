@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .ops.scale import truncate_lineage
 from .registry_util import QueryDef, cents, shared_cooccurrence_edges, t
 
 # Shared wave-1 machinery: the A/B event-type arms and the
@@ -1018,7 +1019,7 @@ def survival_km(events, censor_h: int = KM_CENSOR_H):
     # within-bucket window, bucket totals); truncate lineage so the
     # events scan + user aggregate run once, not once per consumer
     # (before r11: 40 parquet scans in one physical plan)
-    g = g.localCheckpoint()
+    g = truncate_lineage(g)
     tot = g.agg(F.sum("n_at").alias("n_users"))
     g = g.withColumn("bkt", F.floor(F.col("dur_h") / KM_BUCKET))
     w = (
@@ -1071,7 +1072,7 @@ def survival_km(events, censor_h: int = KM_CENSOR_H):
     tl = tl.withColumn("bkt", F.floor(F.col("dur_h") / KM_BUCKET))
     # same rule for the factor list (still duration-grain, d>0 rows
     # only): it feeds the second window AND its bucket totals
-    tl = tl.localCheckpoint()
+    tl = truncate_lineage(tl)
     w2 = (
         Window.partitionBy("bkt")
         .orderBy("dur_h")
@@ -1516,7 +1517,7 @@ def theil_sen(events, max_points: int | None = None):
     # of those is itself referenced by the median machinery — without
     # truncation the physical plan re-derived the events scan +
     # aggregate 326 times (4,799-line plan, measured r11).
-    hh = hh.localCheckpoint()
+    hh = truncate_lineage(hh)
     nn = hh.agg(F.count(F.lit(1)).alias("nn"))
     a = hh.select(F.col("x").alias("xa"), F.col("tot").alias("ya"))
     b = hh.select(F.col("x").alias("xb"), F.col("tot").alias("yb"))
@@ -1532,8 +1533,12 @@ def theil_sen(events, max_points: int | None = None):
     # count (n_pairs = n·(n−1)/2) — without n_df the median machinery
     # re-executed its input for the count, i.e. a second full O(n²)
     # pair join for the slope median
+    # integer division: nn·(nn−1) is always even, so ``div`` is exact in
+    # int64 at ANY grain; the old float-divide-then-cast was exact only
+    # while nn² < 2^53 (fine at the hour grain, a silent off-by-one risk
+    # if the helper is ever reused on an unbounded grain — ADVICE r11)
     n_pairs_df = nn.select(
-        ((F.col("nn") * (F.col("nn") - 1)) / 2).cast("long").alias("nn")
+        F.expr("(nn * (nn - 1)) div 2").cast("long").alias("nn")
     )
     med_slope = _median_smallest(pairs, "slope_m", n_df=n_pairs_df)
     resid = hh.join(F.broadcast(med_slope)).select(
@@ -1544,7 +1549,7 @@ def theil_sen(events, max_points: int | None = None):
     )
     counts = hh.agg(
         F.count(F.lit(1)).alias("n_points"),
-        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2).cast("long").alias(
+        F.expr("CAST(count(1) * (count(1) - 1) div 2 AS BIGINT)").alias(
             "n_pairs"
         ),
     )

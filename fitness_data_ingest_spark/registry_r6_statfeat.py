@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .ops.scale import truncate_lineage
 from .registry_util import QueryDef, cents, t
 
 # Two-sample split for the rank statistics: the A/B arms are two event
@@ -994,7 +995,7 @@ def chi2_feature_select(lineitem):
     # aggregates plus the contribution join; truncate lineage so the
     # fact scan + 4-way explode runs once, not once per consumer
     # (before r11: 24 parquet scans in one physical plan)
-    cells = cells.localCheckpoint()
+    cells = truncate_lineage(cells)
     rt = cells.groupBy("f", "val").agg(F.sum("obs").alias("row_tot"))
     ct = cells.groupBy("f", "label").agg(F.sum("obs").alias("col_tot"))
     tt = cells.groupBy("f").agg(F.sum("obs").alias("t_tot"))
@@ -1445,7 +1446,7 @@ def perplexity_bucket(docs=None, dtm=None):
     # trigram join + surprisal aggregate run once, not once per
     # consumer (before r11: 3 full derivations, 30 stage scans in one
     # plan). Doc grain is the reduced grain a curation pipeline stages.
-    per_doc = per_doc.localCheckpoint()
+    per_doc = truncate_lineage(per_doc)
     grp = per_doc.groupBy("sc").agg(F.count(F.lit(1)).alias("cnt"))
     grp = grp.withColumn("bkt", F.floor(F.col("sc") / PPL_BUCKET))
     w = (
@@ -1576,7 +1577,13 @@ def hits_bipartite(edges, iters: int = HITS_ITERS, topk: int = HITS_TOPK):
     Scale shape: the edge table persists once; each half-round is one
     broadcast join (rank tables are node-grain) + one
     map-side-combinable aggregate; localCheckpoint truncates the
-    per-round lineage exactly as the PageRank loop does."""
+    per-round lineage exactly as the PageRank loop does.
+
+    Edge contract: the input is treated as a distinct (hub, auth) edge
+    SET — duplicate edges are collapsed before iterating, so a
+    multigraph edge list does NOT get weighted reinforcement. Callers
+    wanting edge weights must pre-aggregate them upstream (both in-repo
+    callers pass distinct-safe inputs)."""
     # pre-partition the cached edges by auth ONCE (the pagerank trick):
     # the per-round broadcast join preserves the stream side's
     # partitioning, so all 3 auth-grain aggregates run with ZERO
@@ -1587,15 +1594,23 @@ def hits_bipartite(edges, iters: int = HITS_ITERS, topk: int = HITS_TOPK):
     # callers pass the raw projection and the old separate
     # distinct-then-repartition double shuffle collapses to one.
     ed = edges.repartition("auth").dropDuplicates(["hub", "auth"]).persist()
-    hub = ed.select("hub").distinct().select(
-        "hub", F.lit(1).cast("long").alias("hs")
-    )
-    for _ in range(iters):
-        auth = (
-            ed.join(F.broadcast(hub), "hub")
-            .groupBy("auth")
-            .agg(F.sum("hs").alias("as_"))
-        )
+    # round 1's auth half-step needs NO join (r12): every hub seeds at
+    # hs=1, so sum(hs) per auth is exactly the auth's distinct-edge
+    # count — a direct aggregate that rides the auth-keyed partitioning
+    # with zero exchange, and the hub-distinct seed table (one exchange
+    # + one broadcast build) disappears. Values identical: the seed
+    # table contained every hub present in ed.
+    hub = None
+    auth = None
+    for i in range(iters):
+        if i == 0:
+            auth = ed.groupBy("auth").agg(F.count(F.lit(1)).alias("as_"))
+        else:
+            auth = (
+                ed.join(F.broadcast(hub), "hub")
+                .groupBy("auth")
+                .agg(F.sum("hs").alias("as_"))
+            )
         hub = (
             ed.join(F.broadcast(auth), "auth")
             .groupBy("hub")

@@ -332,6 +332,62 @@ def test_bench_ab_key_selection_watch_first_then_worst_flags():
     assert bench.ab_keys_to_measure([], {}, {"x": 1}, watch=("gone",)) == []
 
 
+def test_bench_watch_from_prev_carries_dissolved_keys():
+    """VERDICT r11 item 9: keys batch-dissolved WITHOUT their own A/B
+    measurement queue into the effective watch list the next round via
+    the previous record's ``ab_watch_next`` — they must earn a clean
+    ab_ratio instead of vanishing. Static AB_WATCH entries come first,
+    duplicates and junk are dropped, and a missing/old record yields
+    just the static list."""
+    import bench
+
+    assert bench.watch_from_prev(None) == bench.AB_WATCH
+    assert bench.watch_from_prev({}) == bench.AB_WATCH
+    prev = {"ab_watch_next": ["milder", "mildest", 3, "milder"]}
+    assert bench.watch_from_prev(prev) == bench.AB_WATCH + (
+        "milder",
+        "mildest",
+    )
+
+
+def test_bench_sentinel_tail_is_fixed_and_registered():
+    """VERDICT r11 item 5: the isolated tail carries a FIXED sentinel
+    key set at every core count so the driver's c8/c32 records share
+    keys and scaling.per_query is computable. Every sentinel must be a
+    real registry key (a renamed key would silently break the anchor),
+    and the compact line's truncation must shed sentinels LAST."""
+    import bench
+    from fitness_data_ingest_spark.registry import all_queries
+
+    registry = all_queries()
+    missing = [k for k in bench.SENTINEL_TAIL if k not in registry]
+    assert not missing, f"sentinel keys not in registry: {missing}"
+    assert len(bench.SENTINEL_TAIL) >= 10
+
+    # truncation ordering: build an over-budget record whose isolated
+    # tail mixes sentinels (cheap) with non-sentinels (expensive); the
+    # surviving entries must include sentinels ahead of faster shedding
+    iso = {k: 0.5 for k in bench.SENTINEL_TAIL}
+    iso.update({f"pad_{i}": 9.9 for i in range(40)})
+    out = {
+        "metric": "m",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {f"q{i}": 1.0 for i in range(200)},
+        "sf": 0.1,
+        "isolated_tail": iso,
+    }
+    import json as _json
+
+    line = _json.loads(bench.compact_line(out, budget=1400))
+    kept = set(line.get("isolated_tail", {}))
+    if kept:  # whatever survived, sentinels survive first
+        n_sent = sum(1 for k in kept if k in bench.SENTINEL_TAIL)
+        n_pad = sum(1 for k in kept if k.startswith("pad_"))
+        assert n_sent == min(len(bench.SENTINEL_TAIL), len(kept))
+        assert n_pad == len(kept) - n_sent
+
+
 def test_bench_ab_results_override_isolated_verdict_both_directions():
     """The A/B ratio is same-sitting/same-weather — where it exists it
     decides: a weather-dissolved flag (ab_ratio <= threshold) leaves

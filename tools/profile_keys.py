@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Per-key optimization profiler (round 11).
+"""Per-key optimization profiler (rounds 11-12).
 
 For each named registry key: capture ``explain("formatted")`` to
 ``plans/r11/<key>_<tag>.txt`` and record an idle min-of-3 noop-sink
@@ -33,6 +33,7 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--no-plan", action="store_true")
+    ap.add_argument("--round-dir", default="r12")
     args = ap.parse_args()
 
     from fitness_data_ingest_spark.registry import all_queries
@@ -43,7 +44,7 @@ def main() -> int:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     registry = all_queries()
-    plans_dir = os.path.join(HERE, "plans", "r11")
+    plans_dir = os.path.join(HERE, "plans", args.round_dir)
     os.makedirs(plans_dir, exist_ok=True)
 
     out: dict[str, dict] = {}
