@@ -329,7 +329,12 @@ _FORCE_REVERIFY: dict[str, int] = {
     "embed_random_projection": 6,
     "embed_mmr_select": 6,
     "rag_hybrid_rrf": 7,
-    "embed_matryoshka_recall": 7,
+    # round 12: both matryoshka distances move from interpreted JVM HOF
+    # folds to a vectorized Arrow/NumPy int64 kernel (integer sums of
+    # squares commute → bit-identical, probe-verified) and the
+    # candidate side spreads across tasks before scoring; plan gains a
+    # sanctioned ArrowEvalPython (tests/test_plans.ARROW_KERNEL_KEYS).
+    "embed_matryoshka_recall": 11,
     "embed_drift_centroid": 7,
     "ml_ndcg_ann": 7,
     # round 10: the banded-dedup family now reads the MATERIALIZED

@@ -298,6 +298,14 @@ def kendall_tau(events):
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # the BOUNDED cell grid (≤ (XMAX+1)·(YMAX+1) rows at any event
+    # volume) fans out to five consumers (dense → prefix passes +
+    # both margins, plus the scored join) — truncate so the fact scan
+    # + cell aggregate run once, not once per consumer (r12; the plan
+    # showed 7 events scans)
+    from .ops.scale import truncate_lineage
+
+    cells = truncate_lineage(cells)
     grid = (
         spark.range(0, KT_XMAX + 1)
         .select(F.col("id").alias("x"))
