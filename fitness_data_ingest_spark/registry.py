@@ -460,6 +460,10 @@ _FORCE_REVERIFY: dict[str, int] = {
     # carry-over; identical per-user merge order and integer
     # arithmetic, plan changed.
     "ts_isotonic_fit": 11,
+    # round 12: kendall truncates lineage at the BOUNDED (x, y) cell
+    # grid — five consumers re-derived the fact scan + cell aggregate
+    # (14 parquet scans in one plan → 0 redundant); values identical.
+    "stat_kendall_tau": 11,
 }
 
 
