@@ -677,6 +677,12 @@ def fuzzy_name_pairs(df: DataFrame, key_col: str, name_col: str) -> DataFrame:
     v = base.select(
         "k", "nm", F.explode(masked_variants(F.col("nm"))).alias("mv")
     ).select("k", "nm", F.col("mv.pos").alias("pos"), F.col("mv.masked").alias("masked"))
+    # NOTE (r12, measured): persisting ``v`` so both self-join sides
+    # read one derivation of the variant explode A/B'd 0.99 (5 reps,
+    # same sitting) — the cache write costs what the second derivation
+    # costs, and at scale the variant table is fact×len-sized (a
+    # memory-pressure liability, not a win). Left unpersisted; the §27
+    # dominance bound in SCALING.md is the general rule.
     a, b = v.alias("a"), v.alias("b")
     pairs = (
         a.join(

@@ -956,8 +956,11 @@ def pq_adc_topk(
     parallelism, the sq8_topk shape)."""
     dsub_expr = f"CAST(size(c) / {m} AS INT)"
     if codes is None:
-        codes = sq8_codes(df, id_col, vec_col)
-    codes = codes.localCheckpoint()
+        # derived in-function: many consumers, truncate the derivation
+        codes = sq8_codes(df, id_col, vec_col).localCheckpoint()
+    # a caller-provided ``codes`` is the MATERIALIZED shared stage (a
+    # parquet read — already truncated lineage); re-checkpointing it
+    # only added a copy job (~0.13 s measured, r12)
     subs = codes.select(
         F.col(id_col).alias("vid"),
         F.posexplode(
@@ -966,7 +969,11 @@ def pq_adc_topk(
                 f" s -> slice(c, s * {dsub_expr} + 1, {dsub_expr}))"
             )
         ).alias("sub", "sc"),
-    ).localCheckpoint()
+        # lazy truncation (r12): eager checkpoints ran ~55% of this
+        # operator as construction-side jobs; eager=False keeps the
+        # lineage cut (4 consumers) but folds materialization into the
+        # first consuming job
+    ).localCheckpoint(eager=False)
     seed_ids = codes.orderBy(id_col).limit(k_cent).select(
         F.col(id_col).alias("vid")
     )
@@ -1017,7 +1024,8 @@ def pq_adc_topk(
                     "sub", "cid", "cnt",
                     F.expr("transform(ps, e -> e.sx)").alias("s"),
                 )
-                .localCheckpoint()
+                # lazy: the next round's broadcast build materializes it
+                .localCheckpoint(eager=False)
             )
     # per-query ADC lookup table: distance from each query SUB-code to
     # every centroid of that subspace — n_queries * m * k_cent rows

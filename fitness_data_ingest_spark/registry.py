@@ -325,7 +325,12 @@ _FORCE_REVERIFY: dict[str, int] = {
     # identical (exact integer quantization), physical plans changed.
     "ann_sq8_topk": 4,
     "embed_kmeans_lloyd": 5,
-    "embed_pq_adc": 6,
+    # round 12: the redundant re-checkpoint of the materialized shared
+    # code stage is gone (a parquet read is already truncated lineage)
+    # and the subs/state checkpoints are lazy — ~55% of this operator
+    # was construction-side eager jobs; values identical, plan now
+    # shows the code-stage scans the eager checkpoint hid.
+    "embed_pq_adc": 11,
     "embed_random_projection": 6,
     "embed_mmr_select": 6,
     "rag_hybrid_rrf": 7,
@@ -464,6 +469,14 @@ _FORCE_REVERIFY: dict[str, int] = {
     # grid — five consumers re-derived the fact scan + cell aggregate
     # (14 parquet scans in one plan → 0 redundant); values identical.
     "stat_kendall_tau": 11,
+    # round 12: conversion-lag truncates at the CEP-window-bounded
+    # distinct-gap grain (the prefix ladder + both totals re-ran the
+    # two range joins + anti-join; 40 events scans → 0 redundant);
+    # values identical.
+    "events_conversion_lag": 11,
+    # (r12: naive-Bayes tc truncation and er_fuzzy variant persist were
+    # prototyped, measured 1.13 / 0.99 same-sitting, and REVERTED —
+    # evidence at their sites; plans unchanged, no re-verify owed.)
 }
 
 

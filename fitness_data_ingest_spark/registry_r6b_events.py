@@ -1112,6 +1112,14 @@ def conversion_lag_pct(events):
         .groupBy("gap_s")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # the distinct-gap grain is BOUNDED by the CEP window (gap_s <=
+    # SEQ_WINDOW_S) and fans out to the prefix ladder + both totals;
+    # truncate so the two range joins + anti-join (the whole CEP
+    # matcher) execute once, not once per consumer (r12; the plan
+    # showed 40 events scans)
+    from .ops.scale import truncate_lineage
+
+    gaps = truncate_lineage(gaps)
     g = gaps.withColumn("bkt", F.expr("gap_s div 86400"))
     w = (
         Window.partitionBy("bkt")

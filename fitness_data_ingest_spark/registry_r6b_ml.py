@@ -358,6 +358,11 @@ def naive_bayes_confusion(docs):
     test = toks.where(F.col("doc_id") % 2 == 1)
 
     tc = train.groupBy("src_idx", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # NOTE (r12, measured): truncating lineage at the (class x vocab)
+    # grain — bounded, three consumers — A/B'd 1.13 (5 reps, same
+    # sitting): the eager materialization job costs more than the
+    # re-derived training tokenize+count at this corpus size. Left
+    # live; the §27 dominance bound decides, not the consumer count.
     ct = tc.groupBy("src_idx").agg(F.sum("cnt").alias("n_tok_c"))
     vocab = tc.select("tok").distinct().agg(F.count(F.lit(1)).alias("vv"))
     prior = (
