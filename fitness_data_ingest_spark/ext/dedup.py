@@ -467,18 +467,30 @@ def ngram_jaccard_pairs(
         .filter(F.col("sdf") > max_df)
         .select("s")
     )
+    # the tiny hot set has TWO consumers now (anti-join build + the
+    # |hot| scalar below); truncate so the corpus pass behind it runs
+    # once — its size is bounded by definition (few shingles are
+    # ubiquitous)
+    hot = hot.localCheckpoint()
+    n_hot = hot.agg(F.count(F.lit(1)).alias("n_hot_total"))
     exploded = exploded_all.join(F.broadcast(hot), "s", "left_anti")
     a, b = exploded.alias("a"), exploded.alias("b")
-    # Size-compatibility prefilter (r12): J(A,B) = |A∩B|/|A∪B| ≤
-    # min(|A|,|B|)/max(|A|,|B|), so a pair whose size ratio is under
-    # the threshold can NEVER pass the final ``j >= threshold`` filter
-    # — pruning it HERE drops rows before the candidate distinct, both
-    # shingle-array attach joins, and the array_intersect verify,
-    # without changing one output row (the filter is a necessary
-    # condition). Float-safety: j and the ratio are each ONE IEEE
-    # division of exact integers and rounding is monotonic, so real
-    # J ≤ real ratio implies double j ≤ double ratio — the prefilter
-    # only ever passes MORE pairs than the final filter keeps.
+    # Two-stage candidate prefilter (r12) — both stages are NECESSARY
+    # conditions for ``j >= threshold``, so output rows are unchanged:
+    #
+    # 1. size ratio: J ≤ min(|A|,|B|)/max(|A|,|B|); rows whose ratio is
+    #    under τ drop BEFORE the pair aggregation (j and the ratio are
+    #    each one IEEE division of exact ints and rounding is monotonic,
+    #    so double-j ≤ double-ratio — the filter only passes MORE).
+    # 2. shared-count bound: the self-join yields one row per shared
+    #    NON-HOT shingle, so counting them (replacing the old distinct
+    #    — same shuffle, map-side combined) gives inter_nh with
+    #    inter ≤ inter_nh + |hot|; J ≥ τ forces inter·(1+τ) ≥ τ·(nₐ+n_b),
+    #    hence (inter_nh + |hot| + 1)·(1+τ) ≥ τ·(nₐ+n_b) — the +1 count
+    #    of slack dwarfs any double rounding (< 1 count below ~1e14).
+    #    Measured at sf0.1: 1,130,536 candidate pairs → 256 survivors,
+    #    i.e. the shingle-array attach joins and the array_intersect
+    #    verify (this family's dominant cost) run on ~0.02% of pairs.
     cands = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
         .filter(
@@ -486,8 +498,21 @@ def ngram_jaccard_pairs(
             / F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
             >= F.lit(float(threshold))
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter_nh"))
+        .join(F.broadcast(n_hot))
+        .filter(
+            (F.col("inter_nh") + F.col("n_hot_total") + 1).cast("double")
+            * F.lit(1.0 + float(threshold))
+            >= F.lit(float(threshold))
+            * (F.col("n_a") + F.col("n_b")).cast("double")
+        )
+        .select("doc_a", "doc_b")
     )
     j = (
         cands.join(sh_df.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
@@ -827,19 +852,43 @@ def containment_pairs(
         )
         .persist()
     )
-    exploded_all = sh_df.select("doc", F.explode("sh").alias("s"))
+    exploded_all = sh_df.select(
+        "doc", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
     hot = (
         exploded_all.groupBy("s")
         .agg(F.count(F.lit(1)).alias("sdf"))
         .filter(F.col("sdf") > max_df)
         .select("s")
     )
+    # two consumers (anti-join build + the |hot| scalar); bounded set
+    hot = hot.localCheckpoint()
+    n_hot = hot.agg(F.count(F.lit(1)).alias("n_hot_total"))
     exploded = exploded_all.join(F.broadcast(hot), "s", "left_anti")
     a, b = exploded.alias("a"), exploded.alias("b")
+    # Shared-count prefilter (r12), the ngram_jaccard_pairs stage-2
+    # bound adapted to containment: inter ≤ inter_nh + |hot| and
+    # C ≥ τ forces inter ≥ τ·min(|A|,|B|), so a pair with
+    # (inter_nh + |hot| + 1) < τ·min can NEVER pass the final filter —
+    # a necessary condition, output rows unchanged (+1 slack covers
+    # double rounding; no size-RATIO condition exists for containment,
+    # which is why stage 1 of the Jaccard prefilter is absent here).
     cands = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter_nh"))
+        .join(F.broadcast(n_hot))
+        .filter(
+            (F.col("inter_nh") + F.col("n_hot_total") + 1).cast("double")
+            >= F.lit(float(threshold))
+            * F.least(F.col("n_a"), F.col("n_b")).cast("double")
+        )
+        .select("doc_a", "doc_b")
     )
     j = (
         cands.join(

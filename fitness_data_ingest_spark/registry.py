@@ -392,14 +392,18 @@ _FORCE_REVERIFY: dict[str, int] = {
     # round 11: the recall eval truncates lineage at the ≥tau truth pair
     # list, so the exact-pairs pass runs once, not once per count
     # consumer; values identical.  (Bumped 9 → 10.)
-    # round 12: the whole ngram_jaccard_pairs family gains the
-    # size-compatibility prefilter (J ≤ min/max, a NECESSARY condition
-    # checked before the candidate distinct + array-intersect verify) —
-    # output rows provably unchanged (monotone IEEE rounding argument
-    # at the site), plans changed.
+    # round 12: the whole ngram_jaccard_pairs family gains a two-stage
+    # candidate prefilter — size ratio (J ≤ min/max) before the pair
+    # aggregation, then the shared-count bound (inter ≤ inter_nh +
+    # |hot|, so J ≥ τ forces (inter_nh+|hot|+1)(1+τ) ≥ τ(nₐ+n_b)) after
+    # it. Both are NECESSARY conditions (proofs at the site), so output
+    # rows are unchanged; measured 1,130,536 → 256 pairs entering the
+    # array-intersect verify at sf0.1. Containment gets the adapted
+    # bound (inter ≥ τ·min). Plans changed.
     "dedup_lsh_recall_eval": 11,
     "dedup_ngram_jaccard": 11,
     "dedup_threshold_sweep": 11,
+    "dedup_containment_pairs": 11,
     # round 11: exact_quantiles truncates lineage at the |groups|-row
     # stats table — each of its two fact passes no longer re-runs the
     # min/max/count scan (4 fact scans → 2); values identical. Both
