@@ -402,6 +402,13 @@ def lsh_multitable_topk(
             F.posexplode("buckets").alias("tbl", "bucket"),
         )
 
+    # NOTE (r12, measured): a guide-§8 restructure — dedup on slim
+    # (query_id, cand_id) keys, attach candidate payloads once via an
+    # equi-join, broadcast query payloads — A/B'd 1.18 (5 reps, same
+    # sitting): at this SF the extra candidate scan + attach join cost
+    # more than the ~1 KB/collision-row dedup shuffle they remove.
+    # REVERTED; at a vector-store scale where collisions fan out per
+    # table the slim form wins — revisit with real collision stats.
     qb = tabled(queries, "query_id").select(
         "query_id", F.col("vec").alias("qv"), F.col("nrm").alias("qn"), "tbl", "bucket"
     )

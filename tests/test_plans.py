@@ -114,7 +114,13 @@ def registry_plan_artifacts(spark, sf_dir):
     out = {}
     for name in sorted(QUERIES):
         df = QUERIES[name].spark(spark, sf_dir)
-        out[name] = (plan_fingerprint(df), plan_of(df, "simple"))
+        # the second explain reuses the QueryExecution's cached
+        # physical plan, so the formatted copy is nearly free
+        out[name] = (
+            plan_fingerprint(df),
+            plan_of(df, "simple"),
+            plan_of(df, "formatted"),
+        )
     return out
 
 
@@ -124,7 +130,7 @@ def test_no_python_udfs_anywhere_in_registry(registry_plan_artifacts):
     the named integer-exact Arrow kernels in ARROW_KERNEL_KEYS and the
     sanctioned mapInPandas boundaries (multimodal codecs, isotonic's
     partition kernel), which are Arrow-batched and value-exact."""
-    for name, (_fp, plan) in registry_plan_artifacts.items():
+    for name, (_fp, plan, _fmt) in registry_plan_artifacts.items():
         assert "BatchEvalPython" not in plan, name
         if name not in ARROW_KERNEL_KEYS:
             assert "ArrowEvalPython" not in plan, name
@@ -850,7 +856,8 @@ def test_plan_fingerprints_match_baseline(
         "PLANHASH.json",
     )
     current = {
-        name: fp for name, (fp, _plan) in registry_plan_artifacts.items()
+        name: fp
+        for name, (fp, _plan, _fmt) in registry_plan_artifacts.items()
     }
 
     if os.environ.get("SPARK_GRAFT_PLANHASH_REGEN"):
@@ -1075,7 +1082,7 @@ def test_r6_wave5_plan_shapes(spark, sf_dir):
         assert m.group(1).strip(), "partition-less window in theil_sen"
 
 
-def test_r6b_family_plan_shapes(spark, sf_dir):
+def test_r6b_family_plan_shapes(registry_plan_artifacts):
     """Round-6b (r6b) keys: no cartesian products; every
     BroadcastNestedLoopJoin is a sanctioned bounded-build attach (1-row
     totals/midpoint/signs scalars, the <=256-row bucket-offset
@@ -1089,13 +1096,10 @@ def test_r6b_family_plan_shapes(spark, sf_dir):
 
     from fitness_data_ingest_spark.registry_r6b import R6B_QUERIES
 
-    spark.catalog.clearCache()
-    for name, q in R6B_QUERIES.items():
-        df = q.spark(spark, sf_dir)
-        plan = plan_of(df, "simple")
+    for name in R6B_QUERIES:
+        _fp, plan, formatted = registry_plan_artifacts[name]
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
-        formatted = plan_of(df, "formatted")
         for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", formatted):
             first = m.group(1).split(",")[0].strip()
             assert not (
