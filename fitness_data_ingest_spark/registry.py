@@ -333,6 +333,11 @@ _FORCE_REVERIFY: dict[str, int] = {
     "embed_pq_adc": 11,
     "embed_random_projection": 6,
     "embed_mmr_select": 6,
+    # round 12: ndcg's distance fold moves to the same sanctioned
+    # Arrow/NumPy int64 kernel as matryoshka (integer sums commute →
+    # bit-identical) with the candidate spread; plan gains an
+    # ArrowEvalPython.
+    "ml_ndcg_ann": 11,
     "rag_hybrid_rrf": 7,
     # round 12: both matryoshka distances move from interpreted JVM HOF
     # folds to a vectorized Arrow/NumPy int64 kernel (integer sums of
@@ -341,7 +346,6 @@ _FORCE_REVERIFY: dict[str, int] = {
     # sanctioned ArrowEvalPython (tests/test_plans.ARROW_KERNEL_KEYS).
     "embed_matryoshka_recall": 11,
     "embed_drift_centroid": 7,
-    "ml_ndcg_ann": 7,
     # round 10: the banded-dedup family now reads the MATERIALIZED
     # candidate-stats stage (registry_util.shared_minhash_cand_stats:
     # band self-join + shingle-array Jaccard/agreement verify as exact

@@ -450,6 +450,11 @@ def _ann_recall_eval(spark, sf_dir):
     from .ext import similarity as S2
 
     brute = S2.cosine_topk(q, c).select("query_id", "cand_id")
+    # NOTE (r12, measured): truncating lineage at the ≤ queries×k truth
+    # list (it feeds both the hit join and k_eff) A/B'd 1.07 (5 reps,
+    # same sitting) — the eager materialization job costs more than the
+    # re-derived 10-query brute pass at this panel size. Left live; the
+    # §27 dominance bound decides, not the consumer count.
     lsh = S2.lsh_bucketed_topk(q, c).select("query_id", "cand_id")
     hits = (
         brute.join(lsh, ["query_id", "cand_id"])

@@ -1649,15 +1649,40 @@ def ndcg_ann(embeddings, k: int = NDCG_K, codes=None):
         F.col("c").alias("qc"),
         F.col("lb").alias("qlb"),
     )
+    # vectorized Arrow/NumPy int64 distance kernel + candidate spread
+    # (r12) — the same integer-sums-commute exactness argument and the
+    # same mechanics as matryoshka_recall above (sanctioned in
+    # tests/test_plans.ARROW_KERNEL_KEYS)
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+    import pandas as pd
+
+    def _full(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        d = np.stack(a.values).astype(np.int64) - np.stack(b.values).astype(
+            np.int64
+        )
+        return pd.Series((d * d).sum(axis=1))
+
+    _full.__annotations__ = {
+        "a": pd.Series, "b": pd.Series, "return": pd.Series
+    }
+    _d2_np = pandas_udf(_full, "long")
+    n_parts = max(
+        embeddings.sparkSession.sparkContext.defaultParallelism, 1
+    )
     pairs = (
-        codes.join(F.broadcast(q))
+        codes.repartition(n_parts, F.col("vec_id"))
+        .join(F.broadcast(q))
         .where(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "qlb",
             F.col("vec_id").alias("cid"),
             F.col("lb").alias("clb"),
-            F.expr(_D2_EXPR.format(a="qc", b="c")).alias("d2"),
+            _d2_np("qc", "c").alias("d2"),
         )
     )
     w = Window.partitionBy("qid").orderBy("d2", "cid")

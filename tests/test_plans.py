@@ -94,7 +94,7 @@ def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
 # banned everywhere. (VERDICT r11 item 3: the SQ8/PQ ANN paths compare
 # INTEGER codes — integer distance sums commute, so a vectorized NumPy
 # kernel is bit-identical to the JVM HOF fold it replaces.)
-ARROW_KERNEL_KEYS = frozenset({"embed_matryoshka_recall"})
+ARROW_KERNEL_KEYS = frozenset({"embed_matryoshka_recall", "ml_ndcg_ann"})
 
 
 @pytest.fixture(scope="module")
