@@ -844,8 +844,11 @@ def kmeans_lloyd(
     ``(id, c)`` table (the materialized shared stage in the registry
     path); derived from ``df`` if absent."""
     if codes is None:
-        codes = sq8_codes(df, id_col, vec_col)
-    codes = codes.localCheckpoint()
+        # derived in-function: many consumers, truncate the derivation
+        codes = sq8_codes(df, id_col, vec_col).localCheckpoint()
+    # a caller-provided ``codes`` is the MATERIALIZED shared stage (a
+    # parquet read — already truncated lineage); re-checkpointing it
+    # only added a copy job (the pq_adc measurement, r12)
     state = (
         codes.orderBy(id_col)
         .limit(k)
@@ -898,7 +901,8 @@ def kmeans_lloyd(
                 .select(
                     "cid", "cnt", F.expr("transform(ps, e -> e.sx)").alias("s")
                 )
-                .localCheckpoint()
+                # lazy: the next round's broadcast build materializes it
+                .localCheckpoint(eager=False)
             )
     return (
         assigned.groupBy("cid")

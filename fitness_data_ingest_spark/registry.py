@@ -324,7 +324,11 @@ _FORCE_REVERIFY: dict[str, int] = {
     # re-deriving the corpus quantization per key — code VALUES
     # identical (exact integer quantization), physical plans changed.
     "ann_sq8_topk": 4,
-    "embed_kmeans_lloyd": 5,
+    # round 12: same eager-job trim as pq_adc below (no re-checkpoint
+    # of the materialized code stage, lazy state checkpoints) — A/B
+    # 1.01 (neutral locally; one less materialization job, honest
+    # plan); values identical.
+    "embed_kmeans_lloyd": 11,
     # round 12: the redundant re-checkpoint of the materialized shared
     # code stage is gone (a parquet read is already truncated lineage)
     # and the subs/state checkpoints are lazy — ~55% of this operator
