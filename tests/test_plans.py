@@ -263,6 +263,9 @@ def test_ext_no_cartesian_or_nested_loop(spark, sf_dir):
         # knn vote reuses cosine_topk's broadcast query set; the k-means
         # E-step broadcasts the k seed centroids (k rows at any scale)
         "ann_knn_classify", "embed_cluster_assign",
+        # r12: the shared-count prefilter attaches the 1-row |hot|
+        # scalar as a conditionless broadcast (the tfidf/q11 pattern)
+        "dedup_ngram_jaccard",
     }
     for name, q in EXT_QUERIES.items():
         plan = plan_of(q.spark(spark, sf_dir), "simple")
@@ -477,6 +480,9 @@ def test_r3b_no_cartesian_or_nested_loop(spark, sf_dir):
         "events_forecast_backtest",
         # 1-row vocab-total scalar
         "corpus_vocab_drift",
+        # r12: the shared-count prefilter attaches the 1-row |hot|
+        # scalar as a conditionless broadcast (the tfidf/q11 pattern)
+        "dedup_threshold_sweep", "dedup_containment_pairs",
     }
     for name, q in R3B_QUERIES.items():
         plan = plan_of(q.spark(spark, sf_dir), "simple")
@@ -654,6 +660,8 @@ def test_flagship_and_new_family_lint_clean(spark, sf_dir):
         "orders_pareto", "events_rfm_segment", "ann_recall_eval",
         "affinity_lift_topk", "corpus_mixture_plan",
         "events_forecast_backtest", "corpus_vocab_drift",
+        # r12: 1-row |hot| scalar broadcast in the prefilter
+        "dedup_threshold_sweep", "dedup_containment_pairs",
     }
     assert_plan_clean(QUERIES["flagship_pipeline"].spark(spark, sf_dir))
     for name, q in R3B_QUERIES.items():
