@@ -501,6 +501,19 @@ def compact_line(out: dict, budget: int = 1900) -> str:
         return line
     line_out["n_queries"] = len(timings)
     line_out["full_record"] = "BENCH_LATEST.json"
+    # an adjudication-heavy round can push the isolated tail to 40+
+    # entries, which would squeeze the in-sweep queries dict to ZERO
+    # before the tail truncation below even runs — cap the tail first
+    # (sentinels survive, then slowest) so the driver line always
+    # carries both halves of the record
+    iso_full = line_out.get("isolated_tail")
+    if isinstance(iso_full, dict) and len(iso_full) > 24:
+        keep_iso = sorted(
+            iso_full, key=lambda n: (n not in SENTINEL_TAIL, -iso_full[n])
+        )[:24]
+        line_out["isolated_tail"] = {
+            n: iso_full[n] for n in sorted(keep_iso)
+        }
     by_cost = sorted(timings, key=timings.get, reverse=True)
     keep = len(by_cost)
     while keep > 0:
